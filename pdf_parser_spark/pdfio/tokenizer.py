@@ -1,0 +1,531 @@
+"""PDF byte-stream text extraction: object lexer, object-stream
+expansion, content-stream interpretation, y-sweep line clustering.
+
+A from-scratch implementation of the reference's text layer
+(reference parsers/base.py:27-44 uses pdfplumber with
+``x_tolerance=2, y_tolerance=3``; pdfplumber is NOT a dependency of
+this rebuild — BASELINE north star requires our own tokenizer).
+
+Pipeline per document:
+1. scan ``N G obj … endobj`` spans (resilient to broken xref tables —
+   the xref is never required);
+2. expand ``/ObjStm`` object streams (FlateDecode) and lex their
+   members;
+3. walk Catalog → Pages → Kids for page order (fallback: object-number
+   order over ``/Type /Page`` objects);
+4. interpret each page's content stream(s): BT/ET, Tf, Td, TD, Tm, T*,
+   TL, Tj, TJ, ' and " — tracking the text line matrix;
+5. decode show-text strings through the font's /ToUnicode CMap
+   (bfchar + bfrange) or Latin-1 for simple fonts;
+6. cluster glyph runs into lines by y (tolerance 3pt, matching the
+   reference's pdfplumber y_tolerance), order runs by x, re-insert
+   spaces at gaps ≥ a quarter of the glyph advance;
+7. join lines with ``\\n`` per page and pages with ``\\n``
+   (reference base.py:27-33 joins pages with '\\n').
+
+Deliberately scoped to the fixture writer's repertoire plus graceful
+failure (returns an error string instead of raising) — at 10^12-doc
+scale a poison document must never kill a task.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = b" \t\r\n\f\x00"
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+@dataclass
+class Stream:
+    info: dict
+    raw: bytes
+
+
+class _Lexer:
+    """Recursive-descent lexer for PDF object syntax."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_keyword(self) -> Optional[bytes]:
+        self._skip_ws()
+        m = re.match(rb"[A-Za-z'\"*]+", self.data[self.pos:self.pos + 16])
+        return m.group(0) if m else None
+
+    def value(self) -> Any:
+        self._skip_ws()
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise EOFError
+        c = d[p:p + 1]
+        if d[p:p + 2] == b"<<":
+            return self._dict()
+        if c == b"<":
+            return self._hex_string()
+        if c == b"(":
+            return self._literal_string()
+        if c == b"[":
+            return self._array()
+        if c == b"/":
+            return self._name()
+        if c in b"+-.0123456789":
+            return self._number_or_ref()
+        kw = self.peek_keyword()
+        if kw in (b"true", b"false", b"null"):
+            self.pos += len(kw)
+            return {b"true": True, b"false": False, b"null": None}[kw]
+        raise ValueError("unexpected byte %r at %d" % (c, p))
+
+    def _dict(self) -> Any:
+        self.pos += 2
+        out: Dict[str, Any] = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            key = self._name()
+            out[key] = self.value()
+        # stream payload?
+        save = self.pos
+        self._skip_ws()
+        if self.data[self.pos:self.pos + 6] == b"stream":
+            self.pos += 6
+            if self.data[self.pos:self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.data[self.pos:self.pos + 1] == b"\n":
+                self.pos += 1
+            length = out.get("Length")
+            if isinstance(length, int):
+                raw = self.data[self.pos:self.pos + length]
+                self.pos += length
+            else:  # /Length is a ref — fall back to endstream scan
+                end = self.data.find(b"endstream", self.pos)
+                raw = self.data[self.pos:end].rstrip(b"\r\n")
+                self.pos = end
+            self._skip_ws()
+            if self.data[self.pos:self.pos + 9] == b"endstream":
+                self.pos += 9
+            return Stream(out, raw)
+        self.pos = save
+        return out
+
+    def _array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.data[self.pos:self.pos + 1] == b"]":
+                self.pos += 1
+                return out
+            out.append(self.value())
+
+    def _name(self) -> str:
+        self._skip_ws()
+        assert self.data[self.pos:self.pos + 1] == b"/"
+        self.pos += 1
+        start = self.pos
+        d = self.data
+        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start:self.pos]
+        # #xx escapes
+        out = re.sub(
+            rb"#([0-9A-Fa-f]{2})",
+            lambda m: bytes([int(m.group(1), 16)]), raw,
+        )
+        return out.decode("latin-1")
+
+    def _number_or_ref(self) -> Any:
+        m = _NUM_RE.match(self.data, self.pos)
+        tok = m.group(0)
+        self.pos = m.end()
+        if b"." in tok:
+            return float(tok)
+        # lookahead for "gen R"
+        m2 = re.match(rb"\s+(\d+)\s+R\b", self.data[self.pos:self.pos + 32])
+        if m2:
+            self.pos += m2.end()
+            return Ref((int(tok), int(m2.group(1))))
+        return int(tok)
+
+    def _literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        depth = 1
+        out = bytearray()
+        esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+        while self.pos < len(d):
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                nc = d[self.pos]
+                self.pos += 1
+                if nc in esc:
+                    out.append(esc[nc])
+                elif 0x30 <= nc <= 0x37:  # octal
+                    oct_s = chr(nc)
+                    while len(oct_s) < 3 and 0x30 <= d[self.pos] <= 0x37:
+                        oct_s += chr(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif nc in (0x0A, 0x0D):  # line continuation
+                    if nc == 0x0D and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(nc)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+        return bytes(out)
+
+    def _hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos)
+        hexs = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos + 1:end])
+        self.pos = end + 1
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _decode_stream(s: Stream) -> bytes:
+    filt = s.info.get("Filter")
+    data = s.raw
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    for f in filters:
+        if f == "FlateDecode":
+            data = zlib.decompress(data)
+        else:
+            raise ValueError("unsupported filter %s" % f)
+    return data
+
+
+# ---------------------------------------------------------------------
+# document model
+# ---------------------------------------------------------------------
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        self.objects: Dict[int, Any] = {}
+        self._scan(data)
+        self._expand_object_streams()
+
+    def _scan(self, data: bytes) -> None:
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            lex = _Lexer(data, m.end())
+            try:
+                self.objects[num] = lex.value()
+            except Exception:
+                continue
+
+    def _expand_object_streams(self) -> None:
+        for num in list(self.objects):
+            obj = self.objects[num]
+            if isinstance(obj, Stream) and obj.info.get("Type") == "ObjStm":
+                try:
+                    payload = _decode_stream(obj)
+                    first = self.resolve(obj.info.get("First", 0))
+                    count = self.resolve(obj.info.get("N", 0))
+                    hdr = _Lexer(payload[:first])
+                    pairs = []
+                    for _ in range(count):
+                        onum = hdr.value()
+                        off = hdr.value()
+                        pairs.append((onum, off))
+                    for onum, off in pairs:
+                        member = _Lexer(payload, first + off).value()
+                        if self.objects.get(onum) is None:
+                            self.objects[onum] = member
+                except Exception:
+                    continue
+
+    def resolve(self, v: Any, depth: int = 0) -> Any:
+        while isinstance(v, Ref) and depth < 32:
+            v = self.objects.get(v[0])
+            depth += 1
+        return v
+
+    def pages(self) -> List[dict]:
+        """Kids-walk from the catalog; fallback to object-number order."""
+        catalog = None
+        for obj in self.objects.values():
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                catalog = obj
+                break
+        ordered: List[dict] = []
+        if catalog is not None:
+            def walk(node):
+                node = self.resolve(node)
+                if not isinstance(node, dict):
+                    return
+                if node.get("Type") == "Page":
+                    ordered.append(node)
+                    return
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid)
+            walk(catalog.get("Pages"))
+        if not ordered:
+            for num in sorted(self.objects):
+                obj = self.objects[num]
+                if isinstance(obj, dict) and obj.get("Type") == "Page":
+                    ordered.append(obj)
+        return ordered
+
+
+# ---------------------------------------------------------------------
+# fonts
+# ---------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BFRANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+)
+
+
+def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
+    """bfchar + bfrange sections → {code: unicode string}."""
+    mapping: Dict[int, str] = {}
+    for sect in re.finditer(
+        rb"beginbfchar(.*?)endbfchar", cmap_bytes, re.S
+    ):
+        for m in _BFCHAR_RE.finditer(sect.group(1)):
+            code = int(m.group(1), 16)
+            uni = m.group(2)
+            chars = "".join(
+                chr(int(uni[i:i + 4], 16)) for i in range(0, len(uni), 4)
+            )
+            mapping[code] = chars
+    for sect in re.finditer(
+        rb"beginbfrange(.*?)endbfrange", cmap_bytes, re.S
+    ):
+        for m in _BFRANGE_RE.finditer(sect.group(1)):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            base = int(m.group(3), 16)
+            for k in range(hi - lo + 1):
+                mapping[lo + k] = chr(base + k)
+    return mapping
+
+
+@dataclass
+class _Font:
+    to_unicode: Optional[Dict[int, str]] = None
+    char_em: float = 0.6  # monospace advance (Courier)
+
+    def decode(self, raw: bytes) -> str:
+        if self.to_unicode is None:
+            return raw.decode("latin-1")
+        return "".join(
+            self.to_unicode.get(b, chr(b) if b < 128 else "�")
+            for b in raw
+        )
+
+
+def _load_fonts(doc: PdfDocument, page: dict) -> Dict[str, _Font]:
+    res = doc.resolve(page.get("Resources")) or {}
+    fonts = doc.resolve(res.get("Font")) or {}
+    out: Dict[str, _Font] = {}
+    for name, ref in fonts.items():
+        fd = doc.resolve(ref)
+        if not isinstance(fd, dict):
+            continue
+        tu = doc.resolve(fd.get("ToUnicode"))
+        cmap = None
+        if isinstance(tu, Stream):
+            try:
+                cmap = _parse_tounicode(_decode_stream(tu))
+            except Exception:
+                cmap = None
+        out[name] = _Font(to_unicode=cmap)
+    return out
+
+
+# ---------------------------------------------------------------------
+# content-stream interpreter
+# ---------------------------------------------------------------------
+
+Y_TOLERANCE = 3.0   # matches reference pdfplumber y_tolerance (base.py:31)
+GAP_FRACTION = 0.25  # min glyph-advance fraction treated as a space
+
+
+@dataclass
+class _TextState:
+    x: float = 0.0
+    y: float = 0.0
+    line_x: float = 0.0
+    line_y: float = 0.0
+    leading: float = 0.0
+    size: float = 1.0
+    font: _Font = field(default_factory=_Font)
+
+    def advance(self, nbytes: int) -> float:
+        return nbytes * self.font.char_em * self.size
+
+
+def _interpret(content: bytes, fonts: Dict[str, _Font]) -> List[Tuple[float, float, str]]:
+    """Execute show-text-relevant operators; return glyph runs
+    (y, x, text)."""
+    lex = _Lexer(content)
+    stack: List[Any] = []
+    st = _TextState()
+    runs: List[Tuple[float, float, str]] = []
+
+    def show(raw: bytes) -> None:
+        text = st.font.decode(raw)
+        if text:
+            runs.append((st.y, st.x, text))
+        st.x += st.advance(len(raw))
+
+    def newline() -> None:
+        st.line_y -= st.leading
+        st.x, st.y = st.line_x, st.line_y
+
+    n = len(content)
+    while True:
+        try:
+            lex._skip_ws()
+            if lex.pos >= n:
+                break
+            c = content[lex.pos:lex.pos + 1]
+            if c in b"/<([+-.0123456789":
+                stack.append(lex.value())
+                continue
+            kw = lex.peek_keyword()
+            if not kw:
+                lex.pos += 1
+                continue
+            lex.pos += len(kw)
+            op = kw.decode("latin-1")
+            if op == "BT":
+                st.x = st.y = st.line_x = st.line_y = 0.0
+            elif op == "Tf" and len(stack) >= 2:
+                st.size = float(stack[-1])
+                st.font = fonts.get(stack[-2], _Font())
+            elif op == "TL" and stack:
+                st.leading = float(stack[-1])
+            elif op == "Td" and len(stack) >= 2:
+                st.line_x += float(stack[-2])
+                st.line_y += float(stack[-1])
+                st.x, st.y = st.line_x, st.line_y
+            elif op == "TD" and len(stack) >= 2:
+                st.leading = -float(stack[-1])
+                st.line_x += float(stack[-2])
+                st.line_y += float(stack[-1])
+                st.x, st.y = st.line_x, st.line_y
+            elif op == "Tm" and len(stack) >= 6:
+                st.line_x, st.line_y = float(stack[-2]), float(stack[-1])
+                st.x, st.y = st.line_x, st.line_y
+            elif op == "T*":
+                newline()
+            elif op == "Tj" and stack:
+                show(stack[-1])
+            elif op == "'" and stack:
+                newline()
+                show(stack[-1])
+            elif op == '"' and stack:
+                newline()
+                show(stack[-1])
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        show(item)
+                    elif isinstance(item, (int, float)):
+                        st.x -= item / 1000.0 * st.size
+            stack.clear()
+        except EOFError:
+            break
+        except Exception:
+            stack.clear()
+            continue
+    return runs
+
+
+def _cluster_lines(runs: List[Tuple[float, float, str]], char_w: float) -> str:
+    """y-sweep: sort runs top-down, group within Y_TOLERANCE, order by
+    x, re-insert spaces at geometric gaps."""
+    if not runs:
+        return ""
+    ordered = sorted(runs, key=lambda r: (-r[0], r[1]))
+    lines: List[List[Tuple[float, float, str]]] = []
+    cur_y = None
+    for r in ordered:
+        if cur_y is None or abs(r[0] - cur_y) > Y_TOLERANCE:
+            lines.append([r])
+            cur_y = r[0]
+        else:
+            lines[-1].append(r)
+    out_lines = []
+    for line in lines:
+        line.sort(key=lambda r: r[1])
+        buf = []
+        prev_end = None
+        for y, x, text in line:
+            if prev_end is not None and x - prev_end > char_w * GAP_FRACTION:
+                buf.append(" ")
+            buf.append(text)
+            prev_end = x + len(text) * char_w
+        out_lines.append("".join(buf))
+    return "\n".join(out_lines)
+
+
+@dataclass
+class ExtractResult:
+    text: str
+    pages: int
+    error: Optional[str] = None
+
+
+def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult:
+    """Full-document extraction; never raises."""
+    try:
+        doc = PdfDocument(pdf_bytes)
+        pages = doc.pages()
+        char_w = 0.6 * font_size
+        page_texts = []
+        for page in pages:
+            fonts = _load_fonts(doc, page)
+            contents = doc.resolve(page.get("Contents"))
+            chunks: List[bytes] = []
+            for item in contents if isinstance(contents, list) else [contents]:
+                s = doc.resolve(item)
+                if isinstance(s, Stream):
+                    try:
+                        chunks.append(_decode_stream(s))
+                    except Exception:
+                        continue
+            runs = _interpret(b"\n".join(chunks), fonts)
+            page_texts.append(_cluster_lines(runs, char_w))
+        return ExtractResult("\n".join(page_texts), len(pages))
+    except Exception as exc:  # poison document — report, don't raise
+        return ExtractResult("", 0, error="%s: %s" % (type(exc).__name__, exc))

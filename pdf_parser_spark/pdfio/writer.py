@@ -1,0 +1,253 @@
+"""Deterministic PDF fixture generator.
+
+Renders text (``\\f`` = page break, 60 lines/page) into a real PDF 1.4
+byte stream so the tokenizer has genuine material to chew on:
+
+* classic xref table + trailer;
+* per-page Flate-compressed (optional) content streams using the
+  ``BT/Tf/Tm/Td/TD/T*/Tj/TJ/'`` operator repertoire;
+* ASCII text through a standard Courier font (/F1);
+* non-ASCII lines through a generated 1-byte-code font (/F2) carrying
+  a /ToUnicode CMap (bfchar entries) — exercises CMap→Unicode mapping;
+* with ``objstm=True`` the font + page dicts are packed into a
+  /ObjStm object stream — exercises object-stream lexing.  (The xref
+  then only covers top-level objects; our tokenizer scans object spans
+  and does not require member entries, see tokenizer.py.)
+
+Courier is monospaced: every glyph advances 0.6 em, which makes x
+positions exactly reconstructable by the tokenizer.
+
+Every 7th line is emitted as a TJ array where one space is replaced by
+a -600/1000-em kerning adjustment (the width of a Courier space), so
+the tokenizer must re-insert the space from glyph-gap geometry.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List, Tuple
+
+FONT_SIZE = 10.0
+LEADING = 12.0
+CHAR_EM = 0.6  # Courier advance per glyph (em fraction)
+PAGE_LINES = 60
+TOP_Y = 760.0
+LEFT_X = 72.0
+
+
+def _esc_literal(s: str) -> bytes:
+    out = []
+    for ch in s:
+        if ch in "\\()":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out).encode("latin-1")
+
+
+def _build_charmap(text: str) -> Dict[str, int]:
+    """Assign 1-byte codes (0x80+, clear of ASCII) to every distinct
+    non-ASCII char (for /F2)."""
+    codes: Dict[str, int] = {}
+    nxt = 0x80
+    for ch in text:
+        if ord(ch) > 126 and ch not in codes:
+            codes[ch] = nxt
+            nxt += 1
+            if nxt > 0xFE:
+                raise ValueError("fixture text exceeds 1-byte custom font")
+    return codes
+
+
+def _tounicode_cmap(codes: Dict[str, int]) -> bytes:
+    """Minimal ToUnicode CMap with one bfchar block."""
+    entries = "".join(
+        "<%02x> <%04x>\n" % (code, ord(ch)) for ch, code in sorted(codes.items())
+    )
+    body = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "/CMapName /Custom-UC def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+        "%d beginbfchar\n%s endbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+        % (len(codes), entries)
+    )
+    return body.encode("latin-1")
+
+
+def _op_kind(line: str, idx: int) -> str:
+    """Which show-text form a line uses: TJ-with-kerning every 7th
+    ASCII line containing a space, the ' operator every 5th line,
+    plain Tj otherwise."""
+    is_ascii = all(ord(c) <= 126 for c in line)
+    if idx % 7 == 3 and " " in line and is_ascii:
+        return "tj_kern"
+    if idx % 5 == 2:
+        return "quote"
+    return "tj"
+
+
+def _line_ops(line: str, idx: int, codes: Dict[str, int]) -> bytes:
+    """Content-stream operators for one text line."""
+    is_ascii = all(ord(c) <= 126 for c in line)
+    ops: List[bytes] = []
+    if is_ascii:
+        ops.append(b"/F1 10 Tf\n")
+        payload = line
+    else:
+        ops.append(b"/F2 10 Tf\n")
+        payload = "".join(
+            chr(codes[c]) if ord(c) > 126 else c for c in line
+        )
+    kind = _op_kind(line, idx)
+    if kind == "tj_kern":
+        head, tail = payload.split(" ", 1)
+        ops.append(
+            b"[" + b"(" + _esc_literal(head) + b") -1000 ("
+            + _esc_literal(tail) + b")] TJ\n"
+        )
+    elif kind == "quote":
+        ops.append(b"(" + _esc_literal(payload) + b") '\n")
+    else:
+        ops.append(b"(" + _esc_literal(payload) + b") Tj\n")
+    return b"".join(ops)
+
+
+def _page_stream(lines: List[str], codes: Dict[str, int]) -> bytes:
+    parts: List[bytes] = [b"BT\n12 TL\n"]
+    parts.append(b"1 0 0 1 %.1f %.1f Tm\n" % (LEFT_X, TOP_Y))
+    for k, line in enumerate(lines):
+        if k > 0:
+            if _op_kind(line, k) == "quote":
+                pass  # the ' operator advances the line itself
+            elif k % 3 == 1:
+                parts.append(b"0 -12 Td\n")
+            elif k % 4 == 0:
+                parts.append(b"0 -12 TD\n")
+            else:
+                parts.append(b"T*\n")
+        parts.append(_line_ops(line, k, codes))
+    parts.append(b"ET\n")
+    return b"".join(parts)
+
+
+class _Builder:
+    def __init__(self):
+        self.objects: List[bytes] = []  # body of object i+1
+
+    def add(self, body: bytes) -> int:
+        self.objects.append(body)
+        return len(self.objects)
+
+    def reserve(self) -> int:
+        self.objects.append(b"")
+        return len(self.objects)
+
+    def set(self, num: int, body: bytes) -> None:
+        self.objects[num - 1] = body
+
+    def render(self) -> bytes:
+        out = [b"%PDF-1.4\n%\xc7\xec\x8f\xa2\n"]
+        offsets = [0] * (len(self.objects) + 1)
+        pos = sum(len(p) for p in out)
+        for i, body in enumerate(self.objects, start=1):
+            offsets[i] = pos
+            chunk = b"%d 0 obj\n" % i + body + b"\nendobj\n"
+            out.append(chunk)
+            pos += len(chunk)
+        xref_pos = pos
+        n = len(self.objects) + 1
+        xref = [b"xref\n0 %d\n" % n, b"0000000000 65535 f \n"]
+        for i in range(1, n):
+            xref.append(b"%010d 00000 n \n" % offsets[i])
+        out.append(b"".join(xref))
+        out.append(
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n, xref_pos)
+        )
+        return b"".join(out)
+
+
+def _stream_obj(data: bytes, compress: bool, extra: bytes = b"") -> bytes:
+    if compress:
+        data = zlib.compress(data, 9)
+        filt = b" /Filter /FlateDecode"
+    else:
+        filt = b""
+    return (
+        b"<< /Length %d%s%s >>\nstream\n" % (len(data), filt, extra)
+        + data + b"\nendstream"
+    )
+
+
+def text_to_pdf(text: str, compress: bool = True, objstm: bool = False) -> bytes:
+    """Render ``text`` (pages split on ``\\f``) to PDF bytes."""
+    pages_text = text.split("\f")
+    codes = _build_charmap(text)
+
+    b = _Builder()
+    root = b.reserve()    # 1: catalog
+    pages = b.reserve()   # 2: pages
+    f1 = b.reserve()      # 3: /F1
+    f2 = b.reserve()      # 4: /F2
+    cmap_obj = b.add(_stream_obj(_tounicode_cmap(codes), compress))
+
+    f1_body = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    f2_body = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+        b"/ToUnicode %d 0 R >>" % cmap_obj
+    )
+
+    page_ids: List[int] = []
+    page_bodies: List[Tuple[int, bytes]] = []
+    for ptext in pages_text:
+        # chunk page text into PAGE_LINES-line physical pages
+        chunks = [ptext.split("\n")[i:i + PAGE_LINES]
+                  for i in range(0, max(1, len(ptext.split("\n"))), PAGE_LINES)]
+        for chunk in chunks:
+            content = b.add(_stream_obj(_page_stream(chunk, codes), compress))
+            pid = b.reserve()
+            page_ids.append(pid)
+            page_bodies.append((pid, (
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >> "
+                b"/Contents %d 0 R >>" % (pages, f1, f2, content)
+            )))
+
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    pages_body = (
+        b"<< /Type /Pages /Count %d /Kids [%s] >>" % (len(page_ids), kids)
+    )
+    root_body = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+
+    if objstm:
+        # Pack catalog/pages/fonts/page dicts into one object stream.
+        members = [(root, root_body), (pages, pages_body),
+                   (f1, f1_body), (f2, f2_body)] + page_bodies
+        header = b""
+        payload = b""
+        for num, body in members:
+            header += b"%d %d " % (num, len(payload))
+            payload += body + b" "
+        data = header + payload
+        b.add(_stream_obj(
+            data, compress,
+            extra=b" /Type /ObjStm /N %d /First %d" % (len(members), len(header)),
+        ))
+        # top-level copies are left as placeholders referencing nothing;
+        # readers that scan object streams (ours) find the members there.
+        for num, _ in members:
+            b.set(num, b"null")
+    else:
+        b.set(root, root_body)
+        b.set(pages, pages_body)
+        b.set(f1, f1_body)
+        b.set(f2, f2_body)
+        for num, body in page_bodies:
+            b.set(num, body)
+
+    return b.render()

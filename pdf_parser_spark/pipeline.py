@@ -1,0 +1,200 @@
+"""The fidelity path: one DataFrame plan from page scan to transaction
+table + lineage sidecar.
+
+    scan(url, warc_ts, html, text, lang)
+      → salted skew-aware repartition                 (one shuffle)
+      → mapInPandas extract+detect+parse              (Arrow batches)
+      → split: transactions / per-document metrics    (one cached pass)
+      → write parquet (Iceberg on a real cluster — see io_tables.py)
+
+Design notes (SURVEY.md §4, BASELINE north star):
+* Extraction and parsing happen in ONE pass over the payload — the
+  reference parses every PDF twice (app.py:13 + chase.py:17); we don't.
+* No per-row Python UDFs anywhere: the per-document state machines run
+  inside ``mapInPandas`` over Arrow record batches.
+* Skew: documents vary 1000× in size, and one task gets many documents.
+  We repartition by a *seeded* url hash (decorrelates from upstream
+  layout), and mega-documents (payload > ``mega_threshold``) are routed
+  to a dedicated repartition so a handful of giants never serialize
+  behind thousands of small docs in the same task.
+* Column pruning: the plan touches only the columns it needs; metrics
+  queries on the sidecar never scan payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine.document import parse_document
+from .pdfio.extract import extract_document
+
+# union row schema: record='tx' rows carry transaction fields,
+# record='doc' rows carry per-document lineage/metrics fields.
+PARSED_SCHEMA = (
+    "url string, record string, tx_index int, bank string, date string,"
+    " description string, amount double, direction string,"
+    " kind string, pages int, n_lines int, n_chars bigint,"
+    " blocks_total int, blocks_kept int, tx_count int,"
+    " text_sha256 string, error string, part_id int"
+)
+
+TX_COLUMNS = ["url", "tx_index", "bank", "date", "description", "amount",
+              "direction"]
+DOC_COLUMNS = ["url", "bank", "kind", "pages", "n_lines", "n_chars",
+               "blocks_total", "blocks_kept", "tx_count", "text_sha256",
+               "error", "part_id"]
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side worker: Arrow batch of pages → union rows."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    part_id = ctx.partitionId() if ctx else -1
+    for pdf_batch in batches:
+        rows = []
+        for row in pdf_batch.itertuples(index=False):
+            url = row.url
+            payload = row.html
+            fallback_year = (
+                row.warc_ts.year if row.warc_ts is not None else 1970
+            )
+            error = None
+            if payload is not None:
+                doc = extract_document(
+                    bytes(payload) if not isinstance(payload, bytes)
+                    else payload
+                )
+                text, kind, pages, error = (
+                    doc.text, doc.kind, doc.pages, doc.error
+                )
+            else:
+                text, kind, pages = row.text, "text", 1
+            tally: dict = {}
+            try:
+                bank, txs = parse_document(text, fallback_year, tally=tally)
+            except Exception as exc:  # poison doc: metrics row, no txs
+                bank, txs = "error", []
+                error = "%s: %s" % (type(exc).__name__, exc)
+            for i, t in enumerate(txs):
+                rows.append((
+                    url, "tx", i, bank, t["date"], t["description"],
+                    t["amount"], t["direction"],
+                    None, None, None, None, None, None, None, None, None,
+                    None,
+                ))
+            sha = hashlib.sha256((text or "").encode("utf-8")).hexdigest()
+            rows.append((
+                url, "doc", None, bank, None, None, None, None,
+                kind, pages, tally.get("n_lines", 0),
+                len(text) if text else 0,
+                tally.get("blocks_total", 0), tally.get("blocks_kept", 0),
+                len(txs), sha, error, part_id,
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "url", "record", "tx_index", "bank", "date", "description",
+            "amount", "direction", "kind", "pages", "n_lines", "n_chars",
+            "blocks_total", "blocks_kept", "tx_count", "text_sha256",
+            "error", "part_id",
+        ])
+
+
+def salted_repartition(
+    df: DataFrame,
+    partitions: int,
+    seed: int = 42,
+    mega_threshold: int = 1 << 20,
+) -> DataFrame:
+    """Skew-aware shuffle: small docs spread by seeded url hash;
+    mega-documents isolated into their own fine-grained repartition so
+    a giant never queues behind a full task of normal docs."""
+    sized = df.withColumn(
+        "_doc_bytes",
+        F.coalesce(F.length("html"), F.length("text"), F.lit(0)),
+    )
+    small = (
+        sized.filter(F.col("_doc_bytes") <= mega_threshold)
+        .repartition(partitions, F.xxhash64("url", F.lit(seed)))
+    )
+    big = (
+        sized.filter(F.col("_doc_bytes") > mega_threshold)
+        .repartition(max(partitions // 2, 1), F.col("url"))
+    )
+    return small.unionByName(big).drop("_doc_bytes")
+
+
+def parse_pages(
+    pages: DataFrame,
+    partitions: Optional[int] = None,
+    salt_seed: int = 42,
+    mega_threshold: int = 1 << 20,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → union parsed rows."""
+    spark = pages.sparkSession
+    partitions = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    pruned = pages.select("url", "warc_ts", "html", "text")
+    salted = salted_repartition(pruned, partitions, salt_seed,
+                                mega_threshold)
+    return salted.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
+
+
+def split_outputs(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One cached pass → (transactions, doc_metrics)."""
+    txs = parsed.filter(F.col("record") == "tx").select(*TX_COLUMNS)
+    docs = parsed.filter(F.col("record") == "doc").select(*DOC_COLUMNS)
+    return txs, docs
+
+
+def partition_metrics(docs: DataFrame) -> DataFrame:
+    """Per-partition lineage rollup (G7): partial aggregation happens
+    map-side for free (hash aggregate)."""
+    return docs.groupBy("part_id").agg(
+        F.count("*").alias("docs"),
+        F.sum("pages").alias("pages"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("blocks_total").alias("blocks_total"),
+        F.sum("blocks_kept").alias("blocks_kept"),
+        F.sum("tx_count").alias("txs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .alias("failures"),
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+    partitions: Optional[int] = None,
+) -> dict:
+    """End-to-end job with snapshot-style resume: urls already present
+    in the committed output are anti-joined away before any payload
+    work (SURVEY.md §2.6 resume anti-join), so kill-and-rerun never
+    duplicates and never re-extracts."""
+    tx_path = os.path.join(out_dir, "transactions")
+    doc_path = os.path.join(out_dir, "doc_metrics")
+    if resume:
+        try:
+            done = spark.read.parquet(doc_path).select("url").distinct()
+            pages = pages.join(done, "url", "left_anti")
+        except Exception:
+            pass  # first run — nothing committed yet
+    parsed = parse_pages(pages, partitions).persist()
+    try:
+        txs, docs = split_outputs(parsed)
+        txs.write.mode("append").parquet(tx_path)
+        docs.write.mode("append").parquet(doc_path)
+        n_docs = docs.count()
+        n_txs = txs.count()
+    finally:
+        parsed.unpersist()
+    return {"docs": n_docs, "txs": n_txs,
+            "tx_path": tx_path, "doc_path": doc_path}

@@ -22,7 +22,7 @@ GOLDEN = json.loads(
 DOCS = {d["url"]: d for d in fixture_docs()}
 
 
-@pytest.mark.parametrize("url", sorted(GOLDEN))
+@pytest.mark.parametrize("url", sorted(u for u in GOLDEN if "#" not in u))
 def test_document_matches_reference(url):
     doc = DOCS[url]
     expected = GOLDEN[url]
@@ -39,6 +39,26 @@ def test_document_matches_reference(url):
         # float equality must be exact (bit-identical parse path)
         assert repr(got["amount"]) == repr(float(want["amount"])), (i, got, want)
         assert got["direction"] == want["direction"], (i, got, want)
+
+
+def test_detection_variant_matches_reference():
+    """The unregistered rel layout, parsed via pure detection (→ bofa),
+    must also match the reference (the pipeline path exercises this)."""
+    for url in GOLDEN:
+        if not url.endswith("#detected"):
+            continue
+        doc = DOCS[url.split("#")[0]]
+        want = GOLDEN[url]
+        bank, txs = parse_document(doc["text"], doc["warc_ts"].year)
+        assert bank == want["bank"]
+        assert [
+            (t["date"], t["description"], repr(t["amount"]), t["direction"])
+            for t in txs
+        ] == [
+            (t["date"], t["description"], repr(float(t["amount"])),
+             t["direction"])
+            for t in want["txs"]
+        ]
 
 
 def test_corpus_covers_all_issuers():

@@ -106,6 +106,10 @@ def main():
         )
         goldens[doc["url"]] = {"bank": bank, "txs": txs}
         print("%-55s %-18s %4d txs" % (doc["url"], bank, len(txs)))
+        if doc["issuer_hint"]:
+            # what pure detection (no hint) yields — the pipeline path
+            dbank, dtxs = run_reference(doc["text"], doc["warc_ts"].year)
+            goldens[doc["url"] + "#detected"] = {"bank": dbank, "txs": dtxs}
     out = REPO / "tests" / "golden" / "expected_tx.json"
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(goldens, indent=1, ensure_ascii=False))

@@ -1,0 +1,530 @@
+"""The relational path: every SURVEY §2 operator that is
+SQL-expressible, written ONCE as a dialect-paired SQL generator —
+``sql(name, 'spark')`` runs under Catalyst, ``sql(name, 'duckdb')`` is
+the independent oracle the driver executes side-by-side.
+
+Input tables are the driver's parquet fixtures (TESTDATA.md).  The
+``documents`` prose has no dates/amounts, so a deterministic shared CTE
+(``stmt_lines``) derives statement-shaped lines from it — 6-word
+chunks with injected MM/DD prefixes, money lexemes, direction keywords
+and issuer tokens, all pure integer arithmetic on (doc_id, line_no,
+n_chars) so both engines derive byte-identical lines.  The real
+operators (window segmentation, amount lexer, direction CASE,
+detection CASE, normalization sort) then run on those lines.
+
+Float policy: any SUM over doubles goes through DECIMAL(38,x) so the
+result is independent of accumulation order (and therefore identical
+across engines); per-row double arithmetic (ratio, cosine) is IEEE-
+deterministic and needs no such treatment.
+
+Known, deliberate divergence from the Python fidelity path: the two
+DIRECTION_RULES patterns using negative lookahead (common.py:17,28 —
+RE2 has no lookahead) are rewritten as ``rlike(p) AND NOT rlike(p')``,
+equivalent whenever the keyword appears at most once per line.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+SPARK, DUCK = "spark", "duckdb"
+
+AMOUNT_PATTERN = (
+    r"(?:\$\d{1,3}(?:,\d{3})*(?:\.\d{2})?"
+    r"|\(?-\d{1,3}(?:,\d{3})*(?:\.\d{2})?\)?"
+    r"|\d{1,3}(?:,\d{3})*\.\d{2})"
+)
+
+
+# --------------------------------------------------------------- dialect
+def lit(pattern: str, d: str) -> str:
+    """Regex pattern → SQL string literal (Spark doubles backslashes)."""
+    body = pattern.replace("\\", "\\\\") if d == SPARK else pattern
+    return "'" + body.replace("'", "''") + "'"
+
+
+def RLIKE(s: str, pattern: str, d: str) -> str:
+    p = lit(pattern, d)
+    return ("%s rlike %s" % (s, p)) if d == SPARK else (
+        "regexp_matches(%s, %s)" % (s, p))
+
+
+def LEN(arr: str, d: str) -> str:
+    return ("size(%s)" % arr) if d == SPARK else ("len(%s)" % arr)
+
+
+def SLICE(arr: str, start: str, n: str, d: str) -> str:
+    if d == SPARK:
+        return "slice(%s, %s, %s)" % (arr, start, n)
+    return "list_slice(%s, %s, (%s)+(%s)-1)" % (arr, start, start, n)
+
+
+def JOINA(arr: str, sep: str, d: str) -> str:
+    fn = "array_join" if d == SPARK else "array_to_string"
+    return "%s(%s, '%s')" % (fn, arr, sep)
+
+
+def SEQ0(n: str, d: str) -> str:
+    """[0, n) as a list."""
+    return ("sequence(0, (%s)-1)" % n) if d == SPARK else ("range(0, %s)" % n)
+
+
+def TRANSFORM(arr: str, var: str, expr: str, d: str) -> str:
+    if d == SPARK:
+        return "transform(%s, %s -> %s)" % (arr, var, expr)
+    return "[%s for %s in %s]" % (expr, var, arr)
+
+
+def AMIN(arr: str, d: str) -> str:
+    return ("array_min(%s)" % arr) if d == SPARK else ("list_min(%s)" % arr)
+
+
+def REALL(sexpr: str, pattern: str, d: str) -> str:
+    """All matches of a (group-free) pattern — Spark needs an explicit
+    group index 0 (its default of 1 requires a capture group)."""
+    p = lit(pattern, d)
+    if d == SPARK:
+        return "regexp_extract_all(%s, %s, 0)" % (sexpr, p)
+    return "regexp_extract_all(%s, %s)" % (sexpr, p)
+
+
+def REREPL(sexpr: str, pattern: str, repl: str, d: str) -> str:
+    """Replace ALL occurrences (DuckDB needs the 'g' flag; Spark is
+    global by default)."""
+    p = lit(pattern, d)
+    if d == SPARK:
+        return "regexp_replace(%s, %s, '%s')" % (sexpr, p, repl)
+    return "regexp_replace(%s, %s, '%s', 'g')" % (sexpr, p, repl)
+
+
+def PRINTF(d: str) -> str:
+    return "format_string" if d == SPARK else "printf"
+
+
+def ORD_CONCAT(col: str, sep: str, order_by: str, d: str) -> str:
+    """Order-preserving string aggregation (G4)."""
+    if d == DUCK:
+        return "string_agg(%s, '%s' ORDER BY %s)" % (col, sep, order_by)
+    return (
+        "concat_ws('%s', transform(array_sort(collect_list("
+        "struct(%s as o, %s as v))), x -> x.v))" % (sep, order_by, col)
+    )
+
+
+def EPOCH(ts: str, d: str) -> str:
+    if d == SPARK:
+        return "unix_timestamp(%s)" % ts
+    # floor, not round: Spark unix_timestamp truncates sub-second
+    return "cast(floor(epoch(%s)) as bigint)" % ts
+
+
+def HEX2INT(hexpr: str, d: str) -> str:
+    """First 15 hex chars of a digest → BIGINT (fits in 60 bits)."""
+    if d == SPARK:
+        return "cast(conv(substring(%s, 1, 15), 16, 10) as bigint)" % hexpr
+    return "cast(('0x' || substring(%s, 1, 15)) as bigint)" % hexpr
+
+
+def DECSUM(expr: str, d: str, scale: int = 15) -> str:
+    """Order-independent SUM over doubles via exact decimal."""
+    return ("cast(sum(cast(%s as decimal(38,%d))) as double)"
+            % (expr, scale))
+
+
+# ----------------------------------------------------------- derived CTE
+
+_ISSUER_TOKEN = (
+    "CASE doc_id % 10 WHEN 1 THEN 'chase.com ' WHEN 2 THEN 'Wells Fargo ' "
+    "WHEN 3 THEN 'Bank of America ' WHEN 4 THEN 'CitiBusiness ' "
+    "WHEN 5 THEN 'Truist ' WHEN 6 THEN 'Mercury ' WHEN 7 THEN 'Valley ' "
+    "WHEN 8 THEN 'Pacific National Bank ' "
+    "WHEN 9 THEN 'International Finance Bank ' ELSE '' END"
+)
+
+
+def stmt_lines_cte(d: str) -> str:
+    """Derived statement lines: (doc_id, line_no, line)."""
+    p = PRINTF(d)
+    ws = "split(text, ' ')" if d == SPARK else "string_split(text, ' ')"
+    nlines = "cast(ceil(%s / 6.0) as int)" % LEN("ws", d)
+    chunk = JOINA(SLICE("ws", "line_no*6+1", "6", d), " ", d)
+    if d == SPARK:
+        expl = (
+            "SELECT doc_id, n_chars, ws, line_no FROM words "
+            "LATERAL VIEW explode(%s) t AS line_no" % SEQ0(nlines, d)
+        )
+    else:
+        expl = (
+            "SELECT doc_id, n_chars, ws, unnest(%s) AS line_no FROM words"
+            % SEQ0(nlines, d)
+        )
+    return """
+words AS (SELECT doc_id, n_chars, {ws} AS ws FROM documents),
+chunked AS ({expl}),
+stmt_lines AS (
+  SELECT doc_id, line_no,
+    CASE WHEN line_no % 3 = 0
+         THEN {p}('%02d/%02d ', (doc_id + line_no) % 12 + 1,
+                                (doc_id * 7 + line_no) % 28 + 1)
+         ELSE '' END
+    || CASE WHEN line_no = 0 THEN {issuer} ELSE '' END
+    || {chunk}
+    || CASE WHEN line_no % 7 = 2 THEN ' WIRE OUT'
+            WHEN line_no % 7 = 4 THEN ' ACH CREDIT'
+            WHEN line_no % 7 = 6 THEN ' ZELLE PAYMENT FROM ALEX'
+            ELSE '' END
+    || CASE WHEN line_no % 11 = 5 THEN ' 1,234.56'
+            WHEN line_no % 13 = 6 THEN ' (-42.00)'
+            WHEN line_no % 2 = 0
+            THEN {p}(' $%d.%02d', (n_chars * (line_no + 1)) % 999 + 1,
+                                  (doc_id + line_no) % 100)
+            WHEN line_no % 5 = 4
+            THEN {p}(' -%d.%02d', n_chars % 999 + 1, line_no % 100)
+            ELSE '' END
+    AS line
+  FROM chunked WHERE {chunk} <> ''
+)""".format(ws=ws, expl=expl, p=p, issuer=_ISSUER_TOKEN, chunk=chunk)
+
+
+def with_lines(body: str, d: str) -> str:
+    return "WITH %s %s" % (stmt_lines_cte(d), body)
+
+
+# ------------------------------------------------------------ queries
+
+QUERIES: Dict[str, Callable[[str], str]] = {}
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+    return deco
+
+
+@query("s3_lines")
+def q_lines(d: str) -> str:
+    """S3/S4 line scan: the derived line table itself (validates both
+    dialect implementations against each other)."""
+    return with_lines(
+        "SELECT doc_id, line_no, line FROM stmt_lines", d)
+
+
+@query("d2_slash_dates")
+def q_slash_dates(d: str) -> str:
+    """D2 ``parse_mmdd_token``: anchored MM/DD[/YY[YY]] → ISO string
+    (no calendar validation, 2-digit year → 2000+yy; base.py:56-62).
+    Fallback year pinned to 2024 (no year tokens in derived lines)."""
+    pat = r"^\s*(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?\b"
+    mm = "regexp_extract(line, %s, 1)" % lit(pat, d)
+    dd = "regexp_extract(line, %s, 2)" % lit(pat, d)
+    yy = "regexp_extract(line, %s, 3)" % lit(pat, d)
+    p = PRINTF(d)
+    return with_lines("""
+SELECT doc_id, line_no,
+  CASE WHEN {mm} = '' THEN NULL
+       ELSE {p}('%04d-%02d-%02d',
+                CASE WHEN {yy} = '' THEN 2024
+                     WHEN cast({yy} as int) < 100
+                     THEN 2000 + cast({yy} as int)
+                     ELSE cast({yy} as int) END,
+                cast({mm} as int), cast({dd} as int))
+  END AS iso_date
+FROM stmt_lines""".format(mm=mm, dd=dd, yy=yy, p=p), d)
+
+
+@query("d1_amount_lexer")
+def q_amount_lexer(d: str) -> str:
+    """D1 money lexer: every RE_AMOUNT lexeme per line with position
+    (base.py:7)."""
+    toks = REALL("line", AMOUNT_PATTERN, d)
+    if d == SPARK:
+        body = ("SELECT doc_id, line_no, pos + 1 AS tok_pos, tok "
+                "FROM (SELECT doc_id, line_no, %s AS toks FROM stmt_lines) t "
+                "LATERAL VIEW posexplode(toks) x AS pos, tok" % toks)
+    else:
+        body = ("SELECT doc_id, line_no, "
+                "generate_subscripts(toks, 1) AS tok_pos, "
+                "unnest(toks) AS tok "
+                "FROM (SELECT doc_id, line_no, %s AS toks FROM stmt_lines) t"
+                % toks)
+    return with_lines(body, d)
+
+
+def _signed_first_amount(d: str, toks: str = "toks") -> str:
+    """D6 pick_amount sign/parse logic as an expression over a token
+    array (base.py:76-85): negative iff leading '-' or '('; strip
+    '(',')','-','$',',' then cast."""
+    first = ("element_at(%s, 1)" % toks) if d == SPARK else ("%s[1]" % toks)
+    bare = ("cast(%s as double)"
+            % REREPL(first, r"[\(\)\-\$,]", "", d))
+    neg = RLIKE(first, r"^[\(\-]", d)
+    return ("CASE WHEN %s = 0 THEN NULL WHEN %s THEN -%s ELSE %s END"
+            % (LEN(toks, d), neg, bare, bare))
+
+
+@query("d6_first_amount")
+def q_first_amount(d: str) -> str:
+    """D6 ``pick_amount(prefer_first=True)`` per line."""
+    toks = REALL("line", AMOUNT_PATTERN, d)
+    return with_lines("""
+SELECT doc_id, line_no, {amt} AS amount
+FROM (SELECT doc_id, line_no, {toks} AS toks FROM stmt_lines) t
+""".format(toks=toks, amt=_signed_first_amount(d)), d)
+
+
+def _is_date(d: str) -> str:
+    return ("CASE WHEN %s THEN 1 ELSE 0 END"
+            % RLIKE("line", r"^\s*\d{1,2}/\d{1,2}(/\d{2,4})?\b", d))
+
+
+@query("g1_block_ids")
+def q_block_ids(d: str) -> str:
+    """G1 block segmentation: running sum of date-line markers per doc
+    (the window-function formulation of the reference's line loop,
+    base.py:107-121 / SURVEY §2.9)."""
+    return with_lines("""
+SELECT doc_id, line_no, is_date,
+  SUM(is_date) OVER (PARTITION BY doc_id ORDER BY line_no
+                     ROWS UNBOUNDED PRECEDING) AS block_id
+FROM (SELECT doc_id, line_no, {isd} AS is_date FROM stmt_lines) t
+""".format(isd=_is_date(d)), d)
+
+
+@query("g4_block_text")
+def q_block_text(d: str) -> str:
+    """G4 order-preserving block text assembly (base.py:115)."""
+    return with_lines("""
+SELECT doc_id, block_id, {cat} AS block_text, COUNT(*) AS n_lines
+FROM (
+  SELECT doc_id, line_no, line,
+    SUM({isd}) OVER (PARTITION BY doc_id ORDER BY line_no
+                     ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM stmt_lines
+) b WHERE block_id > 0
+GROUP BY doc_id, block_id
+""".format(cat=ORD_CONCAT("line", " ", "line_no", d), isd=_is_date(d)), d)
+
+
+# ordered, lookahead-free rewrite of DIRECTION_RULES (common.py:5-30)
+_DIR_CASES = [
+    (r"\bWIRE\s+OUT\b", None, "out"),
+    (r"\bWIRE\s+FEE\b", None, "out"),
+    (r"\bWIRE\s+TRANS\s+SVC\s+CHARGE\b", None, "out"),
+    (r"\bACH\s+DEBIT\b", None, "out"),
+    (r"\bACH\s+PULL\b", None, "out"),
+    (r"\bBILL\s*(PAID|PMT)\b", None, "out"),
+    (r"\bDEBIT\s+MEMO\b", None, "out"),
+    (r"\bSERVICE CHARGE(S)?\b", None, "out"),
+    (r"\bDBT\s+CRD\b", None, "out"),
+    (r"\bPOS\s+DEB\b", None, "out"),
+    (r"\bDEBIT\s+CARD\s+PURCH\b", None, "out"),
+    (r"\bZELLE.*PAYMENT\s+TO\b", None, "out"),
+    (r"\bPAYPAL\s+", r"\bPAYPAL\s+.*CREDIT", "out"),   # lookahead rewrite
+    (r"\bCHECK\b", None, "out"),
+    (r"\bWITHDRAWAL\b", None, "out"),
+    (r"\bFEE\b", None, "out"),
+    (r"\bWIRE\s+IN\b", None, "in"),
+    (r"\bACH\s+CREDIT\b", None, "in"),
+    (r"\bACH\s+IN\b", None, "in"),
+    (r"\bELECTRONIC\s+CREDIT\b", None, "in"),
+    (r"\bDEBIT\s+CARD\s+CREDIT\b", None, "in"),
+    (r"\bZELLE.*PAYMENT\s+FROM\b", None, "in"),
+    (r"\bINTEREST\s+PAYMENT\b", None, "in"),
+    (r"\bWT\b", r"\bWT\b.*(CHARGE|FEE)", "in"),        # lookahead rewrite
+    (r"\bPAYPAL.*CREDIT\b", None, "in"),
+]
+
+
+def direction_case(expr: str, d: str) -> str:
+    """C2 global direction rules as one ordered CASE chain."""
+    up = "upper(%s)" % expr
+    whens = []
+    for pat, neg, out in _DIR_CASES:
+        cond = RLIKE(up, pat, d)
+        if neg:
+            cond = "(%s AND NOT %s)" % (cond, RLIKE(up, neg, d))
+        whens.append("WHEN %s THEN '%s'" % (cond, out))
+    return "CASE %s ELSE 'unknown' END" % " ".join(whens)
+
+
+@query("c2_direction_rules")
+def q_direction(d: str) -> str:
+    """C2 DIR_RULES ordered first-match classification per line."""
+    return with_lines(
+        "SELECT doc_id, line_no, %s AS direction FROM stmt_lines"
+        % direction_case("line", d), d)
+
+
+# ordered detection table (C1, parsers/__init__.py:31-96) — the regexes
+# that matter for the derived corpus; full table kept for parity.
+_DETECT_CASES = [
+    ("bofa", [r"\bBank of America\b", r"bankofamerica\.com", r"\bBOFA\b",
+              r"\bBusiness Advantage\b", r"1\.888\.BUSINESS"]),
+    ("chase", [r"chase\.com", r"\bChase Mobile\b", r"\bChase Debit Card\b",
+               r"\bChase Total Checking\b", r"\bChase Savings\b"]),
+    ("ifb", [r"International\s+Finance\s+Bank", r"\bIFB Bus Checking\b",
+             r"\bifbbank\.com\b"]),
+    ("valley", [r"\bValley\b", r"Valley National Bank", r"\bvalley\.com\b"]),
+    ("mercury", [r"\bMercury\b", r"Choice Financial Group",
+                 r"help@mercury\.com"]),
+    ("pnb", [r"Pacific National Bank", r"\bP\.O\. Box 012620, Miami\b",
+             r"\bACCT ENDING\b"]),
+    ("wf", [r"\bWells Fargo\b", r"wellsfargo\.com",
+            r"\bNavigate Business Checking\b",
+            r"\bInitiate Business Checking\b"]),
+    ("citi", [r"\bCitiBusiness\b", r"\bCitibank\b", r"\bCiti\b"]),
+    ("truist", [r"\bTruist\b", r"truist\.com",
+                r"\bZELLE BUSINESS PAYMENT\b"]),
+]
+
+
+def detect_case(expr: str, d: str) -> str:
+    """C1 ordered issuer detection over a 20k-char prefix (F16)."""
+    prefix = "substring(%s, 1, 20000)" % expr
+    whens = []
+    for key, pats in _DETECT_CASES:
+        conds = " OR ".join(RLIKE(prefix, "(?i)" + p, d) for p in pats)
+        whens.append("WHEN (%s) THEN '%s'" % (conds, key))
+    return "CASE %s ELSE 'generic' END" % " ".join(whens)
+
+
+@query("c1_detect_issuer")
+def q_detect(d: str) -> str:
+    """C1+F16: per-document issuer over assembled statement text."""
+    return with_lines("""
+SELECT doc_id, {case_} AS bank FROM (
+  SELECT doc_id, {cat} AS full_text FROM stmt_lines GROUP BY doc_id
+) t""".format(case_=detect_case("full_text", d),
+              cat=ORD_CONCAT("line", "\n", "line_no", d)), d)
+
+
+@query("generic_relational")
+def q_generic_parse(d: str) -> str:
+    """The COMPLETE GenericParser (base.py:103-121) as one relational
+    plan: date gate → block window (G1) → ordered concat (G4) → first
+    amount (D1/D6) → strip trailing lexeme (D7) → direction (C2) →
+    normalize + stable per-doc sort (D20/G6).  Cross-checked against
+    the Python engine in tests (differential, SURVEY §5.3)."""
+    strip_tail = REREPL("block_text", r"\s*" + AMOUNT_PATTERN + r"\s*$",
+                        "", d)
+    toks = REALL("block_text", AMOUNT_PATTERN, d)
+    date_pat = r"^\s*(\d{1,2})/(\d{1,2})\b"
+    p = PRINTF(d)
+    return with_lines("""
+, blocks AS (
+  SELECT doc_id, block_id,
+         {cat} AS block_text,
+         MIN(line_no) AS first_line
+  FROM (
+    SELECT doc_id, line_no, line,
+      SUM({isd}) OVER (PARTITION BY doc_id ORDER BY line_no
+                       ROWS UNBOUNDED PRECEDING) AS block_id
+    FROM stmt_lines
+  ) b WHERE block_id > 0
+  GROUP BY doc_id, block_id
+), parsed AS (
+  SELECT doc_id, block_id,
+    {p}('%04d-%02d-%02d', 2024,
+        cast(regexp_extract(block_text, {dp}, 1) as int),
+        cast(regexp_extract(block_text, {dp}, 2) as int)) AS date,
+    trim({strip_tail}) AS description,
+    {amt} AS amount
+  FROM (SELECT doc_id, block_id, block_text, {toks} AS toks FROM blocks) x
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, block_id)
+       AS INT) - 1 AS tx_index,
+  date, description, abs(amount) AS amount,
+  {dircase} AS direction
+FROM parsed WHERE amount IS NOT NULL
+""".format(cat=ORD_CONCAT("line", " ", "line_no", d), isd=_is_date(d),
+           p=p, dp=lit(date_pat, d), strip_tail=strip_tail, toks=toks,
+           amt=_signed_first_amount(d),
+           dircase=direction_case("description", d)), d)
+
+
+@query("g7_lineage_rollup")
+def q_lineage(d: str) -> str:
+    """G7 extraction-metrics rollup by language: docs, lines,
+    date lines, money lexemes (partial+final hash agg)."""
+    toks = REALL("line", AMOUNT_PATTERN, d)
+    return with_lines("""
+SELECT lang,
+  CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS docs,
+  CAST(COUNT(*) AS BIGINT) AS lines,
+  CAST(SUM({isd}) AS BIGINT) AS date_lines,
+  CAST(SUM({ntok}) AS BIGINT) AS money_tokens
+FROM stmt_lines s JOIN documents dd ON s.doc_id = dd.doc_id
+GROUP BY lang
+""".format(isd=_is_date(d), ntok=LEN(toks, d)), d)
+
+
+@query("resume_anti_join")
+def q_resume(d: str) -> str:
+    """Resume anti-join (SURVEY §2.6): pending docs = all minus the
+    committed subset (simulated as doc_id %% 7 = 0)."""
+    if d == SPARK:
+        join = ("SELECT a.doc_id, a.lang FROM documents a LEFT ANTI JOIN "
+                "(SELECT doc_id FROM documents WHERE doc_id % 7 = 0) c "
+                "ON a.doc_id = c.doc_id")
+    else:
+        join = ("SELECT a.doc_id, a.lang FROM documents a ANTI JOIN "
+                "(SELECT doc_id FROM documents WHERE doc_id % 7 = 0) c "
+                "USING (doc_id)")
+    return join
+
+
+@query("validation_join")
+def q_validation(d: str) -> str:
+    """Validation full-outer join (SURVEY §2.6): documents vs
+    embeddings keyed doc_id=vec_id with presence flags."""
+    return """
+SELECT
+  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL AND b.vec_id IS NOT NULL
+       THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+  CAST(SUM(CASE WHEN b.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS doc_only,
+  CAST(SUM(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS vec_only
+FROM documents a FULL OUTER JOIN embeddings b ON a.doc_id = b.vec_id
+"""
+
+
+@query("events_sessions")
+def q_sessions(d: str) -> str:
+    """Sessionization (same run-length window machinery as G1): a >30
+    min gap opens a new session; per-session rollup with exact sums."""
+    return """
+WITH ordered AS (
+  SELECT user_id, event_id, value, {ep} AS es,
+    LAG({ep}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, value, es,
+    CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END
+      AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, event_id, value, es,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {vsum} AS total_value,
+  CAST(MAX(es) - MIN(es) AS BIGINT) AS span_sec
+FROM sessions GROUP BY user_id, session_id
+""".format(ep=EPOCH("ts", d), vsum=DECSUM("value", d))
+
+
+@query("events_hourly_rollup")
+def q_hourly(d: str) -> str:
+    """Tumbling 1h windows per event type (pre-aggregation pattern —
+    map-side partial agg at scale)."""
+    return """
+SELECT event_type, CAST(floor({ep} / 3600) AS BIGINT) AS hour_bucket,
+  CAST(COUNT(*) AS BIGINT) AS events, {vsum} AS total_value
+FROM events GROUP BY event_type, hour_bucket
+""".format(ep=EPOCH("ts", d), vsum=DECSUM("value", d))

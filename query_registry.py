@@ -1,0 +1,29 @@
+"""Aggregate all dialect-paired queries into one registry.
+
+``QUERY_SQL[name]['spark' | 'duckdb']`` → SQL string.
+Used by __spark_entry__.py (driver contract) and tools/check_oracles.py.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from pdf_parser_spark import relational  # noqa: E402
+
+_MODULES = [relational]
+try:
+    from pdf_parser_spark.ops import dedup, similarity, textstats  # noqa: E402
+    _MODULES += [dedup, similarity, textstats]
+except ImportError:
+    pass
+
+QUERY_SQL = {}
+for _mod in _MODULES:
+    for _name, _fn in getattr(_mod, "QUERIES", {}).items():
+        QUERY_SQL[_name] = {
+            "spark": _fn("spark"),
+            "duckdb": _fn("duckdb"),
+        }

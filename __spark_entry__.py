@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SQL-expressible operator from SURVEY.md §2
+plus the training-data tier (dedup / ANN / text stats); each has a
+DuckDB oracle in ``oracle_sql()`` generated from the same dialect-
+paired source (pdf_parser_spark/relational.py, pdf_parser_spark/ops/).
+Non-SQL-expressible entries (the Arrow-batched fidelity pipeline) have
+no oracle — the driver records a rows-only check for those.
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = pathlib.Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from query_registry import QUERY_SQL  # noqa: E402
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        spark.read.parquet("%s/%s.parquet" % (sf_dir, t)) \
+            .createOrReplaceTempView(t)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the complete GenericParser as one relational plan
+    (window segmentation → lexers → direction CASE → stable sort) over
+    sf0.001."""
+    _register(spark, "/root/testdata/sf0.001")
+    return spark.sql(QUERY_SQL["generic_relational"]["spark"])
+
+
+def _sql_query(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(QUERY_SQL[name]["spark"])
+    return run
+
+
+def _fidelity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched extract+detect+parse path over the synthesized
+    page corpus (PDF/HTML/text payloads).  Not SQL-expressible (PDF
+    byte tokenization + per-bank state machines) → rows-only check."""
+    from pdf_parser_spark.pages_source import fixture_pages_df
+    from pdf_parser_spark.pipeline import parse_pages, split_outputs
+
+    txs, _ = split_outputs(parse_pages(fixture_pages_df(spark)))
+    return txs
+
+
+def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lineage sidecar of the fidelity path (G7)."""
+    from pdf_parser_spark.pages_source import fixture_pages_df
+    from pdf_parser_spark.pipeline import parse_pages, split_outputs
+
+    _, docs = split_outputs(parse_pages(fixture_pages_df(spark)))
+    return docs.drop("part_id")  # partition assignment is config-dependent
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name) for name in QUERY_SQL
+    }
+    out["fidelity_pipeline"] = _fidelity_pipeline
+    out["extraction_metrics"] = _extraction_metrics
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: pair["duckdb"] for name, pair in QUERY_SQL.items()}

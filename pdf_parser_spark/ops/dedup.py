@@ -1,0 +1,196 @@
+"""Deduplication operators over the ``documents`` corpus.
+
+The driver corpus has no duplicates, so each query synthesizes its dup
+tier inside the plan (UNION ALL of deterministically perturbed copies
+with doc_id+1000000) — both engines derive the same augmented corpus,
+then the actual dedup operator runs on it.
+
+Hash policy: md5 hex strings everywhere (identical across engines);
+where an integer hash is needed the first 15 hex chars become a
+non-negative BIGINT (60 bits).
+
+At 100 TB these shapes hold: exact dedup is one hash-groupBy (partial
+agg map-side); MinHash+LSH is shingle→signature (narrow) then a
+band-key shuffle whose fan-in is the candidate-pair count, never n²;
+simhash is a narrow per-doc computation; the pairwise Jaccard join is
+only over LSH candidates (here: adjacent ids, to keep the oracle
+deterministic).
+"""
+
+from __future__ import annotations
+
+from ..relational import (
+    DUCK, SPARK, AMIN, HEX2INT, LEN, REALL, SLICE, JOINA, TRANSFORM, lit,
+)
+
+QUERIES = {}
+
+
+def query(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+    return deco
+
+
+# corpus + exact-duplicate tier (every 5th doc copied verbatim)
+def _dup_corpus(d: str) -> str:
+    return """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+)"""
+
+
+# corpus + near-duplicate tier (every 4th doc with first word dropped)
+def _near_corpus(d: str) -> str:
+    first_word_off = ("instr(text, ' ') + 1" if d == DUCK
+                      else "instr(text, ' ') + 1")
+    return """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, {off}) AS text
+  FROM documents WHERE doc_id % 4 = 0
+)""".format(off=first_word_off)
+
+
+@query("dedup_exact")
+def q_exact(d: str) -> str:
+    """Exact dedup = hash-groupBy: per doc, the group keeper (min
+    doc_id sharing the content hash) and a duplicate flag."""
+    return """
+WITH {corpus},
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM corpus)
+SELECT doc_id, content_hash,
+  MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
+  CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY content_hash)
+       THEN 1 ELSE 0 END AS is_duplicate
+FROM hashed
+""".format(corpus=_dup_corpus(d))
+
+
+def _shingles(d: str, text: str = "text", k: int = 4) -> str:
+    """4-word shingle strings from a text column (split inlined — the
+    optimizer CSEs the repeated subexpression)."""
+    ws = ("split(%s, ' ')" % text) if d == SPARK else (
+        "string_split(%s, ' ')" % text)
+    n = "greatest(%s - %d, 1)" % (LEN(ws, d), k - 1)
+    body = JOINA(SLICE(ws, "i", str(k), d), " ", d)
+    if d == SPARK:
+        return ("transform(sequence(1, %s), i -> %s)" % (n, body))
+    return "[%s for i in range(1, (%s)+1)]" % (body, n)
+
+
+def _minhash_cols(d: str, n_hashes: int = 8) -> str:
+    cols = []
+    for i in range(n_hashes):
+        hashed = TRANSFORM("shingles", "s", "md5('%d:' || s)" % i, d)
+        cols.append("%s AS m%d" % (AMIN(hashed, d), i))
+    return ", ".join(cols)
+
+
+@query("dedup_minhash_sigs")
+def q_minhash(d: str) -> str:
+    """MinHash signatures: k=8 independent min-digests over 4-word
+    shingles (shingle→minhash, SURVEY 'beyond' tier)."""
+    return """
+WITH {corpus},
+sh AS (SELECT doc_id, {shingles} AS shingles FROM corpus)
+SELECT doc_id, {sigs} FROM sh
+""".format(corpus=_near_corpus(d), shingles=_shingles(d),
+           sigs=_minhash_cols(d))
+
+
+@query("dedup_lsh_pairs")
+def q_lsh(d: str) -> str:
+    """LSH banding: 4 bands of 2 signature slots → band-key equi-join →
+    distinct candidate pairs (a<b).  The join fan-in is bounded by
+    band-bucket sizes, never n²."""
+    bands = ", ".join(
+        "md5(m%d || m%d) AS band%d" % (2 * b, 2 * b + 1, b)
+        for b in range(4)
+    )
+    unions = "\nUNION ALL\n".join(
+        "SELECT a.doc_id AS left_id, b.doc_id AS right_id "
+        "FROM banded a JOIN banded b ON a.band%d = b.band%d "
+        "AND a.doc_id < b.doc_id" % (b, b)
+        for b in range(4)
+    )
+    return """
+WITH {corpus},
+sh AS (SELECT doc_id, {shingles} AS shingles FROM corpus),
+sigs AS (SELECT doc_id, {sigcols} FROM sh),
+banded AS (SELECT doc_id, {bands} FROM sigs)
+SELECT DISTINCT left_id, right_id FROM ({unions}) pairs
+""".format(corpus=_near_corpus(d), shingles=_shingles(d),
+           sigcols=_minhash_cols(d), bands=bands, unions=unions)
+
+
+@query("dedup_simhash")
+def q_simhash(d: str) -> str:
+    """SimHash (16-bit): per-token 60-bit digests vote bitwise; the
+    fingerprint packs the majority bits."""
+    ws = "split(text, ' ')" if d == SPARK else "string_split(text, ' ')"
+    h = HEX2INT("md5(w)", d)
+    votes = []
+    packed = []
+    for b in range(16):
+        votes.append(
+            "CAST(SUM(CASE WHEN (hv >> %d) & 1 = 1 THEN 1 ELSE -1 END) "
+            "AS BIGINT) AS v%d" % (b, b))
+        packed.append("CASE WHEN v%d > 0 THEN %d ELSE 0 END" % (b, 1 << b))
+    if d == SPARK:
+        expl = ("SELECT doc_id, %s AS hv FROM "
+                "(SELECT doc_id, %s AS ws FROM corpus) t "
+                "LATERAL VIEW explode(ws) e AS w" % (h, ws))
+    else:
+        expl = ("SELECT doc_id, %s AS hv FROM "
+                "(SELECT doc_id, unnest(ws) AS w FROM "
+                "(SELECT doc_id, %s AS ws FROM corpus) t0) t" % (h, ws))
+    return """
+WITH {corpus},
+tok AS ({expl}),
+bits AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+""".format(corpus=_dup_corpus(d), expl=expl, votes=", ".join(votes),
+           packed=" + ".join(packed))
+
+
+@query("dedup_ngram_jaccard")
+def q_jaccard(d: str) -> str:
+    """n-gram Jaccard over candidate pairs (original, perturbed-twin):
+    |A∩B| via a shingle equi-join on distinct shingle sets; ratio in
+    double (per-row IEEE division, deterministic)."""
+    dist = ("array_distinct(%s)" % _shingles(d)) if d == SPARK else (
+        "list_distinct(%s)" % _shingles(d))
+    if d == SPARK:
+        expl = ("SELECT doc_id, s FROM "
+                "(SELECT doc_id, %s AS sh FROM corpus) t "
+                "LATERAL VIEW explode(sh) e AS s" % dist)
+    else:
+        expl = ("SELECT doc_id, unnest(sh) AS s FROM "
+                "(SELECT doc_id, %s AS sh FROM corpus) t" % dist)
+    return """
+WITH {corpus},
+shingled AS ({expl}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM shingled GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shingled a JOIN shingled b
+    ON a.s = b.s AND b.doc_id = a.doc_id + 1000000
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.left_id, p.right_id, p.inter,
+  sa.n AS left_n, sb.n AS right_n,
+  CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE)
+    AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.left_id
+JOIN sizes sb ON sb.doc_id = p.right_id
+""".format(corpus=_near_corpus(d), expl=expl)

@@ -1,0 +1,98 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Determinism design: float components are quantized to integers
+(floor(x·1e6)) so dot products and squared norms are EXACT integer
+sums (order-independent → identical across engines); the final cosine
+is a fixed sequence of IEEE double ops on those integers.  64-dim
+unit-ish vectors → |q|≤1e6, products ≤1e12, 64-term sums ≤ 6.4e13 —
+comfortably BIGINT.
+
+Queries:
+* ann_cosine_topk — brute-force top-5 for the first 8 query vectors:
+  the correctness baseline (full cross join, candidate set = n).
+* ann_ivf_topk — the scale path: candidates pruned to the query's
+  coarse cell (the ``label`` column acts as the IVF assignment; on a
+  real corpus labels come from a k-means fit).  Same ranking math, a
+  fraction of the candidates — at 10^12 rows the cross join is
+  infeasible and this cell-pruned join (plus broadcast of the tiny
+  query set) is the shape that survives.
+"""
+
+from __future__ import annotations
+
+from ..relational import DUCK, SPARK, LEN
+
+QUERIES = {}
+
+
+def query(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+    return deco
+
+
+def _quantized(d: str) -> str:
+    """embedding (array<float>) → array<bigint> of floor(x*1e6)."""
+    body = "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+    if d == SPARK:
+        return "transform(embedding, x -> %s)" % body
+    return "[%s for x in embedding]" % body
+
+
+def _dot(a: str, b: str, d: str) -> str:
+    """Exact integer dot product of two quantized vectors."""
+    if d == SPARK:
+        return ("aggregate(zip_with(%s, %s, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)" % (a, b))
+    return ("CAST(list_sum(list_transform(range(1, %s + 1), "
+            "i -> %s[i] * %s[i])) AS BIGINT)" % (LEN(a, d), a, b))
+
+
+def _ssq(a: str, d: str) -> str:
+    return _dot(a, a, d)
+
+
+def _topk_sql(d: str, candidate_filter: str) -> str:
+    """Shared shape: quantize → (query × candidates) → integer dot &
+    norms → cosine → rank ≤ 5."""
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, {quant} AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS cand_id, {quant} AS cv, label AS clabel
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, cand_id,
+    CAST({dot} AS DOUBLE)
+      / (sqrt(CAST({qssq} AS DOUBLE)) * sqrt(CAST({cssq} AS DOUBLE)))
+      AS cosine
+  FROM q JOIN c ON q.query_id <> c.cand_id {candfilter}
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id AS neighbor_id, rank, cosine
+FROM ranked WHERE rank <= 5
+""".format(quant=_quantized(d), dot=_dot("qv", "cv", d),
+           qssq=_ssq("qv", d), cssq=_ssq("cv", d),
+           candfilter=candidate_filter)
+
+
+@query("ann_cosine_topk")
+def q_brute(d: str) -> str:
+    """Brute-force cosine top-5 (the correctness baseline)."""
+    return _topk_sql(d, "")
+
+
+@query("ann_ivf_topk")
+def q_ivf(d: str) -> str:
+    """IVF-style cell-pruned top-5: candidates share the query's
+    coarse cluster (label)."""
+    return _topk_sql(d, "AND q.qlabel = c.clabel")

@@ -125,8 +125,14 @@ def HEX2INT(hexpr: str, d: str) -> str:
     return "cast(('0x' || substring(%s, 1, 15)) as bigint)" % hexpr
 
 
-def DECSUM(expr: str, d: str, scale: int = 15) -> str:
-    """Order-independent SUM over doubles via exact decimal."""
+def DECSUM(expr: str, d: str, scale: int = 6) -> str:
+    """Order-independent SUM over doubles via decimal.
+
+    Scale 6, not higher: Spark converts double→decimal through the
+    SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB expands the
+    exact binary value — at scale ≥ 13 the two diverge in the last
+    digits.  At scale 6 both quantize to the same decimal whenever the
+    value's shortest repr has ≤ 6 fractional digits (all driver data)."""
     return ("cast(sum(cast(%s as decimal(38,%d))) as double)"
             % (expr, scale))
 

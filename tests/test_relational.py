@@ -1,0 +1,118 @@
+"""Relational-path checks:
+
+1. Spark↔DuckDB oracle parity for a representative query subset
+   (the full 25-query sweep runs via tools/check_oracles.py);
+2. differential: the relational GenericParser plan must agree with the
+   Python engine run over the same derived lines (SURVEY §5.3);
+3. driver-contract shape.
+"""
+
+import importlib.util
+import pathlib
+
+import duckdb
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+_SUBSET = [
+    "s3_lines", "g1_block_ids", "generic_relational", "c1_detect_issuer",
+    "dedup_exact", "dedup_lsh_pairs", "ann_cosine_topk", "events_sessions",
+    "quality_score", "doc_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", REPO / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+                % (t, SF_DIR, t))
+    return con
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(
+            repr(r[i]) if isinstance(r[i], float) else str(r[i])
+            for i in order))
+    return sorted(out), [cols[i] for i in order]
+
+
+@pytest.mark.parametrize("name", _SUBSET)
+def test_oracle_parity(spark, duck, entry_mod, name):
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    s_rows, s_cols = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dres = duck.sql(entry_mod.oracle_sql()[name])
+    d_rows, d_cols = _norm(dres.columns, dres.fetchall())
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+
+
+def test_relational_generic_matches_engine(spark, entry_mod):
+    """Differential: relational plan vs Python engine on identical
+    derived lines."""
+    from pdf_parser_spark.engine.banks import parse_generic
+    from pdf_parser_spark.engine.direction import finalize_records
+
+    lines_df = entry_mod.queries()["s3_lines"](spark, SF_DIR)
+    by_doc = {}
+    for r in lines_df.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.line_no, r.line))
+
+    expected = {}
+    for doc_id, pairs in by_doc.items():
+        pairs.sort()
+        recs = finalize_records(
+            parse_generic([l for _, l in pairs], 2024))
+        expected[doc_id] = [
+            (i, t["date"], t["description"], repr(t["amount"]),
+             t["direction"])
+            for i, t in enumerate(recs)
+        ]
+
+    got = {}
+    rel = entry_mod.queries()["generic_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount),
+             r.direction))
+    for doc_id in got:
+        got[doc_id].sort()
+
+    assert set(got) <= set(expected)
+    mismatches = [
+        doc_id for doc_id in expected
+        if expected[doc_id] != got.get(doc_id, [])
+    ]
+    assert mismatches == [], mismatches[:5]
+
+
+def test_driver_contract_shape(entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # non-SQL entries present but oracle-less (driver rows-only check)
+    assert "fidelity_pipeline" in qs and "fidelity_pipeline" not in oracles
+    assert len(oracles) >= 25
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "tx_index", "date", "description",
+                          "amount", "direction"]

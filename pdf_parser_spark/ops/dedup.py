@@ -19,9 +19,7 @@ deterministic).
 
 from __future__ import annotations
 
-from ..relational import (
-    DUCK, SPARK, AMIN, HEX2INT, LEN, REALL, SLICE, JOINA, TRANSFORM, lit,
-)
+from ..relational import DUCK, SPARK, HEX2INT, LEN, SLICE, JOINA
 
 QUERIES = {}
 
@@ -73,24 +71,64 @@ FROM hashed
 """.format(corpus=_dup_corpus(d))
 
 
-def _shingles(d: str, text: str = "text", k: int = 4) -> str:
-    """4-word shingle strings from a text column (split inlined — the
-    optimizer CSEs the repeated subexpression)."""
-    ws = ("split(%s, ' ')" % text) if d == SPARK else (
+def _split_ws(d: str, text: str = "text") -> str:
+    return ("split(%s, ' ')" % text) if d == SPARK else (
         "string_split(%s, ' ')" % text)
-    n = "greatest(%s - %d, 1)" % (LEN(ws, d), k - 1)
-    body = JOINA(SLICE(ws, "i", str(k), d), " ", d)
+
+
+def _shingles_from_ws(d: str, k: int = 4) -> str:
+    """4-word shingle strings from a pre-split ``ws`` column.  The
+    split must live in its own projection: inlined into the lambda it
+    is re-evaluated per element — O(words**2), observed 74s vs 3s on
+    the sf0.1 LSH query."""
+    n = "greatest(%s - %d, 1)" % (LEN("ws", d), k - 1)
+    body = JOINA(SLICE("ws", "i", str(k), d), " ", d)
     if d == SPARK:
         return ("transform(sequence(1, %s), i -> %s)" % (n, body))
     return "[%s for i in range(1, (%s)+1)]" % (body, n)
 
 
-def _minhash_cols(d: str, n_hashes: int = 8) -> str:
-    cols = []
-    for i in range(n_hashes):
-        hashed = TRANSFORM("shingles", "s", "md5('%d:' || s)" % i, d)
-        cols.append("%s AS m%d" % (AMIN(hashed, d), i))
-    return ", ".join(cols)
+def _exploded_shingles(d: str) -> str:
+    """CTE chain corpus → exploded (doc_id, s) of 4-word shingles.
+
+    Spark shape: posexplode words + window lead() — deliberately
+    array-free.  The array formulation (transform over sequence with a
+    slice lambda) gets its split() inlined per-element by
+    CollapseProject/InferFiltersFromGenerate and turns O(words²)
+    (observed 52s vs 2s at sf0.1).  concat_ws skips NULL leads, which
+    reproduces the tail-shingle semantics of slice().
+    DuckDB keeps the list-comprehension shape (fast there)."""
+    if d == SPARK:
+        return """
+wsplit AS (
+  SELECT doc_id, pos, w FROM corpus
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+),
+led AS (
+  SELECT doc_id, pos,
+    concat_ws(' ', w,
+      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+      lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+      lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM wsplit
+),
+exploded AS (
+  SELECT doc_id, s FROM led WHERE pos + 1 <= greatest(n - 3, 1)
+)"""
+    return """
+wsed AS (SELECT doc_id, {ws} AS ws FROM corpus),
+shin AS (SELECT doc_id, {sh} AS shingles FROM wsed),
+exploded AS (SELECT doc_id, unnest(shingles) AS s FROM shin)
+""".format(ws=_split_ws(d), sh=_shingles_from_ws(d))
+
+
+def _minhash_agg(n_hashes: int = 8) -> str:
+    """8 min-digest aggregates over exploded shingles (map-side
+    partial agg; one shingle evaluation, 8 digests per shingle)."""
+    return ", ".join(
+        "min(md5('%d:' || s)) AS m%d" % (i, i) for i in range(n_hashes)
+    )
 
 
 @query("dedup_minhash_sigs")
@@ -98,11 +136,10 @@ def q_minhash(d: str) -> str:
     """MinHash signatures: k=8 independent min-digests over 4-word
     shingles (shingle→minhash, SURVEY 'beyond' tier)."""
     return """
-WITH {corpus},
-sh AS (SELECT doc_id, {shingles} AS shingles FROM corpus)
-SELECT doc_id, {sigs} FROM sh
-""".format(corpus=_near_corpus(d), shingles=_shingles(d),
-           sigs=_minhash_cols(d))
+WITH {corpus},{expl}
+SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id
+""".format(corpus=_near_corpus(d), expl=_exploded_shingles(d),
+           sigs=_minhash_agg())
 
 
 @query("dedup_lsh_pairs")
@@ -114,20 +151,33 @@ def q_lsh(d: str) -> str:
         "md5(m%d || m%d) AS band%d" % (2 * b, 2 * b + 1, b)
         for b in range(4)
     )
-    unions = "\nUNION ALL\n".join(
-        "SELECT a.doc_id AS left_id, b.doc_id AS right_id "
-        "FROM banded a JOIN banded b ON a.band%d = b.band%d "
-        "AND a.doc_id < b.doc_id" % (b, b)
-        for b in range(4)
-    )
+    if d == SPARK:
+        # unpivot via stack(): one pass over sigs + one self-join on
+        # (band_no, band_key); a UNION-ALL-per-band shape would rescan
+        # the whole signature pipeline once per band
+        long_form = ("SELECT doc_id, band_no, band_key FROM banded "
+                     "LATERAL VIEW stack(4, 0, band0, 1, band1, 2, band2,"
+                     " 3, band3) s AS band_no, band_key")
+    else:
+        long_form = ("SELECT doc_id, u['band_no'] AS band_no, "
+                     "u['band_key'] AS band_key FROM ("
+                     "SELECT doc_id, unnest(["
+                     "{'band_no': 0, 'band_key': band0},"
+                     "{'band_no': 1, 'band_key': band1},"
+                     "{'band_no': 2, 'band_key': band2},"
+                     "{'band_no': 3, 'band_key': band3}]) AS u"
+                     " FROM banded) t")
     return """
-WITH {corpus},
-sh AS (SELECT doc_id, {shingles} AS shingles FROM corpus),
-sigs AS (SELECT doc_id, {sigcols} FROM sh),
-banded AS (SELECT doc_id, {bands} FROM sigs)
-SELECT DISTINCT left_id, right_id FROM ({unions}) pairs
-""".format(corpus=_near_corpus(d), shingles=_shingles(d),
-           sigcols=_minhash_cols(d), bands=bands, unions=unions)
+WITH {corpus},{expl},
+sigs AS (SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id),
+banded AS (SELECT doc_id, {bands} FROM sigs),
+banded_long AS ({long_form})
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+FROM banded_long a JOIN banded_long b
+  ON a.band_no = b.band_no AND a.band_key = b.band_key
+  AND a.doc_id < b.doc_id
+""".format(corpus=_near_corpus(d), expl=_exploded_shingles(d),
+           sigs=_minhash_agg(), bands=bands, long_form=long_form)
 
 
 @query("dedup_simhash")
@@ -165,18 +215,9 @@ def q_jaccard(d: str) -> str:
     """n-gram Jaccard over candidate pairs (original, perturbed-twin):
     |A∩B| via a shingle equi-join on distinct shingle sets; ratio in
     double (per-row IEEE division, deterministic)."""
-    dist = ("array_distinct(%s)" % _shingles(d)) if d == SPARK else (
-        "list_distinct(%s)" % _shingles(d))
-    if d == SPARK:
-        expl = ("SELECT doc_id, s FROM "
-                "(SELECT doc_id, %s AS sh FROM corpus) t "
-                "LATERAL VIEW explode(sh) e AS s" % dist)
-    else:
-        expl = ("SELECT doc_id, unnest(sh) AS s FROM "
-                "(SELECT doc_id, %s AS sh FROM corpus) t" % dist)
     return """
-WITH {corpus},
-shingled AS ({expl}),
+WITH {corpus},{expl},
+shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
           FROM shingled GROUP BY doc_id),
 pairs AS (
@@ -193,4 +234,4 @@ SELECT p.left_id, p.right_id, p.inter,
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.left_id
 JOIN sizes sb ON sb.doc_id = p.right_id
-""".format(corpus=_near_corpus(d), expl=expl)
+""".format(corpus=_near_corpus(d), expl=_exploded_shingles(d))

@@ -67,12 +67,31 @@ def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.drop("part_id")  # partition assignment is config-dependent
 
 
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize plumbing (binary payloads through
+    Arrow batches; codec stubbed — schema/batching real).  Rows-only."""
+    from pdf_parser_spark.ops.multimodal import (
+        fixture_media_df, media_features,
+    )
+    return media_features(fixture_media_df(spark))
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling (flatMap-shaped mapInPandas).  Rows-only."""
+    from pdf_parser_spark.ops.multimodal import (
+        fixture_media_df, sample_frames,
+    )
+    return sample_frames(fixture_media_df(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in QUERY_SQL
     }
     out["fidelity_pipeline"] = _fidelity_pipeline
     out["extraction_metrics"] = _extraction_metrics
+    out["multimodal_features"] = _media_features
+    out["multimodal_frames"] = _media_frames
     return out
 
 

@@ -96,3 +96,42 @@ def q_ivf(d: str) -> str:
     """IVF-style cell-pruned top-5: candidates share the query's
     coarse cluster (label)."""
     return _topk_sql(d, "AND q.qlabel = c.clabel")
+
+
+@query("dedup_embedding_cosine")
+def q_embed_neardup(d: str) -> str:
+    """Embedding-cosine near-duplicate pairs: candidates pruned to the
+    coarse cell (label), kept when cosine ≥ 0.9 — the embedding tier
+    of the dedup ladder (exact → minhash → simhash → embedding).
+    Quantized-integer math as above → engine-identical doubles.
+
+    The driver corpus has no near-dup vectors (random embeddings), so
+    a twin tier is synthesized in-plan: every 10th vector re-enters
+    with its first component nudged (+5% of the quantization unit) —
+    cosine ≈ 0.999, found by the threshold; unrelated pairs stay far
+    below it."""
+    if d == SPARK:
+        twin = ("concat(array(element_at(qv, 1) + 50000), "
+                "slice(qv, 2, size(qv) - 1))")
+    else:
+        twin = "[qv[1] + 50000] || qv[2:len(qv)]"
+    return """
+WITH base AS (
+  SELECT vec_id, {quant} AS qv, label FROM embeddings
+),
+q AS (
+  SELECT vec_id, qv, label FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {twin} AS qv, label
+  FROM base WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+    CAST({dot} AS DOUBLE)
+      / (sqrt(CAST({assq} AS DOUBLE)) * sqrt(CAST({bssq} AS DOUBLE)))
+      AS cosine
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT left_id, right_id, cosine FROM pairs WHERE cosine >= 0.9
+""".format(quant=_quantized(d), twin=twin, dot=_dot("a.qv", "b.qv", d),
+           assq=_ssq("a.qv", d), bssq=_ssq("b.qv", d))

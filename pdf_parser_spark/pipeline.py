@@ -5,7 +5,8 @@ table + lineage sidecar.
       → salted skew-aware repartition                 (one shuffle)
       → mapInPandas extract+detect+parse              (Arrow batches)
       → split: transactions / per-document metrics    (one cached pass)
-      → write parquet (Iceberg on a real cluster — see io_tables.py)
+      → snapshot-committed append (io_tables.TableIO: parquet+manifest
+        here, Iceberg on a real cluster)
 
 Design notes (SURVEY.md §4, BASELINE north star):
 * Extraction and parsing happen in ONE pass over the payload — the
@@ -32,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine.document import parse_document
+from .io_tables import TableIO
 from .pdfio.extract import extract_document
 
 # union row schema: record='tx' rows carry transaction fields,
@@ -206,27 +208,27 @@ def run_extraction_job(
     out_dir: str,
     resume: bool = True,
     partitions: Optional[int] = None,
+    run_id: Optional[str] = None,
 ) -> dict:
-    """End-to-end job with snapshot-style resume: urls already present
-    in the committed output are anti-joined away before any payload
-    work (SURVEY.md §2.6 resume anti-join), so kill-and-rerun never
-    duplicates and never re-extracts."""
-    tx_path = os.path.join(out_dir, "transactions")
-    doc_path = os.path.join(out_dir, "doc_metrics")
+    """End-to-end job with snapshot resume: urls already committed
+    (visible through a snapshot manifest) are anti-joined away before
+    any payload work (SURVEY.md §2.6), so kill-and-rerun never
+    duplicates and never re-extracts — a writer that died mid-write
+    left no manifest, hence nothing visible."""
+    io = TableIO(out_dir)
     if resume:
-        try:
-            done = spark.read.parquet(doc_path).select("url").distinct()
+        done = io.committed_keys(spark, "doc_metrics", "url")
+        if done is not None:
             pages = pages.join(done, "url", "left_anti")
-        except Exception:
-            pass  # first run — nothing committed yet
     parsed = parse_pages(pages, partitions).persist()
     try:
         txs, docs = split_outputs(parsed)
-        txs.write.mode("append").parquet(tx_path)
-        docs.write.mode("append").parquet(doc_path)
-        n_docs = docs.count()
         n_txs = txs.count()
+        n_docs = docs.count()
+        if n_docs:  # empty resume run → no empty snapshot
+            io.append(txs, "transactions", run_id=run_id)
+            io.append(docs, "doc_metrics", run_id=run_id)
     finally:
         parsed.unpersist()
-    return {"docs": n_docs, "txs": n_txs,
-            "tx_path": tx_path, "doc_path": doc_path}
+    return {"docs": n_docs, "txs": n_txs, "io": io,
+            "out_dir": out_dir}

@@ -34,9 +34,10 @@ MEGA_TEST_THRESHOLD = 100_000  # fixture megas are ~0.1-0.4 MB
 def job(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("pipeline") / "out")
     pages = fixture_pages_df(spark)
-    result = run_extraction_job(spark, pages, out, resume=True)
-    txs = spark.read.parquet(result["tx_path"])
-    docs = spark.read.parquet(result["doc_path"])
+    result = run_extraction_job(spark, pages, out, resume=True,
+                                run_id="test-run-1")
+    txs = result["io"].read(spark, "transactions")
+    docs = result["io"].read(spark, "doc_metrics")
     return {"result": result, "pages": pages, "out": out,
             "txs": txs.collect(), "docs": docs.collect(),
             "docs_df": docs}
@@ -99,8 +100,10 @@ def test_no_failures_and_kinds(job):
 def test_resume_anti_join(spark, job):
     second = run_extraction_job(spark, job["pages"], job["out"], resume=True)
     assert second["docs"] == 0  # nothing reprocessed
-    docs = spark.read.parquet(job["result"]["doc_path"])
+    docs = job["result"]["io"].read(spark, "doc_metrics")
     assert docs.count() == docs.select("url").distinct().count()
+    # no empty snapshot was committed by the no-op rerun
+    assert len(job["result"]["io"].snapshots("doc_metrics")) == 1
 
 
 def test_partition_metrics_rollup(job):

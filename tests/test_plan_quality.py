@@ -1,0 +1,105 @@
+"""Physical-plan quality gates (SURVEY.md §4): these assertions pin the
+optimizer behavior that matters at 100 TB — if a refactor breaks
+column pruning or pushdown, this fails before any cluster does.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.pages_source import fixture_pages_df
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    fixture_pages_df(spark).write.parquet(path)
+    return path
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark_explain_mode(df.sparkSession))
+
+
+def spark_explain_mode(spark):
+    jvm = spark._jvm
+    return jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+
+
+def test_column_pruning_html_never_read(spark, pages_parquet):
+    """A metrics-only query must not scan payload bytes: `html`
+    dominates table size; reading it for a count-by-lang would be the
+    single worst plan regression possible."""
+    df = spark.read.parquet(pages_parquet).groupBy("lang").count()
+    plan = _formatted(df)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "html" not in read_schema, read_schema
+    assert "text" not in read_schema, read_schema
+
+
+def test_predicate_pushdown_reaches_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).filter(F.col("lang") == "es") \
+        .select("url")
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "lang" in pushed, pushed
+
+
+def test_parse_pages_prunes_lang(spark, pages_parquet):
+    """The extraction pipeline never needs `lang`; the scan must not
+    read it."""
+    from pdf_parser_spark.pipeline import parse_pages
+
+    df = parse_pages(spark.read.parquet(pages_parquet))
+    plan = _formatted(df)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "lang" not in read_schema, read_schema
+    assert "html" in read_schema  # payloads ARE needed here
+
+
+def test_parse_pages_shuffle_budget(spark, pages_parquet):
+    """Exactly the two intended exchanges (small-branch salt + big-
+    branch isolate), nothing Catalyst invented on top."""
+    from pdf_parser_spark.pipeline import parse_pages
+
+    df = parse_pages(spark.read.parquet(pages_parquet))
+    plan = _explain(df)
+    assert plan.count("Exchange") <= 2, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_resume_anti_join_broadcasts_small_side(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    done = pages.select("url").limit(5)
+    pending = pages.join(F.broadcast(done), "url", "left_anti")
+    plan = _explain(pending)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_relational_flagship_wholestage_codegen(spark):
+    """The expression pipeline (lexers, CASE chains) must stay inside
+    whole-stage codegen — a fallback to interpreted mode would show up
+    here before it shows up as a 10x regression at scale."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "se", pathlib.Path(__file__).parent.parent / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    plan = _explain(df)
+    # codegen stages print as `*(n)` in the plan string
+    assert plan.count("*(") >= 5, plan[:2000]
+    # segmentation window + per-doc sort window are the only shuffles
+    # beyond the scan: one hash-partitioning by doc_id suffices for both
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -11,9 +11,9 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from pdf_parser_spark import relational  # noqa: E402
+from pdf_parser_spark import relational, relational_banks  # noqa: E402
 
-_MODULES = [relational]
+_MODULES = [relational, relational_banks]
 try:
     from pdf_parser_spark.ops import dedup, similarity, textstats  # noqa: E402
     _MODULES += [dedup, similarity, textstats]

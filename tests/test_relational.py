@@ -116,3 +116,81 @@ def test_entry_smoke(spark, entry_mod):
     assert df.count() > 0
     assert df.columns == ["doc_id", "tx_index", "date", "description",
                           "amount", "direction"]
+
+
+def _derived_lines(spark, entry_mod):
+    lines_df = entry_mod.queries()["s3_lines"](spark, SF_DIR)
+    by_doc = {}
+    for r in lines_df.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.line_no, r.line))
+    for pairs in by_doc.values():
+        pairs.sort()
+    return by_doc
+
+
+def _tx_tuple(recs):
+    return [
+        (i, t["date"], t["description"], repr(t["amount"]), t["direction"])
+        for i, t in enumerate(recs)
+    ]
+
+
+def test_relational_truist_matches_engine(spark, entry_mod):
+    """Differential: truist_relational vs the Python engine over the
+    same section-injected lines (every 9th line → a section header,
+    mirroring the SQL injection)."""
+    from pdf_parser_spark.engine.banks import parse_truist
+    from pdf_parser_spark.engine.direction import finalize_records
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = [
+            ("Deposits, credits and interest"
+             if (doc_id + n) % 2 == 0
+             else "Other withdrawals, debits and fees")
+            if n % 9 == 1 else l
+            for n, l in pairs
+        ]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_truist(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["truist_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (mismatch[:3],
+                            expected.get(mismatch[0]) if mismatch else None,
+                            got.get(mismatch[0]) if mismatch else None)
+
+
+def test_relational_valley_matches_engine(spark, entry_mod):
+    """Differential: valley_relational vs the Python engine over the
+    same long-line-injected lines (every 23rd line padded past the
+    250-char cutoff, mirroring the SQL injection)."""
+    from pdf_parser_spark.engine.banks import parse_valley
+    from pdf_parser_spark.engine.direction import finalize_records
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = [
+            l + "x" * 260 if n % 23 == 7 else l
+            for n, l in pairs
+        ]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_valley(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["valley_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (mismatch[:3],
+                            expected.get(mismatch[0]) if mismatch else None,
+                            got.get(mismatch[0]) if mismatch else None)

@@ -313,6 +313,12 @@ def _wf_amount_and_desc(text: str) -> Optional[Dict[str, Any]]:
     return {"amount": -val if neg else val, "desc": desc}
 
 
+_WF_FROM_RE = re.compile(r"\bfrom\s+\w+")
+_WF_COMPANY_PMT_RE = re.compile(r"\w+\s+company\s+payment")
+_WF_PMT_NUM_RE = re.compile(r"\bpayment\s+\w+\s+\d+")
+_WF_WT_RE = re.compile(r"\bwt\s+\w+")
+
+
 def _wf_direction(description: str) -> str:
     """Priority tiers (reference wf.py:176-227)."""
     low = description.lower()
@@ -326,15 +332,15 @@ def _wf_direction(description: str) -> str:
         "online transfer from", "transfer from", "llc sender", "sender",
     )):
         return "in"
-    if re.search(r"\bfrom\s+\w+", low):
+    if _WF_FROM_RE.search(low):
         return "in"
-    if re.search(r"\w+\s+company\s+payment", low) or re.search(r"\bpayment\s+\w+\s+\d+", low):
+    if _WF_COMPANY_PMT_RE.search(low) or _WF_PMT_NUM_RE.search(low):
         return "in"
     if "zelle from" in low:
         return "in"
     if "zelle to" in low:
         return "out"
-    if re.search(r"\bwt\s+\w+", low) and "morgan stanley" in low:
+    if _WF_WT_RE.search(low) and "morgan stanley" in low:
         return "in"
     if any(w in low for w in (
         "interest payment", "interest credit", "deposit", "credit",
@@ -459,7 +465,7 @@ def _chase_noise(line: str) -> bool:
     low = line.lower().strip()
     if "*start*" in low or "*end*" in low:
         return True
-    if any(low.startswith(p) for p in _CHASE_NOISE_PREFIXES):
+    if low.startswith(_CHASE_NOISE_PREFIXES):
         return True
     if _STANDALONE_AMOUNT_RE.match(line):
         return True
@@ -544,33 +550,46 @@ def _chase_block_amount(block: List[str], body: str) -> Optional[float]:
     return max(pool, key=lambda p: p[1])[1]
 
 
+_CHASE_CLEAN_CHAIN = (
+    (re.compile(r"\bDAILY ENDING BALANCE\b", re.I), ""),
+    (re.compile(r"\bFECHA\s+CANTIDAD\b", re.I), ""),
+    (re.compile(r"\bDATE\s+AMOUNT\b", re.I), ""),
+    (re.compile(r"\btrn:\s*", re.I), " Trn: "),
+    (re.compile(r"\bssn:\s*", re.I), " Ssn: "),
+)
+
+
 def _chase_clean_desc(text: str) -> str:
     """reference chase.py:219-230."""
     c = AMOUNT_RE.sub("", text)
     c = _MD_TOKEN_RE.sub("", c)
-    c = re.sub(r"\bDAILY ENDING BALANCE\b", "", c, flags=re.I)
-    c = re.sub(r"\bFECHA\s+CANTIDAD\b", "", c, flags=re.I)
-    c = re.sub(r"\bDATE\s+AMOUNT\b", "", c, flags=re.I)
-    c = re.sub(r"\btrn:\s*", " Trn: ", c, flags=re.I)
-    c = re.sub(r"\bssn:\s*", " Ssn: ", c, flags=re.I)
+    for rx, repl in _CHASE_CLEAN_CHAIN:
+        c = rx.sub(repl, c)
     c = squeeze(c)
     if c:
         c = c[0].upper() + c[1:]
     return c
 
 
+_CHASE_REVERSAL_RE = re.compile(r"\b(reversal|reversi[oó]n)\b")
+_CHASE_DEPOSIT_RE = re.compile(
+    r"\b(deposit|credit|incoming|ach credit|wire credit|zelle payment from)\b")
+_CHASE_WISE_RE = re.compile(r"\bwise\b")
+_CHASE_CAMARA_RE = re.compile(r"d[eé]bito de c[aá]mara")
+
+
 def _chase_direction(description: str, section: str, amount: float) -> str:
     """Priority tiers (reference chase.py:234-258)."""
     d = description.lower()
-    if re.search(r"\b(reversal|reversi[oó]n)\b", d):
+    if _CHASE_REVERSAL_RE.search(d):
         return "in"
     if any(x in d for x in (" fee", "charge", "cargo", "comisión", "service charge")):
         return "out"
-    if re.search(r"\b(deposit|credit|incoming|ach credit|wire credit|zelle payment from)\b", d):
+    if _CHASE_DEPOSIT_RE.search(d):
         return "in"
     if "card purchase" in d or "compra con tarjeta" in d or "recurring card purchase" in d:
         return "out"
-    if "wise us inc" in d or " trnwise " in " %s " % d or re.search(r"\bwise\b", d):
+    if "wise us inc" in d or " trnwise " in " %s " % d or _CHASE_WISE_RE.search(d):
         return "out"
     if any(x in d for x in (
         "payment to", "zelle payment to", "online payment",
@@ -578,7 +597,7 @@ def _chase_direction(description: str, section: str, amount: float) -> str:
         "online international wire transfer",
     )):
         return "out"
-    if re.search(r"d[eé]bito de c[aá]mara", d):
+    if _CHASE_CAMARA_RE.search(d):
         return "out"
     if section == "deposits":
         return "in"
@@ -820,12 +839,16 @@ def _bofa_balance_entry(text: str) -> bool:
     return False
 
 
+_BOFA_WIRE_IN_RE = re.compile(r"wire type:\s*(wire|intl|book|fx) in")
+_BOFA_WIRE_OUT_RE = re.compile(r"wire type:\s*(wire|intl|fx|book) out")
+
+
 def _bofa_direction(description: str, section: Optional[str]) -> str:
     """Priority tiers, default ``out`` (reference bofa.py:243-310)."""
     d = description.lower()
-    if re.search(r"wire type:\s*(wire|intl|book|fx) in", d):
+    if _BOFA_WIRE_IN_RE.search(d):
         return "in"
-    if re.search(r"wire type:\s*(wire|intl|fx|book) out", d):
+    if _BOFA_WIRE_OUT_RE.search(d):
         return "out"
     if "zelle payment from" in d:
         return "in"
@@ -1093,12 +1116,17 @@ def _citi_legal(text: str) -> bool:
     return any(s in low for s in _CITI_LEGAL_INDICATORS)
 
 
+_CITI_HDR_RE = re.compile(r"\bDATE\s+DESCRIPTION\s+.*BALANCE\b", re.I)
+_CITI_BAL_WORDS_RE = re.compile(
+    r"\bBEGINNING BALANCE\b|\bENDING BALANCE\b", re.I)
+
+
 def _citi_clean_desc(text: str) -> str:
     """reference citi.py:464-472."""
     c = AMOUNT_RE.sub("", text)
     c = _MD_TOKEN_RE.sub("", c)
-    c = re.sub(r"\bDATE\s+DESCRIPTION\s+.*BALANCE\b", "", c, flags=re.I)
-    c = re.sub(r"\bBEGINNING BALANCE\b|\bENDING BALANCE\b", "", c, flags=re.I)
+    c = _CITI_HDR_RE.sub("", c)
+    c = _CITI_BAL_WORDS_RE.sub("", c)
     c = squeeze(c)
     if c:
         c = c[0].upper() + c[1:]

@@ -194,3 +194,31 @@ def test_relational_valley_matches_engine(spark, entry_mod):
     assert mismatch == [], (mismatch[:3],
                             expected.get(mismatch[0]) if mismatch else None,
                             got.get(mismatch[0]) if mismatch else None)
+
+
+def test_relational_chase_matches_engine(spark, entry_mod):
+    """Differential: chase_relational (the hardest state machine as
+    windows+CASE) vs the Python engine over identically-injected
+    lines — sections, noise pairs, legal/daily/phone traps included."""
+    from pdf_parser_spark.engine.banks import parse_chase
+    from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import chase_inject_py
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = [chase_inject_py(doc_id, n, l) for n, l in pairs]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_chase(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["chase_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (
+        len(mismatch), mismatch[:3],
+        expected.get(mismatch[0]) if mismatch else None,
+        got.get(mismatch[0]) if mismatch else None)

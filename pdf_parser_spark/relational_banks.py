@@ -732,3 +732,434 @@ WHERE description <> '' AND length(description) >= 3
            clean=chase_clean_sql("g.body", d),
            direction=_chase_direction_sql(
                "description", "block_section", "amount", d)), d)
+
+
+# ---------------------------------------------------------------------
+# BofA, fully relational — single-line txs with a daily-balance skip
+# state (two carry-forward windows) + wire-fee multi-emit (C4, C11,
+# D14, F4-F6).
+# ---------------------------------------------------------------------
+
+_BOFA_EXACT_NOISE = (
+    "bank of america", "your checking account", "account summary",
+    "deposits and other credits", "withdrawals and other debits",
+    "service fees", "daily ledger balances", "preferred rewards",
+    "important information", "customer service",
+    "date description amount", "total deposits", "total withdrawals",
+    "total service fees", "beginning balance", "ending balance",
+    "average ledger", "business advantage", "this page intentionally",
+)
+_BOFA_HDR_PHRASES = (
+    "this page intentionally left blank", "your checking account",
+    "business advantage relationship", "business advantage fundamentals",
+    "preferred rewards for bus", "account summary",
+    "important information", "daily ledger balances",
+)
+_BOFA_TX_WORDS = (
+    "wire type:", "online banking", "zelle", "transfer", "payment",
+    "checkcard", "purchase", "fee", "deposit", "withdrawal", "ca tlr",
+    "bkofamerica",
+)
+
+BOFA_INJECT_SQL = """CASE
+  WHEN line_no % 9 = 1 THEN
+    CASE (doc_id + line_no) % 2
+      WHEN 0 THEN 'Deposits and other additions'
+      ELSE 'Withdrawals and other debits' END
+  WHEN line_no % 9 = 7 THEN 'Daily ledger balances'
+  WHEN line_no % 9 = 5 THEN {p}('%02d/%02d/24 Wire Transfer Fee 30.00 16.00',
+                                (doc_id + line_no) % 12 + 1,
+                                (doc_id * 5 + line_no) % 28 + 1)
+  WHEN line_no % 3 = 0 THEN {p}('%02d/%02d/24 ',
+                                (doc_id + line_no) % 12 + 1,
+                                (doc_id * 5 + line_no) % 28 + 1) || line
+  ELSE line END"""
+
+
+def bofa_inject_py(doc_id: int, line_no: int, line: str) -> str:
+    if line_no % 9 == 1:
+        return ("Deposits and other additions"
+                if (doc_id + line_no) % 2 == 0
+                else "Withdrawals and other debits")
+    if line_no % 9 == 7:
+        return "Daily ledger balances"
+    if line_no % 9 == 5:
+        return "%02d/%02d/24 Wire Transfer Fee 30.00 16.00" % (
+            (doc_id + line_no) % 12 + 1, (doc_id * 5 + line_no) % 28 + 1)
+    if line_no % 3 == 0:
+        return "%02d/%02d/24 %s" % (
+            (doc_id + line_no) % 12 + 1, (doc_id * 5 + line_no) % 28 + 1,
+            line)
+    return line
+
+
+def _bofa_section_sql(low: str) -> str:
+    return """CASE
+  WHEN {dep} THEN 'deposits'
+  WHEN {wdr} THEN 'withdrawals'
+  WHEN instr({low}, 'atm and debit card subtractions') > 0
+    THEN 'withdrawals'
+  WHEN instr({low}, 'service fees') > 0 THEN 'withdrawals'
+  ELSE NULL END""".format(
+        low=low,
+        dep=_contains_any(low, ("deposits and other additions",
+                                "deposits and other credits")),
+        wdr=_contains_any(low, ("withdrawals and other debits",
+                                "other subtractions")))
+
+
+def _bofa_noise_sql(low: str, line: str, d: str) -> str:
+    exacts = " OR ".join(
+        "(trim({low}) = '{p}' OR trim({low}) LIKE '{p} %')".format(
+            low=low, p=p) for p in _BOFA_EXACT_NOISE)
+    return ("({exacts} OR {page} OR (instr({low}, 'continued on') > 0 "
+            "AND instr({low}, 'next page') > 0) OR {colhdr} OR {bal1} "
+            "OR {bal2})").format(
+        exacts=exacts, low=low,
+        page=RLIKE(low, r"^\s*page\s+\d+\s+of\s+\d+\s*$", d),
+        colhdr=RLIKE(low, r"^\s*date\s+description\s+amount\s*$", d),
+        bal1=RLIKE(line, r"^\s*\d{1,2}/\d{1,2}\s+[\d,]+\.\d{2}\s*$", d),
+        bal2=RLIKE(line, r"^\s*\d{1,2}/\d{1,2}\s+[\d,]+\.\d{2}\s+"
+                         r"\d{1,2}/\d{1,2}", d))
+
+
+def _bofa_direction_sql(desc: str, section: str, d: str) -> str:
+    """C4 tiers (bofa.py:243-310), default 'out'."""
+    dl = "lower(%s)" % desc
+    sec_dep = "%s = 'deposits'" % section
+    return """CASE
+  WHEN {win} THEN 'in'
+  WHEN {wout} THEN 'out'
+  WHEN instr({dl}, 'zelle payment from') > 0 THEN 'in'
+  WHEN instr({dl}, 'zelle payment to') > 0 THEN 'out'
+  WHEN instr({dl}, 'transfer') > 0 AND instr({dl}, 'from') > 0
+       AND instr({dl}, 'via wise') > 0 THEN 'in'
+  WHEN {fee} THEN 'out'
+  WHEN instr({dl}, 'checkcard') > 0 OR instr({dl}, 'purchase') > 0
+    THEN 'out'
+  WHEN {dep} THEN 'in'
+  WHEN (instr({dl}, 'preferred rewards') > 0
+        OR instr({dl}, 'prfd rwds') > 0)
+       AND instr({dl}, 'waiver') > 0 THEN 'out'
+  WHEN (instr({dl}, 'online banking transfer') > 0
+        OR instr({dl}, 'online transfer') > 0)
+       AND {sec} IS NOT NULL
+    THEN CASE WHEN {secdep} THEN 'in' ELSE 'out' END
+  WHEN instr({dl}, 'ca tlr transfer') > 0 AND {sec} IS NOT NULL
+    THEN CASE WHEN {secdep} THEN 'in' ELSE 'out' END
+  WHEN instr({dl}, 'bkofamerica bc') > 0 AND {sec} IS NOT NULL
+    THEN CASE WHEN {secdep} THEN 'in' ELSE 'out' END
+  WHEN {secdep} THEN 'in'
+  WHEN {sec} = 'withdrawals' THEN 'out'
+  WHEN instr({dl}, 'transfer') > 0 AND instr({dl}, 'confirmation#') > 0
+    THEN 'out'
+  WHEN instr({dl}, 'online banking') > 0
+       AND (instr({dl}, 'payment') > 0 OR instr({dl}, 'transfer') > 0)
+    THEN 'out'
+  WHEN instr({dl}, 'wise inc') > 0
+    THEN CASE WHEN instr({desc}, '-') > 0 THEN 'out' ELSE 'in' END
+  WHEN instr({dl}, 'ontop holdings') > 0 THEN 'in'
+  WHEN instr({dl}, 'bnf:') > 0 THEN 'out'
+  ELSE 'out' END""".format(
+        dl=dl, desc=desc, sec=section, secdep=sec_dep,
+        win=RLIKE(dl, r"wire type:\s*(wire|intl|book|fx) in", d),
+        wout=RLIKE(dl, r"wire type:\s*(wire|intl|fx|book) out", d),
+        fee=_contains_any(dl, ("fee", "charge", "svc charge")),
+        dep=_contains_any(dl, ("deposit", "credit", "received",
+                               "cashreward")))
+
+
+@query("bofa_relational")
+def q_bofa(d: str) -> str:
+    """The COMPLETE BofA parser (bofa.py:14-93) relationally:
+    single-line txs; TWO carry-forward windows (section context and
+    the daily-ledger skip state, which a section header clears);
+    wire-fee multi-emit via explode; last-lexeme amount with bounds;
+    header-phrase/balance-entry filters applied to the CLEANED
+    description; C4 direction tiers with default 'out'."""
+    p = PRINTF(d)
+    datep = lit(r"^(\d{1,2})/(\d{1,2})/(\d{2})\b", d)
+    toks = REALL("line", AMOUNT_PATTERN, d)
+    last_tok = "toks[-1]" if d == DUCK else "element_at(toks, -1)"
+    clean = "line"
+    clean = REREPL(clean, r"^\s*\d{1,2}/\d{1,2}/\d{2}\s+", "", d)
+    clean = REREPL(clean, AMOUNT_PATTERN, "", d)
+    clean = REREPL(clean, r"(?i)\s*continued\s+on\s+the\s+next\s+page\s*$",
+                   "", d)
+    clean = "trim(%s)" % REREPL(clean, r"\s+", " ", d)
+    bare_last = REREPL("last_tok", r"[\(\)\-\$,]", "", d)
+    if d == SPARK:
+        fee_expl = ("SELECT doc_id, line_no, date_iso, pos, tok FROM "
+                    "(SELECT doc_id, line_no, date_iso, {t} AS tokarr "
+                    "FROM fee_lines) f "
+                    "LATERAL VIEW posexplode(tokarr) e AS pos, tok"
+                    .format(t=toks))
+    else:
+        fee_expl = ("SELECT doc_id, line_no, date_iso, "
+                    "generate_subscripts({t}, 1) AS pos, "
+                    "unnest({t}) AS tok FROM fee_lines".format(t=toks))
+    bare_tok = REREPL("tok", r"[\(\)\-\$,]", "", d)
+    return with_lines("""
+, bofad AS (
+  SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
+),
+classed AS (
+  SELECT doc_id, line_no, line, low,
+    {section} AS sec_marker,
+    CASE WHEN instr(low, 'daily ledger balances') > 0
+              OR {dailyhdr} THEN 1 ELSE 0 END AS is_daily_hdr,
+    CASE WHEN {noise} THEN 1 ELSE 0 END AS is_noise,
+    CASE WHEN try_cast(regexp_extract(trim(line), {datep}, 1) as int)
+              IS NOT NULL
+         THEN {p}('%04d-%02d-%02d',
+            CASE WHEN try_cast(regexp_extract(trim(line), {datep}, 3)
+                      as int) < 50
+                 THEN 2000 + try_cast(regexp_extract(trim(line),
+                                      {datep}, 3) as int)
+                 ELSE 1900 + try_cast(regexp_extract(trim(line),
+                                      {datep}, 3) as int) END,
+            try_cast(regexp_extract(trim(line), {datep}, 1) as int),
+            try_cast(regexp_extract(trim(line), {datep}, 2) as int))
+         ELSE NULL END AS date_iso
+  FROM (SELECT doc_id, line_no, line, lower(line) AS low FROM bofad) t
+),
+carried AS (
+  SELECT *,
+    {sec_carry} AS section_ctx,
+    coalesce({state_carry}, 'live') AS skip_state
+  FROM (
+    SELECT *,
+      CASE WHEN is_daily_hdr = 1 THEN 'daily'
+           WHEN sec_marker IS NOT NULL THEN 'live'
+           ELSE NULL END AS state_ev
+    FROM classed
+  ) t
+),
+live AS (
+  -- the reference consumes daily-header and section lines themselves,
+  -- and while in the daily state everything is skipped
+  SELECT * FROM carried
+  WHERE is_daily_hdr = 0 AND sec_marker IS NULL
+    AND skip_state = 'live' AND is_noise = 0
+),
+fee_lines AS (
+  SELECT doc_id, line_no, line, date_iso FROM live
+  WHERE instr(low, 'wire transfer fee') > 0 AND date_iso IS NOT NULL
+),
+fee_toks AS ({fee_expl}),
+fee_txs AS (
+  SELECT doc_id, line_no, pos AS tok_pos, date_iso AS date,
+    'Wire Transfer Fee' AS description,
+    cast({bare_tok} as double) AS amount, 'out' AS direction
+  FROM fee_toks WHERE cast({bare_tok} as double) > 0.01
+),
+normal AS (
+  SELECT doc_id, line_no, date_iso AS date,
+    {clean} AS description,
+    CASE WHEN {ntok} = 0 THEN NULL
+         WHEN cast({bare_last} as double) < 0.01
+              OR cast({bare_last} as double) > 10000000 THEN NULL
+         ELSE cast({bare_last} as double) END AS amount,
+    section_ctx
+  FROM (SELECT *, {toks} AS toks, {lt} AS last_tok FROM live
+        WHERE instr(low, 'wire transfer fee') = 0
+          AND date_iso IS NOT NULL) t
+),
+kept AS (
+  SELECT doc_id, line_no, 0 AS tok_pos, date, description, amount,
+    {direction} AS direction
+  FROM normal
+  WHERE amount IS NOT NULL AND amount <> 0
+    AND description <> '' AND length(description) >= 5
+    AND NOT {hdr_phrases}
+    AND NOT (
+      {yearless2}
+      OR ({yearless1} AND NOT {tx_words})
+    )
+),
+unioned AS (
+  SELECT * FROM fee_txs
+  UNION ALL
+  SELECT * FROM kept
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY date, line_no, tok_pos)
+       AS INT) - 1 AS tx_index,
+  date, description, amount, direction
+FROM unioned
+""".format(inject=BOFA_INJECT_SQL.format(p=p),
+           section=_bofa_section_sql("low"),
+           dailyhdr=RLIKE("low", r"^\s*date\s+balance\s*\(\s*\$\s*\)", d),
+           noise=_bofa_noise_sql("low", "line", d),
+           datep=datep, p=p,
+           sec_carry=LAST_IGNULLS("sec_marker", "line_no", "doc_id", d),
+           state_carry=LAST_IGNULLS("state_ev", "line_no", "doc_id", d),
+           fee_expl=fee_expl, bare_tok=bare_tok, clean=clean,
+           ntok=LEN("toks", d), bare_last=bare_last, toks=toks,
+           lt=last_tok,
+           direction=_bofa_direction_sql("description", "section_ctx", d),
+           hdr_phrases="(" + " OR ".join(
+               "instr(lower(description), '%s') > 0" % q2
+               for q2 in _BOFA_HDR_PHRASES) + " OR " + RLIKE(
+                   "lower(description)",
+                   r"account\s*#\s*\d{4}\s+\d{4}\s+\d{4}", d) + ")",
+           # reference uses (?!/\d{2}) — no lookahead in RE2, so the
+           # yearless count is all-M/D minus dated-M/D (each dated form
+           # consumes exactly one M/D match in both scans)
+           yearless2="(%s - %s) >= 2" % (
+               LEN(REALL("description", r"\b\d{1,2}/\d{1,2}\b", d), d),
+               LEN(REALL("description", r"\b\d{1,2}/\d{1,2}/\d{2}", d),
+                   d)),
+           yearless1="(%s - %s) >= 1" % (
+               LEN(REALL("description", r"\b\d{1,2}/\d{1,2}\b", d), d),
+               LEN(REALL("description", r"\b\d{1,2}/\d{1,2}/\d{2}", d),
+                   d)),
+           tx_words=_contains_any("lower(description)", _BOFA_TX_WORDS)),
+        d)
+
+
+# ---------------------------------------------------------------------
+# BofA Relationship, fully relational — section OPEN/CLOSE state (the
+# C9 variant with a close marker), blocks only inside sections,
+# last-lexeme amount trimmed off the description tail (D15, F12).
+# ---------------------------------------------------------------------
+
+REL_INJECT_SQL = """CASE
+  WHEN line_no % 9 = 1 THEN
+    CASE (doc_id + line_no) % 2
+      WHEN 0 THEN 'Deposits and other credits'
+      ELSE 'Withdrawals and other debits' END
+  WHEN line_no % 9 = 6 AND doc_id % 3 = 0
+    THEN 'Total deposits and other credits 99.00'
+  WHEN line_no % 9 = 7 THEN 'continued on the next page'
+  WHEN line_no % 3 = 0 THEN {p}('%02d/%02d/24 ',
+                                (doc_id + line_no) % 12 + 1,
+                                (doc_id * 5 + line_no) % 28 + 1) || line
+  ELSE line END"""
+
+
+def rel_inject_py(doc_id: int, line_no: int, line: str) -> str:
+    if line_no % 9 == 1:
+        return ("Deposits and other credits"
+                if (doc_id + line_no) % 2 == 0
+                else "Withdrawals and other debits")
+    if line_no % 9 == 6 and doc_id % 3 == 0:
+        return "Total deposits and other credits 99.00"
+    if line_no % 9 == 7:
+        return "continued on the next page"
+    if line_no % 3 == 0:
+        return "%02d/%02d/24 %s" % (
+            (doc_id + line_no) % 12 + 1, (doc_id * 5 + line_no) % 28 + 1,
+            line)
+    return line
+
+
+@query("bofa_rel_relational")
+def q_bofa_rel(d: str) -> str:
+    """The COMPLETE BofA Relationship parser
+    (bofa_relationship.py:31-90) relationally: sections open on
+    deposit/withdrawal headers and CLOSE on Total rows (carry-forward
+    with a close sentinel); blocks are date lines INSIDE a section,
+    absorbing non-noise lines until the next date/section/total;
+    amount = last money lexeme (magnitude), trimmed off the
+    description tail; direction = the section."""
+    p = PRINTF(d)
+    datep = lit(r"^\s*\d{1,2}/\d{1,2}/\d{2}\b", d)
+    dparts = lit(r"^\s*(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?\b", d)
+    toks = REALL("body", AMOUNT_PATTERN, d)
+    last_tok = "toks[-1]" if d == DUCK else "element_at(toks, -1)"
+    wo_date = REREPL("body", r"^\s*\d{1,2}/\d{1,2}/\d{2}\s+", "", d)
+    ordcat = ("string_agg(line, ' ' ORDER BY line_no)" if d == DUCK else
+              "concat_ws(' ', transform(array_sort(collect_list("
+              "struct(line_no as o, line as v))), x -> x.v))")
+    return with_lines("""
+, reld AS (
+  SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
+),
+classed AS (
+  SELECT doc_id, line_no, line,
+    CASE WHEN {dep} THEN 'in'
+         WHEN {wdr} THEN 'out'
+         WHEN {total} THEN 'close'
+         ELSE NULL END AS sec_ev,
+    CASE WHEN line = '' OR {hdr_row} OR {contin}
+              OR line LIKE 'Daily ledger balances%'
+              OR line LIKE 'Important Messages%'
+              OR line LIKE 'Your checking account%'
+         THEN 1 ELSE 0 END AS is_noise,
+    CASE WHEN {is_date} THEN 1 ELSE 0 END AS is_dateline
+  FROM reld
+),
+carried AS (
+  SELECT *,
+    CASE WHEN {carry} = 'close' THEN NULL ELSE {carry} END AS section
+  FROM classed
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN sec_ev IS NOT NULL THEN 1 ELSE 0 END AS is_ev,
+    CASE WHEN sec_ev IS NULL AND is_dateline = 1
+              AND section IS NOT NULL THEN 1 ELSE 0 END AS is_opener
+  FROM carried
+),
+grouped AS (
+  SELECT *,
+    SUM(CASE WHEN is_dateline = 1 OR is_ev = 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY line_no
+            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+openers AS (
+  SELECT doc_id, grp, line_no AS opener_line, section AS block_section
+  FROM grouped WHERE is_opener = 1
+),
+blocks AS (
+  SELECT g.doc_id, g.grp, {ordcat} AS body
+  FROM grouped g JOIN openers o
+    ON g.doc_id = o.doc_id AND g.grp = o.grp
+  WHERE g.is_noise = 0 OR g.line_no = o.opener_line
+  GROUP BY g.doc_id, g.grp
+),
+parsed AS (
+  SELECT b.doc_id, b.grp, o.block_section,
+    CASE WHEN yy < 100 THEN {p}('%04d-%02d-%02d', 2000 + yy, mm, dd)
+         ELSE {p}('%04d-%02d-%02d', yy, mm, dd) END AS date,
+    wo AS wo_date, last_tok,
+    cast({bare_last} as double) AS amount
+  FROM (
+    SELECT doc_id, grp, body, {toks} AS toks, {lt} AS last_tok,
+      {wo} AS wo,
+      try_cast(regexp_extract(trim(body), {dparts}, 1) as int) AS mm,
+      try_cast(regexp_extract(trim(body), {dparts}, 2) as int) AS dd,
+      coalesce(try_cast(regexp_extract(trim(body), {dparts}, 3) as int),
+               2024) AS yy
+    FROM blocks
+  ) b JOIN openers o ON b.doc_id = o.doc_id AND b.grp = o.grp
+  WHERE {ntok} > 0
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, grp)
+       AS INT) - 1 AS tx_index,
+  date,
+  CASE WHEN substring(trim(wo_date),
+                      length(trim(wo_date)) - length(last_tok) + 1)
+            = last_tok
+       THEN trim(substring(trim(wo_date), 1,
+                 length(trim(wo_date)) - length(last_tok)))
+       ELSE trim(wo_date) END AS description,
+  amount, block_section AS direction
+FROM parsed
+""".format(inject=REL_INJECT_SQL.format(p=p),
+           dep=RLIKE("line", r"(?i)\bDeposits and other credits\b", d),
+           wdr=RLIKE("line", r"(?i)\bWithdrawals and other debits\b", d),
+           total=RLIKE("line", r"(?i)^Total (deposits.*|withdrawals.*)$",
+                       d),
+           hdr_row=RLIKE("line",
+                         r"(?i)^\s*Date\s+Description\s+Amount\s*$", d),
+           contin=RLIKE("line", r"(?i)continued on the next page", d),
+           is_date=RLIKE("line", r"^\s*\d{1,2}/\d{1,2}/\d{2}\b", d),
+           carry=LAST_IGNULLS("sec_ev", "line_no", "doc_id", d),
+           ordcat=ordcat, p=p, dparts=dparts, toks=toks, lt=last_tok,
+           wo=wo_date, bare_last=REREPL("last_tok", r"[\(\)\-\$,]", "", d),
+           ntok=LEN("toks", d)), d)

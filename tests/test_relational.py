@@ -222,3 +222,57 @@ def test_relational_chase_matches_engine(spark, entry_mod):
         len(mismatch), mismatch[:3],
         expected.get(mismatch[0]) if mismatch else None,
         got.get(mismatch[0]) if mismatch else None)
+
+
+def test_relational_bofa_matches_engine(spark, entry_mod):
+    """Differential: bofa_relational (single-line machine with daily-
+    balance skip state + wire-fee multi-emit) vs the Python engine."""
+    from pdf_parser_spark.engine.banks import parse_bofa
+    from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import bofa_inject_py
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = [bofa_inject_py(doc_id, n, l) for n, l in pairs]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_bofa(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["bofa_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (
+        len(mismatch), mismatch[:3],
+        expected.get(mismatch[0]) if mismatch else None,
+        got.get(mismatch[0]) if mismatch else None)
+
+
+def test_relational_bofa_rel_matches_engine(spark, entry_mod):
+    """Differential: bofa_rel_relational (section open/CLOSE state) vs
+    the Python engine."""
+    from pdf_parser_spark.engine.banks import parse_bofa_relationship
+    from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import rel_inject_py
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = [rel_inject_py(doc_id, n, l) for n, l in pairs]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_bofa_relationship(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["bofa_rel_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (
+        len(mismatch), mismatch[:3],
+        expected.get(mismatch[0]) if mismatch else None,
+        got.get(mismatch[0]) if mismatch else None)

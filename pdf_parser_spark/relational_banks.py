@@ -1163,3 +1163,675 @@ FROM parsed
            ordcat=ordcat, p=p, dparts=dparts, toks=toks, lt=last_tok,
            wo=wo_date, bare_last=REREPL("last_tok", r"[\(\)\-\$,]", "", d),
            ntok=LEN("toks", d)), d)
+
+
+# ---------------------------------------------------------------------
+# Mercury (D4-first date priority) + IFB/PNB (verbatim generic)
+# ---------------------------------------------------------------------
+
+_SLASH_ANCH = r"^\s*(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?\b"
+_LONG_SEARCH = r"([A-Za-z]{3,9})\s+(\d{1,2}),\s*(\d{4})"
+_MMM_ANCH = (r"^\s*((?i:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov"
+             r"|Dec))\s+(\d{1,2})\b")
+
+
+def _date_value_sql(line: str, order: str, d: str) -> str:
+    """Date value with the issuer's priority: 'slash_first' (generic,
+    base.py:109) or 'mmm_first' (mercury.py:18)."""
+    p = PRINTF(d)
+    slash = ("""CASE WHEN try_cast(regexp_extract({l}, {sp}, 1) as int)
+      IS NOT NULL THEN {p}('%04d-%02d-%02d',
+      CASE WHEN regexp_extract({l}, {sp}, 3) = '' THEN 2024
+           WHEN try_cast(regexp_extract({l}, {sp}, 3) as int) < 100
+           THEN 2000 + try_cast(regexp_extract({l}, {sp}, 3) as int)
+           ELSE try_cast(regexp_extract({l}, {sp}, 3) as int) END,
+      try_cast(regexp_extract({l}, {sp}, 1) as int),
+      try_cast(regexp_extract({l}, {sp}, 2) as int)) END"""
+             .format(l=line, sp=lit(_SLASH_ANCH, d), p=p))
+    longv = ("""CASE WHEN regexp_extract({l}, {lp}, 1) <> ''
+      AND {lmon} IS NOT NULL THEN {p}('%04d-%02d-%02d',
+      try_cast(regexp_extract({l}, {lp}, 3) as int), {lmon},
+      try_cast(regexp_extract({l}, {lp}, 2) as int)) END"""
+             .format(l=line, lp=lit(_LONG_SEARCH, d), p=p,
+                     lmon=_MONTH_CASE.replace(
+                         "mon", "regexp_extract(%s, %s, 1)"
+                         % (line, lit(_LONG_SEARCH, d)))))
+    mmmv = ("""CASE WHEN regexp_extract({l}, {mp}, 1) <> ''
+      THEN {p}('%04d-%02d-%02d', 2024, {mmon},
+      try_cast(regexp_extract({l}, {mp}, 2) as int)) END"""
+            .format(l=line, mp=lit(_MMM_ANCH, d), p=p,
+                    mmon=_MONTH_CASE.replace(
+                        "mon", "regexp_extract(%s, %s, 1)"
+                        % (line, lit(_MMM_ANCH, d)))))
+    if order == "mmm_first":
+        return "coalesce(%s, %s, %s)" % (mmmv, slash, longv)
+    return "coalesce(%s, %s, %s)" % (slash, longv, mmmv)
+
+
+@query("mercury_relational")
+def q_mercury(d: str) -> str:
+    """The COMPLETE Mercury parser (mercury.py:5-32) relationally:
+    generic block sweep but with Mmm-D date PRIORITY, date taken from
+    the opener line (long dates match anywhere in it).  Mmm dates
+    injected in-plan."""
+    toks = REALL("body", AMOUNT_PATTERN, d)
+    strip_tail = REREPL("body", r"\s*" + AMOUNT_PATTERN + r"\s*$", "", d)
+    ordcat = ("string_agg(line, ' ' ORDER BY line_no)" if d == DUCK else
+              "concat_ws(' ', transform(array_sort(collect_list("
+              "struct(line_no as o, line as v))), x -> x.v))")
+    return with_lines("""
+, mercd AS (
+  SELECT doc_id, line_no,
+    CASE WHEN line_no % 7 = 3 THEN 'Feb 7 ' || line ELSE line END AS line
+  FROM stmt_lines
+),
+marked AS (
+  SELECT doc_id, line_no, line,
+    {dval} AS date_val
+  FROM mercd
+),
+blocked AS (
+  SELECT doc_id, line_no, line, date_val,
+    SUM(CASE WHEN date_val IS NOT NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY line_no
+            ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM marked
+),
+openers AS (
+  SELECT doc_id, block_id, date_val AS block_date
+  FROM blocked WHERE date_val IS NOT NULL
+),
+blocks AS (
+  SELECT doc_id, block_id, {ordcat} AS body
+  FROM blocked WHERE block_id > 0 GROUP BY doc_id, block_id
+),
+parsed AS (
+  SELECT b.doc_id, b.block_id, o.block_date AS date,
+    trim({strip_tail}) AS description,
+    {amt} AS amount
+  FROM (SELECT doc_id, block_id, body, {toks} AS toks FROM blocks) b
+  JOIN openers o ON b.doc_id = o.doc_id AND b.block_id = o.block_id
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, block_id)
+       AS INT) - 1 AS tx_index,
+  date, description, abs(amount) AS amount,
+  {dircase} AS direction
+FROM parsed WHERE amount IS NOT NULL
+""".format(dval=_date_value_sql("line", "mmm_first", d), ordcat=ordcat,
+           strip_tail=strip_tail, toks=toks,
+           amt=_signed_first_amount(d),
+           dircase=__import__(
+               "pdf_parser_spark.relational", fromlist=["direction_case"]
+           ).direction_case("description", d)), d)
+
+
+def _alias_generic(name: str, ref: str):
+    """IFB (ifb.py:8-34) and PNB (pnb.py:5-30) are line-for-line the
+    same machine as GenericParser in the reference — registered as
+    named queries for inventory completeness."""
+    from .relational import QUERIES as _RQ
+
+    def q(d: str) -> str:
+        return _RQ["generic_relational"](d)
+    q.__doc__ = ("Verbatim-identical to generic_relational "
+                 "(reference %s)." % ref)
+    QUERIES[name] = q
+
+
+_alias_generic("ifb_relational", "ifb.py:8-34")
+_alias_generic("pnb_relational", "pnb.py:5-30")
+
+
+# ---------------------------------------------------------------------
+# Wells Fargo, fully relational — validity/noise gated blocks (break,
+# not skip), date-fragment-aware first-amount selection (D11), and the
+# description cut before the NEXT lexeme via split-segment
+# reassembly (D12) — the 'regex-position trick' SURVEY §2.3 called for.
+# ---------------------------------------------------------------------
+
+_WF_HEADER_WORDS = (
+    "wells fargo", "questions?", "available by phone", "online:",
+    "write:", "your business and wells fargo", "account options",
+    "business online banking", "overdraft protection",
+    "important account information", "new york city customers",
+    "updated limits", "effective october", "this notice",
+    "watch for debit card scams",
+)
+_WF_SUMMARY_WORDS = (
+    "statement period activity", "beginning balance", "ending balance",
+    "deposits/credits", "withdrawals/debits", "totals",
+    "account transaction fees", "service charge description",
+    "units used", "units included", "excess units", "total service",
+    "fee period", "how to avoid", "minimum required", "average ledger",
+    "minimum daily balance", "standard monthly service fee",
+)
+_WF_NO_TX = (
+    r"(?i)(?:totals\b|ending daily balance|important account information"
+    r"|service fee summary|statement period|beginning balance"
+    r"|deposits/credits|withdrawals/debits|ending balance|account number"
+    r"|page \d+ of \d+|account transaction fees|units used|units included"
+    r"|excess units|service charge description|cash deposited"
+    r"|transactions|total service charges|fee period|how to avoid"
+    r"|minimum required|this fee period|average ledger balance"
+    r"|minimum daily balance)"
+)
+_WF_CTX_WORDS = ("interest payment", "interest credit", "fee", "charge",
+                 "payment", "credit", "debit", "service")
+
+WF_INJECT_SQL = """CASE
+  WHEN line_no % 9 = 1 THEN 'Statement period activity'
+  WHEN line_no % 9 = 4 THEN 'short ln'
+  WHEN line_no % 9 = 7
+    THEN line || ' /Org=Acme Capital Srf# 210.00 18,400.00'
+  WHEN line_no % 7 = 5 THEN line || ' paid on 11.8.24 ref'
+  WHEN line_no % 7 = 6 THEN line || ' Zelle to Kim 55.00'
+  ELSE line END"""
+
+
+def wf_inject_py(doc_id: int, line_no: int, line: str) -> str:
+    if line_no % 9 == 1:
+        return "Statement period activity"
+    if line_no % 9 == 4:
+        return "short ln"
+    if line_no % 9 == 7:
+        return line + " /Org=Acme Capital Srf# 210.00 18,400.00"
+    if line_no % 7 == 5:
+        return line + " paid on 11.8.24 ref"
+    if line_no % 7 == 6:
+        return line + " Zelle to Kim 55.00"
+    return line
+
+
+def _wf_invalid_sql(low: str, line: str, d: str) -> str:
+    """NOT _is_valid_transaction_line (wf.py:139-174)."""
+    return ("({hdr} OR {summ} OR {meta} OR length(trim({line})) < 10)"
+            .format(hdr=_contains_any(low, _WF_HEADER_WORDS),
+                    summ=_contains_any(low, _WF_SUMMARY_WORDS),
+                    meta=RLIKE(low, r"page \d+ of \d+|account number:"
+                                    r"|for direct deposit"
+                                    r"|for wire transfers|routing number",
+                               d),
+                    line=line))
+
+
+def _wf_direction_sql(desc: str, d: str) -> str:
+    """C6 tiers (wf.py:176-227)."""
+    dl = "lower(%s)" % desc
+    return """CASE
+  WHEN {org} AND NOT {bnf} THEN 'in'
+  WHEN {bnf} AND NOT {org} THEN 'out'
+  WHEN {xfer} THEN 'in'
+  WHEN {fromw} THEN 'in'
+  WHEN {comp} OR {pnum} THEN 'in'
+  WHEN instr({dl}, 'zelle from') > 0 THEN 'in'
+  WHEN instr({dl}, 'zelle to') > 0 THEN 'out'
+  WHEN {wt} AND instr({dl}, 'morgan stanley') > 0 THEN 'in'
+  WHEN {dep} AND instr({dl}, 'credit card') = 0 THEN 'in'
+  ELSE 'out' END""".format(
+        dl=dl,
+        org=RLIKE(dl, r"/org=", d), bnf=RLIKE(dl, r"/bnf=", d),
+        xfer=_contains_any(dl, ("online transfer from", "transfer from",
+                                "llc sender", "sender")),
+        fromw=RLIKE(dl, r"\bfrom\s+\w+", d),
+        comp=RLIKE(dl, r"\w+\s+company\s+payment", d),
+        pnum=RLIKE(dl, r"\bpayment\s+\w+\s+\d+", d),
+        wt=RLIKE(dl, r"\bwt\s+\w+", d),
+        dep=_contains_any(dl, ("interest payment", "interest credit",
+                               "deposit", "credit")))
+
+
+@query("wf_relational")
+def q_wf(d: str) -> str:
+    """The COMPLETE Wells Fargo parser (wf.py:229-313) relationally.
+    Blocks open at valid non-noise date lines and BREAK at the first
+    noise/invalid line (running bad counter); the body re-passes the
+    validity gate; the transaction amount is the first lexeme that is
+    not a date fragment (D11: magnitude 1-31, no amount-context
+    keyword, dotted-date or Mmm-D pattern in the body), and the
+    description is everything before the NEXT lexeme, rebuilt from
+    regexp-split segments (D12)."""
+    p = PRINTF(d)
+    toks = REALL("body", AMOUNT_PATTERN, d)
+    segs = (("split(body, %s, -1)" % lit(AMOUNT_PATTERN, d))
+            if d == SPARK else
+            ("regexp_split_to_array(body, %s)" % lit(AMOUNT_PATTERN, d)))
+    bare = REREPL("tok", r"[\$,\(\)\-]", "", d)
+    datefrag = """(
+      NOT {longfrac}
+      AND try_cast({bare} as double) BETWEEN 1 AND 31
+      AND NOT {ctx}
+      AND ({dotted} OR {mmmctx})
+    )""".format(
+        longfrac=RLIKE(bare, r"\.\d{3,}", d),
+        bare=bare,
+        ctx=_contains_any("lower(body)", _WF_CTX_WORDS),
+        dotted=RLIKE("body", r"\b\d{1,2}\.\d{1,2}\.\d{2,4}\b", d),
+        mmmctx=RLIKE("body", r"(?i)\b(jan|feb|mar|apr|may|jun|jul|aug|sep"
+                             r"|oct|nov|dec)\s+\d{1,2}\b", d))
+    if d == SPARK:
+        tok_expl = ("SELECT doc_id, grp, body, pos + 1 AS pos, tok FROM "
+                    "(SELECT doc_id, grp, body, {t} AS tokarr FROM gated) g "
+                    "LATERAL VIEW posexplode(tokarr) e AS pos, tok"
+                    .format(t=toks))
+        prefix = ("concat_ws('', transform(sequence(1, s.k), i -> "
+                  "element_at(segs, i) || element_at(toks, i))) "
+                  "|| element_at(segs, s.k + 1)")
+        ktok = "element_at(toks, s.k)"
+        ntok = "size(toks)"
+    else:
+        tok_expl = ("SELECT doc_id, grp, body, "
+                    "generate_subscripts({t}, 1) AS pos, "
+                    "unnest({t}) AS tok FROM gated".format(t=toks))
+        prefix = ("array_to_string([segs[i] || toks[i] "
+                  "for i in range(1, s.k + 1)], '') || segs[s.k + 1]")
+        ktok = "toks[s.k]"
+        ntok = "len(toks)"
+    kbare = REREPL(ktok, r"[\$,\(\)\-]", "", d)
+    return with_lines("""
+, wfd AS (
+  SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
+),
+classed AS (
+  SELECT doc_id, line_no, line,
+    CASE WHEN {invalid} THEN 1 ELSE 0 END AS is_invalid,
+    CASE WHEN {noise} THEN 1 ELSE 0 END AS is_noise,
+    CASE WHEN {dval} IS NOT NULL THEN 1 ELSE 0 END AS is_dateish,
+    {dval} AS date_val
+  FROM (SELECT doc_id, line_no, line, lower(line) AS low FROM wfd) t
+),
+grouped AS (
+  SELECT *,
+    SUM(is_dateish) OVER (PARTITION BY doc_id ORDER BY line_no
+                          ROWS UNBOUNDED PRECEDING) AS grp
+  FROM classed
+),
+openers AS (
+  SELECT doc_id, grp, date_val AS block_date
+  FROM grouped
+  WHERE is_dateish = 1 AND is_invalid = 0 AND is_noise = 0
+),
+members AS (
+  SELECT g.doc_id, g.grp, g.line_no, g.line
+  FROM (SELECT *, SUM(is_invalid + is_noise)
+          OVER (PARTITION BY doc_id, grp ORDER BY line_no
+                ROWS UNBOUNDED PRECEDING) AS cum_bad
+        FROM grouped) g
+  JOIN openers o ON g.doc_id = o.doc_id AND g.grp = o.grp
+  WHERE g.cum_bad = 0
+),
+blocks AS (
+  SELECT doc_id, grp, {ordcat} AS body
+  FROM members GROUP BY doc_id, grp
+),
+gated AS (
+  SELECT b.doc_id, b.grp, o.block_date, b.body
+  FROM blocks b JOIN openers o
+    ON b.doc_id = o.doc_id AND b.grp = o.grp
+  WHERE NOT {body_invalid}
+),
+tokt AS ({tok_expl}),
+selected AS (
+  SELECT doc_id, grp,
+    coalesce(MIN(CASE WHEN NOT {frag} THEN pos END), 1) AS k
+  FROM tokt GROUP BY doc_id, grp
+),
+emitted AS (
+  SELECT g.doc_id, g.grp, g.block_date AS date,
+    CASE WHEN s.k < {ntok} THEN rtrim({prefix}) ELSE g.body END
+      AS description,
+    abs(CASE WHEN {ktok} LIKE '-%' OR {ktok} LIKE '%-'
+              OR {ktok} LIKE '(%'
+         THEN -cast({kbare} as double)
+         ELSE cast({kbare} as double) END) AS amount
+  FROM (SELECT doc_id, grp, block_date, body, {toks} AS toks,
+               {segs} AS segs FROM gated) g
+  JOIN selected s ON g.doc_id = s.doc_id AND g.grp = s.grp
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, grp)
+       AS INT) - 1 AS tx_index,
+  date, description, amount, {direction} AS direction
+FROM emitted
+""".format(inject=WF_INJECT_SQL,
+           invalid=_wf_invalid_sql("low", "line", d),
+           noise=RLIKE("line", _WF_NO_TX, d),
+           dval=_date_value_sql("line", "slash_first", d),
+           ordcat=("string_agg(line, ' ' ORDER BY line_no)" if d == DUCK
+                   else "concat_ws(' ', transform(array_sort(collect_list("
+                        "struct(line_no as o, line as v))), x -> x.v))"),
+           body_invalid=_wf_invalid_sql("lower(b.body)", "b.body", d),
+           tok_expl=tok_expl, frag=datefrag,
+           ntok=ntok, prefix=prefix, toks=toks, segs=segs,
+           ktok=ktok, kbare=kbare,
+           direction=_wf_direction_sql("description", d)), d)
+
+
+# ---------------------------------------------------------------------
+# Citi, fully relational — checking/savings section semantics, the
+# positional amount-vs-balance selection with description cuts (D16),
+# savings two-column arithmetic with fold-replace description blanking
+# (D17), noise skipped mid-block without breaking (G3), C5 tiers.
+# ---------------------------------------------------------------------
+
+_CITI_NOISE_PATTERNS = (
+    r"^citibank", r"^citibusiness", r"relationship summary",
+    r"checking summary", r"customer service information", r"^page \d+",
+    r"^account \d+", r"^statement period",
+    r"service charge summary from", r"^important notice",
+    r"^important disclosures", r"^fdic insurance",
+    r"^apy and interest rate", r"billing rights summary",
+    r"in case of errors", r"^messages from citi",
+    r"value of accounts this period", r"earnings summary",
+    r"we are notifying", r"^effective", r"^account as of",
+    r"citibusiness® account as of", r"^\w+ \d+,? - \w+ \d+,? \d{4}",
+    r"^\d{4} de citi",
+)
+_CITI_COLUMN_HEADERS = (
+    "date description debits credits balance",
+    "date description amount subtracted amount added balance",
+    "beginning balance:", "ending balance:", "balance subject",
+    "average daily collected balance", "type of charge",
+    "charges debited from account", "total charges for services",
+    "net service charge", "total debits/credits",
+    "total subtracted/added",
+)
+_CITI_META_WORDS = (
+    "account as of", "statement period", "service charge summary",
+    "average daily collected balance", "relationship summary",
+    "checking summary",
+)
+_CITI_TX_KEYWORDS = (
+    "deposit", "credit", "debit", "wire", "transfer", "payment",
+    "purchase", "withdrawal", "fee", "charge", "interest",
+)
+_CITI_LEGAL = (
+    "in case of errors", "customer service", "important disclosures",
+    "fdic insurance", "apy and interest rate", "billing rights summary",
+)
+_CITI_BAL_WORDS = ("deposit", "credit", "debit", "purchase",
+                   "withdrawal", "wire", "fee", "interest")
+
+CITI_INJECT_SQL = """CASE
+  WHEN line_no % 9 = 1 THEN
+    CASE (doc_id + line_no) % 2
+      WHEN 0 THEN 'Checking Activity' ELSE 'Savings Activity' END
+  WHEN line_no % 9 = 4 THEN 'Page 3'
+  WHEN line_no % 9 = 3 THEN {p}('%02d/%02d ACME HOLDINGS LLC',
+                                (doc_id + line_no) % 12 + 1,
+                                (doc_id * 3 + line_no) % 28 + 1)
+  WHEN line_no % 9 = 7 THEN line || ' 0.00 12.33 30,012.33'
+  ELSE line END"""
+
+
+def citi_inject_py(doc_id: int, line_no: int, line: str) -> str:
+    if line_no % 9 == 1:
+        return ("Checking Activity" if (doc_id + line_no) % 2 == 0
+                else "Savings Activity")
+    if line_no % 9 == 4:
+        return "Page 3"
+    if line_no % 9 == 3:
+        return "%02d/%02d ACME HOLDINGS LLC" % (
+            (doc_id + line_no) % 12 + 1, (doc_id * 3 + line_no) % 28 + 1)
+    if line_no % 9 == 7:
+        return line + " 0.00 12.33 30,012.33"
+    return line
+
+
+def _citi_section_sql(low: str) -> str:
+    return """CASE
+  WHEN {chk} THEN 'checking'
+  WHEN instr({low}, 'streamlined checking') > 0 THEN 'checking'
+  WHEN instr({low}, 'savings activity') > 0 THEN 'savings'
+  WHEN instr({low}, 'citi® savings') > 0
+       AND instr({low}, 'account activity') > 0 THEN 'savings'
+  WHEN instr({low}, 'citibank® savings') > 0
+       AND instr({low}, 'account activity') > 0 THEN 'savings'
+  WHEN instr({low}, 'account activity') > 0
+       AND instr({low}, 'amount subtracted') > 0
+       AND instr({low}, 'amount added') > 0 THEN 'savings'
+  ELSE NULL END""".format(
+        low=low,
+        chk=_contains_any(low, ("checking activity",
+                                "checking account activity",
+                                "citibusiness checking activity")))
+
+
+def _citi_noise_sql(low: str, line: str, d: str) -> str:
+    pats = " OR ".join(RLIKE(low, p, d) for p in _CITI_NOISE_PATTERNS)
+    return ("({pats} OR {hdrs} OR {amt_row} OR {digits})".format(
+        pats=pats, hdrs=_contains_any(low, _CITI_COLUMN_HEADERS),
+        amt_row=RLIKE(line, r"^\s*\$[\d,]+\.\d{2}\s*$", d),
+        digits=RLIKE(line, r"^\s*\d{12,}\s*$", d)))
+
+
+def _citi_clean_sql(col: str, d: str) -> str:
+    """D9 citi clean chain (citi.py:464-472)."""
+    c = col
+    c = REREPL(c, AMOUNT_PATTERN, "", d)
+    c = REREPL(c, r"\b\d{1,2}/\d{1,2}\b", "", d)
+    c = REREPL(c, r"(?i)\bDATE\s+DESCRIPTION\s+.*BALANCE\b", "", d)
+    c = REREPL(c, r"(?i)\bBEGINNING BALANCE\b|\bENDING BALANCE\b", "", d)
+    c = "trim(%s)" % REREPL(c, r"\s+", " ", d)
+    return ("CASE WHEN %s = '' THEN '' ELSE upper(substring(%s, 1, 1)) "
+            "|| substring(%s, 2) END" % (c, c, c))
+
+
+def _citi_direction_sql(desc: str, amount: str, d: str) -> str:
+    """C5 tiers (citi.py:476-518)."""
+    dl = "lower(%s)" % desc
+    return """CASE
+  WHEN instr({dl}, 'debit card credit') > 0
+       OR instr({dl}, 'debit card credi') > 0 THEN 'in'
+  WHEN {inw} THEN 'in'
+  WHEN {feew} THEN 'out'
+  WHEN {outw} THEN 'out'
+  WHEN instr({dl}, 'wire to') > 0 THEN 'out'
+  WHEN {amt} > 0 THEN 'in' ELSE 'out' END""".format(
+        dl=dl, amt=amount,
+        inw=_contains_any(dl, ("electronic credit", "deposit",
+                               "interest paid", "interest credit",
+                               "wire from", "funds transfer from",
+                               "misc deposit", "reversal")),
+        feew=_contains_any(dl, ("service charge", "fee for",
+                                "incoming wire fee",
+                                "monthly maintenance fee",
+                                "foreign transaction fee",
+                                "acct analysis direct db",
+                                "federal withholding tax")),
+        outw=_contains_any(dl, ("debit card purch", "ach debit",
+                                "funds trn out", "int'l wire out",
+                                "international wire out",
+                                "cbusol transfer debit",
+                                "cbusol international wire out",
+                                "cbol wire to", "cbusol wire to",
+                                "withdrawal", "instant payment debit",
+                                "other/withdrawal")))
+
+
+@query("citi_relational")
+def q_citi(d: str) -> str:
+    """The COMPLETE Citi parser (citi.py:13-70) relationally."""
+    p = PRINTF(d)
+    datep = lit(r"^(\d{1,2})/(\d{1,2})(?:\s|[A-Za-z])", d)
+    toks = REALL("body", AMOUNT_PATTERN, d)
+    segs = (("split(body, %s, -1)" % lit(AMOUNT_PATTERN, d))
+            if d == SPARK else
+            ("regexp_split_to_array(body, %s)" % lit(AMOUNT_PATTERN, d)))
+    if d == SPARK:
+        bare_t = REREPL("t", r"[\$,\(\)]", "", d)
+        sval = ("transform(toks, t -> CASE WHEN (trim(t) LIKE '(%' AND "
+                "trim(t) LIKE '%)') OR trim(t) LIKE '-%' "
+                "THEN -cast(trim({b}) as double) "
+                "ELSE cast(trim({b}) as double) END)").format(b=bare_t)
+        # try_element_at everywhere: under ANSI mode Catalyst may
+        # evaluate a union branch's projection on rows destined for the
+        # other branch (observed: plain element_at threw on empty
+        # arrays only when the branches were UNIONed)
+        prefix = ("rtrim(concat_ws('', transform(sequence(1, k), i -> "
+                  "try_element_at(segs, i) || try_element_at(toks, i))) "
+                  "|| try_element_at(segs, k + 1))")
+        blanked = ("aggregate(toks, body, (acc, t) -> replace(acc, t, ' '))")
+        first_k = ("coalesce(try_element_at(filter(sequence(1, greatest(n - 1, 1)), "
+                   "i -> coalesce(abs(try_element_at(vals, i)) >= 0.01,"
+                   " false)), 1), 1)")
+        elem = "try_element_at(%s, %s)"
+    else:
+        sval = ("[CASE WHEN (trim(t) LIKE '(%' AND trim(t) LIKE '%)') "
+                "OR trim(t) LIKE '-%' "
+                "THEN -cast(trim({b}) as double) "
+                "ELSE cast(trim({b}) as double) END for t in toks]"
+                .format(b=REREPL("t", r"[\$,\(\)]", "", d)))
+        prefix = ("rtrim(array_to_string([segs[i] || toks[i] "
+                  "for i in range(1, k + 1)], '') || segs[k + 1])")
+        blanked = ("list_reduce([body] || toks, "
+                   "(acc, t) -> replace(acc, t, ' '))")
+        first_k = ("coalesce(list_extract([i for i in range(1, n) "
+                   "if abs(vals[i]) >= 0.01], 1), 1)")
+        elem = "list_extract(%s, %s)"
+    return with_lines("""
+, citid AS (
+  SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
+),
+classed AS (
+  SELECT doc_id, line_no, line,
+    {section} AS sec_marker,
+    CASE WHEN {noise} THEN 1 ELSE 0 END AS is_noise,
+    CASE WHEN try_cast(regexp_extract(trim(line), {datep}, 1) as int)
+              BETWEEN 1 AND 12
+          AND try_cast(regexp_extract(trim(line), {datep}, 2) as int)
+              BETWEEN 1 AND 31
+         THEN {p}('%04d-%02d-%02d', 2024,
+              try_cast(regexp_extract(trim(line), {datep}, 1) as int),
+              try_cast(regexp_extract(trim(line), {datep}, 2) as int))
+         ELSE NULL END AS date_iso
+  FROM (SELECT doc_id, line_no, line, lower(trim(line)) AS low
+        FROM citid) t
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN sec_marker IS NOT NULL THEN 1 ELSE 0 END AS is_sec,
+    CASE WHEN date_iso IS NOT NULL THEN 1 ELSE 0 END AS is_dateish
+  FROM classed
+),
+grouped AS (
+  SELECT *,
+    SUM(CASE WHEN is_dateish = 1 OR is_sec = 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY line_no
+            ROWS UNBOUNDED PRECEDING) AS grp,
+    {carry} AS section_ctx
+  FROM flagged
+),
+openers AS (
+  SELECT doc_id, grp, date_iso AS block_date, section_ctx
+  FROM grouped
+  WHERE is_dateish = 1 AND is_sec = 0 AND is_noise = 0
+),
+blocks AS (
+  SELECT g.doc_id, g.grp, {ordcat} AS body
+  FROM grouped g JOIN openers o
+    ON g.doc_id = o.doc_id AND g.grp = o.grp
+  WHERE g.is_noise = 0 AND g.is_sec = 0
+  GROUP BY g.doc_id, g.grp
+),
+gated AS (
+  SELECT b.doc_id, b.grp, o.block_date, o.section_ctx, b.body
+  FROM blocks b JOIN openers o
+    ON b.doc_id = o.doc_id AND b.grp = o.grp
+  WHERE NOT {legal}
+    AND NOT (instr(lower(b.body), 'daily ending balance') > 0
+             OR ({month_through} AND NOT {bal_words}))
+    AND NOT ({meta_words}
+             OR ({meta_co} AND NOT {tx_words}))
+),
+withtoks AS (
+  SELECT doc_id, grp, block_date, section_ctx, body,
+    toks, {sval} AS vals, {segs} AS segs, {ntok} AS n
+  FROM (SELECT *, {toks} AS toks FROM gated) t
+  WHERE {ntok0} > 0
+),
+checking AS (
+  SELECT doc_id, grp, block_date AS date,
+    {clean_desc} AS description,
+    abs({elem_vk}) AS amount,
+    {elem_vk} AS signed_amount
+  FROM (
+    SELECT *, CASE WHEN n = 1 THEN 1
+                   WHEN n = 2 THEN 1
+                   ELSE {first_k} END AS k
+    FROM withtoks WHERE coalesce(section_ctx, '') <> 'savings'
+  ) c
+),
+savings AS (
+  SELECT doc_id, grp, block_date AS date,
+    {sv_desc} AS description,
+    CASE WHEN bn >= 2 THEN
+           CASE WHEN abs(v1) > 0.01 AND abs(v2) < 0.01 THEN abs(v1)
+                WHEN abs(v2) > 0.01 AND abs(v1) < 0.01 THEN abs(v2)
+                WHEN abs(v2) > abs(v1) THEN abs(v2)
+                ELSE abs(v1) END
+         ELSE abs(v1) END AS amount,
+    CASE WHEN bn >= 2 THEN
+           CASE WHEN abs(v1) > 0.01 AND abs(v2) < 0.01 THEN 'out'
+                WHEN abs(v2) > 0.01 AND abs(v1) < 0.01 THEN 'in'
+                WHEN abs(v2) > abs(v1) THEN 'in'
+                ELSE 'out' END
+         WHEN {sv_in} THEN 'in'
+         WHEN {sv_out} THEN 'out'
+         WHEN v1 > 0 THEN 'in' ELSE 'out' END AS direction
+  FROM (
+    SELECT *,
+      CASE WHEN n >= 2 THEN n - 1 ELSE n END AS bn,
+      {v1} AS v1,
+      CASE WHEN n >= 2 THEN {v2} ELSE NULL END AS v2
+    FROM withtoks WHERE coalesce(section_ctx, '') = 'savings'
+  ) s
+),
+unioned AS (
+  SELECT doc_id, grp, date, description, amount,
+    {c5} AS direction
+  FROM checking WHERE description <> '' AND length(description) >= 3
+  UNION ALL
+  SELECT doc_id, grp, date, description, amount, direction
+  FROM savings WHERE description <> '' AND length(description) >= 3
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, grp)
+       AS INT) - 1 AS tx_index,
+  date, description, amount, direction
+FROM unioned
+""".format(inject=CITI_INJECT_SQL.format(p=p),
+           section=_citi_section_sql("low"),
+           noise=_citi_noise_sql("low", "line", d),
+           datep=datep, p=p,
+           carry=LAST_IGNULLS("sec_marker", "line_no", "doc_id", d),
+           ordcat=("string_agg(trim(line), ' ' ORDER BY line_no)"
+                   if d == DUCK else
+                   "concat_ws(' ', transform(array_sort(collect_list("
+                   "struct(line_no as o, trim(line) as v))), x -> x.v))"),
+           legal=_contains_any("lower(b.body)", _CITI_LEGAL),
+           month_through=RLIKE(
+               "lower(b.body)",
+               r"\b(january|february|march|april|may|june|july|august"
+               r"|september|october|november|december)"
+               r"\s+\d{1,2},\s+\d{4}\s+through\s+", d),
+           bal_words=_contains_any("lower(b.body)", _CITI_BAL_WORDS),
+           meta_words=_contains_any("lower(b.body)", _CITI_META_WORDS),
+           meta_co=RLIKE("b.body", r"^\d{1,2}/\d{1,2}\s+[A-Z\s]+"
+                                   r"(LLC|INC|CORP|COMPANY)", d),
+           tx_words=_contains_any("lower(b.body)", _CITI_TX_KEYWORDS),
+           sval=sval, segs=segs, toks=toks,
+           ntok=LEN("toks", d), ntok0=LEN("%s" % toks, d),
+           clean_desc=_citi_clean_sql(
+               "(CASE WHEN n = 1 THEN body ELSE %s END)" % prefix, d),
+           elem_vk=elem % ("vals", "k"), first_k=first_k,
+           sv_desc=_citi_clean_sql(
+               "trim(%s)" % REREPL(blanked, r"\s+", " ", d), d),
+           sv_in=_contains_any("lower(body)",
+                               ("interest", "deposit", "credit",
+                                "reversal")),
+           sv_out=_contains_any("lower(body)",
+                                ("fee", "withdrawal", "debit",
+                                 "withholding")),
+           v1=elem % ("vals", "1"), v2=elem % ("vals", "2"),
+           c5=_citi_direction_sql("description", "signed_amount", d)), d)

@@ -276,3 +276,84 @@ def test_relational_bofa_rel_matches_engine(spark, entry_mod):
         len(mismatch), mismatch[:3],
         expected.get(mismatch[0]) if mismatch else None,
         got.get(mismatch[0]) if mismatch else None)
+
+
+def test_relational_mercury_matches_engine(spark, entry_mod):
+    """Differential: mercury_relational (Mmm-first date priority) vs
+    the Python engine on Mmm-injected lines."""
+    from pdf_parser_spark.engine.banks import parse_mercury
+    from pdf_parser_spark.engine.direction import finalize_records
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = ["Feb 7 " + l if n % 7 == 3 else l for n, l in pairs]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_mercury(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["mercury_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (
+        len(mismatch), mismatch[:3],
+        expected.get(mismatch[0]) if mismatch else None,
+        got.get(mismatch[0]) if mismatch else None)
+
+
+def test_relational_wf_matches_engine(spark, entry_mod):
+    """Differential: wf_relational (date-fragment-aware amount pick +
+    split-segment description cut) vs the Python engine."""
+    from pdf_parser_spark.engine.banks import parse_wf
+    from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import wf_inject_py
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = [wf_inject_py(doc_id, n, l) for n, l in pairs]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_wf(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["wf_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (
+        len(mismatch), mismatch[:3],
+        expected.get(mismatch[0]) if mismatch else None,
+        got.get(mismatch[0]) if mismatch else None)
+
+
+def test_relational_citi_matches_engine(spark, entry_mod):
+    """Differential: citi_relational (checking positional amount/cut +
+    savings two-column logic + noise-skip blocks) vs the Python
+    engine."""
+    from pdf_parser_spark.engine.banks import parse_citi
+    from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import citi_inject_py
+
+    expected = {}
+    for doc_id, pairs in _derived_lines(spark, entry_mod).items():
+        lines = [citi_inject_py(doc_id, n, l) for n, l in pairs]
+        expected[doc_id] = _tx_tuple(
+            finalize_records(parse_citi(lines, 2024)))
+
+    got = {}
+    rel = entry_mod.queries()["citi_relational"](spark, SF_DIR)
+    for r in rel.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
+    for rows in got.values():
+        rows.sort()
+    mismatch = [k for k in expected if expected[k] != got.get(k, [])]
+    assert mismatch == [], (
+        len(mismatch), mismatch[:3],
+        expected.get(mismatch[0]) if mismatch else None,
+        got.get(mismatch[0]) if mismatch else None)

@@ -31,6 +31,8 @@ REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "40"))
 
 HEADLINERS = [
     "generic_relational",
+    "chase_relational",
+    "citi_relational",
     "c1_detect_issuer",
     "g1_block_ids",
     "dedup_lsh_pairs",

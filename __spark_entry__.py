@@ -27,6 +27,9 @@ _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    # the driver owns the session: pin the configs our SQL depends on
+    # (UTC so unix_timestamp matches DuckDB's epoch(); runtime-settable)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in _TABLES:
         spark.read.parquet("%s/%s.parquet" % (sf_dir, t)) \
             .createOrReplaceTempView(t)
@@ -47,6 +50,27 @@ def _sql_query(name: str):
     return run
 
 
+_PYFILES_SENT = False
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Executors must resolve pdf_parser_spark for mapInPandas even if
+    the driver-owned session was created outside this repo: ship the
+    package once via addPyFile."""
+    global _PYFILES_SENT
+    if _PYFILES_SENT:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = tempfile.mktemp(prefix="pdf_parser_spark_", suffix=".zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for py in sorted((_REPO / "pdf_parser_spark").rglob("*.py")):
+            z.write(py, py.relative_to(_REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT = True
+
+
 def _fidelity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched extract+detect+parse path over the synthesized
     page corpus (PDF/HTML/text payloads).  Not SQL-expressible (PDF
@@ -54,6 +78,7 @@ def _fidelity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.pages_source import fixture_pages_df
     from pdf_parser_spark.pipeline import parse_pages, split_outputs
 
+    _ensure_pyfiles(spark)
     txs, _ = split_outputs(parse_pages(fixture_pages_df(spark)))
     return txs
 
@@ -63,6 +88,7 @@ def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.pages_source import fixture_pages_df
     from pdf_parser_spark.pipeline import parse_pages, split_outputs
 
+    _ensure_pyfiles(spark)
     _, docs = split_outputs(parse_pages(fixture_pages_df(spark)))
     return docs.drop("part_id")  # partition assignment is config-dependent
 
@@ -73,6 +99,7 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.ops.multimodal import (
         fixture_media_df, media_features,
     )
+    _ensure_pyfiles(spark)
     return media_features(fixture_media_df(spark))
 
 
@@ -81,6 +108,7 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.ops.multimodal import (
         fixture_media_df, sample_frames,
     )
+    _ensure_pyfiles(spark)
     return sample_frames(fixture_media_df(spark))
 
 

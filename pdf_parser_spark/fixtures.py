@@ -256,6 +256,165 @@ First Example State Bank 2024
 01/23 ACH DEBIT GYM MEMBERSHIP 45.00 3,165.00
 """
 
+# ---- second wave: branch-targeted cases (engine lines uncovered by
+# the first corpus, found via trace coverage) ----
+
+_CHASE_BRANCHES = """\
+chase.com statement 2024
+Card Purchases
+01/20 Wise US Inc sent funds 420.10
+01/21 Payment to vendor portal 77.00
+Cargos
+01/22 Monthly maintenance 12.00
+Electronic Withdrawals
+13/45 not a real date line 9.99
+01/23 Plain narrative item 55.00
+01/24 FECHA CANTIDAD 88.00
+01/25 first part of block 44.00
+Page 2 of 9
+Account Number: 000000000
+still same block tail
+01/26 En caso de errores o preguntas llame 1-800-935-9935 y prepárese para proporcionarnos la información sobre su cuenta y del error o transferencia del cual usted no esté seguro incluyendo los montos las fechas y los números de referencia que correspondan a la transacción en cuestión además de una explicación clara del motivo por el cual usted considera que se trata de un error o por qué necesita más información adicional sobre esta transferencia electrónica 1-800-935-9935 gracias por su atención
+"""
+
+_CHASE_SIGN_FALLBACK = """\
+Chase Total Checking 2024
+01/27 Unclassifiable narrative entry 64.00
+$196,453.06
+123456789012345
+01/28 Débito de cámara compensadora lote 311.00
+01/29 First item of legal block 18.00
+para ayuda call us at 1-866-564-2262 whenever needed
+01/30 subtotal daily ending balance memo line 22.00
+01/31 reporting span next
+March 1, 2024 through March 31, 2024 period notes only
+"""
+
+_WF_BRANCHES = """\
+Wells Fargo 2024
+1/25 Online Transfer From Baxsan, LLC Ref #Ib0 600.00 9,000.00
+1/26 ACH Baxsan, LLC Sender Ref 55.00 9,055.00
+1/27 Zelle to Cruz Maria on 01/27 Ref #AA1 89.00 10,000.00
+1/28 WT 240128-99 Morgan Stanley reference 3,000.00 13,000.00
+Feb 3 Acrux Glob 11.8.24 remit note 99.00 8,000.00
+Feb 4 Acrux Glob 12.9.24 tiny 0.75 7,000.00
+Feb 5 Gift Zelle from 12.00 900.00
+Feb 6 Donation 44.00 Zelle from
+Routing number: 121000248 for direct deposit details
+1/29 Purchase continuation block start 21.00
+extra purchase detail continues here
+Totals 99,999.99
+1/30 Deposit made in branch office 450.00
+tiny ln
+1/31 Final purchase authorized merchant 33.00 13,450.00
+"""
+
+_BOFA_BRANCHES = """\
+Bank of America 2024
+Deposits and other additions
+01/05/24 Online Banking transfer conf# 9911 incoming funds 210.00
+01/06/24 CA TLR transfer branch visit window 150.00
+01/07/24 BKOFAMERICA BC remote item processed 95.00
+Withdrawals and other debits
+01/08/24 Online Banking transfer conf# 9912 outgoing funds 60.00
+01/09/24 Agent assisted transaction confirmation# 4141 330.00
+01/10/24 Wise Inc outbound remit-2210 88.00
+01/11/24 Ontop Holdings payout batch 777.00
+01/12/24 Intl remittance Bnf: Supplier GmbH advice 900.00
+01/13/24 Online Banking payment processed web 41.00
+01/14/24 02/02 no indicator words here 50.00
+date description amount
+this page intentionally left blank
+average ledger balance was printed here
+01/15/24 Rewards note Preferred Rewards Gold waiver applied fee waiver 0.50
+"""
+
+_BOFA_NO_SECTION = """\
+bankofamerica.com statement 2024
+01/16/24 Online Banking transfer conf# 7001 mystery 75.00
+01/17/24 Zelle payment from RUIZ EVA Conf# zz1 25.00
+01/18/24 Agent assisted remit confirmation# 5151 transfer desk 44.00
+01/19/24 Online Banking payment scheduled web portal 61.00
+01/20/24 Wise Inc remit-item minus-tagged 13.00
+01/21/24 Wise Inc plain remit item settled 14.00
+01/22/24 Ontop Holdings payroll batch settled 900.00
+01/23/24 Beneficiary notice Bnf: Maker GmbH routing advice 120.00
+01/24/24 Completely unmatched narrative thing 31.00
+01/25/24 statement account summary reprint copy 66.00
+01/26/24 Transfer received from ACME via Wise intl 310.00
+"""
+
+_BOFA_BALANCE_TRAPS = """\
+Bank of America statement 2024
+Page 3 of 9
+Date  Description Amount
+01/05 9,800.00
+01/09 6,600.00 01/12 6,459.70
+ATM and debit card subtractions
+01/25/24 02/02 03/03 two yearless tokens drop me 40.00
+01/26/24 04/04 lone yearless no indicator words 41.00
+this page intentionally left blank
+account # 1234 5678 9012 summary row
+01/27/24 account # 1234 5678 9012 checkcard style 42.00
+01/28/24 Prfd Rwds tier waiver applied monthly 0.50
+Deposits and other additions
+01/29/24 Plain narrative inflow item 80.00
+"""
+
+_CITI_BRANCHES = """\
+CitiBusiness statement 2024
+Streamlined Checking activity details
+01/12 DEBIT CARD PURCH 0.00 0.00 77.70 12,000.00
+remittance details continue
+Page 9
+mid block continuation line
+01/13 WIRE TO BENEFICIARY OVERSEAS LTD 500.00 11,500.00
+01/14 Unclassified narrative thing 66.00 11,434.00
+01/15 ACME PARTNERS LLC account as of January
+January 5, 2024 through February 4, 2024 statement span text
+In case of errors or questions about your transfers call customer service
+"""
+
+_CITI_SAVINGS_BRANCHES = """\
+Citibank® Savings statement 2024
+CITI® SAVINGS account activity summary
+01/16 TRANSFER BETWEEN ACCOUNTS 100.00 250.00 30,350.00
+01/17 FEDERAL WITHHOLDING TAX 3.70 30,346.30
+01/18 MISC ADJUSTMENT ENTRY 12.00 30,334.30
+"""
+
+_CITI_SECTION_VARIANTS = """\
+Citibank statement 2024
+Streamlined Checking services overview
+$1,234.56
+1234567890123
+01/24 see service charge summary attached 9.00
+01/25 MICRO ITEMS 0.00 0.00 500.00
+Checking account activity continues
+01/19 ELECTRONIC CREDIT RECEIVED 70.00 900.00
+Citibank® Savings premier account activity
+01/20 INTEREST PAID 0.00 1.11 901.11
+Account activity amount subtracted amount added summary columns
+01/21 DEPOSIT ITEM 0.00 9.00 910.11
+01/22 DAILY ENDING BALANCE notes trail here
+01/23 spans January 5, 2024 through February 4, 2024 span block
+"""
+
+_REL_BRANCHES = (
+    "Business Advantage Relationship Banking 2024\n"
+    "Preferred Rewards for Bus Platinum\n"
+    "Important Messages\n"
+    "Daily ledger balances shown below\n"
+    "Deposits and other credits\n"
+    "Date Description Amount\n"
+    + "01/20/24 WIRE TYPE:WIRE IN ORIG:ALPHA LLC PAYMENT RECEIVED FOR INVOICE NUMBER 20241 WITH EXTENDED "
+    + "REMITTANCE INFORMATION ATTACHED 1,500.00 "
+    + "01/21/24 WIRE TYPE:WIRE IN ORIG:BETA LLC PAYMENT RECEIVED FOR INVOICE NUMBER 20242 WITH EXTENDED "
+    + "REMITTANCE INFORMATION ATTACHED 2,500.00 "
+    + "01/22/24 Counter credit received at branch location downtown 350.00\n"
+    + "Total deposits and other credits 4,350.00\n"
+)
+
 
 def fixture_docs() -> List[Dict[str, Any]]:
     """The full corpus, with deterministic warc_ts per position."""
@@ -284,6 +443,17 @@ def fixture_docs() -> List[Dict[str, Any]]:
         _doc("bofa_relationship", "sections", _REL,
              issuer_hint="bofa_relationship"),
         _doc("undetected", "fallback", _UNDETECTED),
+        _doc("chase", "branches", _CHASE_BRANCHES, lang="es"),
+        _doc("chase", "sign-fallback", _CHASE_SIGN_FALLBACK),
+        _doc("wf", "branches", _WF_BRANCHES),
+        _doc("bofa", "branches", _BOFA_BRANCHES),
+        _doc("bofa", "no-section", _BOFA_NO_SECTION),
+        _doc("bofa", "balance-traps", _BOFA_BALANCE_TRAPS),
+        _doc("citi", "branches", _CITI_BRANCHES),
+        _doc("citi", "savings-branches", _CITI_SAVINGS_BRANCHES),
+        _doc("citi", "section-variants", _CITI_SECTION_VARIANTS),
+        _doc("bofa_relationship", "branches", _REL_BRANCHES,
+             issuer_hint="bofa_relationship"),
     ]
     # Skew tier: mega-documents (salted-repartition & glued-line tests).
     mega_lines = ["Bank of America Business Advantage 2024",

@@ -67,3 +67,16 @@ def test_corpus_covers_all_issuers():
         "generic", "ifb", "valley", "mercury", "pnb", "wf", "citi",
         "truist", "bofa", "chase", "bofa_relationship",
     }
+
+
+def test_rel_header_year_unit():
+    """D19: 'for/to Month D, YYYY' header-year extraction (dead in the
+    reference's parse flow — detect_year always returns first — but
+    part of the public surface, SURVEY.md D19)."""
+    from pdf_parser_spark.engine.banks import rel_header_year
+
+    assert rel_header_year(
+        "for October 1, 2024 to October 31, 2024") == 2024
+    assert rel_header_year("to March 5, 2019 statement") == 2019
+    assert rel_header_year("no period header here") is None
+    assert rel_header_year("") is None

@@ -113,10 +113,10 @@ def test_partition_metrics_rollup(job):
     assert len(rows) > 1  # work actually spread over partitions
 
 
-def test_mega_docs_exist_and_isolated(spark):
-    """The corpus has >100 KB documents; with a threshold below their
-    size, the salted plan routes them through the dedicated branch and
-    output is unchanged (salting never changes semantics)."""
+def test_mega_docs_spread_and_correct(spark):
+    """The corpus has >100 KB mega documents; the single-scan salted
+    repartition spreads them (2x over-partitioning) and salting never
+    changes semantics."""
     rows = fixture_pages_rows()
     megas = [
         r[0] for r in rows
@@ -129,8 +129,11 @@ def test_mega_docs_exist_and_isolated(spark):
     pages = fixture_pages_df(spark).filter(
         "url like '%mega%' or url like '%basic%'"
     )
-    parsed = parse_pages(pages, mega_threshold=MEGA_TEST_THRESHOLD)
+    parsed = parse_pages(pages)
     txs, docs = split_outputs(parsed)
     by_url = {r.url: r for r in docs.collect()}
     for url in megas:
         assert by_url[url].tx_count == len(_expected(url)["txs"])
+    # the megas landed on more than one partition (hash spread)
+    mega_parts = {by_url[u].part_id for u in megas}
+    assert len(mega_parts) > 1

@@ -142,11 +142,10 @@ Raw Spark runs (sec): N={runs_n} · 4N={runs_4n}
 
 Balance design (why this scales at 1000 executors)
 ---------------------------------------------------
-* unit of parallelism = document; salted repartition by seeded
-  url-hash decorrelates from upstream layout;
-* mega-documents (>100 KB) isolated into a 2x-partition branch →
-  straggler tail ≈ one document (Spark 8→32 efficiency 0.47 → 0.71
-  from this change alone);
+* unit of parallelism = document; ONE seeded url-hash repartition at
+  2x partition count — payloads scanned once, mega-documents spread
+  hash-uniformly with small tasks bounding the tail (the rejected
+  two-branch design read payloads twice: 315 vs 523 docs/sec);
 * single Arrow pass: extract + detect + parse + metrics in one
   mapInPandas, no second scan of payload bytes;
 * identical plan ships via spark-submit --py-files

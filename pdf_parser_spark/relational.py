@@ -289,10 +289,13 @@ def q_block_ids(d: str) -> str:
     """G1 block segmentation: running sum of date-line markers per doc
     (the window-function formulation of the reference's line loop,
     base.py:107-121 / SURVEY §2.9)."""
+    # CAST at the output boundary: DuckDB window SUM(int) is HUGEINT
+    # (Arrow decimal128) while Spark is BIGINT — numerically equal,
+    # hash-different (same policy as events_sessions below)
     return with_lines("""
 SELECT doc_id, line_no, is_date,
-  SUM(is_date) OVER (PARTITION BY doc_id ORDER BY line_no
-                     ROWS UNBOUNDED PRECEDING) AS block_id
+  CAST(SUM(is_date) OVER (PARTITION BY doc_id ORDER BY line_no
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS block_id
 FROM (SELECT doc_id, line_no, {isd} AS is_date FROM stmt_lines) t
 """.format(isd=_is_date(d)), d)
 
@@ -301,11 +304,12 @@ FROM (SELECT doc_id, line_no, {isd} AS is_date FROM stmt_lines) t
 def q_block_text(d: str) -> str:
     """G4 order-preserving block text assembly (base.py:115)."""
     return with_lines("""
-SELECT doc_id, block_id, {cat} AS block_text, COUNT(*) AS n_lines
+SELECT doc_id, block_id, {cat} AS block_text,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM (
   SELECT doc_id, line_no, line,
-    SUM({isd}) OVER (PARTITION BY doc_id ORDER BY line_no
-                     ROWS UNBOUNDED PRECEDING) AS block_id
+    CAST(SUM({isd}) OVER (PARTITION BY doc_id ORDER BY line_no
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS block_id
   FROM stmt_lines
 ) b WHERE block_id > 0
 GROUP BY doc_id, block_id

@@ -1,4 +1,5 @@
-"""Table layer: snapshot-committed append tables.
+"""Table layer: snapshot-committed append tables with CROSS-TABLE
+atomic commits.
 
 On a real cluster this is Iceberg (``df.writeTo(tbl).append()`` with
 snapshot isolation and ``snapshot-property run_id`` lineage —
@@ -9,8 +10,25 @@ manifest, which emulates Iceberg's commit point (a crashed writer
 leaves parquet part-files but no manifest → invisible to readers →
 kill-and-rerun is safe).
 
-Switch ``fmt="iceberg"`` on a cluster: append/read delegate to the
-catalog and the manifest bookkeeping disappears.
+Atomicity across tables: one extraction run appends BOTH
+``transactions`` and ``doc_metrics``.  If those were two independent
+commits, a crash between them would leave committed transactions whose
+urls the resume anti-join (keyed on doc_metrics) would reprocess —
+duplicating transaction rows.  ``append_many`` therefore writes every
+table's parquet first and then publishes ONE manifest covering all of
+them; the single ``os.rename`` is the commit point, so either all
+tables of a run become visible or none do.
+
+Iceberg path: per-table appends are stamped with the same ``run_id``
+snapshot property; a catalog-level multi-table transaction (or a
+resume-time cherry-pick of tx snapshots lacking a doc_metrics
+counterpart) provides the same guarantee on a cluster.  The sequential
+appends here are the plan-shape placeholder, unit-tested with stub
+writers (no jars in the sandbox).
+
+Format selection is config-driven: ``TableIO.from_conf(spark, root)``
+reads ``spark.pdf_parser.table_format`` (default ``parquet``), so
+cluster deployment is a one-line spark-submit ``--conf`` switch.
 """
 
 from __future__ import annotations
@@ -18,9 +36,11 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_CONF = "spark.pdf_parser.table_format"
 
 
 class TableIO:
@@ -30,15 +50,22 @@ class TableIO:
         self.root = root
         self.fmt = fmt
 
+    @classmethod
+    def from_conf(cls, spark: SparkSession, root: str) -> "TableIO":
+        """Format chosen by ``spark.pdf_parser.table_format`` conf."""
+        return cls(root, fmt=spark.conf.get(FORMAT_CONF, "parquet"))
+
     # ---------------- paths / manifests (parquet emulation)
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _snap_dir(self, table: str) -> str:
-        return os.path.join(self._table_dir(table), "_snapshots")
+    def _snap_dir(self) -> str:
+        # ONE shared snapshot log for the whole table root: a manifest
+        # may commit several tables at once (the atomicity unit)
+        return os.path.join(self.root, "_snapshots")
 
-    def _manifests(self, table: str) -> List[str]:
-        d = self._snap_dir(table)
+    def _manifests(self) -> List[str]:
+        d = self._snap_dir()
         if not os.path.isdir(d):
             return []
         return sorted(
@@ -48,32 +75,38 @@ class TableIO:
 
     def committed_files(self, table: str) -> List[str]:
         files: List[str] = []
-        for m in self._manifests(table):
+        for m in self._manifests():
             with open(m) as fh:
-                files.extend(json.load(fh)["files"])
+                files.extend(json.load(fh)["tables"].get(table, []))
         return files
 
     # ---------------- API
-    def append(self, df: DataFrame, table: str,
-               run_id: Optional[str] = None) -> dict:
-        """Write a new commit; the snapshot manifest IS the commit."""
+    def append_many(self, dfs: Dict[str, DataFrame],
+                    run_id: Optional[str] = None) -> dict:
+        """Write several tables as ONE commit; the single snapshot
+        manifest rename IS the commit point for all of them."""
         if self.fmt == "iceberg":
-            df.writeTo(table).append()
-            return {"table": table, "run_id": run_id}
+            for table, df in dfs.items():
+                (df.writeTo(table)
+                   .option("snapshot-property.run_id", run_id or "")
+                   .append())
+            return {"tables": {t: [] for t in dfs}, "run_id": run_id}
         commit_id = uuid.uuid4().hex[:12]
-        data_dir = os.path.join(self._table_dir(table),
-                                "commit-%s" % commit_id)
-        df.write.mode("error").parquet(data_dir)
-        files = [
-            os.path.join(data_dir, f) for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
-        ]
-        snap_dir = self._snap_dir(table)
+        table_files: Dict[str, List[str]] = {}
+        for table, df in dfs.items():
+            data_dir = os.path.join(self._table_dir(table),
+                                    "commit-%s" % commit_id)
+            df.write.mode("error").parquet(data_dir)
+            table_files[table] = [
+                os.path.join(data_dir, f) for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            ]
+        snap_dir = self._snap_dir()
         os.makedirs(snap_dir, exist_ok=True)
-        seq = len(self._manifests(table))
+        seq = len(self._manifests())
         manifest = {
-            "table": table, "sequence": seq, "commit_id": commit_id,
-            "run_id": run_id, "files": files,
+            "sequence": seq, "commit_id": commit_id, "run_id": run_id,
+            "tables": table_files,
         }
         tmp = os.path.join(snap_dir, ".tmp-%s.json" % commit_id)
         with open(tmp, "w") as fh:
@@ -81,6 +114,10 @@ class TableIO:
         os.rename(tmp, os.path.join(
             snap_dir, "snapshot-%05d.json" % seq))  # atomic commit point
         return manifest
+
+    def append(self, df: DataFrame, table: str,
+               run_id: Optional[str] = None) -> dict:
+        return self.append_many({table: df}, run_id=run_id)
 
     def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
         """Committed rows only (None if no snapshot exists)."""
@@ -96,9 +133,12 @@ class TableIO:
         df = self.read(spark, table)
         return None if df is None else df.select(key).distinct()
 
-    def snapshots(self, table: str) -> List[dict]:
+    def snapshots(self, table: Optional[str] = None) -> List[dict]:
+        """Commit log; with ``table``, only commits touching it."""
         out = []
-        for m in self._manifests(table):
+        for m in self._manifests():
             with open(m) as fh:
-                out.append(json.load(fh))
+                snap = json.load(fh)
+            if table is None or table in snap["tables"]:
+                out.append(snap)
         return out

@@ -74,8 +74,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for row in pdf_batch.itertuples(index=False):
             url = row.url
             payload = row.html
+            # pd.notna, not `is not None`: null timestamps arrive as
+            # NaT through Arrow and NaT.year is nan, not an int
             fallback_year = (
-                row.warc_ts.year if row.warc_ts is not None else 1970
+                row.warc_ts.year if pd.notna(row.warc_ts) else 1970
             )
             error = None
             if payload is not None:
@@ -209,8 +211,11 @@ def run_extraction_job(
     (visible through a snapshot manifest) are anti-joined away before
     any payload work (SURVEY.md §2.6), so kill-and-rerun never
     duplicates and never re-extracts — a writer that died mid-write
-    left no manifest, hence nothing visible."""
-    io = TableIO(out_dir)
+    left no manifest, hence nothing visible.  transactions and
+    doc_metrics land in ONE cross-table commit (``append_many``), so a
+    crash can never leave committed transactions whose urls the
+    doc_metrics-keyed anti-join would replay."""
+    io = TableIO.from_conf(spark, out_dir)
     if resume:
         done = io.committed_keys(spark, "doc_metrics", "url")
         if done is not None:
@@ -221,8 +226,8 @@ def run_extraction_job(
         n_txs = txs.count()
         n_docs = docs.count()
         if n_docs:  # empty resume run → no empty snapshot
-            io.append(txs, "transactions", run_id=run_id)
-            io.append(docs, "doc_metrics", run_id=run_id)
+            io.append_many({"transactions": txs, "doc_metrics": docs},
+                           run_id=run_id)
     finally:
         parsed.unpersist()
     return {"docs": n_docs, "txs": n_txs, "io": io,

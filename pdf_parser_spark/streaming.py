@@ -36,7 +36,7 @@ def stream_extraction(
     """Drain all available page files → parsed tables; returns the
     finished StreamingQuery (already awaited)."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
-    io = TableIO(out_dir)
+    io = TableIO.from_conf(spark, out_dir)
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -49,8 +49,10 @@ def stream_extraction(
         try:
             txs, docs = split_outputs(parsed)
             if docs.count():
-                io.append(txs, "transactions", run_id="stream-%d" % batch_id)
-                io.append(docs, "doc_metrics", run_id="stream-%d" % batch_id)
+                io.append_many(
+                    {"transactions": txs, "doc_metrics": docs},
+                    run_id="stream-%d" % batch_id,
+                )
         finally:
             parsed.unpersist()
 

@@ -1,0 +1,117 @@
+"""Snapshot-commit semantics of the table layer (io_tables.TableIO):
+cross-table atomicity, crash invisibility, and the Iceberg plan shape
+(stub-tested — the sandbox has no Iceberg jars)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pdf_parser_spark.io_tables import FORMAT_CONF, TableIO
+
+
+@pytest.fixture()
+def two_tables(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    b = spark.createDataFrame([(1, 10)], "id int, n int")
+    return a, b
+
+
+def test_append_many_is_one_commit(spark, tmp_path, two_tables):
+    a, b = two_tables
+    io = TableIO(str(tmp_path))
+    manifest = io.append_many({"ta": a, "tb": b}, run_id="r1")
+    assert set(manifest["tables"]) == {"ta", "tb"}
+    # ONE manifest covers both tables — the atomicity unit
+    assert len(io.snapshots()) == 1
+    assert len(io.snapshots("ta")) == 1 and len(io.snapshots("tb")) == 1
+    assert io.read(spark, "ta").count() == 2
+    assert io.read(spark, "tb").count() == 1
+
+
+def test_crashed_commit_leaves_nothing_visible(spark, tmp_path,
+                                               two_tables, monkeypatch):
+    """A crash AFTER all parquet writes but BEFORE the manifest rename
+    must leave both tables invisible — no partial cross-table state."""
+    a, b = two_tables
+    io = TableIO(str(tmp_path))
+
+    real_rename = os.rename
+
+    def crash(src, dst):
+        if "snapshot-" in dst:
+            raise RuntimeError("simulated crash at commit point")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash)
+    with pytest.raises(RuntimeError):
+        io.append_many({"ta": a, "tb": b})
+    monkeypatch.undo()
+    # parquet part-files exist on disk, but no manifest → invisible
+    assert os.path.isdir(str(tmp_path / "ta"))
+    assert io.read(spark, "ta") is None
+    assert io.read(spark, "tb") is None
+    assert io.snapshots() == []
+    # a rerun commits cleanly alongside the orphaned data dir
+    io.append_many({"ta": a, "tb": b})
+    assert io.read(spark, "ta").count() == 2
+
+
+class _WriteToRecorder:
+    def __init__(self, calls, table):
+        self.calls, self.table = calls, table
+        self.opts = {}
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def append(self):
+        self.calls.append((self.table, dict(self.opts)))
+
+
+class _FakeDF:
+    def __init__(self, calls):
+        self._calls = calls
+
+    def writeTo(self, table):
+        return _WriteToRecorder(self._calls, table)
+
+
+def test_iceberg_append_plan_shape(tmp_path):
+    """fmt='iceberg' delegates each table to writeTo(...).append() with
+    the run_id snapshot property — the one-line cluster switch."""
+    calls = []
+    io = TableIO(str(tmp_path), fmt="iceberg")
+    io.append_many({"cat.db.tx": _FakeDF(calls),
+                    "cat.db.docs": _FakeDF(calls)}, run_id="r7")
+    assert sorted(t for t, _ in calls) == ["cat.db.docs", "cat.db.tx"]
+    assert all(o == {"snapshot-property.run_id": "r7"} for _, o in calls)
+
+
+def test_format_selected_by_conf(spark, tmp_path):
+    spark.conf.set(FORMAT_CONF, "iceberg")
+    try:
+        assert TableIO.from_conf(spark, str(tmp_path)).fmt == "iceberg"
+    finally:
+        spark.conf.unset(FORMAT_CONF)
+    assert TableIO.from_conf(spark, str(tmp_path)).fmt == "parquet"
+
+
+def test_null_warc_ts_falls_back_to_1970():
+    """NaT timestamps (how Arrow delivers null warc_ts) must hit the
+    1970 fallback-year path, not poison the document with nan.year."""
+    from pdf_parser_spark.pipeline import _parse_batches
+
+    batch = pd.DataFrame({
+        "url": ["u1"],
+        "warc_ts": [pd.NaT],
+        "html": [None],
+        "text": ["chase.com statement\n01/03 Deposit 100.00"],
+    })
+    outs = list(_parse_batches(iter([batch])))
+    txs = outs[0]
+    docs = outs[1]
+    assert docs.loc[0, "error"] is None
+    assert docs.loc[0, "bank"] == "chase"
+    assert list(txs["date"]) == ["1970-01-03"]

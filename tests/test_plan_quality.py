@@ -67,13 +67,15 @@ def test_parse_pages_prunes_lang(spark, pages_parquet):
 
 
 def test_parse_pages_shuffle_budget(spark, pages_parquet):
-    """Exactly the two intended exchanges (small-branch salt + big-
-    branch isolate), nothing Catalyst invented on top."""
+    """Exactly ONE exchange — the single seeded over-partitioned
+    url-hash repartition (pipeline.salted_repartition).  A second
+    shuffle anywhere on the payload path doubles the bytes moved at
+    100 TB; this gate fails before a cluster does."""
     from pdf_parser_spark.pipeline import parse_pages
 
     df = parse_pages(spark.read.parquet(pages_parquet))
     plan = _explain(df)
-    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Exchange") == 1, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
 
 

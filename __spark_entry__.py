@@ -4,8 +4,14 @@
 plus the training-data tier (dedup / ANN / text stats); each has a
 DuckDB oracle in ``oracle_sql()`` generated from the same dialect-
 paired source (pdf_parser_spark/relational.py, pdf_parser_spark/ops/).
-Non-SQL-expressible entries (the Arrow-batched fidelity pipeline) have
-no oracle — the driver records a rows-only check for those.
+
+The non-SQL-expressible entries (the Arrow-batched fidelity pipeline
+and the multimodal decoders) are oracled against golden-expected
+parquet fixtures: reference-executed transaction goldens
+(tools/gen_goldens.py → tools/gen_expected_parquet.py) and
+construction-time media ground truth (encode-side parameters, decoded
+independently by the pipeline) — so every query gets a full
+rows+schema+hash comparison.
 """
 
 from __future__ import annotations
@@ -123,5 +129,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+_GOLDEN = _REPO / "tests" / "golden"
+
+# golden-expected parquet fixtures as oracles for the Arrow-batched
+# (non-SQL-expressible) paths; provenance documented in
+# tools/gen_expected_parquet.py
+_EXPECTED_ORACLES = {
+    "fidelity_pipeline": (
+        "SELECT url, tx_index, bank, date, description, amount, direction"
+        " FROM read_parquet('%s')" % (_GOLDEN / "expected_tx.parquet")
+    ),
+    "extraction_metrics": (
+        "SELECT url, bank, kind, pages, n_lines, n_chars, blocks_total,"
+        " blocks_kept, tx_count, text_sha256, error"
+        " FROM read_parquet('%s')" % (_GOLDEN / "expected_doc_metrics.parquet")
+    ),
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    return {name: pair["duckdb"] for name, pair in QUERY_SQL.items()}
+    out = {name: pair["duckdb"] for name, pair in QUERY_SQL.items()}
+    out.update(_EXPECTED_ORACLES)
+    return out

@@ -1,0 +1,134 @@
+"""Materialize the golden-expected outputs of the fidelity pipeline as
+parquet fixtures the DuckDB oracle can ``SELECT`` from — turning the
+driver's rows-only checks for ``fidelity_pipeline`` and
+``extraction_metrics`` into full rows+schema+hash comparisons.
+
+Provenance of each column (what the oracle actually asserts):
+* expected_tx.parquet — (url, tx_index, bank, date, description,
+  amount, direction): REFERENCE-derived, straight from
+  tests/golden/expected_tx.json (produced by executing the read-only
+  reference, tools/gen_goldens.py).  The pipeline path uses pure
+  detection, so hinted fixtures take their ``#detected`` golden
+  variant.
+* expected_doc_metrics.parquet —
+  - url/bank/tx_count: reference-derived (goldens, detected variant);
+  - kind: the fixture payload mode cycle (pdf/html/text);
+  - n_chars/text_sha256: INDEPENDENT ground truth — the canonical
+    fixture text per payload mode; this is the byte-identical-text
+    gate of the BASELINE north rule expressed as an oracle;
+  - pages/n_lines/blocks_total/blocks_kept: engine-derived lineage
+    (this repo's own tally over the canonical text / rendered
+    payloads), pinned here as regression goldens;
+  - error: None for the whole fixture corpus.
+
+Regenerate (after ``tools/gen_goldens.py``) whenever fixtures.py or
+the tally semantics change: ``python tools/gen_expected_parquet.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pdf_parser_spark.engine.document import parse_document  # noqa: E402
+from pdf_parser_spark.fixtures import fixture_docs  # noqa: E402
+from pdf_parser_spark.pages_source import _MODES, fixture_pages_rows  # noqa: E402
+from pdf_parser_spark.pdfio.extract import extract_document  # noqa: E402
+
+GOLDEN_DIR = REPO / "tests" / "golden"
+
+
+def canonical_text(doc_text: str, mode: str) -> str:
+    """What byte-identical extraction must yield per payload mode
+    (same canon as tests/test_pipeline_spark.py::test_text_hash_gate)."""
+    t = doc_text.replace("\f", "\n")
+    if mode == "pdf":
+        return "\n".join(l for l in t.split("\n") if l != "")
+    if mode == "html":
+        return "\n".join(l for l in t.split("\n") if l.strip())
+    return doc_text
+
+
+def main() -> None:
+    golden = json.loads((GOLDEN_DIR / "expected_tx.json").read_text())
+
+    def expected(url):
+        return golden.get(url + "#detected", golden[url])
+
+    # ---- expected_tx: reference-derived transaction rows
+    tx = {k: [] for k in ("url", "tx_index", "bank", "date",
+                          "description", "amount", "direction")}
+    docs = fixture_docs()
+    for doc in docs:
+        want = expected(doc["url"])
+        for i, t in enumerate(want["txs"]):
+            tx["url"].append(doc["url"])
+            tx["tx_index"].append(i)
+            tx["bank"].append(want["bank"])
+            tx["date"].append(t["date"])
+            tx["description"].append(t["description"])
+            tx["amount"].append(float(t["amount"]))
+            tx["direction"].append(t["direction"])
+    tx_schema = pa.schema([
+        ("url", pa.string()), ("tx_index", pa.int32()),
+        ("bank", pa.string()), ("date", pa.string()),
+        ("description", pa.string()), ("amount", pa.float64()),
+        ("direction", pa.string()),
+    ])
+    pq.write_table(pa.table(tx, schema=tx_schema),
+                   GOLDEN_DIR / "expected_tx.parquet")
+    print("expected_tx.parquet: %d rows" % len(tx["url"]))
+
+    # ---- expected_doc_metrics
+    payload_by_url = {r[0]: r[2] for r in fixture_pages_rows()}
+    dm = {k: [] for k in ("url", "bank", "kind", "pages", "n_lines",
+                          "n_chars", "blocks_total", "blocks_kept",
+                          "tx_count", "text_sha256", "error")}
+    for i, doc in enumerate(docs):
+        mode = _MODES[i % len(_MODES)]
+        canon = canonical_text(doc["text"], mode)
+        if mode == "text":
+            pages = 1
+        else:
+            extracted = extract_document(payload_by_url[doc["url"]])
+            assert extracted.text == canon, doc["url"]
+            pages = extracted.pages
+        tally: dict = {}
+        bank, txs = parse_document(canon, doc["warc_ts"].year, tally=tally)
+        want = expected(doc["url"])
+        assert bank == want["bank"] and len(txs) == len(want["txs"]), \
+            doc["url"]
+        dm["url"].append(doc["url"])
+        dm["bank"].append(want["bank"])
+        dm["kind"].append(mode)
+        dm["pages"].append(pages)
+        dm["n_lines"].append(tally.get("n_lines", 0))
+        dm["n_chars"].append(len(canon))
+        dm["blocks_total"].append(tally.get("blocks_total", 0))
+        dm["blocks_kept"].append(tally.get("blocks_kept", 0))
+        dm["tx_count"].append(len(want["txs"]))
+        dm["text_sha256"].append(
+            hashlib.sha256(canon.encode("utf-8")).hexdigest())
+        dm["error"].append(None)
+    dm_schema = pa.schema([
+        ("url", pa.string()), ("bank", pa.string()), ("kind", pa.string()),
+        ("pages", pa.int32()), ("n_lines", pa.int32()),
+        ("n_chars", pa.int64()), ("blocks_total", pa.int32()),
+        ("blocks_kept", pa.int32()), ("tx_count", pa.int32()),
+        ("text_sha256", pa.string()), ("error", pa.string()),
+    ])
+    pq.write_table(pa.table(dm, schema=dm_schema),
+                   GOLDEN_DIR / "expected_doc_metrics.parquet")
+    print("expected_doc_metrics.parquet: %d rows" % len(dm["url"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,8 +100,9 @@ def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/featurize plumbing (binary payloads through
-    Arrow batches; codec stubbed — schema/batching real).  Rows-only."""
+    """Multimodal decode/featurize: REAL pure-Python codecs (PNG with
+    all five scanline filters, 24-bit BMP, PCM WAV, Y4M video) over
+    Arrow batches; oracled against encode-side ground truth."""
     from pdf_parser_spark.ops.multimodal import (
         fixture_media_df, media_features,
     )
@@ -110,7 +111,9 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling (flatMap-shaped mapInPandas).  Rows-only."""
+    """Video frame-sampling (flatMap-shaped mapInPandas): decodes the
+    Y4M container and hashes real frame bytes; oracled against
+    encode-side ground truth."""
     from pdf_parser_spark.ops.multimodal import (
         fixture_media_df, sample_frames,
     )
@@ -143,6 +146,16 @@ _EXPECTED_ORACLES = {
         "SELECT url, bank, kind, pages, n_lines, n_chars, blocks_total,"
         " blocks_kept, tx_count, text_sha256, error"
         " FROM read_parquet('%s')" % (_GOLDEN / "expected_doc_metrics.parquet")
+    ),
+    "multimodal_features": (
+        "SELECT url, media_type, n_bytes, width, height, channels,"
+        " duration_ms, mean_luma, sha256, decode_error"
+        " FROM read_parquet('%s')"
+        % (_GOLDEN / "expected_media_features.parquet")
+    ),
+    "multimodal_frames": (
+        "SELECT url, frame_no, ts_ms, frame_sha256"
+        " FROM read_parquet('%s')" % (_GOLDEN / "expected_media_frames.parquet")
     ),
 }
 

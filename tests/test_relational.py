@@ -105,9 +105,10 @@ def test_relational_generic_matches_engine(spark, entry_mod):
 def test_driver_contract_shape(entry_mod):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert set(oracles) <= set(qs)
-    # non-SQL entries present but oracle-less (driver rows-only check)
-    assert "fidelity_pipeline" in qs and "fidelity_pipeline" not in oracles
+    assert set(oracles) == set(qs)  # EVERY query is fully oracled
+    # the non-SQL paths are oracled against golden-expected parquet
+    assert "read_parquet" in oracles["fidelity_pipeline"]
+    assert "read_parquet" in oracles["multimodal_frames"]
     assert len(oracles) >= 25
 
 

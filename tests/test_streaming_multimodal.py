@@ -38,18 +38,24 @@ def test_stream_availablenow_matches_batch(spark, tmp_path):
     assert io.read(spark, "transactions").count() == txs_batch.count()
 
 
-def test_media_features_fake_decoder(spark):
+def test_media_features_real_decode_matches_ground_truth(spark):
+    """Encode→decode round trip: the pipeline's decoded features must
+    equal the construction-time (encode-side) ground truth for every
+    row — including the poison rows' decode_error."""
+    from pdf_parser_spark.ops.multimodal import fixture_media
+
     media = fixture_media_df(spark, n=30)
-    feats = media_features(media)
-    rows = feats.collect()
+    rows = {r.url: r for r in media_features(media).collect()}
     assert len(rows) == 30
-    assert all(r.decode_error is None for r in rows)
-    assert all(r.width >= 64 and r.height >= 64 for r in rows)
-    by_type = {r.media_type for r in rows}
-    assert by_type == {"image", "audio", "video"}
-    # determinism: same payload → same features
-    again = {r.url: (r.width, r.mean_luma) for r in feats.collect()}
-    assert {r.url: (r.width, r.mean_luma) for r in rows} == again
+    assert {r.media_type for r in rows.values()} == \
+        {"image", "audio", "video"}
+    for d in fixture_media(30):
+        r, t = rows[d["url"]], d["truth"]
+        for k in ("width", "height", "channels", "duration_ms",
+                  "mean_luma", "decode_error", "sha256", "n_bytes"):
+            assert getattr(r, k) == t[k], (d["url"], k, getattr(r, k), t[k])
+    # poison rows exist and surface as decode_error, not task failure
+    assert sum(1 for r in rows.values() if r.decode_error) == 3
 
 
 def test_media_features_strict_decoder_captures_errors(spark):

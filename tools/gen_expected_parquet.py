@@ -20,6 +20,11 @@ Provenance of each column (what the oracle actually asserts):
     (this repo's own tally over the canonical text / rendered
     payloads), pinned here as regression goldens;
   - error: None for the whole fixture corpus.
+* expected_media_features.parquet / expected_media_frames.parquet —
+  INDEPENDENT ground truth: feature values and frame hashes computed
+  from the ENCODE-side pixel/sample arrays at fixture construction
+  (ops/multimodal.fixture_media); the pipeline decodes the payload
+  bytes with its own codecs, so matching is a real round-trip check.
 
 Regenerate (after ``tools/gen_goldens.py``) whenever fixtures.py or
 the tally semantics change: ``python tools/gen_expected_parquet.py``.
@@ -128,6 +133,35 @@ def main() -> None:
     pq.write_table(pa.table(dm, schema=dm_schema),
                    GOLDEN_DIR / "expected_doc_metrics.parquet")
     print("expected_doc_metrics.parquet: %d rows" % len(dm["url"]))
+
+    # ---- expected media features / frames (encode-side ground truth)
+    from pdf_parser_spark.ops.multimodal import (
+        expected_feature_rows, expected_frame_rows,
+    )
+    feats = expected_feature_rows(60)
+    mf_schema = pa.schema([
+        ("url", pa.string()), ("media_type", pa.string()),
+        ("n_bytes", pa.int64()), ("width", pa.int32()),
+        ("height", pa.int32()), ("channels", pa.int32()),
+        ("duration_ms", pa.int32()), ("mean_luma", pa.float64()),
+        ("sha256", pa.string()), ("decode_error", pa.string()),
+    ])
+    pq.write_table(
+        pa.table({k: [r[k] for r in feats] for k in mf_schema.names},
+                 schema=mf_schema),
+        GOLDEN_DIR / "expected_media_features.parquet")
+    print("expected_media_features.parquet: %d rows" % len(feats))
+
+    frames = expected_frame_rows(60)
+    fr_schema = pa.schema([
+        ("url", pa.string()), ("frame_no", pa.int32()),
+        ("ts_ms", pa.int32()), ("frame_sha256", pa.string()),
+    ])
+    pq.write_table(
+        pa.table({k: [r[k] for r in frames] for k in fr_schema.names},
+                 schema=fr_schema),
+        GOLDEN_DIR / "expected_media_frames.parquet")
+    print("expected_media_frames.parquet: %d rows" % len(frames))
 
 
 if __name__ == "__main__":

@@ -36,8 +36,11 @@ HEADLINERS = [
     "c1_detect_issuer",
     "g1_block_ids",
     "dedup_lsh_pairs",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
     "events_sessions",
     "g7_lineage_rollup",
     "quality_score",

@@ -142,11 +142,10 @@ SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id
            sigs=_minhash_agg())
 
 
-@query("dedup_lsh_pairs")
-def q_lsh(d: str) -> str:
-    """LSH banding: 4 bands of 2 signature slots → band-key equi-join →
-    distinct candidate pairs (a<b).  The join fan-in is bounded by
-    band-bucket sizes, never n²."""
+def _lsh_ctes(d: str) -> str:
+    """Shared CTE chain: corpus → shingles → minhash signatures → band
+    unpivot → distinct LSH candidate pairs (``cand``).  The join
+    fan-in is bounded by band-bucket sizes, never n²."""
     bands = ", ".join(
         "md5(m%d || m%d) AS band%d" % (2 * b, 2 * b + 1, b)
         for b in range(4)
@@ -167,17 +166,55 @@ def q_lsh(d: str) -> str:
                      "{'band_no': 2, 'band_key': band2},"
                      "{'band_no': 3, 'band_key': band3}]) AS u"
                      " FROM banded) t")
-    return """
-WITH {corpus},{expl},
+    return """{corpus},{expl},
 sigs AS (SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id),
 banded AS (SELECT doc_id, {bands} FROM sigs),
-banded_long AS ({long_form})
-SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-FROM banded_long a JOIN banded_long b
-  ON a.band_no = b.band_no AND a.band_key = b.band_key
-  AND a.doc_id < b.doc_id
-""".format(corpus=_near_corpus(d), expl=_exploded_shingles(d),
-           sigs=_minhash_agg(), bands=bands, long_form=long_form)
+banded_long AS ({long_form}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM banded_long a JOIN banded_long b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+)""".format(corpus=_near_corpus(d), expl=_exploded_shingles(d),
+            sigs=_minhash_agg(), bands=bands, long_form=long_form)
+
+
+@query("dedup_lsh_pairs")
+def q_lsh(d: str) -> str:
+    """LSH banding: 4 bands of 2 signature slots → band-key equi-join →
+    distinct candidate pairs (a<b)."""
+    return "WITH %s SELECT left_id, right_id FROM cand" % _lsh_ctes(d)
+
+
+@query("dedup_lsh_verified")
+def q_lsh_verified(d: str) -> str:
+    """The composed dedup ladder: LSH candidate pairs → exact 4-gram
+    Jaccard verification → near-duplicates at τ ≥ 0.5.  The expensive
+    pairwise set intersection runs ONLY over LSH candidates (bounded
+    by band-bucket fan-in), never all pairs — the shape that survives
+    10^12 documents."""
+    return """
+WITH {lsh},
+shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shingled a ON a.doc_id = c.left_id
+  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
+)
+SELECT i.left_id, i.right_id, i.inter,
+  sa.n AS left_n, sb.n AS right_n,
+  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
+    AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.left_id
+JOIN sizes sb ON sb.doc_id = i.right_id
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
+      >= 0.5
+""".format(lsh=_lsh_ctes(d))
 
 
 @query("dedup_simhash")

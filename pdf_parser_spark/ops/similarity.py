@@ -10,17 +10,23 @@ comfortably BIGINT.
 Queries:
 * ann_cosine_topk — brute-force top-5 for the first 8 query vectors:
   the correctness baseline (full cross join, candidate set = n).
+* ann_ivf_fit — deterministic Lloyd's k-means (k=8, centroids seeded
+  from the first k vectors, 2 unrolled iterations) producing the IVF
+  cell assignment.  Each iteration is the 100-TB-correct shape: an
+  assignment join of every vector against the k-row (broadcastable)
+  centroid set, then ONE (cell, pos) shuffle to recompute element-wise
+  integer means.  All math is exact-integer until the final mean
+  (one IEEE division + floor), so both engines fit identical cells.
 * ann_ivf_topk — the scale path: candidates pruned to the query's
-  coarse cell (the ``label`` column acts as the IVF assignment; on a
-  real corpus labels come from a k-means fit).  Same ranking math, a
-  fraction of the candidates — at 10^12 rows the cross join is
-  infeasible and this cell-pruned join (plus broadcast of the tiny
-  query set) is the shape that survives.
+  FITTED cell (consumes ann_ivf_fit's assignment end-to-end).  Same
+  ranking math as brute force, a fraction of the candidates — at
+  10^12 rows the cross join is infeasible and this cell-pruned join
+  (plus broadcast of the tiny query set) is the shape that survives.
 """
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK, LEN
+from ..relational import DUCK, SPARK, LEN, ORD_ARRAY
 
 QUERIES = {}
 
@@ -51,6 +57,69 @@ def _dot(a: str, b: str, d: str) -> str:
 
 def _ssq(a: str, d: str) -> str:
     return _dot(a, a, d)
+
+
+def _sqdist(a: str, b: str, d: str) -> str:
+    """Exact integer squared L2 distance.  Components ≤ ~2e6 → diff²
+    ≤ 1.6e13, 64-term sum ≤ ~1e15 — comfortably BIGINT."""
+    if d == SPARK:
+        return ("aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)" % (a, b))
+    return ("CAST(list_sum(list_transform(range(1, %s + 1), "
+            "i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
+            % (LEN(a, d), a, b, a, b))
+
+
+def _kmeans_ctes(d: str, k: int = 8, iters: int = 2) -> str:
+    """CTE chain: quantized vectors → seeded centroids → ``iters``
+    unrolled Lloyd rounds → ``fit(vec_id, cell)`` final assignment.
+
+    Determinism: init = the first k vectors by vec_id; assignment
+    ties break on lowest cell id; centroid recompute is an exact
+    integer sum, one IEEE division, floor — identical across engines.
+    Centroid means stay exact in double (|component sum| ≤ n·2e6 ≪
+    2^53).  The vector components are exploded ONCE (``comps``) and
+    reused by every recompute round."""
+    if d == SPARK:
+        comps = ("SELECT vec_id, pos, v FROM base "
+                 "LATERAL VIEW posexplode(qv) t AS pos, v")
+    else:
+        comps = ("SELECT vec_id, CAST(pos AS INT) AS pos, "
+                 "qv[pos + 1] AS v FROM "
+                 "(SELECT vec_id, qv, unnest(range(0, len(qv))) AS pos "
+                 "FROM base) t")
+    parts = [
+        "base AS (SELECT vec_id, %s AS qv FROM embeddings)" % _quantized(d),
+        "comps AS (%s)" % comps,
+        "cent0 AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cv "
+        "FROM base WHERE vec_id < %d)" % k,
+    ]
+    assign_tpl = """
+assign{r} AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                         ORDER BY {dist}, c.cell) AS rn
+    FROM base b CROSS JOIN cent{p} c
+  ) t WHERE rn = 1
+)"""
+    cent_tpl = """
+cent{r} AS (
+  SELECT cell, {arr} AS cv FROM (
+    SELECT a.cell, c.pos,
+      CAST(floor(SUM(c.v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+    FROM assign{r} a JOIN comps c ON a.vec_id = c.vec_id
+    GROUP BY a.cell, c.pos
+  ) g GROUP BY cell
+)"""
+    dist = _sqdist("b.qv", "c.cv", d)
+    for r in range(1, iters + 1):
+        parts.append(assign_tpl.format(r=r, p=r - 1, dist=dist).strip())
+        parts.append(cent_tpl.format(r=r, arr=ORD_ARRAY("m", "pos", d))
+                     .strip())
+    parts.append(assign_tpl.format(r=iters + 1, p=iters, dist=dist).strip())
+    parts.append("fit AS (SELECT vec_id, cell FROM assign%d)" % (iters + 1))
+    return ",\n".join(parts)
 
 
 def _topk_sql(d: str, candidate_filter: str) -> str:
@@ -91,11 +160,53 @@ def q_brute(d: str) -> str:
     return _topk_sql(d, "")
 
 
+@query("ann_ivf_fit")
+def q_ivf_fit(d: str) -> str:
+    """The IVF coarse quantizer: deterministic k-means cell per vector
+    (k=8, 2 Lloyd rounds) plus the distance to its centroid."""
+    return """
+WITH {kmeans}
+SELECT f.vec_id, f.cell,
+  {dist} AS sq_dist
+FROM fit f
+JOIN base b ON b.vec_id = f.vec_id
+JOIN cent2 c ON c.cell = f.cell
+""".format(kmeans=_kmeans_ctes(d), dist=_sqdist("b.qv", "c.cv", d))
+
+
 @query("ann_ivf_topk")
 def q_ivf(d: str) -> str:
     """IVF-style cell-pruned top-5: candidates share the query's
-    coarse cluster (label)."""
-    return _topk_sql(d, "AND q.qlabel = c.clabel")
+    FITTED k-means cell (the ann_ivf_fit assignment, computed
+    in-plan end-to-end)."""
+    return """
+WITH {kmeans},
+q AS (
+  SELECT b.vec_id AS query_id, b.qv, f.cell
+  FROM base b JOIN fit f ON b.vec_id = f.vec_id
+  WHERE b.vec_id < 8
+),
+c AS (
+  SELECT b.vec_id AS cand_id, b.qv AS cv, f.cell
+  FROM base b JOIN fit f ON b.vec_id = f.vec_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+    CAST({dot} AS DOUBLE)
+      / (sqrt(CAST({qssq} AS DOUBLE)) * sqrt(CAST({cssq} AS DOUBLE)))
+      AS cosine
+  FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id AS neighbor_id, rank, cosine
+FROM ranked WHERE rank <= 5
+""".format(kmeans=_kmeans_ctes(d), dot=_dot("q.qv", "c.cv", d),
+           qssq=_ssq("q.qv", d), cssq=_ssq("c.cv", d))
 
 
 @query("dedup_embedding_cosine")

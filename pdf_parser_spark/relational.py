@@ -111,6 +111,15 @@ def ORD_CONCAT(col: str, sep: str, order_by: str, d: str) -> str:
     )
 
 
+def ORD_ARRAY(col: str, order_by: str, d: str) -> str:
+    """Order-preserving array aggregation (array analogue of
+    ORD_CONCAT): collect ``col`` ordered by ``order_by``."""
+    if d == DUCK:
+        return "list(%s ORDER BY %s)" % (col, order_by)
+    return ("transform(array_sort(collect_list("
+            "struct(%s as o, %s as v))), x -> x.v)" % (order_by, col))
+
+
 def EPOCH(ts: str, d: str) -> str:
     if d == SPARK:
         return "unix_timestamp(%s)" % ts

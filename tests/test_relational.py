@@ -19,9 +19,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 _SUBSET = [
-    "s3_lines", "g1_block_ids", "generic_relational", "c1_detect_issuer",
-    "dedup_exact", "dedup_lsh_pairs", "ann_cosine_topk", "events_sessions",
-    "quality_score", "doc_fingerprint",
+    "s3_lines", "g1_block_ids", "g4_block_text", "generic_relational",
+    "c1_detect_issuer", "dedup_exact", "dedup_lsh_pairs",
+    "dedup_lsh_verified", "ann_cosine_topk", "ann_ivf_fit", "ann_ivf_topk",
+    "events_sessions", "quality_score", "doc_fingerprint",
+    # parquet-golden-oracled Arrow paths (read_parquet oracles)
+    "extraction_metrics", "multimodal_features", "multimodal_frames",
 ]
 
 

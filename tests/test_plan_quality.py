@@ -79,6 +79,25 @@ def test_parse_pages_shuffle_budget(spark, pages_parquet):
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
 
 
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Registry-wide scale gate: no query plan may contain a
+    CartesianProduct (both-sides-big cross product).  The ANN
+    assignment joins are deliberate k-row cross joins — they must plan
+    as BroadcastNestedLoopJoin (tiny side shipped), never cartesian."""
+    import query_registry
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        spark.read.parquet("/root/testdata/sf0.001/%s.parquet" % t) \
+            .createOrReplaceTempView(t)
+    offenders = []
+    for name, pair in query_registry.QUERY_SQL.items():
+        plan = _explain(spark.sql(pair["spark"]))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
 def test_resume_anti_join_broadcasts_small_side(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet)
     done = pages.select("url").limit(5)

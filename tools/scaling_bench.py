@@ -93,78 +93,50 @@ def _run(child: str, cpus: int, repeat: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main(repeat: int = 160, n: int = 8):
-    s_n = _run(_SPARK_CHILD, n, repeat)
-    s_4n = _run(_SPARK_CHILD, 4 * n, repeat)
-    m_n = _run(_MP_CHILD, n, repeat)
-    m_4n = _run(_MP_CHILD, 4 * n, repeat)
+def main(repeat: int = 160, levels=(8, 16, 32)):
+    """Monotone efficiency curve in ONE session: Spark + hardware
+    baseline at each parallelism level, loadavg recorded per child.
+    Writes BENCH/scaling_curve.json; BENCH/BASELINE.md is maintained
+    by hand from it (it also carries the design A/Bs)."""
+    import os
+    t_load0 = os.getloadavg()[0]
+    spark_runs = {c: _run(_SPARK_CHILD, c, repeat) for c in levels}
+    mp_runs = {c: _run(_MP_CHILD, c, repeat) for c in levels}
+    base = levels[0]
 
-    eff_spark = (s_4n["docs_per_sec"] / s_n["docs_per_sec"]) / 4.0
-    eff_hw = (m_4n["docs_per_sec"] / m_n["docs_per_sec"]) / 4.0
-    rel = eff_spark / eff_hw if eff_hw else 0.0
+    def curve(runs):
+        return {
+            c: {
+                "docs_per_sec": round(r["docs_per_sec"], 1),
+                "steady_sec": round(r["steady_sec"], 2),
+                "loadavg": round(r["loadavg"], 2),
+                "runs": [round(x, 2) for x in r["runs"]],
+                "efficiency_vs_%d" % base: round(
+                    (r["docs_per_sec"] / runs[base]["docs_per_sec"])
+                    / (c / base), 3),
+            } for c, r in runs.items()
+        }
+
     report = {
-        "spark": {"n": s_n, "4n": s_4n, "efficiency": round(eff_spark, 3)},
-        "hardware_baseline": {"n": m_n, "4n": m_4n,
-                              "efficiency": round(eff_hw, 3)},
-        "spark_vs_hardware": round(rel, 3),
+        "repeat": repeat,
+        "docs": spark_runs[base]["docs"],
+        "payload_mb": round(spark_runs[base]["payload_mb"], 1),
+        "loadavg_at_start": round(t_load0, 2),
+        "spark": curve(spark_runs),
+        "hardware_baseline": curve(mp_runs),
+        "spark_vs_hardware_at_max": round(
+            ((spark_runs[levels[-1]]["docs_per_sec"]
+              / spark_runs[base]["docs_per_sec"])
+             / (mp_runs[levels[-1]]["docs_per_sec"]
+                / mp_runs[base]["docs_per_sec"])), 3),
     }
+    out = REPO / "BENCH" / "scaling_curve.json"
+    out.write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
-
-    md = REPO / "BENCH" / "BASELINE.md"
-    md.parent.mkdir(exist_ok=True)
-    md.write_text("""# BENCH/BASELINE — extraction throughput & scaling
-
-Same job (synthesized page corpus ×{repeat}: PDF/HTML/text payloads →
-salted repartition → Arrow mapInPandas extract+detect+parse → count),
-same input, two parallelism levels; plus a **no-Spark hardware
-baseline** — the identical per-document worker (`_parse_batches`)
-under plain multiprocessing at the same core counts.
-
-| run | cores | steady sec | docs/sec | MB/sec | loadavg |
-|---|---|---|---|---|---|
-| Spark job (N)      | {n}  | {ss_n:.2f} | {sd_n:.1f} | {smb_n:.2f} | {sl_n:.1f} |
-| Spark job (4N)     | {n4} | {ss_4n:.2f} | {sd_4n:.1f} | {smb_4n:.2f} | {sl_4n:.1f} |
-| hw baseline (N)    | {n}  | {ms_n:.2f} | {md_n:.1f} | — | {ml_n:.1f} |
-| hw baseline (4N)   | {n4} | {ms_4n:.2f} | {md_4n:.1f} | — | {ml_4n:.1f} |
-
-* **Spark N→4N efficiency: {eff_spark:.3f}**
-* **Hardware (no-Spark) N→4N efficiency: {eff_hw:.3f}** — this host's
-  ceiling for CPU-bound Python at these core counts (all-core turbo /
-  memory bandwidth / external co-tenant load; loadavg recorded above).
-* **Spark / hardware ratio: {rel:.3f}** — the orchestration overhead
-  our architecture is accountable for.  The job achieves ≥0.8 of the
-  *hardware-achievable* scaling when this ratio ≥ 0.8; on a real
-  multi-executor cluster (BASELINE.json's actual criterion) the
-  per-node frequency ceiling does not compound across nodes, so the
-  ratio is the transferable number.
-
-Raw Spark runs (sec): N={runs_n} · 4N={runs_4n}
-
-Balance design (why this scales at 1000 executors)
----------------------------------------------------
-* unit of parallelism = document; ONE seeded url-hash repartition at
-  2x partition count — payloads scanned once, mega-documents spread
-  hash-uniformly with small tasks bounding the tail (the rejected
-  two-branch design read payloads twice: 315 vs 523 docs/sec);
-* single Arrow pass: extract + detect + parse + metrics in one
-  mapInPandas, no second scan of payload bytes;
-* identical plan ships via spark-submit --py-files
-  (tools/make_pyfiles.py), spark.sql.shuffle.partitions ∝ cores.
-""".format(repeat=repeat, n=n, n4=4 * n,
-           ss_n=s_n["steady_sec"], sd_n=s_n["docs_per_sec"],
-           smb_n=s_n["mb_per_sec"], sl_n=s_n["loadavg"],
-           ss_4n=s_4n["steady_sec"], sd_4n=s_4n["docs_per_sec"],
-           smb_4n=s_4n["mb_per_sec"], sl_4n=s_4n["loadavg"],
-           ms_n=m_n["steady_sec"], md_n=m_n["docs_per_sec"],
-           ml_n=m_n["loadavg"],
-           ms_4n=m_4n["steady_sec"], md_4n=m_4n["docs_per_sec"],
-           ml_4n=m_4n["loadavg"],
-           eff_spark=eff_spark, eff_hw=eff_hw, rel=rel,
-           runs_n=[round(x, 2) for x in s_n["runs"]],
-           runs_4n=[round(x, 2) for x in s_4n["runs"]]))
-    print("wrote", md)
+    print("wrote", out)
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 160,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+         tuple(int(x) for x in sys.argv[2].split(","))
+         if len(sys.argv) > 2 else (8, 16, 32))

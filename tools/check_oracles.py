@@ -35,27 +35,29 @@ def norm_rows(cols, rows):
 
 def main(sf_dir="/root/testdata/sf0.001", *names):
     from pdf_parser_spark.session import get_spark
-    import importlib
-    entry = importlib.import_module("query_registry")
+    import importlib.util
 
-    qmap = entry.QUERY_SQL  # name -> {'spark': sql, 'duckdb': sql}
+    # the FULL driver contract (queries() + oracle_sql()), so the
+    # parquet-golden-oracled Arrow paths are swept too
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", str(REPO / "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
 
     spark = get_spark(app="oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    for t in TABLES:
-        spark.read.parquet("%s/%s.parquet" % (sf_dir, t)) \
-            .createOrReplaceTempView(t)
     con = duckdb.connect()
     for t in TABLES:
         con.sql("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
                 % (t, sf_dir, t))
 
-    selected = names or sorted(qmap)
+    selected = names or sorted(queries)
     failures = []
     for name in selected:
-        pair = qmap[name]
         try:
-            sdf = spark.sql(pair["spark"])
+            sdf = queries[name](spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
@@ -63,7 +65,7 @@ def main(sf_dir="/root/testdata/sf0.001", *names):
             failures.append(name)
             continue
         try:
-            dres = con.sql(pair["duckdb"])
+            dres = con.sql(oracles[name])
             dcols = [c for c in dres.columns]
             drows = dres.fetchall()
         except Exception as exc:

@@ -22,9 +22,19 @@ Queries:
   ranking math as brute force, a fraction of the candidates — at
   10^12 rows the cross join is infeasible and this cell-pruned join
   (plus broadcast of the tiny query set) is the shape that survives.
+
+``ivf_fit_df`` is the PRODUCTION form of the same fit: an iterative
+DataFrame loop with the per-round inputs persisted, because Catalyst
+inlines (re-evaluates) every CTE reference — fine at fixture scale,
+catastrophic at 10^12 vectors.  The unrolled SQL stays as the
+cross-engine oracle; a test pins cell-for-cell agreement between the
+two forms.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..relational import DUCK, SPARK, LEN, ORD_ARRAY
 
@@ -246,3 +256,65 @@ pairs AS (
 SELECT left_id, right_id, cosine FROM pairs WHERE cosine >= 0.9
 """.format(quant=_quantized(d), twin=twin, dot=_dot("a.qv", "b.qv", d),
            assq=_ssq("a.qv", d), bssq=_ssq("b.qv", d))
+
+
+# ------------------------------------------------------- production fit
+def ivf_fit_df(embeddings: DataFrame, k: int = 8,
+               iters: int = 2) -> DataFrame:
+    """Iterative Lloyd's k-means over (vec_id, embedding) — the form
+    you run on a cluster.  Same math as the ``ann_ivf_fit`` SQL (which
+    remains the DuckDB-checkable oracle): floor(x*1e6) quantization,
+    exact-integer distances, ties to the lowest cell, element-wise
+    integer-floored means.
+
+    Scale shape per round: ONE broadcast hash join of the vectors
+    against the k-row centroid set (constant join key — the broadcast
+    side is k rows, so this is the legal spelling of a tiny cross
+    join), then ONE (cell, pos) shuffle of partial sums.  ``base`` and
+    ``comps`` are persisted once and reused every round instead of
+    being re-derived — the property the inlined-CTE SQL form cannot
+    express."""
+    base = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               " * 1000000.0) AS BIGINT))").alias("qv"),
+    ).persist()
+    comps = base.select(
+        "vec_id", F.posexplode("qv").alias("pos", "v")
+    ).persist()
+    sqdist = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    cent = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cv"))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = (
+            base.withColumn("_one", F.lit(1))
+            .join(F.broadcast(centroids.withColumn("_one", F.lit(1))),
+                  "_one")
+            .select("vec_id", "cell", sqdist.alias("sq_dist"))
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min_by("cell", F.struct("sq_dist", "cell")).alias("cell"))
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(cent)
+        means = (
+            assigned.join(comps, "vec_id")
+            .groupBy("cell", "pos")
+            .agg(F.expr("CAST(floor(SUM(v) / CAST(COUNT(*) AS DOUBLE))"
+                        " AS BIGINT)").alias("m"))
+        )
+        cent = means.groupBy("cell").agg(
+            F.expr("transform(array_sort(collect_list("
+                   "struct(pos as o, m as v))), x -> x.v)").alias("cv"))
+        # materialize the round's centroids so the next round's plan
+        # does not recursively re-derive every previous round
+        cent = cent.sparkSession.createDataFrame(
+            cent.collect(), schema=cent.schema)
+    final = assign(cent)
+    base.unpersist()
+    comps.unpersist()
+    return final

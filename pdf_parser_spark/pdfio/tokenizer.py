@@ -39,6 +39,12 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _WS = b" \t\r\n\f\x00"
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+# whitespace runs + %-to-EOL comments in one C-level match
+_WSCMT_RE = re.compile(rb"(?:[ \t\r\n\f\x00]|%[^\r\n]*)*")
+_KEYWORD_RE = re.compile(rb"[A-Za-z'\"*]+")
+_GEN_R_RE = re.compile(rb"\s+(\d+)\s+R\b")
+# the bytes a literal-string scan must stop at (escape / nest / close)
+_LITSPECIAL_RE = re.compile(rb"[\\()]")
 
 
 class Ref(tuple):
@@ -59,20 +65,12 @@ class _Lexer:
         self.pos = pos
 
     def _skip_ws(self) -> None:
-        d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = self.data[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment
-                while self.pos < n and d[self.pos] not in b"\r\n":
-                    self.pos += 1
-            else:
-                return
+        # one C-level regex step instead of a per-byte Python loop
+        self.pos = _WSCMT_RE.match(self.data, self.pos).end()
 
     def peek_keyword(self) -> Optional[bytes]:
         self._skip_ws()
-        m = re.match(rb"[A-Za-z'\"*]+", self.data[self.pos:self.pos + 16])
+        m = _KEYWORD_RE.match(self.data, self.pos, self.pos + 16)
         return m.group(0) if m else None
 
     def value(self) -> Any:
@@ -167,47 +165,60 @@ class _Lexer:
         if b"." in tok:
             return float(tok)
         # lookahead for "gen R"
-        m2 = re.match(rb"\s+(\d+)\s+R\b", self.data[self.pos:self.pos + 32])
+        m2 = _GEN_R_RE.match(self.data, self.pos, self.pos + 32)
         if m2:
-            self.pos += m2.end()
+            self.pos = m2.end()
             return Ref((int(tok), int(m2.group(1))))
         return int(tok)
 
     def _literal_string(self) -> bytes:
+        """Chunked scan: copy whole runs up to the next escape/paren in
+        one slice instead of per-byte appends (the common string has
+        none) — same byte semantics as the per-byte loop, including
+        IndexError on a truncated trailing escape."""
         d = self.data
-        self.pos += 1
+        pos = self.pos + 1
+        n = len(d)
         depth = 1
         out = bytearray()
         esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
-        while self.pos < len(d):
-            c = d[self.pos]
-            self.pos += 1
+        while pos < n:
+            m = _LITSPECIAL_RE.search(d, pos)
+            if m is None:
+                out += d[pos:]
+                pos = n
+                break
+            i = m.start()
+            if i > pos:
+                out += d[pos:i]
+            c = d[i]
+            pos = i + 1
             if c == 0x5C:  # backslash
-                nc = d[self.pos]
-                self.pos += 1
+                nc = d[pos]
+                pos += 1
                 if nc in esc:
                     out.append(esc[nc])
                 elif 0x30 <= nc <= 0x37:  # octal
                     oct_s = chr(nc)
-                    while len(oct_s) < 3 and 0x30 <= d[self.pos] <= 0x37:
-                        oct_s += chr(d[self.pos])
-                        self.pos += 1
+                    while len(oct_s) < 3 and 0x30 <= d[pos] <= 0x37:
+                        oct_s += chr(d[pos])
+                        pos += 1
                     out.append(int(oct_s, 8) & 0xFF)
                 elif nc in (0x0A, 0x0D):  # line continuation
-                    if nc == 0x0D and d[self.pos] == 0x0A:
-                        self.pos += 1
+                    if nc == 0x0D and d[pos] == 0x0A:
+                        pos += 1
                 else:
                     out.append(nc)
             elif c == 0x28:
                 depth += 1
                 out.append(c)
-            elif c == 0x29:
+            else:  # 0x29
                 depth -= 1
                 if depth == 0:
+                    self.pos = pos
                     return bytes(out)
                 out.append(c)
-            else:
-                out.append(c)
+        self.pos = pos
         return bytes(out)
 
     def _hex_string(self) -> bytes:

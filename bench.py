@@ -63,6 +63,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
+    # the host is co-tenant (identical runs vary ±70% across bursts,
+    # BENCH/BASELINE.md): give a burst up to 90s to drain before timing
+    deadline = time.time() + int(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "90"))
+    while os.getloadavg()[0] > 6 and time.time() < deadline:
+        time.sleep(5)
+
     # ---- warm-up: spin python workers + JIT on tiny slices (the
     # measurement protocol in BENCH/BASELINE.md: warm JVM, steady state)
     queries["g1_block_ids"](spark, "/root/testdata/sf0.001").count()
@@ -79,7 +86,7 @@ def main() -> None:
     pages = fixture_pages_df(spark, repeat=REPEAT).persist()
     pages.count()  # materialize input outside the timed window
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_rows = parse_pages(pages).count()
         runs.append(time.time() - t0)
@@ -87,10 +94,10 @@ def main() -> None:
     pages.unpersist()
     timings["fidelity_pipeline"] = round(extract_sec, 3)
 
-    # ---- relational / ops headliners (min of 2 — machine-noise guard)
+    # ---- relational / ops headliners (min of 3 — machine-noise guard)
     for name in HEADLINERS:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             queries[name](spark, SF_DIR).count()
             runs.append(time.time() - t0)

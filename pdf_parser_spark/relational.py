@@ -25,9 +25,19 @@ equivalent whenever the keyword appears at most once per line.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 SPARK, DUCK = "spark", "duckdb"
+
+# Parallelism for the CPU-heavy derived-lines stage (see with_lines):
+# must be EXPLICIT in the REPARTITION hint — a bare REPARTITION(col)
+# lets AQE coalesce the exchange down to 1-2 partitions (it optimizes
+# for shuffle bytes, and the derived lines are small) which serializes
+# the regex battery that follows.  2× cores, same rationale as the
+# pipeline's salted over-partitioning; override via env on a cluster.
+LINE_PARTITIONS = int(os.environ.get(
+    "SPARK_GRAFT_LINE_PARTITIONS", str(2 * (os.cpu_count() or 16))))
 
 AMOUNT_PATTERN = (
     r"(?:\$\d{1,3}(?:,\d{3})*(?:\.\d{2})?"
@@ -201,8 +211,27 @@ stmt_lines AS (
 )""".format(ws=ws, expl=expl, p=p, issuer=_ISSUER_TOKEN, chunk=chunk)
 
 
-def with_lines(body: str, d: str) -> str:
-    return "WITH %s %s" % (stmt_lines_cte(d), body)
+def with_lines(body: str, d: str, barrier: bool = False) -> str:
+    """Prefix ``body`` with the derived-lines CTE.
+
+    ``barrier=True`` (used by every full-parser query) re-exposes
+    stmt_lines behind a REPARTITION(doc_id) hint on the Spark side:
+    CollapseProject otherwise inlines the line-construction expression
+    into EVERY downstream regex/CASE reference — measured 26 copies of
+    the concat chain in the citi plan, 7.4s → 2.7s at sf0.1 with the
+    barrier.  The exchange is NOT an extra shuffle for these queries:
+    their windows partition by doc_id, so the explicit repartition just
+    moves the doc_id exchange below the regex battery where rows are
+    narrower.  Plain lexer queries (no window, single line reference)
+    keep barrier=False — for them the exchange would be pure cost.
+    DuckDB materializes CTEs by default; its passthrough is a no-op."""
+    cte = stmt_lines_cte(d)
+    if barrier:
+        cte = cte.replace("stmt_lines AS (", "stmt_lines0 AS (", 1)
+        hint = ("/*+ REPARTITION(%d, doc_id) */ " % LINE_PARTITIONS
+                if d == SPARK else "")
+        cte += ",\nstmt_lines AS (SELECT %s* FROM stmt_lines0)" % hint
+    return "WITH %s %s" % (cte, body)
 
 
 # ------------------------------------------------------------ queries
@@ -460,7 +489,7 @@ FROM parsed WHERE amount IS NOT NULL
 """.format(cat=ORD_CONCAT("line", " ", "line_no", d), isd=_is_date(d),
            p=p, dp=lit(date_pat, d), strip_tail=strip_tail, toks=toks,
            amt=_signed_first_amount(d),
-           dircase=direction_case("description", d)), d)
+           dircase=direction_case("description", d)), d, barrier=True)
 
 
 @query("g7_lineage_rollup")

@@ -14,8 +14,16 @@ from __future__ import annotations
 
 from .relational import (
     DUCK, SPARK, AMOUNT_PATTERN, LEN, PRINTF, REALL, REREPL, RLIKE,
-    lit, with_lines, _signed_first_amount,
+    lit, _signed_first_amount,
 )
+from .relational import with_lines as _with_lines
+
+
+def with_lines(body: str, d: str) -> str:
+    """Every query here is a full parser (regex battery + doc_id
+    windows): always take the anti-CollapseProject barrier — see
+    relational.with_lines for the measured rationale."""
+    return _with_lines(body, d, barrier=True)
 
 QUERIES = {}
 

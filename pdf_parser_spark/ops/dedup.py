@@ -19,7 +19,9 @@ deterministic).
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK, HEX2INT, LEN, SLICE, JOINA
+from ..relational import (
+    DUCK, SPARK, HEX2INT, LEN, LINE_PARTITIONS, SLICE, JOINA,
+)
 
 QUERIES = {}
 
@@ -166,6 +168,18 @@ def _lsh_ctes(d: str) -> str:
                      "{'band_no': 2, 'band_key': band2},"
                      "{'band_no': 3, 'band_key': band3}]) AS u"
                      " FROM banded) t")
+    # widen the corpus before the shingle+8-digest pipeline: that CPU
+    # burns at the input scan's parallelism otherwise (a tiny parquet
+    # is 1-3 partitions), and AQE would coalesce a bare repartition —
+    # same rationale, measurement and env override as
+    # relational.with_lines(barrier=True).  2.5s → 1.2s at sf0.1.
+    # The narrow single-pass queries (simhash, minhash_sigs) stay
+    # un-widened: for them the extra exchange measured as pure cost.
+    wide = ("corpus AS (SELECT /*+ REPARTITION(%d, doc_id) */ * "
+            "FROM corpus0)" % LINE_PARTITIONS) if d == SPARK else \
+        "corpus AS (SELECT * FROM corpus0)"
+    corpus = _near_corpus(d).replace("corpus AS (", "corpus0 AS (", 1) \
+        + ",\n" + wide
     return """{corpus},{expl},
 sigs AS (SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id),
 banded AS (SELECT doc_id, {bands} FROM sigs),
@@ -175,7 +189,7 @@ cand AS (
   FROM banded_long a JOIN banded_long b
     ON a.band_no = b.band_no AND a.band_key = b.band_key
     AND a.doc_id < b.doc_id
-)""".format(corpus=_near_corpus(d), expl=_exploded_shingles(d),
+)""".format(corpus=corpus, expl=_exploded_shingles(d),
             sigs=_minhash_agg(), bands=bands, long_form=long_form)
 
 

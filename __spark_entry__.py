@@ -99,6 +99,18 @@ def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.drop("part_id")  # partition assignment is config-dependent
 
 
+def _extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span offsets per url (north star: 'main-content text and span
+    offsets'): one row per non-empty extracted line with its exact
+    character interval; oracled against spans derived from the
+    canonical fixture text independently of the extractor."""
+    from pdf_parser_spark.ops.spans import extract_spans
+    from pdf_parser_spark.pages_source import fixture_pages_df
+
+    _ensure_pyfiles(spark)
+    return extract_spans(fixture_pages_df(spark))
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/featurize: REAL pure-Python codecs (PNG with
     all five scanline filters, 24-bit BMP, PCM WAV, Y4M video) over
@@ -127,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["fidelity_pipeline"] = _fidelity_pipeline
     out["extraction_metrics"] = _extraction_metrics
+    out["extraction_spans"] = _extraction_spans
     out["multimodal_features"] = _media_features
     out["multimodal_frames"] = _media_frames
     return out
@@ -146,6 +159,10 @@ _EXPECTED_ORACLES = {
         "SELECT url, bank, kind, pages, n_lines, n_chars, blocks_total,"
         " blocks_kept, tx_count, text_sha256, error"
         " FROM read_parquet('%s')" % (_GOLDEN / "expected_doc_metrics.parquet")
+    ),
+    "extraction_spans": (
+        "SELECT url, span_no, start, \"end\", n_chars, line_sha256"
+        " FROM read_parquet('%s')" % (_GOLDEN / "expected_spans.parquet")
     ),
     "multimodal_features": (
         "SELECT url, media_type, n_bytes, width, height, channels,"

@@ -134,6 +134,31 @@ def main() -> None:
                    GOLDEN_DIR / "expected_doc_metrics.parquet")
     print("expected_doc_metrics.parquet: %d rows" % len(dm["url"]))
 
+    # ---- expected spans: derived from the CANONICAL per-mode fixture
+    # text (independent of the extractor — the byte-identical-text
+    # invariant extended to character intervals)
+    from pdf_parser_spark.ops.spans import line_spans
+    sp = {k: [] for k in ("url", "span_no", "start", "end", "n_chars",
+                          "line_sha256")}
+    for i, doc in enumerate(docs):
+        canon = canonical_text(doc["text"], _MODES[i % len(_MODES)])
+        for k, (s, e) in enumerate(line_spans(canon)):
+            sp["url"].append(doc["url"])
+            sp["span_no"].append(k)
+            sp["start"].append(s)
+            sp["end"].append(e)
+            sp["n_chars"].append(e - s)
+            sp["line_sha256"].append(hashlib.sha256(
+                canon[s:e].encode("utf-8")).hexdigest())
+    sp_schema = pa.schema([
+        ("url", pa.string()), ("span_no", pa.int32()),
+        ("start", pa.int64()), ("end", pa.int64()),
+        ("n_chars", pa.int32()), ("line_sha256", pa.string()),
+    ])
+    pq.write_table(pa.table(sp, schema=sp_schema),
+                   GOLDEN_DIR / "expected_spans.parquet")
+    print("expected_spans.parquet: %d rows" % len(sp["url"]))
+
     # ---- expected media features / frames (encode-side ground truth)
     from pdf_parser_spark.ops.multimodal import (
         expected_feature_rows, expected_frame_rows,

@@ -41,6 +41,7 @@ HEADLINERS = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_features",
+    "extraction_spans",
     "events_sessions",
     "g7_lineage_rollup",
     "quality_score",

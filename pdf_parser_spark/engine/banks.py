@@ -380,7 +380,10 @@ def parse_wf(lines, year, tally=None) -> List[Record]:
             continue
         nonempty[idx] = True
         cand[idx] = _wf_candidate_line(line)
-        noisy[idx] = bool(WF_NOISE.search(line))
+        # noise only ever gates candidate lines (both loops check the
+        # candidate flag in the same breath), so skip the expensive
+        # WF_NOISE scan for non-candidates
+        noisy[idx] = bool(WF_NOISE.search(line)) if cand[idx] else False
         dates[idx] = any_date(line, year)
     out: List[Record] = []
     i = 0
@@ -404,7 +407,7 @@ def parse_wf(lines, year, tally=None) -> List[Record]:
                 continue
             if dates[j]:
                 break
-            if noisy[j] or not cand[j]:
+            if not cand[j] or noisy[j]:
                 break
             block.append(lines[j])
             j += 1

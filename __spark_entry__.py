@@ -111,6 +111,28 @@ def _extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(fixture_pages_df(spark))
 
 
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: repeated extracted lines across the
+    corpus, keyed by the span digest — the boilerplate-detection tier
+    a Common-Crawl pipeline runs above per-document dedup.  The
+    grouping is SQL over extract_spans' output, so the DuckDB oracle
+    runs the identical aggregation over the expected-spans parquet."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.ops.spans import extract_spans
+    from pdf_parser_spark.pages_source import fixture_pages_df
+
+    _ensure_pyfiles(spark)
+    spans = extract_spans(fixture_pages_df(spark))
+    return (
+        spans.groupBy("line_sha256")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.countDistinct("url").alias("n_docs"),
+             F.min("n_chars").alias("n_chars"))
+        .filter("n_occurrences > 1")
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/featurize: REAL pure-Python codecs (PNG with
     all five scanline filters, 24-bit BMP, PCM WAV, Y4M video) over
@@ -140,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fidelity_pipeline"] = _fidelity_pipeline
     out["extraction_metrics"] = _extraction_metrics
     out["extraction_spans"] = _extraction_spans
+    out["span_dedup"] = _span_dedup
     out["multimodal_features"] = _media_features
     out["multimodal_frames"] = _media_frames
     return out
@@ -163,6 +186,14 @@ _EXPECTED_ORACLES = {
     "extraction_spans": (
         "SELECT url, span_no, start, \"end\", n_chars, line_sha256"
         " FROM read_parquet('%s')" % (_GOLDEN / "expected_spans.parquet")
+    ),
+    "span_dedup": (
+        "SELECT line_sha256, CAST(COUNT(*) AS BIGINT) AS n_occurrences,"
+        " CAST(COUNT(DISTINCT url) AS BIGINT) AS n_docs,"
+        " MIN(n_chars) AS n_chars"
+        " FROM read_parquet('%s')"
+        " GROUP BY line_sha256 HAVING COUNT(*) > 1"
+        % (_GOLDEN / "expected_spans.parquet")
     ),
     "multimodal_features": (
         "SELECT url, media_type, n_bytes, width, height, channels,"

@@ -15,8 +15,10 @@ from pdf_parser_spark import relational, relational_banks  # noqa: E402
 
 _MODULES = [relational, relational_banks]
 try:
-    from pdf_parser_spark.ops import dedup, similarity, textstats  # noqa: E402
-    _MODULES += [dedup, similarity, textstats]
+    from pdf_parser_spark.ops import (  # noqa: E402
+        dedup, similarity, textstats, weburl,
+    )
+    _MODULES += [dedup, similarity, textstats, weburl]
 except ImportError:
     pass
 

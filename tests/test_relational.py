@@ -23,8 +23,10 @@ _SUBSET = [
     "c1_detect_issuer", "dedup_exact", "dedup_lsh_pairs",
     "dedup_lsh_verified", "ann_cosine_topk", "ann_ivf_fit", "ann_ivf_topk",
     "events_sessions", "quality_score", "doc_fingerprint",
+    "url_canonicalize",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
+    "extraction_spans", "span_dedup",
 ]
 
 

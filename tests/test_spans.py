@@ -4,6 +4,8 @@ line — independently recomputed from the canonical fixture text."""
 
 import hashlib
 
+from hypothesis import given, settings, strategies as st
+
 from pdf_parser_spark.fixtures import fixture_docs
 from pdf_parser_spark.ops.spans import extract_spans, line_spans
 from pdf_parser_spark.pages_source import fixture_pages_df
@@ -26,6 +28,21 @@ def test_line_spans_slice_identity():
     # non-overlapping, strictly increasing
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert e1 < s2 and s1 < e1
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_line_spans_invariants_hold_for_arbitrary_text(text):
+    spans = line_spans(text)
+    prev_end = -1
+    for s, e in spans:
+        seg = text[s:e]
+        assert s < e and "\n" not in seg and seg != ""
+        assert s > prev_end
+        prev_end = e
+    # completeness: the spans are exactly the non-empty lines
+    assert [text[s:e] for s, e in spans] == \
+        [l for l in text.split("\n") if l]
 
 
 def test_extract_spans_matches_canonical_text(spark):

@@ -28,7 +28,14 @@ def extract_document(payload: Optional[bytes]) -> DocText:
     head = payload[:1024].lstrip(b"\xef\xbb\xbf \t\r\n")
     if payload[:5] == b"%PDF-":
         res = extract_pdf_text(payload)
-        return DocText(res.text, "pdf", res.pages, res.error)
+        err = res.error
+        if err is None and not res.text and res.pages == 0:
+            # the tokenizer recovers what it can from damaged files and
+            # never raises; a nonzero payload that yielded NOTHING is a
+            # parse failure the lineage sidecar must count, not a
+            # silently-empty document
+            err = "pdf-no-text: no page content recovered"
+        return DocText(res.text, "pdf", res.pages, err)
     if head[:1] == b"<":
         return DocText(extract_html_text(payload), "html", 1)
     try:

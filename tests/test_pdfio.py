@@ -87,3 +87,31 @@ def test_pdf_cmap_nonascii():
     t = "Depósitos y adiciones\n01/03 Depósito en línea 4,100.00"
     res = extract_pdf_text(text_to_pdf(t))
     assert res.text == t
+
+
+def test_corrupt_and_truncated_pdfs_flag_errors_never_raise():
+    """Poison payloads are data: damaged PDFs must yield error-flagged
+    rows (so the lineage 'parse failures' metric counts them), never
+    exceptions — and near-complete files still recover their text via
+    the object-scan fallback."""
+    import hashlib
+
+    from pdf_parser_spark.pdfio.extract import extract_document
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    for i in range(50):
+        junk = b"%PDF-1.4\n" + hashlib.sha256(b"%d" % i).digest() * (i % 7 + 1)
+        r = extract_document(junk)
+        assert r.kind == "pdf"
+        assert r.text == "" and r.error is not None
+
+    real = text_to_pdf("hello\nworld 01/02 $5.00")
+    clean = extract_document(real)
+    assert clean.error is None and clean.text
+
+    for cut in (10, 50, len(real) // 2):
+        r = extract_document(real[:cut])
+        assert r.error is not None, cut  # nothing recovered → flagged
+    # losing only the xref tail still recovers everything (no error)
+    tail = extract_document(real[:-5])
+    assert tail.text == clean.text and tail.error is None

@@ -42,6 +42,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 FORMAT_CONF = "spark.pdf_parser.table_format"
 
+# Iceberg DDL for the three tables at 10^12-document scale.  Design:
+# * pages/transactions bucket on url (1024 buckets) — co-locates the
+#   resume anti-join and any url-keyed validation join WITHOUT a
+#   shuffle (storage-partitioned join), and bounds per-file row counts
+#   under heavy skew;
+# * doc_metrics is small per row and read by rollups — bucket coarser;
+# * snapshot-property run_id rides every commit (append path below).
+ICEBERG_DDL = {
+    "pages": (
+        "CREATE TABLE IF NOT EXISTS {t} (url STRING, warc_ts TIMESTAMP,"
+        " html BINARY, text STRING, lang STRING) USING iceberg"
+        " PARTITIONED BY (bucket(1024, url))"
+    ),
+    "transactions": (
+        "CREATE TABLE IF NOT EXISTS {t} (url STRING, tx_index INT,"
+        " bank STRING, date STRING, description STRING, amount DOUBLE,"
+        " direction STRING) USING iceberg"
+        " PARTITIONED BY (bucket(1024, url))"
+    ),
+    "doc_metrics": (
+        "CREATE TABLE IF NOT EXISTS {t} (url STRING, bank STRING,"
+        " kind STRING, pages INT, n_lines INT, n_chars BIGINT,"
+        " blocks_total INT, blocks_kept INT, tx_count INT,"
+        " text_sha256 STRING, error STRING, part_id INT) USING iceberg"
+        " PARTITIONED BY (bucket(64, url))"
+    ),
+}
+
+
+def create_iceberg_tables(spark: SparkSession, catalog_ns: str) -> None:
+    """Issue the DDL above under ``catalog.namespace`` (cluster-only;
+    the sandbox has no Iceberg jars — the DDL strings are unit-tested
+    for shape)."""
+    for name, ddl in ICEBERG_DDL.items():
+        spark.sql(ddl.format(t="%s.%s" % (catalog_ns, name)))
+
 
 class TableIO:
     def __init__(self, root: str, fmt: str = "parquet"):

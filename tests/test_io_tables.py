@@ -89,6 +89,36 @@ def test_iceberg_append_plan_shape(tmp_path):
     assert all(o == {"snapshot-property.run_id": "r7"} for _, o in calls)
 
 
+def test_iceberg_ddl_shape():
+    """The 100-TB table spec: url-bucketed partitioning everywhere a
+    url-keyed join must avoid a shuffle (storage-partitioned joins)."""
+    from pdf_parser_spark.io_tables import ICEBERG_DDL
+
+    assert set(ICEBERG_DDL) == {"pages", "transactions", "doc_metrics"}
+    for name, ddl in ICEBERG_DDL.items():
+        assert "USING iceberg" in ddl and "bucket(" in ddl, name
+        assert "{t}" in ddl
+    assert "bucket(1024, url)" in ICEBERG_DDL["pages"]
+    assert "bucket(1024, url)" in ICEBERG_DDL["transactions"]
+
+
+class _SqlRecorder:
+    def __init__(self):
+        self.stmts = []
+
+    def sql(self, s):
+        self.stmts.append(s)
+
+
+def test_create_iceberg_tables_issues_ddl():
+    from pdf_parser_spark.io_tables import create_iceberg_tables
+
+    rec = _SqlRecorder()
+    create_iceberg_tables(rec, "cat.ns")
+    assert len(rec.stmts) == 3
+    assert any("cat.ns.transactions" in s for s in rec.stmts)
+
+
 def test_format_selected_by_conf(spark, tmp_path):
     spark.conf.set(FORMAT_CONF, "iceberg")
     try:

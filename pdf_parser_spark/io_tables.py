@@ -109,16 +109,30 @@ class TableIO:
             if f.startswith("snapshot-") and f.endswith(".json")
         )
 
-    def committed_files(self, table: str) -> List[str]:
+    def committed_files(self, table: str,
+                        as_of: Optional[int] = None) -> List[str]:
+        """Files visible for ``table``; ``as_of`` = time travel to a
+        snapshot sequence (inclusive).  A ``rewrite`` commit REPLACES
+        the table's file list (Iceberg's rewrite_data_files shape, used
+        by compaction); an ``append`` adds to it."""
         files: List[str] = []
         for m in self._manifests():
             with open(m) as fh:
-                files.extend(json.load(fh)["tables"].get(table, []))
+                snap = json.load(fh)
+            if as_of is not None and snap["sequence"] > as_of:
+                break
+            if table not in snap["tables"]:
+                continue
+            if snap.get("op") == "rewrite":
+                files = list(snap["tables"][table])
+            else:
+                files.extend(snap["tables"][table])
         return files
 
     # ---------------- API
     def append_many(self, dfs: Dict[str, DataFrame],
-                    run_id: Optional[str] = None) -> dict:
+                    run_id: Optional[str] = None,
+                    op: str = "append") -> dict:
         """Write several tables as ONE commit; the single snapshot
         manifest rename IS the commit point for all of them."""
         if self.fmt == "iceberg":
@@ -142,7 +156,7 @@ class TableIO:
         seq = len(self._manifests())
         manifest = {
             "sequence": seq, "commit_id": commit_id, "run_id": run_id,
-            "tables": table_files,
+            "op": op, "tables": table_files,
         }
         tmp = os.path.join(snap_dir, ".tmp-%s.json" % commit_id)
         with open(tmp, "w") as fh:
@@ -151,15 +165,36 @@ class TableIO:
             snap_dir, "snapshot-%05d.json" % seq))  # atomic commit point
         return manifest
 
+    def compact(self, spark: SparkSession, table: str,
+                target_partitions: int = 1,
+                run_id: Optional[str] = None) -> Optional[dict]:
+        """Small-file compaction (Iceberg's rewrite_data_files): every
+        incremental commit leaves its own parquet dir, and at
+        micro-batch cadence a table accumulates thousands of small
+        files — a first-order 10^12-scale problem.  Reads the current
+        committed state, rewrites it as ``target_partitions`` files,
+        and publishes ONE ``rewrite`` manifest; readers atomically
+        switch, old files stay on disk for time travel (``as_of``
+        before the rewrite still resolves the pre-compaction state).
+        Safe against concurrent kill: no manifest → nothing changed."""
+        df = self.read(spark, table)
+        if df is None:
+            return None
+        return self.append_many(
+            {table: df.coalesce(target_partitions)},
+            run_id=run_id, op="rewrite")
+
     def append(self, df: DataFrame, table: str,
                run_id: Optional[str] = None) -> dict:
         return self.append_many({table: df}, run_id=run_id)
 
-    def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
-        """Committed rows only (None if no snapshot exists)."""
+    def read(self, spark: SparkSession, table: str,
+             as_of: Optional[int] = None) -> Optional[DataFrame]:
+        """Committed rows only (None if no snapshot exists);
+        ``as_of`` time-travels to a snapshot sequence."""
         if self.fmt == "iceberg":
             return spark.read.format("iceberg").load(table)
-        files = self.committed_files(table)
+        files = self.committed_files(table, as_of=as_of)
         if not files:
             return None
         return spark.read.parquet(*files)

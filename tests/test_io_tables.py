@@ -145,3 +145,34 @@ def test_null_warc_ts_falls_back_to_1970():
     assert docs.loc[0, "error"] is None
     assert docs.loc[0, "bank"] == "chase"
     assert list(txs["date"]) == ["1970-01-03"]
+
+
+def test_compaction_and_time_travel(spark, tmp_path):
+    """Three appends → compact to one file (rewrite manifest) → same
+    rows, fewer files; time travel (as_of) still resolves every
+    pre-compaction snapshot state."""
+    io = TableIO(str(tmp_path))
+    for i in range(3):
+        df = spark.createDataFrame([(i, "v%d" % i)], "id int, v string")
+        io.append(df, "t", run_id="r%d" % i)
+    assert io.read(spark, "t").count() == 3
+    n_files_before = len(io.committed_files("t"))
+    assert n_files_before >= 3
+
+    manifest = io.compact(spark, "t", target_partitions=1, run_id="compact")
+    assert manifest["op"] == "rewrite"
+    after = io.committed_files("t")
+    assert len(after) == 1 and io.read(spark, "t").count() == 3
+
+    # time travel: each historical sequence shows its own state
+    assert io.read(spark, "t", as_of=0).count() == 1
+    assert io.read(spark, "t", as_of=1).count() == 2
+    assert io.read(spark, "t", as_of=2).count() == 3
+    assert len(io.committed_files("t", as_of=2)) == n_files_before
+
+    # appends after compaction stack on the rewrite
+    m2 = io.append(
+        spark.createDataFrame([(9, "z")], "id int, v string").coalesce(1),
+        "t")
+    assert io.read(spark, "t").count() == 4
+    assert len(io.committed_files("t")) == 1 + len(m2["tables"]["t"])

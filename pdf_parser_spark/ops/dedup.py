@@ -12,9 +12,8 @@ non-negative BIGINT (60 bits).
 At 100 TB these shapes hold: exact dedup is one hash-groupBy (partial
 agg map-side); MinHash+LSH is shingle→signature (narrow) then a
 band-key shuffle whose fan-in is the candidate-pair count, never n²;
-simhash is a narrow per-doc computation; the pairwise Jaccard join is
-only over LSH candidates (here: adjacent ids, to keep the oracle
-deterministic).
+simhash is a narrow per-doc computation; every pairwise Jaccard join
+(ngram_jaccard, lsh_verified) runs only over LSH candidate pairs.
 """
 
 from __future__ import annotations
@@ -263,20 +262,22 @@ SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
 
 @query("dedup_ngram_jaccard")
 def q_jaccard(d: str) -> str:
-    """n-gram Jaccard over candidate pairs (original, perturbed-twin):
-    |A∩B| via a shingle equi-join on distinct shingle sets; ratio in
-    double (per-row IEEE division, deterministic)."""
+    """Exact n-gram Jaccard for EVERY LSH candidate pair — the
+    unfiltered verification tier (``dedup_lsh_verified`` is this plus
+    the τ ≥ 0.5 near-duplicate cut).  Candidates come from the shared
+    LSH CTE chain, never from fixture arithmetic, so the pairwise set
+    intersection stays bounded by band-bucket fan-in at any scale."""
     return """
-WITH {corpus},{expl},
+WITH {lsh},
 shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
           FROM shingled GROUP BY doc_id),
 pairs AS (
-  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-         CAST(COUNT(*) AS BIGINT) AS inter
-  FROM shingled a JOIN shingled b
-    ON a.s = b.s AND b.doc_id = a.doc_id + 1000000
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shingled a ON a.doc_id = c.left_id
+  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
 )
 SELECT p.left_id, p.right_id, p.inter,
   sa.n AS left_n, sb.n AS right_n,
@@ -285,4 +286,4 @@ SELECT p.left_id, p.right_id, p.inter,
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.left_id
 JOIN sizes sb ON sb.doc_id = p.right_id
-""".format(corpus=_near_corpus(d), expl=_exploded_shingles(d))
+""".format(lsh=_lsh_ctes(d))

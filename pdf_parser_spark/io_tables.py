@@ -42,6 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 FORMAT_CONF = "spark.pdf_parser.table_format"
 
+# Manifest layout version.  v2 = root-wide ``_snapshots`` log whose
+# manifests carry a ``tables`` map (cross-table atomic commits); the
+# retired v1 layout kept a per-table ``<table>/_snapshots`` dir with a
+# ``files`` list.  Readers refuse both a missing/foreign version field
+# and a v1 residue dir instead of silently seeing zero commits.
+FORMAT_VERSION = 2
+
 # Iceberg DDL for the three tables at 10^12-document scale.  Design:
 # * pages/transactions bucket on url (1024 buckets) — co-locates the
 #   resume anti-join and any url-keyed validation join WITHOUT a
@@ -103,36 +110,66 @@ class TableIO:
     def _manifests(self) -> List[str]:
         d = self._snap_dir()
         if not os.path.isdir(d):
+            self._check_v1_residue()
             return []
         return sorted(
             os.path.join(d, f) for f in os.listdir(d)
             if f.startswith("snapshot-") and f.endswith(".json")
         )
 
+    def _check_v1_residue(self) -> None:
+        """A root written by the retired per-table layout has
+        ``<table>/_snapshots`` dirs the v2 reader never scans; raise
+        loudly rather than reporting an empty table."""
+        if not os.path.isdir(self.root):
+            return
+        for entry in os.listdir(self.root):
+            old = os.path.join(self.root, entry, "_snapshots")
+            if entry != "_snapshots" and os.path.isdir(old):
+                raise RuntimeError(
+                    "table root %r holds a v1 per-table snapshot log "
+                    "(%s); migrate it to the v2 root-wide layout before "
+                    "reading" % (self.root, old))
+
+    def _load_manifest(self, path: str) -> dict:
+        with open(path) as fh:
+            snap = json.load(fh)
+        if snap.get("format_version") != FORMAT_VERSION:
+            raise RuntimeError(
+                "manifest %s has format_version=%r, reader expects %d"
+                % (path, snap.get("format_version"), FORMAT_VERSION))
+        return snap
+
     def committed_files(self, table: str,
                         as_of: Optional[int] = None) -> List[str]:
         """Files visible for ``table``; ``as_of`` = time travel to a
-        snapshot sequence (inclusive).  A ``rewrite`` commit REPLACES
-        the table's file list (Iceberg's rewrite_data_files shape, used
-        by compaction); an ``append`` adds to it."""
-        files: List[str] = []
+        snapshot sequence (inclusive).  A ``rewrite`` commit (Iceberg's
+        rewrite_data_files shape, used by compaction) replaces exactly
+        the files committed at sequences ≤ its ``base``; appends that
+        landed between the rewrite's read point and its publish are
+        MERGED in, never erased — so compaction racing a micro-batch
+        append loses neither."""
+        entries: List[tuple] = []  # (origin_sequence, [files])
         for m in self._manifests():
-            with open(m) as fh:
-                snap = json.load(fh)
+            snap = self._load_manifest(m)
             if as_of is not None and snap["sequence"] > as_of:
                 break
             if table not in snap["tables"]:
                 continue
             if snap.get("op") == "rewrite":
-                files = list(snap["tables"][table])
+                base = snap.get("base", snap["sequence"] - 1)
+                entries = [(snap["sequence"], list(snap["tables"][table]))] \
+                    + [(s, fl) for (s, fl) in entries if s > base]
             else:
-                files.extend(snap["tables"][table])
-        return files
+                entries.append((snap["sequence"],
+                                list(snap["tables"][table])))
+        return [f for _, fl in entries for f in fl]
 
     # ---------------- API
     def append_many(self, dfs: Dict[str, DataFrame],
                     run_id: Optional[str] = None,
-                    op: str = "append") -> dict:
+                    op: str = "append",
+                    base: Optional[int] = None) -> dict:
         """Write several tables as ONE commit; the single snapshot
         manifest rename IS the commit point for all of them."""
         if self.fmt == "iceberg":
@@ -153,17 +190,34 @@ class TableIO:
             ]
         snap_dir = self._snap_dir()
         os.makedirs(snap_dir, exist_ok=True)
-        seq = len(self._manifests())
-        manifest = {
-            "sequence": seq, "commit_id": commit_id, "run_id": run_id,
-            "op": op, "tables": table_files,
-        }
         tmp = os.path.join(snap_dir, ".tmp-%s.json" % commit_id)
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(
-            snap_dir, "snapshot-%05d.json" % seq))  # atomic commit point
-        return manifest
+        # Optimistic commit (Iceberg's shape): claim the next sequence
+        # with os.link, which — unlike os.rename — FAILS if another
+        # committer already published that sequence; on collision,
+        # re-scan the log and retry with the next number.  The link(2)
+        # call is the atomic commit point.
+        for _ in range(100):
+            seq = len(self._manifests())
+            manifest = {
+                "format_version": FORMAT_VERSION, "sequence": seq,
+                "commit_id": commit_id, "run_id": run_id,
+                "op": op, "tables": table_files,
+            }
+            if op == "rewrite":
+                manifest["base"] = seq - 1 if base is None else base
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                os.link(tmp, os.path.join(
+                    snap_dir, "snapshot-%05d.json" % seq))
+            except FileExistsError:
+                continue
+            os.unlink(tmp)
+            return manifest
+        os.unlink(tmp)
+        raise RuntimeError(
+            "could not claim a snapshot sequence after 100 attempts "
+            "(livelocked commit log at %s)" % snap_dir)
 
     def compact(self, spark: SparkSession, table: str,
                 target_partitions: int = 1,
@@ -176,13 +230,29 @@ class TableIO:
         and publishes ONE ``rewrite`` manifest; readers atomically
         switch, old files stay on disk for time travel (``as_of``
         before the rewrite still resolves the pre-compaction state).
-        Safe against concurrent kill: no manifest → nothing changed."""
-        df = self.read(spark, table)
+        Safe against concurrent kill: no manifest → nothing changed.
+
+        Concurrent-append safety: the rewrite manifest records the
+        ``base`` sequence it read, and ``committed_files`` replaces
+        only files committed ≤ base — an append that lands between the
+        compaction's read and its publish survives the rewrite instead
+        of being erased (Iceberg's file-scoped rewrite semantics).
+
+        Retention: there is deliberately NO expire/vacuum — every
+        pre-rewrite file must stay on disk because ``as_of`` readers
+        and in-flight lazy DataFrames still reference it.  Any future
+        vacuum must compute file liveness across ALL retained
+        snapshots, not just the head."""
+        basis = len(self._manifests()) - 1
+        # read exactly the state ``base`` claims: a commit landing
+        # between the log scan and the read must not be both merged by
+        # the reader AND contained in the rewrite (double-count)
+        df = self.read(spark, table, as_of=basis)
         if df is None:
             return None
         return self.append_many(
             {table: df.coalesce(target_partitions)},
-            run_id=run_id, op="rewrite")
+            run_id=run_id, op="rewrite", base=basis)
 
     def append(self, df: DataFrame, table: str,
                run_id: Optional[str] = None) -> dict:
@@ -208,8 +278,7 @@ class TableIO:
         """Commit log; with ``table``, only commits touching it."""
         out = []
         for m in self._manifests():
-            with open(m) as fh:
-                snap = json.load(fh)
+            snap = self._load_manifest(m)
             if table is None or table in snap["tables"]:
                 out.append(snap)
         return out

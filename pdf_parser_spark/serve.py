@@ -35,18 +35,26 @@ def parse_payload(payload: bytes, fallback_year: int = 1970) -> List[dict]:
 
 
 def _multipart_file(content_type: str, body: bytes) -> Optional[bytes]:
-    """First file part of a multipart/form-data body (stdlib email
-    parser; no external deps)."""
+    """The ``file`` part of a multipart/form-data body, matching the
+    reference endpoint's field binding (app.py:10 ``file: UploadFile``):
+    prefer the part whose Content-Disposition name is ``file``, fall
+    back to the first part carrying a filename — never a leading text
+    field (stdlib email parser; no external deps)."""
     msg = BytesParser(policy=_email_default).parsebytes(
         b"Content-Type: " + content_type.encode("latin-1") + b"\r\n\r\n"
         + body
     )
     if not msg.is_multipart():
         return None
+    fallback = None
     for part in msg.iter_parts():
-        if part.get_content_disposition() == "form-data":
+        if part.get_content_disposition() != "form-data":
+            continue
+        if part.get_param("name", header="content-disposition") == "file":
             return part.get_payload(decode=True)
-    return None
+        if fallback is None and part.get_filename() is not None:
+            fallback = part.get_payload(decode=True)
+    return fallback
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -58,6 +66,11 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         if self.path.rstrip("/") != "/parse":
             self.send_error(404)
+            return
+        if "chunked" in (self.headers.get("Transfer-Encoding") or "") \
+                .lower():
+            # a missing Content-Length would silently read 0 bytes
+            self.send_error(411, "chunked upload not supported")
             return
         length = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(length)

@@ -36,14 +36,14 @@ def test_crashed_commit_leaves_nothing_visible(spark, tmp_path,
     a, b = two_tables
     io = TableIO(str(tmp_path))
 
-    real_rename = os.rename
+    real_link = os.link
 
     def crash(src, dst):
         if "snapshot-" in dst:
             raise RuntimeError("simulated crash at commit point")
-        return real_rename(src, dst)
+        return real_link(src, dst)
 
-    monkeypatch.setattr(os, "rename", crash)
+    monkeypatch.setattr(os, "link", crash)
     with pytest.raises(RuntimeError):
         io.append_many({"ta": a, "tb": b})
     monkeypatch.undo()
@@ -176,3 +176,83 @@ def test_compaction_and_time_travel(spark, tmp_path):
         "t")
     assert io.read(spark, "t").count() == 4
     assert len(io.committed_files("t")) == 1 + len(m2["tables"]["t"])
+
+
+def test_concurrent_appends_lose_no_snapshot(spark, tmp_path):
+    """Two committers racing the shared commit log must both land:
+    os.link fails on an already-claimed sequence (unlike os.rename,
+    which silently clobbers) and the loser retries with the next one —
+    Iceberg's optimistic-commit shape.  Drive the race deterministically
+    by pre-claiming the sequence the writer will try first."""
+    import json
+
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,)], "id int"), "t")
+    # rival claims sequence 1 out from under the next append
+    snap_dir = tmp_path / "_snapshots"
+    rival = {"format_version": 2, "sequence": 1, "commit_id": "rival",
+             "run_id": None, "op": "append", "tables": {"t": []}}
+    (snap_dir / "snapshot-00001.json").write_text(json.dumps(rival))
+
+    m = io.append(spark.createDataFrame([(2,)], "id int"), "t")
+    assert m["sequence"] == 2  # collided on 1, retried
+    seqs = [s["sequence"] for s in io.snapshots()]
+    assert seqs == [0, 1, 2]  # nothing clobbered
+    assert io.read(spark, "t").count() == 2
+
+
+def test_concurrent_append_threads(spark, tmp_path):
+    """Eight threads appending concurrently: every commit survives with
+    a distinct sequence and all rows are readable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    io = TableIO(str(tmp_path))
+    dfs = [spark.createDataFrame([(i,)], "id int").coalesce(1)
+           for i in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        manifests = list(ex.map(lambda df: io.append(df, "t"), dfs))
+    assert sorted(m["sequence"] for m in manifests) == list(range(8))
+    assert io.read(spark, "t").count() == 8
+    assert {r.id for r in io.read(spark, "t").collect()} == set(range(8))
+
+
+def test_rewrite_merges_concurrent_append(spark, tmp_path):
+    """An append that lands between a compaction's read point and its
+    rewrite publish must survive: the rewrite replaces only files
+    committed <= its base sequence."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,)], "id int").coalesce(1), "t")
+    # compaction reads state as of seq 0 ...
+    basis = 0
+    compacted = io.read(spark, "t", as_of=basis).coalesce(1)
+    # ... a micro-batch append lands first ...
+    io.append(spark.createDataFrame([(2,)], "id int").coalesce(1), "t")
+    # ... then the rewrite publishes with base=0
+    io.append_many({"t": compacted}, op="rewrite", base=basis)
+    # the interleaved append is merged, not erased
+    assert {r.id for r in io.read(spark, "t").collect()} == {1, 2}
+
+
+def test_v1_layout_raises_not_silent_empty(spark, tmp_path):
+    """A root written by the retired per-table layout must raise, not
+    read as an empty table."""
+    old = tmp_path / "transactions" / "_snapshots"
+    old.mkdir(parents=True)
+    (old / "snapshot-00000.json").write_text("{}")
+    io = TableIO(str(tmp_path))
+    with pytest.raises(RuntimeError, match="v1 per-table snapshot log"):
+        io.read(spark, "transactions")
+
+
+def test_foreign_format_version_raises(spark, tmp_path):
+    """Manifests without the expected format_version are refused."""
+    import json
+
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,)], "id int"), "t")
+    snap = tmp_path / "_snapshots" / "snapshot-00000.json"
+    doc = json.loads(snap.read_text())
+    doc.pop("format_version")
+    snap.write_text(json.dumps(doc))
+    with pytest.raises(RuntimeError, match="format_version"):
+        io.read(spark, "t")

@@ -88,3 +88,44 @@ def test_parse_payload_function_direct():
         text_to_pdf("chase.com 2024\n01/03 Deposit 100.00"), 2024)
     assert txs == [{"date": "2024-01-03", "description": "Deposit",
                     "amount": 100.0, "direction": "in"}]
+
+
+def test_multipart_binds_file_field_not_first_part(server):
+    """A text field ahead of the file part must not shadow it — the
+    endpoint binds to the part NAMED 'file' (reference app.py:10)."""
+    boundary = uuid.uuid4().hex
+    payload = text_to_pdf("chase.com 2024\n01/03 Deposit 100.00")
+    body = (
+        ("--%s\r\nContent-Disposition: form-data; name=\"note\"\r\n\r\n"
+         "this is not the document\r\n" % boundary).encode("latin-1")
+        + ("--%s\r\nContent-Disposition: form-data; name=\"file\"; "
+           "filename=\"doc.pdf\"\r\n"
+           "Content-Type: application/pdf\r\n\r\n" % boundary)
+        .encode("latin-1")
+        + payload
+        + ("\r\n--%s--\r\n" % boundary).encode("latin-1")
+    )
+    req = urllib.request.Request(
+        server + "/parse", data=body, method="POST",
+        headers={"Content-Type":
+                 "multipart/form-data; boundary=%s" % boundary})
+    with urllib.request.urlopen(req) as resp:
+        got = json.loads(resp.read())
+    assert got and got[0]["amount"] == 100.0
+
+
+def test_chunked_upload_rejected_411(server):
+    """Transfer-Encoding: chunked has no Content-Length; reading 0
+    bytes silently would parse an empty payload — reject with 411."""
+    import http.client
+
+    host, port = server.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port))
+    conn.putrequest("POST", "/parse", skip_accept_encoding=True)
+    conn.putheader("Transfer-Encoding", "chunked")
+    conn.putheader("Content-Type", "application/pdf")
+    conn.endheaders()
+    conn.send(b"0\r\n\r\n")
+    resp = conn.getresponse()
+    assert resp.status == 411
+    conn.close()

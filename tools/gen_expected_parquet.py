@@ -16,9 +16,18 @@ Provenance of each column (what the oracle actually asserts):
   - n_chars/text_sha256: INDEPENDENT ground truth — the canonical
     fixture text per payload mode; this is the byte-identical-text
     gate of the BASELINE north rule expressed as an oracle;
-  - pages/n_lines/blocks_total/blocks_kept: engine-derived lineage
-    (this repo's own tally over the canonical text / rendered
-    payloads), pinned here as regression goldens;
+  - pages/n_lines: INDEPENDENT ground truth, derived from fixture
+    construction parameters — pages from the renderer's page-break
+    arithmetic (one physical page per 60 rendered lines per \\f
+    chunk, pdfio/writer.PAGE_LINES; html/text payloads are
+    single-page), n_lines from the canonical text's non-blank line
+    count (the documented normalization contract, reference
+    base.py:18-19: NBSP→space then strip).  The engine's own values
+    are cross-ASSERTED against these at generation time but never
+    stored;
+  - blocks_total/blocks_kept: engine-derived tally counters, pinned
+    here as regression goldens (disclosed: no independent oracle
+    exists for the reference's internal block bookkeeping);
   - error: None for the whole fixture corpus.
 * expected_media_features.parquet / expected_media_frames.parquet —
   INDEPENDENT ground truth: feature values and frame hashes computed
@@ -49,6 +58,29 @@ from pdf_parser_spark.pages_source import _MODES, fixture_pages_rows  # noqa: E4
 from pdf_parser_spark.pdfio.extract import extract_document  # noqa: E402
 
 GOLDEN_DIR = REPO / "tests" / "golden"
+
+
+def constructed_pages(doc_text: str, mode: str) -> int:
+    """Page count from construction parameters alone: the PDF renderer
+    emits one physical page per PAGE_LINES rendered lines within each
+    ``\\f`` chunk (pdfio/writer.text_to_pdf); html/text are one page."""
+    from pdf_parser_spark.pdfio.writer import PAGE_LINES
+
+    if mode != "pdf":
+        return 1
+    total = 0
+    for chunk in doc_text.split("\f"):
+        n = max(1, len(chunk.split("\n")))
+        total += -(-n // PAGE_LINES)  # ceil
+    return total
+
+
+def constructed_n_lines(canon: str) -> int:
+    """Non-blank line count of the canonical text under the documented
+    normalization contract (NBSP→space, strip — reference
+    base.py:18-19)."""
+    return sum(1 for l in canon.split("\n")
+               if l.replace("\u00a0", " ").strip())
 
 
 def canonical_text(doc_text: str, mode: str) -> str:
@@ -100,22 +132,28 @@ def main() -> None:
     for i, doc in enumerate(docs):
         mode = _MODES[i % len(_MODES)]
         canon = canonical_text(doc["text"], mode)
-        if mode == "text":
-            pages = 1
-        else:
+        pages = constructed_pages(doc["text"], mode)
+        n_lines = constructed_n_lines(canon)
+        if mode != "text":
+            # cross-check only — the stored value is construction-derived
             extracted = extract_document(payload_by_url[doc["url"]])
             assert extracted.text == canon, doc["url"]
-            pages = extracted.pages
+            assert extracted.pages == pages, \
+                "%s: extractor pages %d != constructed %d" \
+                % (doc["url"], extracted.pages, pages)
         tally: dict = {}
         bank, txs = parse_document(canon, doc["warc_ts"].year, tally=tally)
         want = expected(doc["url"])
         assert bank == want["bank"] and len(txs) == len(want["txs"]), \
             doc["url"]
+        assert tally.get("n_lines", 0) == n_lines, \
+            "%s: engine n_lines %d != constructed %d" \
+            % (doc["url"], tally.get("n_lines", 0), n_lines)
         dm["url"].append(doc["url"])
         dm["bank"].append(want["bank"])
         dm["kind"].append(mode)
         dm["pages"].append(pages)
-        dm["n_lines"].append(tally.get("n_lines", 0))
+        dm["n_lines"].append(n_lines)
         dm["n_chars"].append(len(canon))
         dm["blocks_total"].append(tally.get("blocks_total", 0))
         dm["blocks_kept"].append(tally.get("blocks_kept", 0))

@@ -17,10 +17,10 @@ result is independent of accumulation order (and therefore identical
 across engines); per-row double arithmetic (ratio, cosine) is IEEE-
 deterministic and needs no such treatment.
 
-Known, deliberate divergence from the Python fidelity path: the two
-DIRECTION_RULES patterns using negative lookahead (common.py:17,28 —
-RE2 has no lookahead) are rewritten as ``rlike(p) AND NOT rlike(p')``,
-equivalent whenever the keyword appears at most once per line.
+The two DIRECTION_RULES patterns using negative lookahead
+(common.py:17,28 — RE2/SQL have no lookahead) are rewritten with exact
+last-occurrence semantics (see ``direction_case``); since round 3 this
+is a true equivalence, not the earlier single-occurrence approximation.
 """
 
 from __future__ import annotations
@@ -168,7 +168,14 @@ _ISSUER_TOKEN = (
 
 
 def stmt_lines_cte(d: str) -> str:
-    """Derived statement lines: (doc_id, line_no, line)."""
+    """Derived statement lines: (doc_id, line_no, line).
+
+    The outer trim(translate(...)) is the S4 normalization contract
+    (reference base.py:18-19: NBSP→space, unicode dashes→'-', strip)
+    applied in-plan: without it, hostile unicode in ``documents.text``
+    diverges from the engine, whose Python regexes/strip() are
+    unicode-aware while Java's and DuckDB's are ASCII-only (found by
+    tools/fuzz_relational.py)."""
     p = PRINTF(d)
     ws = "split(text, ' ')" if d == SPARK else "string_split(text, ' ')"
     nlines = "cast(ceil(%s / 6.0) as int)" % LEN("ws", d)
@@ -188,6 +195,7 @@ words AS (SELECT doc_id, n_chars, {ws} AS ws FROM documents),
 chunked AS ({expl}),
 stmt_lines AS (
   SELECT doc_id, line_no,
+    trim(translate(
     CASE WHEN line_no % 3 = 0
          THEN {p}('%02d/%02d ', (doc_id + line_no) % 12 + 1,
                                 (doc_id * 7 + line_no) % 28 + 1)
@@ -206,9 +214,12 @@ stmt_lines AS (
             WHEN line_no % 5 = 4
             THEN {p}(' -%d.%02d', n_chars % 999 + 1, line_no % 100)
             ELSE '' END
+    , '{nbsp}{endash}{emdash}{minus}', ' ---'))
     AS line
   FROM chunked WHERE {chunk} <> ''
-)""".format(ws=ws, expl=expl, p=p, issuer=_ISSUER_TOKEN, chunk=chunk)
+)""".format(ws=ws, expl=expl, p=p, issuer=_ISSUER_TOKEN, chunk=chunk,
+            nbsp="\u00a0", endash="\u2013", emdash="\u2014",
+            minus="\u2212")
 
 
 def with_lines(body: str, d: str, barrier: bool = False) -> str:
@@ -368,7 +379,7 @@ _DIR_CASES = [
     (r"\bPOS\s+DEB\b", None, "out"),
     (r"\bDEBIT\s+CARD\s+PURCH\b", None, "out"),
     (r"\bZELLE.*PAYMENT\s+TO\b", None, "out"),
-    (r"\bPAYPAL\s+", r"\bPAYPAL\s+.*CREDIT", "out"),   # lookahead rewrite
+    (r"\bPAYPAL\s", ("tail", "CREDIT"), "out"),        # lookahead rewrite
     (r"\bCHECK\b", None, "out"),
     (r"\bWITHDRAWAL\b", None, "out"),
     (r"\bFEE\b", None, "out"),
@@ -379,19 +390,39 @@ _DIR_CASES = [
     (r"\bDEBIT\s+CARD\s+CREDIT\b", None, "in"),
     (r"\bZELLE.*PAYMENT\s+FROM\b", None, "in"),
     (r"\bINTEREST\s+PAYMENT\b", None, "in"),
-    (r"\bWT\b", r"\bWT\b.*(CHARGE|FEE)", "in"),        # lookahead rewrite
+    (r"\bWT\b", ("tail", "(CHARGE|FEE)"), "in"),       # lookahead rewrite
     (r"\bPAYPAL.*CREDIT\b", None, "in"),
 ]
 
 
+def REEXTRACT(sexpr: str, pattern: str, group: int, d: str) -> str:
+    """Group extract ('' on no-match in both dialects)."""
+    return "regexp_extract(%s, %s, %d)" % (sexpr, lit(pattern, d), group)
+
+
 def direction_case(expr: str, d: str) -> str:
-    """C2 global direction rules as one ordered CASE chain."""
+    """C2 global direction rules as one ordered CASE chain.
+
+    The two negative-lookahead rules (common.py:17,28; RE2/SQL have no
+    lookahead) use EXACT last-occurrence semantics: Python's
+    ``search(p(?!.*F))`` succeeds iff SOME occurrence of ``p`` has no
+    ``F`` after it, and since "no F after position i" is monotone in i,
+    that occurrence exists iff the tail after the LAST ``p`` (greedy
+    ``^(.*p)(.*)$``) is F-free.  (The pre-round-3 rewrite
+    ``rlike(p) AND NOT rlike(p.*F)`` was only equivalent for a single
+    occurrence of ``p`` per line — found by tools/fuzz_relational.py.)"""
     up = "upper(%s)" % expr
     whens = []
     for pat, neg, out in _DIR_CASES:
-        cond = RLIKE(up, pat, d)
-        if neg:
-            cond = "(%s AND NOT %s)" % (cond, RLIKE(up, neg, d))
+        if isinstance(neg, tuple):
+            split = "^(.*%s)(.*)$" % pat
+            cond = ("(%s <> '' AND NOT %s)"
+                    % (REEXTRACT(up, split, 1, d),
+                       RLIKE(REEXTRACT(up, split, 2, d), neg[1], d)))
+        else:
+            cond = RLIKE(up, pat, d)
+            if neg:
+                cond = "(%s AND NOT %s)" % (cond, RLIKE(up, neg, d))
         whens.append("WHEN %s THEN '%s'" % (cond, out))
     return "CASE %s ELSE 'unknown' END" % " ".join(whens)
 
@@ -447,49 +478,11 @@ SELECT doc_id, {case_} AS bank FROM (
               cat=ORD_CONCAT("line", "\n", "line_no", d)), d)
 
 
-@query("generic_relational")
-def q_generic_parse(d: str) -> str:
-    """The COMPLETE GenericParser (base.py:103-121) as one relational
-    plan: date gate → block window (G1) → ordered concat (G4) → first
-    amount (D1/D6) → strip trailing lexeme (D7) → direction (C2) →
-    normalize + stable per-doc sort (D20/G6).  Cross-checked against
-    the Python engine in tests (differential, SURVEY §5.3)."""
-    strip_tail = REREPL("block_text", r"\s*" + AMOUNT_PATTERN + r"\s*$",
-                        "", d)
-    toks = REALL("block_text", AMOUNT_PATTERN, d)
-    date_pat = r"^\s*(\d{1,2})/(\d{1,2})\b"
-    p = PRINTF(d)
-    return with_lines("""
-, blocks AS (
-  SELECT doc_id, block_id,
-         {cat} AS block_text,
-         MIN(line_no) AS first_line
-  FROM (
-    SELECT doc_id, line_no, line,
-      SUM({isd}) OVER (PARTITION BY doc_id ORDER BY line_no
-                       ROWS UNBOUNDED PRECEDING) AS block_id
-    FROM stmt_lines
-  ) b WHERE block_id > 0
-  GROUP BY doc_id, block_id
-), parsed AS (
-  SELECT doc_id, block_id,
-    {p}('%04d-%02d-%02d', 2024,
-        cast(regexp_extract(block_text, {dp}, 1) as int),
-        cast(regexp_extract(block_text, {dp}, 2) as int)) AS date,
-    trim({strip_tail}) AS description,
-    {amt} AS amount
-  FROM (SELECT doc_id, block_id, block_text, {toks} AS toks FROM blocks) x
-)
-SELECT doc_id,
-  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, block_id)
-       AS INT) - 1 AS tx_index,
-  date, description, abs(amount) AS amount,
-  {dircase} AS direction
-FROM parsed WHERE amount IS NOT NULL
-""".format(cat=ORD_CONCAT("line", " ", "line_no", d), isd=_is_date(d),
-           p=p, dp=lit(date_pat, d), strip_tail=strip_tail, toks=toks,
-           amt=_signed_first_amount(d),
-           dircase=direction_case("description", d)), d, barrier=True)
+# generic_relational (the COMPLETE GenericParser, base.py:103-121)
+# lives in relational_banks.py since round 3: its block gate needs the
+# full slash→long→Mmm date battery (_date_value_sql) — the former
+# slash-only gate here diverged from the engine on lines opening with
+# month-name dates (found by tools/fuzz_relational.py).
 
 
 @query("g7_lineage_rollup")

@@ -298,10 +298,15 @@ def q_chase_amount(d: str) -> str:
     digit-string appears inside a phone-number context are excluded —
     expressed with max_by over an exploded token table."""
     toks = REALL("line", AMOUNT_PATTERN, d)
+    # reference chase.py:187-194 quirk, kept faithfully: clean_to_float
+    # strips $,() but NOT '-', so a leading-minus token parses negative
+    # and the explicit negation flips it POSITIVE (-(-477.09) = 477.09);
+    # stripping '-' here "fixed" the quirk and diverged from the engine
+    # (found by tools/fuzz_relational.py)
     signed = ("CASE WHEN tok LIKE '%-%' OR tok LIKE '(%' "
               "THEN -cast({bare} as double) "
               "ELSE cast({bare} as double) END").format(
-                  bare=REREPL("tok", r"[\(\)\-\$,]", "", d))
+                  bare=REREPL("tok", r"[\(\)\$,]", "", d))
     has_phone = RLIKE("line", r"\d{3}[-.\s]\d{3}[-.\s]\d{4}", d)
     digits = "replace(replace(tok, ',', ''), '.', '')"
     if d == SPARK:
@@ -617,10 +622,15 @@ def q_chase(d: str) -> str:
     else:
         tok_expl = ("SELECT doc_id, grp, body, unnest(%s) AS tok "
                     "FROM gated" % toks)
+    # reference chase.py:187-194 quirk, kept faithfully: clean_to_float
+    # strips $,() but NOT '-', so a leading-minus token parses negative
+    # and the explicit negation flips it POSITIVE (-(-477.09) = 477.09);
+    # stripping '-' here "fixed" the quirk and diverged from the engine
+    # (found by tools/fuzz_relational.py)
     signed = ("CASE WHEN tok LIKE '%-%' OR tok LIKE '(%' "
               "THEN -cast({bare} as double) "
               "ELSE cast({bare} as double) END").format(
-                  bare=REREPL("tok", r"[\(\)\-\$,]", "", d))
+                  bare=REREPL("tok", r"[\(\)\$,]", "", d))
     return with_lines("""
 , chased AS (
   SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
@@ -1274,14 +1284,71 @@ FROM parsed WHERE amount IS NOT NULL
            ).direction_case("description", d)), d)
 
 
+@query("generic_relational")
+def q_generic_parse(d: str) -> str:
+    """The COMPLETE GenericParser (base.py:103-121) as one relational
+    plan: full slash→long→Mmm date gate per line → block window (G1) →
+    ordered concat (G4) → first amount (D1/D6) → strip trailing lexeme
+    (D7) → direction (C2) → normalize + stable per-doc sort (D20/G6).
+    Same marked/blocked/openers shape as mercury (which is this machine
+    with Mmm-first priority); block date comes from the OPENER line, as
+    the engine's sweep does.  Cross-checked against the Python engine
+    in tests AND tools/fuzz_relational.py (the former slash-only gate
+    diverged on month-name opener lines)."""
+    toks = REALL("body", AMOUNT_PATTERN, d)
+    strip_tail = REREPL("body", r"\s*" + AMOUNT_PATTERN + r"\s*$", "", d)
+    ordcat = ("string_agg(line, ' ' ORDER BY line_no)" if d == DUCK else
+              "concat_ws(' ', transform(array_sort(collect_list("
+              "struct(line_no as o, line as v))), x -> x.v))")
+    return with_lines("""
+, marked AS (
+  SELECT doc_id, line_no, line,
+    {dval} AS date_val
+  FROM stmt_lines
+),
+blocked AS (
+  SELECT doc_id, line_no, line, date_val,
+    SUM(CASE WHEN date_val IS NOT NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY line_no
+            ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM marked
+),
+openers AS (
+  SELECT doc_id, block_id, date_val AS block_date
+  FROM blocked WHERE date_val IS NOT NULL
+),
+blocks AS (
+  SELECT doc_id, block_id, {ordcat} AS body
+  FROM blocked WHERE block_id > 0 GROUP BY doc_id, block_id
+),
+parsed AS (
+  SELECT b.doc_id, b.block_id, o.block_date AS date,
+    trim({strip_tail}) AS description,
+    {amt} AS amount
+  FROM (SELECT doc_id, block_id, body, {toks} AS toks FROM blocks) b
+  JOIN openers o ON b.doc_id = o.doc_id AND b.block_id = o.block_id
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, block_id)
+       AS INT) - 1 AS tx_index,
+  date, description, abs(amount) AS amount,
+  {dircase} AS direction
+FROM parsed WHERE amount IS NOT NULL
+""".format(dval=_date_value_sql("line", "slash_first", d), ordcat=ordcat,
+           strip_tail=strip_tail, toks=toks,
+           amt=_signed_first_amount(d),
+           dircase=__import__(
+               "pdf_parser_spark.relational", fromlist=["direction_case"]
+           ).direction_case("description", d)), d)
+
+
 def _alias_generic(name: str, ref: str):
     """IFB (ifb.py:8-34) and PNB (pnb.py:5-30) are line-for-line the
     same machine as GenericParser in the reference — registered as
     named queries for inventory completeness."""
-    from .relational import QUERIES as _RQ
 
     def q(d: str) -> str:
-        return _RQ["generic_relational"](d)
+        return QUERIES["generic_relational"](d)
     q.__doc__ = ("Verbatim-identical to generic_relational "
                  "(reference %s)." % ref)
     QUERIES[name] = q
@@ -1364,7 +1431,11 @@ def _wf_invalid_sql(low: str, line: str, d: str) -> str:
 
 
 def _wf_direction_sql(desc: str, d: str) -> str:
-    """C6 tiers (wf.py:176-227)."""
+    """C6 tiers (wf.py:176-227).
+
+    [\\p{L}\\p{N}_] instead of \\w: Python's \\w is unicode-aware
+    while Java's and RE2's are ASCII-only -- 'from žluťoučký' must
+    classify 'in' in every dialect (tools/fuzz_relational.py)."""
     dl = "lower(%s)" % desc
     return """CASE
   WHEN {org} AND NOT {bnf} THEN 'in'
@@ -1381,10 +1452,10 @@ def _wf_direction_sql(desc: str, d: str) -> str:
         org=RLIKE(dl, r"/org=", d), bnf=RLIKE(dl, r"/bnf=", d),
         xfer=_contains_any(dl, ("online transfer from", "transfer from",
                                 "llc sender", "sender")),
-        fromw=RLIKE(dl, r"\bfrom\s+\w+", d),
-        comp=RLIKE(dl, r"\w+\s+company\s+payment", d),
-        pnum=RLIKE(dl, r"\bpayment\s+\w+\s+\d+", d),
-        wt=RLIKE(dl, r"\bwt\s+\w+", d),
+        fromw=RLIKE(dl, r"\bfrom\s+[\p{L}\p{N}_]+", d),
+        comp=RLIKE(dl, r"[\p{L}\p{N}_]+\s+company\s+payment", d),
+        pnum=RLIKE(dl, r"\bpayment\s+[\p{L}\p{N}_]+\s+\d+", d),
+        wt=RLIKE(dl, r"\bwt\s+[\p{L}\p{N}_]+", d),
         dep=_contains_any(dl, ("interest payment", "interest credit",
                                "deposit", "credit")))
 
@@ -1532,7 +1603,8 @@ _CITI_NOISE_PATTERNS = (
     r"in case of errors", r"^messages from citi",
     r"value of accounts this period", r"earnings summary",
     r"we are notifying", r"^effective", r"^account as of",
-    r"citibusiness® account as of", r"^\w+ \d+,? - \w+ \d+,? \d{4}",
+    r"citibusiness® account as of",
+    r"^[\p{L}\p{N}_]+ \d+,? - [\p{L}\p{N}_]+ \d+,? \d{4}",
     r"^\d{4} de citi",
 )
 _CITI_COLUMN_HEADERS = (
@@ -1843,3 +1915,26 @@ FROM unioned
                                  "withholding")),
            v1=elem % ("vals", "1"), v2=elem % ("vals", "2"),
            c5=_citi_direction_sql("description", "signed_amount", d)), d)
+
+
+# Python mirrors of the remaining in-plan injections (shared by the
+# differential tests and tools/fuzz_relational.py; the heavier mirrors
+# chase/bofa/rel/wf/citi_inject_py live next to their SQL above).
+def truist_inject_py(doc_id: int, line_no: int, line: str) -> str:
+    if line_no % 9 == 1:
+        return ("Deposits, credits and interest"
+                if (doc_id + line_no) % 2 == 0
+                else "Other withdrawals, debits and fees")
+    return line
+
+
+def valley_inject_py(doc_id: int, line_no: int, line: str) -> str:
+    if line_no % 23 == 7:
+        return line + "x" * 260
+    return line
+
+
+def mercury_inject_py(doc_id: int, line_no: int, line: str) -> str:
+    if line_no % 7 == 3:
+        return "Feb 7 " + line
+    return line

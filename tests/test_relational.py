@@ -147,16 +147,11 @@ def test_relational_truist_matches_engine(spark, entry_mod):
     mirroring the SQL injection)."""
     from pdf_parser_spark.engine.banks import parse_truist
     from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import truist_inject_py
 
     expected = {}
     for doc_id, pairs in _derived_lines(spark, entry_mod).items():
-        lines = [
-            ("Deposits, credits and interest"
-             if (doc_id + n) % 2 == 0
-             else "Other withdrawals, debits and fees")
-            if n % 9 == 1 else l
-            for n, l in pairs
-        ]
+        lines = [truist_inject_py(doc_id, n, l) for n, l in pairs]
         expected[doc_id] = _tx_tuple(
             finalize_records(parse_truist(lines, 2024)))
 
@@ -179,13 +174,11 @@ def test_relational_valley_matches_engine(spark, entry_mod):
     250-char cutoff, mirroring the SQL injection)."""
     from pdf_parser_spark.engine.banks import parse_valley
     from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import valley_inject_py
 
     expected = {}
     for doc_id, pairs in _derived_lines(spark, entry_mod).items():
-        lines = [
-            l + "x" * 260 if n % 23 == 7 else l
-            for n, l in pairs
-        ]
+        lines = [valley_inject_py(doc_id, n, l) for n, l in pairs]
         expected[doc_id] = _tx_tuple(
             finalize_records(parse_valley(lines, 2024)))
 
@@ -289,10 +282,11 @@ def test_relational_mercury_matches_engine(spark, entry_mod):
     the Python engine on Mmm-injected lines."""
     from pdf_parser_spark.engine.banks import parse_mercury
     from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.relational_banks import mercury_inject_py
 
     expected = {}
     for doc_id, pairs in _derived_lines(spark, entry_mod).items():
-        lines = ["Feb 7 " + l if n % 7 == 3 else l for n, l in pairs]
+        lines = [mercury_inject_py(doc_id, n, l) for n, l in pairs]
         expected[doc_id] = _tx_tuple(
             finalize_records(parse_mercury(lines, 2024)))
 

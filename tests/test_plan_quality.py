@@ -124,3 +124,49 @@ def test_relational_flagship_wholestage_codegen(spark):
     # segmentation window + per-doc sort window are the only shuffles
     # beyond the scan: one hash-partitioning by doc_id suffices for both
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_bucketed_url_joins_are_shuffle_free(spark):
+    """The 100-TB join strategy made concrete: the resume anti-join and
+    the validation join run against url-bucketed tables with ZERO
+    Exchange in the plan — the keys are co-located at WRITE time, so
+    the join moves no bytes at read time.  Iceberg's
+    ``bucket(1024, url)`` partition transform (io_tables.ICEBERG_DDL)
+    is the cluster form of exactly this layout; Spark's native bucketed
+    parquet tables (bucketBy + saveAsTable) prove the plan shape in the
+    sandbox, where no Iceberg jars exist.  Broadcast is disabled so the
+    gate can't pass by shipping the small side instead."""
+    n_buckets = 8
+    pages = fixture_pages_df(spark).select("url", "lang")
+    committed = pages.filter(F.crc32(F.col("url")) % 3 == 0).select("url")
+    (pages.write.bucketBy(n_buckets, "url").sortBy("url")
+        .mode("overwrite").saveAsTable("pages_bucketed_t"))
+    (committed.write.bucketBy(n_buckets, "url").sortBy("url")
+        .mode("overwrite").saveAsTable("committed_bucketed_t"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("pages_bucketed_t")
+        b = spark.table("committed_bucketed_t")
+
+        resume = a.join(b, "url", "left_anti")
+        plan = _explain(resume)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert "Exchange" not in plan, plan
+
+        validation = a.join(b, "url", "inner")
+        plan2 = _explain(validation)
+        assert "Exchange" not in plan2, plan2
+
+        # and the co-location is real, not just a plan claim
+        assert resume.count() + validation.count() == pages.count()
+
+        # the same joins WITHOUT bucketing shuffle both sides — the
+        # contrast that quantifies what the layout buys at 100 TB
+        pa, pb = a.localCheckpoint(), b.localCheckpoint()
+        plan3 = _explain(pa.join(pb, "url", "left_anti"))
+        assert "Exchange hashpartitioning" in plan3, plan3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_t")
+        spark.sql("DROP TABLE IF EXISTS committed_bucketed_t")

@@ -486,3 +486,43 @@ def fixture_docs() -> List[Dict[str, Any]]:
     for idx, d in enumerate(docs):
         d["warc_ts"] = _T0 + timedelta(hours=idx)
     return docs
+
+
+def mega_statement_text(target_mb: int = 512, seed: int = 7) -> str:
+    """A single pathological multi-hundred-MB chase-shaped statement
+    (SURVEY §4 worst-case document): deterministic pseudo-random
+    transaction lines with section headers and noise interleaved, page
+    breaks every 60 lines — the document that must neither OOM a 4 GB
+    Python worker nor stall its task (tools/megadoc_bench.py measures;
+    tests/test_megadoc.py pins a scaled-down bound)."""
+    import random
+
+    rng = random.Random(seed)
+    target = target_mb * 1024 * 1024
+    sections = ("Deposits and additions", "Electronic withdrawals",
+                "ATM & debit card withdrawals")
+    kinds = ("ACH CREDIT", "WIRE OUT", "ZELLE PAYMENT FROM ALEX",
+             "CARD PURCHASE", "ONLINE TRANSFER FROM SAVINGS")
+    payees = ("ACME HOLDINGS LLC", "NORTHWIND TRADERS", "CONTOSO LTD",
+              "FABRIKAM INC", "TAILSPIN TOYS", "WINGTIP CORP")
+    # a 48k-line pseudo-random pool tiled to the target size: the
+    # parser's per-line regex work is identical to fully-unique lines,
+    # and generation stays O(seconds) at 512 MB
+    pool = []
+    for i in range(48000):
+        if i % 400 == 0:
+            ln = rng.choice(sections)
+        elif i % 97 == 13:
+            ln = "Page %d of 99999" % (i // 60 + 1)
+        else:
+            ln = "%02d/%02d %s %s REF %010d $%d.%02d" % (
+                rng.randint(1, 12), rng.randint(1, 28), rng.choice(kinds),
+                rng.choice(payees), rng.randrange(10 ** 10),
+                rng.randint(1, 99999), rng.randint(0, 99))
+        if i % 60 == 59:
+            ln += "\f"
+        pool.append(ln)
+    block = "\n".join(pool) + "\n"
+    head = "chase.com statement period 01/01/2024 - 12/31/2024\n"
+    reps = max(1, (target - len(head)) // len(block) + 1)
+    return (head + block * reps)[:target]

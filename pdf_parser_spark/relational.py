@@ -194,6 +194,7 @@ def stmt_lines_cte(d: str) -> str:
 words AS (SELECT doc_id, n_chars, {ws} AS ws FROM documents),
 chunked AS ({expl}),
 stmt_lines AS (
+  SELECT * FROM (
   SELECT doc_id, line_no,
     trim(translate(
     CASE WHEN line_no % 3 = 0
@@ -217,6 +218,7 @@ stmt_lines AS (
     , '{nbsp}{endash}{emdash}{minus}', ' ---'))
     AS line
   FROM chunked WHERE {chunk} <> ''
+) q WHERE line <> ''
 )""".format(ws=ws, expl=expl, p=p, issuer=_ISSUER_TOKEN, chunk=chunk,
             nbsp="\u00a0", endash="\u2013", emdash="\u2014",
             minus="\u2212")

@@ -661,9 +661,16 @@ flagged AS (
   FROM classed
 ),
 grouped AS (
+  -- boundary on the RAW date (even when the line is also noise): the
+  -- engine's gather loop breaks on dates[j] BEFORE checking noise, so
+  -- a noisy date line terminates the open block yet cannot OPEN one
+  -- (openers require is_date=1, i.e. date AND NOT noise) — groups cut
+  -- by a noisy date have no opener and die at the inner join, exactly
+  -- like the engine's skipped tail (tools/fuzz_relational.py)
   SELECT doc_id, line_no, line, date_iso, is_sec, is_noise, is_date,
-    SUM(is_date + is_sec) OVER (PARTITION BY doc_id ORDER BY line_no
-                                ROWS UNBOUNDED PRECEDING) AS grp,
+    SUM(CASE WHEN date_iso IS NOT NULL OR is_sec = 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY line_no
+            ROWS UNBOUNDED PRECEDING) AS grp,
     {carry} AS section_ctx
   FROM flagged
 ),

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..relational import DUCK, SPARK, LEN, ORD_ARRAY
 
@@ -80,7 +81,36 @@ def _sqdist(a: str, b: str, d: str) -> str:
             % (LEN(a, d), a, b, a, b))
 
 
-def _kmeans_ctes(d: str, k: int = 8, iters: int = 2) -> str:
+def _big_base(d: str, reps: int = 100, cap: int = 500) -> str:
+    """In-plan corpus expansion to ``cap * reps`` vectors (50k by
+    default at every SF): each of the first ``cap`` base vectors
+    re-enters ``reps`` times with a deterministic integer perturbation
+    per (rep, component) — pseudo-random offsets within ±10% of the
+    quantization unit, exact in both engines.  This is how the IVF
+    path gets an ORACLED demonstration at a corpus size where cell
+    pruning matters, without shipping a bigger fixture."""
+    off = "({r} * 7919 + {i} * 104729) % 200001 - 100000"
+    if d == SPARK:
+        reps_cte = ("reps AS (SELECT explode(sequence(0, %d)) AS rep)"
+                    % (reps - 1))
+        perturbed = ("transform(qv0, (x, i) -> x + CAST(%s AS BIGINT))"
+                     % off.format(r="rep", i="i"))
+    else:
+        reps_cte = ("reps AS (SELECT unnest(range(0, %d)) AS rep)" % reps)
+        perturbed = ("list_transform(range(1, len(qv0) + 1), "
+                     "i -> qv0[i] + (%s))" % off.format(r="rep", i="(i - 1)"))
+    return """{reps_cte},
+base AS (
+  SELECT e.vec_id * {reps} + r.rep AS vec_id, {perturbed} AS qv
+  FROM (SELECT vec_id, {quant} AS qv0 FROM embeddings
+        WHERE vec_id < {cap}) e
+  CROSS JOIN reps r
+)""".format(reps_cte=reps_cte, reps=reps, perturbed=perturbed,
+            quant=_quantized(d), cap=cap)
+
+
+def _kmeans_ctes(d: str, k: int = 8, iters: int = 2,
+                 base_cte: str = None, seed_cte: str = None) -> str:
     """CTE chain: quantized vectors → seeded centroids → ``iters``
     unrolled Lloyd rounds → ``fit(vec_id, cell)`` final assignment.
 
@@ -99,8 +129,10 @@ def _kmeans_ctes(d: str, k: int = 8, iters: int = 2) -> str:
                  "(SELECT vec_id, qv, unnest(range(0, len(qv))) AS pos "
                  "FROM base) t")
     parts = [
+        base_cte if base_cte is not None else
         "base AS (SELECT vec_id, %s AS qv FROM embeddings)" % _quantized(d),
         "comps AS (%s)" % comps,
+        seed_cte if seed_cte is not None else
         "cent0 AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cv "
         "FROM base WHERE vec_id < %d)" % k,
     ]
@@ -219,6 +251,50 @@ FROM ranked WHERE rank <= 5
            qssq=_ssq("q.qv", d), cssq=_ssq("c.cv", d))
 
 
+@query("ann_ivf_topk_big")
+def q_ivf_big(d: str) -> str:
+    """IVF top-5 at 50,000 vectors (in-plan expansion, _big_base): the
+    corpus size where cell pruning EARNS its fit cost — the scored-pair
+    count is ~n·8/k versus brute force's n·8 (k=8 cells), and
+    tools/ivf_breakeven.py documents the measured break-even.  Fully
+    oracled like every other query; k-means seeds are one rep of each
+    of the first k distinct base vectors."""
+    reps, k = 100, 8
+    seed = ("cent0 AS (SELECT CAST(vec_id / %d AS INT) AS cell, qv AS cv "
+            "FROM base WHERE vec_id %% %d = 0 AND vec_id < %d)"
+            % (reps, reps, k * reps))
+    return """
+WITH {kmeans},
+q AS (
+  SELECT b.vec_id AS query_id, b.qv, f.cell
+  FROM base b JOIN fit f ON b.vec_id = f.vec_id
+  WHERE b.vec_id % {reps} = 0 AND b.vec_id < {qmax}
+),
+c AS (
+  SELECT b.vec_id AS cand_id, b.qv AS cv, f.cell
+  FROM base b JOIN fit f ON b.vec_id = f.vec_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+    CAST({dot} AS DOUBLE)
+      / (sqrt(CAST({qssq} AS DOUBLE)) * sqrt(CAST({cssq} AS DOUBLE)))
+      AS cosine
+  FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id AS neighbor_id, rank, cosine
+FROM ranked WHERE rank <= 5
+""".format(kmeans=_kmeans_ctes(d, base_cte=_big_base(d, reps),
+                               seed_cte=seed),
+           reps=reps, qmax=8 * reps, dot=_dot("q.qv", "c.cv", d),
+           qssq=_ssq("q.qv", d), cssq=_ssq("c.cv", d))
+
+
 @query("dedup_embedding_cosine")
 def q_embed_neardup(d: str) -> str:
     """Embedding-cosine near-duplicate pairs: candidates pruned to the
@@ -259,8 +335,79 @@ SELECT left_id, right_id, cosine FROM pairs WHERE cosine >= 0.9
 
 
 # ------------------------------------------------------- production fit
+def ivf_index_df(embeddings: DataFrame, k: int = 8,
+                 iters: int = 2) -> tuple:
+    """Fit AND return the index: ``(assignment, centroids)`` — the
+    centroid table is what query-time cell ranking (nprobe) needs.
+    Same math as ``ivf_fit_df`` (which wraps this)."""
+    return _ivf_fit_impl(embeddings, k, iters)
+
+
 def ivf_fit_df(embeddings: DataFrame, k: int = 8,
                iters: int = 2) -> DataFrame:
+    """Assignment only (the ``ann_ivf_fit``-parity form)."""
+    return _ivf_fit_impl(embeddings, k, iters)[0]
+
+
+def ivf_topk_df(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                nprobe: int = 1, topn: int = 5,
+                n_queries: int = 8) -> DataFrame:
+    """Production IVF query with an ``nprobe`` knob: each query probes
+    its ``nprobe`` nearest cells (by centroid distance) instead of only
+    its own — the standard recall/cost dial.  nprobe=k degenerates to
+    brute force; nprobe=1 matches the ``ann_ivf_topk`` SQL.
+
+    Scale shape: centroids are k rows (broadcast); the candidate join
+    is an equi-join on ``cell`` — candidates touched ≈ n·nprobe/k, the
+    factor tests/test_similarity_fit.py::test_ivf_candidate_reduction
+    asserts on real data."""
+    assignment, centroids = ivf_index_df(embeddings, k, iters)
+    base = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               " * 1000000.0) AS BIGINT))").alias("qv"))
+    sqdist = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    queries = base.filter(F.col("vec_id") < n_queries)
+    probed = (
+        queries.withColumn("_one", F.lit(1))
+        .join(F.broadcast(centroids.withColumn("_one", F.lit(1))), "_one")
+        .select("vec_id", "qv", "cell", sqdist.alias("sq_dist"))
+        .withColumn("cell_rank", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("sq_dist", "cell")))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("qv").alias("q_qv"), "cell")
+    )
+    cands = base.join(assignment, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"),
+        "cell")
+    cosine = F.expr(
+        "CAST(aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+        " / (sqrt(CAST(aggregate(zip_with(q_qv, q_qv, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE))"
+        " * sqrt(CAST(aggregate(zip_with(c_qv, c_qv, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)))")
+    scored = (
+        probed.join(cands, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine.alias("cosine"))
+        # a vector can sit in two probed cells of the same query after
+        # nprobe > 1 only if it was assigned once — cells partition the
+        # space, so no dedup needed
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= topn)
+            .select("query_id", F.col("cand_id").alias("neighbor_id"),
+                    "rank", "cosine"))
+
+
+def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
+                  iters: int = 2) -> tuple:
     """Iterative Lloyd's k-means over (vec_id, embedding) — the form
     you run on a cluster.  Same math as the ``ann_ivf_fit`` SQL (which
     remains the DuckDB-checkable oracle): floor(x*1e6) quantization,
@@ -317,4 +464,4 @@ def ivf_fit_df(embeddings: DataFrame, k: int = 8,
     final = assign(cent)
     base.unpersist()
     comps.unpersist()
-    return final
+    return final, cent

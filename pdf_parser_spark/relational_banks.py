@@ -392,7 +392,7 @@ def q_other_dates(d: str) -> str:
     else deterministic fallback) — long/Mmm tokens injected in-plan
     (documents are ~9 lines, so injection moduli must be < 9)."""
     p = PRINTF(d)
-    longp = r"([A-Za-z]{3,9})\s+(\d{1,2}),\s*(\d{4})"
+    longp = r"\b([A-Za-z]{3,9})\s+(\d{1,2}),\s*(\d{4})\b"
     mmmp = r"^\s*((?i:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec))\s+(\d{1,2})\b"
     return with_lines("""
 , dated AS (
@@ -1195,7 +1195,9 @@ FROM parsed
 # ---------------------------------------------------------------------
 
 _SLASH_ANCH = r"^\s*(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?\b"
-_LONG_SEARCH = r"([A-Za-z]{3,9})\s+(\d{1,2}),\s*(\d{4})"
+# \b on both ends, as the engine/reference has: "Mar 1, 20199"
+# must NOT parse as year 2019 (tools/fuzz_relational.py)
+_LONG_SEARCH = r"\b([A-Za-z]{3,9})\s+(\d{1,2}),\s*(\d{4})\b"
 _MMM_ANCH = (r"^\s*((?i:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov"
              r"|Dec))\s+(\d{1,2})\b")
 

@@ -33,3 +33,59 @@ def test_ivf_fit_df_plan_shape(spark):
     # correct: tiny side shipped, big side streamed)
     assert "BroadcastNestedLoopJoin BuildRight" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_ivf_topk_nprobe1_matches_sql(spark):
+    """The production nprobe operator at nprobe=1 must reproduce the
+    ann_ivf_topk SQL exactly (same fit, same ranking math)."""
+    import query_registry
+
+    from pdf_parser_spark.ops.similarity import ivf_topk_df
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    got = sorted((r.query_id, r.rank, r.neighbor_id, repr(r.cosine))
+                 for r in ivf_topk_df(emb, nprobe=1).collect())
+    want = sorted((r.query_id, r.rank, r.neighbor_id, repr(r.cosine))
+                  for r in spark.sql(
+                      query_registry.QUERY_SQL["ann_ivf_topk"]["spark"])
+                  .collect())
+    assert got == want and len(got) == 40
+
+
+def test_ivf_nprobe_k_recovers_brute_force(spark):
+    """nprobe=k probes every cell — identical results to the
+    brute-force baseline (the recall dial's upper end)."""
+    import query_registry
+
+    from pdf_parser_spark.ops.similarity import ivf_topk_df
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    got = sorted((r.query_id, r.rank, r.neighbor_id, repr(r.cosine))
+                 for r in ivf_topk_df(emb, nprobe=8).collect())
+    want = sorted((r.query_id, r.rank, r.neighbor_id, repr(r.cosine))
+                  for r in spark.sql(
+                      query_registry.QUERY_SQL["ann_cosine_topk"]["spark"])
+                  .collect())
+    assert got == want
+
+
+def test_ivf_candidate_reduction(spark):
+    """Cell pruning must ACTUALLY cut the scored-pair count: with k=8
+    cells and nprobe=1, candidates touched are the queries' own cells
+    only — assert >= 3x below brute force on the real fit (cells are
+    k-means-balanced, not perfectly uniform)."""
+    from pdf_parser_spark.ops.similarity import ivf_index_df
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    n = emb.count()
+    assignment, _ = ivf_index_df(emb)
+    sizes = {r.cell: r.n for r in
+             assignment.groupBy("cell").count()
+             .withColumnRenamed("count", "n").collect()}
+    qcells = [r.cell for r in
+              assignment.filter("vec_id < 8").collect()]
+    ivf_pairs = sum(sizes[c] - 1 for c in qcells)
+    brute_pairs = 8 * (n - 1)
+    assert brute_pairs / ivf_pairs >= 3.0, (brute_pairs, ivf_pairs, sizes)

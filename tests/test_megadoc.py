@@ -1,0 +1,193 @@
+"""Worst-case-document bounds (megadoc.py): the chunked paths must be
+EXACTLY equivalent to the whole-document engine, and the memory fold
+must actually bound the worker.
+
+Cites: reference base.py:103-121 (sweep), chase.py:16-68 (section
+state) — the decomposition argument lives in megadoc.py's docstring.
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from pdf_parser_spark.engine.document import parse_document
+from pdf_parser_spark.megadoc import (
+    chunk_spans, parse_document_columnar,
+)
+
+REPO = "/root/repo"
+
+
+def _grow(body: str, reps: int, header: str = "") -> str:
+    """Repeat a statement body to thousands of lines (chunking
+    territory) under one issuer header."""
+    return header + ("\n" + body) * reps
+
+
+CASES = [
+    ("chase", "chase.com statement\n",
+     "Deposits and additions\n"
+     "01/05 Online Transfer From Savings $120.%02d\n"
+     "Electronic withdrawals\n"
+     "01/0%d Zelle Payment To Alex 55.25\n"
+     "Page 2 of 9\n"
+     "02/11 ACH CREDIT ACME LLC 318.40"),
+    ("generic", "\n",
+     "01/1%d deposit alpha 93.10\n"
+     "second line of block beta\n"
+     "02/02 WIRE OUT gamma -44.%02d"),
+    ("mercury", "Mercury Technologies\n",
+     "Feb %d transfer vendor 120.55\n"
+     "continuation words here\n"
+     "Mar 3 deposit acme 77.10"),
+    ("truist", "Truist Bank statement\n",
+     "Deposits, credits and interest\n"
+     "03/0%d MOBILE DEPOSIT 250.00\n"
+     "Other withdrawals, debits and fees\n"
+     "03/15 ACH PMT VENDOR 81.%02d"),
+    ("valley", "Valley National Bank\n",
+     "04/0%d deposit ref 52.10\n"
+     + "x" * 260 + "\n"
+     "04/22 withdrawal fee -13.%02d"),
+]
+
+
+@pytest.mark.parametrize("bank,header,body_tpl",
+                         CASES, ids=[c[0] for c in CASES])
+def test_columnar_chunked_equals_whole(bank, header, body_tpl):
+    """parse_document vs parse_document_columnar with aggressively
+    small chunks: identical transactions in identical order."""
+    blocks = []
+    for i in range(400):
+        blocks.append(body_tpl % ((i % 9) + 1, i % 100)
+                      if body_tpl.count("%") == 2 else
+                      body_tpl % ((i % 9) + 1))
+    text = header + "\n".join(blocks)
+
+    want_bank, want = parse_document(text, 2024)
+    got_bank, (dates, descs, amounts, dirs) = parse_document_columnar(
+        text, 2024, chunk_lines=97)
+    assert got_bank == want_bank == bank
+    assert len(want) > 700  # chunking definitely engaged
+    assert dates == [t["date"] for t in want]
+    assert descs == [t["description"] for t in want]
+    assert [repr(a) for a in amounts] == [repr(t["amount"]) for t in want]
+    assert dirs == [t["direction"] for t in want]
+
+
+def test_chunk_spans_cover_and_start_on_dates():
+    from pdf_parser_spark.engine.textrules import split_lines
+
+    text = _grow("01/05 deposit 10.00\nnoise line", 500,
+                 "chase.com statement")
+    lines = split_lines(text)
+    spans = chunk_spans(lines, 2024, "chase", chunk_lines=100)
+    assert spans[0][0] == 0 and spans[-1][1] == len(lines)
+    for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+        assert e1 == s2  # contiguous, no overlap
+    assert len(spans) > 3
+
+
+def test_parse_pages_mega_equals_parse_pages(spark):
+    """End-to-end: the distributed chunk pipeline over the NORMAL
+    fixture corpus must reproduce parse_pages' transactions (incl.
+    tx_index order) and doc metrics exactly."""
+    from pdf_parser_spark.pages_source import fixture_pages_df
+    from pdf_parser_spark.pipeline import parse_pages, split_outputs
+    from pdf_parser_spark.megadoc import parse_pages_mega
+
+    pages = fixture_pages_df(spark)
+    want_tx, want_docs = split_outputs(parse_pages(pages))
+    got_tx, got_docs = parse_pages_mega(pages)
+
+    key = lambda r: (r.url, r.tx_index)
+    want_rows = sorted(((r.url, r.tx_index, r.bank, r.date,
+                         r.description, repr(r.amount), r.direction)
+                        for r in want_tx.collect()))
+    got_rows = sorted(((r.url, r.tx_index, r.bank, r.date,
+                        r.description, repr(r.amount), r.direction)
+                       for r in got_tx.collect()))
+    assert got_rows == want_rows
+
+    dcols = ("url", "bank", "kind", "pages", "n_lines", "n_chars",
+             "blocks_total", "blocks_kept", "tx_count", "text_sha256",
+             "error")
+    want_d = sorted(tuple(getattr(r, c) for c in dcols)
+                    for r in want_docs.collect())
+    got_d = sorted(tuple(getattr(r, c) for c in dcols)
+                   for r in got_docs.collect())
+    assert got_d == want_d
+
+
+def test_mega_doc_explodes_into_many_tasks(spark):
+    """A multi-chunk giant actually fans out: its chunk rows exceed 4
+    and the reassembled transactions equal the engine run whole."""
+    from pdf_parser_spark.megadoc import _phase1, CHUNK_SCHEMA
+    from pdf_parser_spark.megadoc import parse_pages_mega
+    from pdf_parser_spark.fixtures import mega_statement_text
+
+    text = mega_statement_text(2)  # ~34k lines
+    pages = spark.createDataFrame(
+        [("https://mega.test/x", None, None, text, "en")],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string")
+    chunks = pages.select("url", "warc_ts", "html", "text") \
+        .mapInPandas(_phase1, schema=CHUNK_SCHEMA)
+    n_chunks = chunks.filter("chunk_no >= 0").count()
+    assert n_chunks == 1  # 34k lines < default chunk; now force chunks
+
+    import pdf_parser_spark.megadoc as M
+    old = M.DEFAULT_CHUNK_LINES
+    M.DEFAULT_CHUNK_LINES = 5000
+    try:
+        txs, docs = parse_pages_mega(pages)
+        got = [(r.tx_index, r.date, r.description, repr(r.amount),
+                r.direction) for r in txs.collect()]
+        got.sort()
+        _, want = parse_document(text, 1970)
+        wantt = sorted((i, t["date"], t["description"], repr(t["amount"]),
+                        t["direction"]) for i, t in enumerate(want))
+        assert got == wantt
+        d = docs.collect()[0]
+        assert d.bank == "chase" and d.tx_count == len(want)
+    finally:
+        M.DEFAULT_CHUNK_LINES = old
+
+
+_RSS_CHILD = r"""
+import json, resource, sys
+sys.path.insert(0, %(repo)r)
+from pdf_parser_spark.fixtures import mega_statement_text
+text = mega_statement_text(24)
+if %(columnar)d:
+    from pdf_parser_spark.megadoc import parse_document_columnar
+    bank, cols = parse_document_columnar(text, 2024)
+    n = len(cols[0])
+else:
+    from pdf_parser_spark.engine.document import parse_document
+    bank, txs = parse_document(text, 2024)
+    n = len(txs)
+print(json.dumps({"n": n,
+    "rss": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0}))
+"""
+
+
+def test_columnar_bounds_worker_memory():
+    """The columnar fold must hold a 24 MB document under the
+    whole-document path's RSS — the linear extrapolation that keeps a
+    512 MB doc inside a 4 GB worker (BENCH/MEGADOC.md has the measured
+    curve)."""
+    def run(columnar):
+        out = subprocess.run(
+            [sys.executable, "-c",
+             _RSS_CHILD % {"repo": REPO, "columnar": columnar}],
+            capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    whole = run(0)
+    col = run(1)
+    assert col["n"] == whole["n"] > 100_000
+    assert col["rss"] < whole["rss"], (col, whole)
+    assert col["rss"] < 1024, col  # 24 MB doc ≪ 1 GB worker share

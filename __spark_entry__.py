@@ -165,7 +165,10 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "fidelity_pipeline", "extraction_metrics",
                    "extraction_spans", "span_dedup"]
-_SQL_LAST = ["ifb_relational", "pnb_relational"]
+# tail = least-informative under truncation: the 50k-corpus IVF query
+# (locally oracled, tools/check_oracles.py + BENCH/IVF.md) and the two
+# verbatim generic aliases
+_SQL_LAST = ["ann_ivf_topk_big", "ifb_relational", "pnb_relational"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -39,8 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # document rows are large: keep Arrow batches small (SURVEY §4)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        # document rows are large: keep Arrow batches SMALL so the
+        # JVM→worker Arrow stream overlaps with Python compute instead
+        # of delivering one monolithic batch per task.  Interleaved A/B
+        # (2 rounds × 4 runs each, best-of, 2026-08-16): 16 → 4.14s vs
+        # 128 → 4.54s vs 1024 → 4.62s on the 4,080-doc extraction
+        # bench — ~9% end-to-end (BENCH/BASELINE.md).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

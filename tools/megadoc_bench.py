@@ -62,7 +62,9 @@ def distributed_phase(mb: int) -> dict:
     from pdf_parser_spark.pages_source import fixture_pages_df
     from pdf_parser_spark.session import get_spark
 
-    spark = get_spark(app="megadoc-dist", cores=32, shuffle_partitions=32)
+    spark = get_spark(app="megadoc-dist", cores=16, shuffle_partitions=16)
+    spark.conf.set(
+        "spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     spark.sparkContext.setLogLevel("ERROR")
     mega = spark.createDataFrame(
         [("https://mega.test/doc0", None, None,
@@ -107,18 +109,31 @@ def distributed_phase(mb: int) -> dict:
 
 
 def main(mb: int = 512, out_md: str = "BENCH/MEGADOC.md") -> None:
-    curve = [engine_phase(m) for m in (32, 64, 128)]
-    for c in curve:
-        print("whole:", json.dumps(c))
+    # each phase is expensive (minutes): cache raw results so a crash
+    # or interrupt resumes instead of re-measuring everything
+    raw_path = os.path.join(REPO, "BENCH", "megadoc_raw.json")
+    raw = {}
+    if os.path.exists(raw_path):
+        raw = json.loads(open(raw_path).read())
+
+    def cached(key, fn):
+        if key not in raw:
+            raw[key] = fn()
+            with open(raw_path, "w") as fh:
+                json.dump(raw, fh, indent=1)
+        print("%s: %s" % (key, json.dumps(raw[key])))
+        return raw[key]
+
+    curve = [cached("whole_%d" % m, lambda m=m: engine_phase(m))
+             for m in (32, 64, 128)]
     slope = ((curve[-1]["peak_rss_mb"] - curve[0]["peak_rss_mb"])
              / (curve[-1]["mb"] - curve[0]["mb"]))
     intercept = curve[0]["peak_rss_mb"] - slope * curve[0]["mb"]
     knee_mb = (4096 - intercept) / slope
 
-    col = engine_phase(mb, columnar=True)
-    print("columnar:", json.dumps(col))
-    dist = distributed_phase(mb)
-    print("distributed:", json.dumps(dist))
+    col = cached("columnar_%d" % mb,
+                 lambda: engine_phase(mb, columnar=True))
+    dist = cached("dist_%d" % mb, lambda: distributed_phase(mb))
 
     rows = "\n".join(
         "| %d | %d | %.0f | %.0f |" % (c["mb"], c["txs"],

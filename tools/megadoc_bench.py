@@ -62,7 +62,8 @@ def distributed_phase(mb: int) -> dict:
     from pdf_parser_spark.pages_source import fixture_pages_df
     from pdf_parser_spark.session import get_spark
 
-    spark = get_spark(app="megadoc-dist", cores=16, shuffle_partitions=16)
+    spark = get_spark(app="megadoc-dist", cores=16, shuffle_partitions=16,
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.conf.set(
         "spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     spark.sparkContext.setLogLevel("ERROR")

@@ -144,6 +144,19 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(fixture_media_df(spark))
 
 
+def _ann_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized IVF (round-4 ask #7): ONE sample-trained fit via the
+    production ivf_index_df machinery, centroids + cell-bucketed
+    vectors persisted as tables, TWO query batches served from the
+    persisted index.  The DuckDB oracle is the unrolled SQL twin
+    (ops/similarity.py q_ivf_amortized) — identical deterministic
+    k-means, so the production path is hash-checked end-to-end."""
+    from pdf_parser_spark.ops.similarity import amortized_ivf_demo
+
+    _register(spark, sf_dir)
+    return amortized_ivf_demo(spark)
+
+
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling (flatMap-shaped mapInPandas): decodes the
     Y4M container and hashes real frame bytes; oracled against
@@ -155,39 +168,57 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(fixture_media_df(spark))
 
 
-# Query ordering is part of the driver contract: the round-2 scoreboard
-# recorded exactly the first 50 dict entries (in insertion order) and
-# silently dropped the rest, so the two never-adjudicated multimodal
-# queries now lead, the previously-green specials follow, and the two
-# alias parsers (ifb/pnb run the generic plan verbatim, exactly as the
-# reference's ifb.py/pnb.py clone its GenericParser) sit last — if
-# anything is truncated again it is the least-informative tail.
+# Query ordering is part of the driver contract: the round-2/3
+# scoreboards recorded exactly the first 50 dict entries (in insertion
+# order) and silently dropped the rest, so the never-adjudicated
+# multimodal queries lead and the contract is now trimmed to EXACTLY 50
+# distinct components (round-4 ask #3).  Retired rows are strict
+# sub-stages or verbatim twins of surviving rows — each stays
+# registered in QUERY_SQL (tests + fuzz still exercise them), just not
+# driver-adjudicated:
+#   s3_lines        ⊂ every downstream stmt_lines consumer
+#   g1_block_ids    ⊂ g4_block_text (same window, minus the concat)
+#   dedup_lsh_pairs ⊂ dedup_lsh_verified (same cand CTE, projection)
+#   ifb/pnb         = generic_relational verbatim (reference ifb.py/
+#                     pnb.py clone GenericParser; fuzz asserts equality)
+#   ann_brute_big   = bench-only brute twin of ann_ivf_amortized
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "fidelity_pipeline", "extraction_metrics",
                    "extraction_spans", "span_dedup"]
-# tail = least-informative under truncation: the 50k-corpus IVF query
-# (locally oracled, tools/check_oracles.py + BENCH/IVF.md) and the two
-# verbatim generic aliases
-_SQL_LAST = ["ann_ivf_topk_big", "ifb_relational", "pnb_relational"]
+_DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
+                   "ifb_relational", "pnb_relational", "ann_brute_big"}
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    specials = {
+def _specials() -> dict:
+    return {
         "fidelity_pipeline": _fidelity_pipeline,
         "extraction_metrics": _extraction_metrics,
         "extraction_spans": _extraction_spans,
         "span_dedup": _span_dedup,
         "multimodal_features": _media_features,
         "multimodal_frames": _media_frames,
+        "ann_ivf_amortized": _ann_ivf_amortized,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    specials = _specials()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: specials[name] for name in _SPECIALS_FIRST
     }
     for name in QUERY_SQL:
-        if name not in _SQL_LAST:
+        if name not in _DRIVER_RETIRED:
             out[name] = _sql_query(name)
-    for name in _SQL_LAST:
-        out[name] = _sql_query(name)
+    out["ann_ivf_amortized"] = _ann_ivf_amortized
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract PLUS the retired rows — for tests/bench only."""
+    out = queries()
+    for name in _DRIVER_RETIRED:
+        if name in QUERY_SQL:
+            out[name] = _sql_query(name)
     return out
 
 
@@ -235,8 +266,16 @@ def oracle_sql() -> dict[str, str]:
     # mirror queries()' insertion order (see _SPECIALS_FIRST note)
     out = {name: _EXPECTED_ORACLES[name] for name in _SPECIALS_FIRST}
     for name, pair in QUERY_SQL.items():
-        if name not in _SQL_LAST:
+        if name not in _DRIVER_RETIRED:
             out[name] = pair["duckdb"]
-    for name in _SQL_LAST:
-        out[name] = QUERY_SQL[name]["duckdb"]
+    out["ann_ivf_amortized"] = QUERY_SQL["ann_ivf_amortized"]["duckdb"]
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    """oracle_sql() PLUS the retired rows — for tests/bench only."""
+    out = oracle_sql()
+    for name in _DRIVER_RETIRED:
+        if name in QUERY_SQL:
+            out[name] = QUERY_SQL[name]["duckdb"]
     return out

@@ -178,6 +178,11 @@ class TableIO:
                    .option("snapshot-property.run_id", run_id or "")
                    .append())
             return {"tables": {t: [] for t in dfs}, "run_id": run_id}
+        if not os.path.isdir(self._snap_dir()):
+            # a write against a v1-layout root must fail as loudly as a
+            # read — creating the v2 log would permanently shadow the
+            # v1 data (ADVICE r4); checked before any parquet lands
+            self._check_v1_residue()
         commit_id = uuid.uuid4().hex[:12]
         table_files: Dict[str, List[str]] = {}
         for table, df in dfs.items():
@@ -196,28 +201,58 @@ class TableIO:
         # committer already published that sequence; on collision,
         # re-scan the log and retry with the next number.  The link(2)
         # call is the atomic commit point.
-        for _ in range(100):
-            seq = len(self._manifests())
-            manifest = {
-                "format_version": FORMAT_VERSION, "sequence": seq,
-                "commit_id": commit_id, "run_id": run_id,
-                "op": op, "tables": table_files,
-            }
-            if op == "rewrite":
-                manifest["base"] = seq - 1 if base is None else base
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-            try:
-                os.link(tmp, os.path.join(
-                    snap_dir, "snapshot-%05d.json" % seq))
-            except FileExistsError:
-                continue
-            os.unlink(tmp)
-            return manifest
-        os.unlink(tmp)
-        raise RuntimeError(
-            "could not claim a snapshot sequence after 100 attempts "
-            "(livelocked commit log at %s)" % snap_dir)
+        try:
+            for _ in range(100):
+                seq = len(self._manifests())
+                manifest = {
+                    "format_version": FORMAT_VERSION, "sequence": seq,
+                    "commit_id": commit_id, "run_id": run_id,
+                    "op": op, "tables": table_files,
+                }
+                if op == "rewrite":
+                    manifest["base"] = seq - 1 if base is None else base
+                    # Iceberg-style conflict validation (ADVICE r4):
+                    # a SIBLING rewrite of any of our tables that
+                    # published after our base would be merged by the
+                    # reader alongside ours — both carrying the full
+                    # file list → silent row duplication.  Every retry
+                    # rescans the log, so the loser of a same-sequence
+                    # race sees the winner here and aborts.
+                    for m in self._manifests():
+                        snap = self._load_manifest(m)
+                        if (snap.get("op") == "rewrite"
+                                and snap["sequence"] > manifest["base"]
+                                and any(t in snap["tables"]
+                                        for t in table_files)):
+                            raise RuntimeError(
+                                "rewrite conflict: snapshot %d already "
+                                "rewrote %s after base %d — re-read and "
+                                "retry the compaction"
+                                % (snap["sequence"],
+                                   sorted(set(snap["tables"])
+                                          & set(table_files)),
+                                   manifest["base"]))
+                with open(tmp, "w") as fh:
+                    json.dump(manifest, fh)
+                try:
+                    os.link(tmp, os.path.join(
+                        snap_dir, "snapshot-%05d.json" % seq))
+                except FileExistsError:
+                    continue
+                except OSError as exc:
+                    raise RuntimeError(
+                        "atomic snapshot commit needs hard-link support "
+                        "on %s (os.link failed: %s); a rename-based "
+                        "fallback would clobber concurrent commits "
+                        "silently, so none is provided" % (snap_dir, exc)
+                    ) from exc
+                return manifest
+            raise RuntimeError(
+                "could not claim a snapshot sequence after 100 attempts "
+                "(livelocked commit log at %s)" % snap_dir)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def compact(self, spark: SparkSession, table: str,
                 target_partitions: int = 1,

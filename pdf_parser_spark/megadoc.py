@@ -288,6 +288,21 @@ def _phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+# persisted intermediates of parse_pages_mega runs, released by
+# release_mega_cache() (executor storage would otherwise accumulate
+# across repeated calls — ADVICE r4)
+_MEGA_CACHE: list = []
+
+
+def release_mega_cache() -> None:
+    """Unpersist every intermediate cached by parse_pages_mega.  Call
+    after the returned DataFrames are materialized (written/collected);
+    lazy references held past this point recompute instead of reading
+    cache."""
+    while _MEGA_CACHE:
+        _MEGA_CACHE.pop().unpersist()
+
+
 def parse_pages_mega(pages: DataFrame,
                      partitions: Optional[int] = None,
                      ) -> tuple[DataFrame, DataFrame]:
@@ -304,10 +319,19 @@ def parse_pages_mega(pages: DataFrame,
     pruned = pages.select("url", "warc_ts", "html", "text")
     chunks = pruned.mapInPandas(_phase1, schema=CHUNK_SCHEMA)
     chunks = chunks.repartition(partitions * 2, "url", "chunk_no")
+    # persist BOTH intermediates (ADVICE r4): chunks feeds three
+    # consumers (phase-2 parse, the bank join, the doc skeleton) across
+    # the two returned DataFrames' separate actions — without this the
+    # expensive _phase1 payload extraction reruns per action.  Tracked
+    # in _MEGA_CACHE; callers release via release_mega_cache() once the
+    # returned DataFrames are materialized.
+    chunks = chunks.persist()
+    _MEGA_CACHE.append(chunks)
 
     parsed = chunks.filter(F.col("chunk_no") >= 0) \
         .mapInPandas(_phase2, schema=CHUNK_TX_SCHEMA)
     parsed = parsed.persist()
+    _MEGA_CACHE.append(parsed)
 
     w = Window.partitionBy("url").orderBy("date", "chunk_no", "within_no")
     txs = (parsed.filter(F.col("within_no") >= 0)

@@ -143,10 +143,15 @@ SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id
            sigs=_minhash_agg())
 
 
-def _lsh_ctes(d: str) -> str:
+def _lsh_ctes(d: str, corpus0_sql: str = None) -> str:
     """Shared CTE chain: corpus → shingles → minhash signatures → band
     unpivot → distinct LSH candidate pairs (``cand``).  The join
-    fan-in is bounded by band-bucket sizes, never n²."""
+    fan-in is bounded by band-bucket sizes, never n².
+
+    ``corpus0_sql``: optional replacement for the default near-dup
+    document corpus — any CTE chain ending in
+    ``corpus0(doc_id, text)`` (span_neardup feeds spans through the
+    identical machinery this way; doc_id may be any orderable type)."""
     bands = ", ".join(
         "md5(m%d || m%d) AS band%d" % (2 * b, 2 * b + 1, b)
         for b in range(4)
@@ -177,7 +182,8 @@ def _lsh_ctes(d: str) -> str:
     wide = ("corpus AS (SELECT /*+ REPARTITION(%d, doc_id) */ * "
             "FROM corpus0)" % LINE_PARTITIONS) if d == SPARK else \
         "corpus AS (SELECT * FROM corpus0)"
-    corpus = _near_corpus(d).replace("corpus AS (", "corpus0 AS (", 1) \
+    corpus = (corpus0_sql if corpus0_sql is not None else
+              _near_corpus(d).replace("corpus AS (", "corpus0 AS (", 1)) \
         + ",\n" + wide
     return """{corpus},{expl},
 sigs AS (SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id),
@@ -228,6 +234,74 @@ JOIN sizes sb ON sb.doc_id = i.right_id
 WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
       >= 0.5
 """.format(lsh=_lsh_ctes(d))
+
+
+def _span_corpus0(d: str) -> str:
+    """Span-level near-dup corpus (round-4 ask #8): the extraction's
+    own derived line spans (stmt_lines — the S3/S4 contract, the same
+    lines span_dedup digests), EXACT-deduplicated first (group by span
+    text, carry the occurrence count), because at Common-Crawl scale
+    boilerplate repeats millions of times and banding raw spans would
+    square the bucket fan-in; LSH then runs over DISTINCT span texts
+    only.  A jitter tier (every 3rd distinct span by key hash, first
+    word dropped — whitespace/entity-jitter stand-in) synthesizes the
+    near-duplicate class the driver corpus lacks, mirroring
+    _near_corpus."""
+    from ..relational import stmt_lines_cte
+    sel = "%s %% 3 = 0" % HEX2INT("span_key", d)
+    # >= 9 words so the dropped-word twin keeps Jaccard (w-4)/(w-3) high
+    wc = "length(line) - length(replace(line, ' ', '')) >= 8"
+    return stmt_lines_cte(d) + """,
+dspan0 AS (
+  SELECT line, md5(line) AS span_key,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM stmt_lines GROUP BY line
+),
+dspan AS (
+  SELECT span_key, line, n_occurrences FROM dspan0
+  UNION ALL
+  SELECT md5('j:' || line) AS span_key,
+         substring(line, instr(line, ' ') + 1) AS line,
+         CAST(1 AS BIGINT) AS n_occurrences
+  FROM dspan0 WHERE {sel} AND {wc}
+),
+corpus0 AS (SELECT span_key AS doc_id, line AS text FROM dspan)""" \
+        .format(sel=sel, wc=wc)
+
+
+@query("span_neardup")
+def q_span_neardup(d: str) -> str:
+    """Span-level NEAR-dup (round-4 ask #8): the exact-digest
+    ``span_dedup`` tier's sibling for jittered boilerplate.  Flow:
+    spans → exact-dedup to distinct span texts (+occurrence counts) →
+    the SAME MinHash/LSH band machinery as document dedup
+    (_lsh_ctes, band-bounded equi-join — never all-pairs) → exact
+    4-gram Jaccard ≥ 0.5 verification, weighted by how often each span
+    text occurs in the corpus."""
+    return """
+WITH {lsh},
+shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shingled a ON a.doc_id = c.left_id
+  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
+)
+SELECT i.left_id AS left_key, i.right_id AS right_key,
+  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
+    AS jaccard,
+  oa.n_occurrences AS left_occ, ob.n_occurrences AS right_occ
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.left_id
+JOIN sizes sb ON sb.doc_id = i.right_id
+JOIN dspan oa ON oa.span_key = i.left_id
+JOIN dspan ob ON ob.span_key = i.right_id
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
+      >= 0.5
+""".format(lsh=_lsh_ctes(d, corpus0_sql=_span_corpus0(d)))
 
 
 @query("dedup_simhash")

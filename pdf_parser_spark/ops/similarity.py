@@ -110,7 +110,8 @@ base AS (
 
 
 def _kmeans_ctes(d: str, k: int = 8, iters: int = 2,
-                 base_cte: str = None, seed_cte: str = None) -> str:
+                 base_cte: str = None, seed_cte: str = None,
+                 train_where: str = None) -> str:
     """CTE chain: quantized vectors → seeded centroids → ``iters``
     unrolled Lloyd rounds → ``fit(vec_id, cell)`` final assignment.
 
@@ -119,18 +120,31 @@ def _kmeans_ctes(d: str, k: int = 8, iters: int = 2,
     integer sum, one IEEE division, floor — identical across engines.
     Centroid means stay exact in double (|component sum| ≤ n·2e6 ≪
     2^53).  The vector components are exploded ONCE (``comps``) and
-    reused by every recompute round."""
+    reused by every recompute round.
+
+    ``train_where``: optional SAMPLED training (the production IVF
+    shape — a coarse quantizer is trained on a corpus sample, FAISS-
+    style, then the FULL corpus is assigned once).  Lloyd rounds and
+    centroid recomputes run only over ``base WHERE train_where``; the
+    final ``fit`` assignment always covers the full base.  Cuts the
+    fit cost from iters+1 full-corpus distance passes to one."""
+    train = "train" if train_where else "base"
     if d == SPARK:
-        comps = ("SELECT vec_id, pos, v FROM base "
-                 "LATERAL VIEW posexplode(qv) t AS pos, v")
+        comps = ("SELECT vec_id, pos, v FROM %s "
+                 "LATERAL VIEW posexplode(qv) t AS pos, v" % train)
     else:
         comps = ("SELECT vec_id, CAST(pos AS INT) AS pos, "
                  "qv[pos + 1] AS v FROM "
                  "(SELECT vec_id, qv, unnest(range(0, len(qv))) AS pos "
-                 "FROM base) t")
+                 "FROM %s) t" % train)
     parts = [
         base_cte if base_cte is not None else
         "base AS (SELECT vec_id, %s AS qv FROM embeddings)" % _quantized(d),
+    ]
+    if train_where:
+        parts.append("train AS (SELECT * FROM base WHERE %s)"
+                     % train_where)
+    parts += [
         "comps AS (%s)" % comps,
         seed_cte if seed_cte is not None else
         "cent0 AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cv "
@@ -142,7 +156,7 @@ assign{r} AS (
     SELECT b.vec_id, c.cell,
       ROW_NUMBER() OVER (PARTITION BY b.vec_id
                          ORDER BY {dist}, c.cell) AS rn
-    FROM base b CROSS JOIN cent{p} c
+    FROM {src} b CROSS JOIN cent{p} c
   ) t WHERE rn = 1
 )"""
     cent_tpl = """
@@ -156,10 +170,12 @@ cent{r} AS (
 )"""
     dist = _sqdist("b.qv", "c.cv", d)
     for r in range(1, iters + 1):
-        parts.append(assign_tpl.format(r=r, p=r - 1, dist=dist).strip())
+        parts.append(assign_tpl.format(r=r, p=r - 1, dist=dist,
+                                       src=train).strip())
         parts.append(cent_tpl.format(r=r, arr=ORD_ARRAY("m", "pos", d))
                      .strip())
-    parts.append(assign_tpl.format(r=iters + 1, p=iters, dist=dist).strip())
+    parts.append(assign_tpl.format(r=iters + 1, p=iters, dist=dist,
+                                   src="base").strip())
     parts.append("fit AS (SELECT vec_id, cell FROM assign%d)" % (iters + 1))
     return ",\n".join(parts)
 
@@ -295,6 +311,112 @@ FROM ranked WHERE rank <= 5
            qssq=_ssq("q.qv", d), cssq=_ssq("c.cv", d))
 
 
+_AMORT_REPS, _AMORT_K = 100, 8
+# sampled coarse-quantizer training: Lloyd rounds over every 10th
+# vector (5k of 50k; contains all seeds), full corpus assigned ONCE —
+# the production IVF recipe (FAISS trains on samples), and the change
+# that moves the measured break-even below two query batches
+_AMORT_TRAIN = "vec_id % 10 = 0"
+
+
+def _amort_seed(d: str) -> str:
+    reps, k = _AMORT_REPS, _AMORT_K
+    return ("cent0 AS (SELECT CAST(vec_id / %d AS INT) AS cell, qv AS cv "
+            "FROM base WHERE vec_id %% %d = 0 AND vec_id < %d)"
+            % (reps, reps, k * reps))
+
+
+def _amort_batches_sql(d: str) -> str:
+    """Two disjoint 8-query batches over the 50k corpus: batch 0 = the
+    rep-0 copies of base vectors 0-7 (ann_ivf_topk_big's query set),
+    batch 1 = their rep-50 perturbed twins."""
+    reps = _AMORT_REPS
+    tpl = ("SELECT {b} AS batch, b.vec_id AS query_id, b.qv, f.cell "
+           "FROM base b JOIN fit f ON b.vec_id = f.vec_id "
+           "WHERE b.vec_id % {reps} = {r} AND b.vec_id < {qmax}")
+    return " UNION ALL ".join(
+        tpl.format(b=i, reps=reps, r=r, qmax=8 * reps + r)
+        for i, r in enumerate((0, 50)))
+
+
+@query("ann_ivf_amortized")
+def q_ivf_amortized(d: str) -> str:
+    """IVF in its WINNING regime (round-4 ask #7): one sample-trained
+    fit serves two query batches over the 50k corpus.  This SQL is the
+    cross-engine oracle twin of ``amortized_ivf_demo`` (the production
+    path: ivf_index_df fit, centroids+assignment persisted as tables,
+    batches served from the persisted index); a test pins row-for-row
+    agreement between the two forms.  BENCH_r04 measures this against
+    ``ann_brute_big`` — the brute twin at the same scale and query
+    load."""
+    reps = _AMORT_REPS
+    return """
+WITH {kmeans},
+q AS ({batches}),
+c AS (
+  SELECT b.vec_id AS cand_id, b.qv AS cv, f.cell
+  FROM base b JOIN fit f ON b.vec_id = f.vec_id
+),
+scored AS (
+  SELECT batch, query_id, cand_id,
+    CAST({dot} AS DOUBLE)
+      / (sqrt(CAST({qssq} AS DOUBLE)) * sqrt(CAST({cssq} AS DOUBLE)))
+      AS cosine
+  FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.cand_id
+),
+ranked AS (
+  SELECT batch, query_id, cand_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY batch, query_id
+                            ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT batch, query_id, cand_id AS neighbor_id, rank, cosine
+FROM ranked WHERE rank <= 5
+""".format(kmeans=_kmeans_ctes(d, base_cte=_big_base(d, reps),
+                               seed_cte=_amort_seed(d),
+                               train_where=_AMORT_TRAIN),
+           batches=_amort_batches_sql(d),
+           dot=_dot("q.qv", "c.cv", d),
+           qssq=_ssq("q.qv", d), cssq=_ssq("c.cv", d))
+
+
+@query("ann_brute_big")
+def q_brute_big(d: str) -> str:
+    """Brute-force twin of ann_ivf_amortized: the SAME two 8-query
+    batches over the SAME 50k corpus, full candidate set (800k scored
+    pairs vs IVF's ~100k).  Bench-only (retired from the driver's 50):
+    exists so BENCH_r04.json can show the amortized IVF beating brute
+    at identical scale and query load."""
+    reps = _AMORT_REPS
+    tpl = ("SELECT {b} AS batch, vec_id AS query_id, qv "
+           "FROM base WHERE vec_id % {reps} = {r} AND vec_id < {qmax}")
+    batches = " UNION ALL ".join(
+        tpl.format(b=i, reps=reps, r=r, qmax=8 * reps + r)
+        for i, r in enumerate((0, 50)))
+    return """
+WITH {base},
+q AS ({batches}),
+c AS (SELECT vec_id AS cand_id, qv AS cv FROM base),
+scored AS (
+  SELECT batch, query_id, cand_id,
+    CAST({dot} AS DOUBLE)
+      / (sqrt(CAST({qssq} AS DOUBLE)) * sqrt(CAST({cssq} AS DOUBLE)))
+      AS cosine
+  FROM q JOIN c ON q.query_id <> c.cand_id
+),
+ranked AS (
+  SELECT batch, query_id, cand_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY batch, query_id
+                            ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT batch, query_id, cand_id AS neighbor_id, rank, cosine
+FROM ranked WHERE rank <= 5
+""".format(base=_big_base(d, reps), batches=batches,
+           dot=_dot("q.qv", "c.cv", d),
+           qssq=_ssq("q.qv", d), cssq=_ssq("c.cv", d))
+
+
 @query("dedup_embedding_cosine")
 def q_embed_neardup(d: str) -> str:
     """Embedding-cosine near-duplicate pairs: candidates pruned to the
@@ -407,7 +529,9 @@ def ivf_topk_df(embeddings: DataFrame, k: int = 8, iters: int = 2,
 
 
 def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
-                  iters: int = 2) -> tuple:
+                  iters: int = 2, *, quantized: bool = False,
+                  train_filter: str = None,
+                  seed_df: DataFrame = None) -> tuple:
     """Iterative Lloyd's k-means over (vec_id, embedding) — the form
     you run on a cluster.  Same math as the ``ann_ivf_fit`` SQL (which
     remains the DuckDB-checkable oracle): floor(x*1e6) quantization,
@@ -420,24 +544,35 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
     join), then ONE (cell, pos) shuffle of partial sums.  ``base`` and
     ``comps`` are persisted once and reused every round instead of
     being re-derived — the property the inlined-CTE SQL form cannot
-    express."""
-    base = embeddings.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
-               " * 1000000.0) AS BIGINT))").alias("qv"),
-    ).persist()
-    comps = base.select(
+    express.
+
+    ``quantized=True``: input already carries ``(vec_id, qv)``.
+    ``train_filter``: SQL predicate selecting the Lloyd-round sample
+    (production/FAISS shape — see _kmeans_ctes); the final assignment
+    always covers the full corpus.  ``seed_df``: explicit (cell, cv)
+    seed centroids (default: the first k vectors)."""
+    if quantized:
+        base = embeddings.select("vec_id", "qv").persist()
+    else:
+        base = embeddings.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                   " * 1000000.0) AS BIGINT))").alias("qv"),
+        ).persist()
+    train = base.filter(train_filter) if train_filter else base
+    comps = train.select(
         "vec_id", F.posexplode("qv").alias("pos", "v")
     ).persist()
     sqdist = F.expr(
         "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-    cent = base.filter(F.col("vec_id") < k).select(
+    cent = seed_df if seed_df is not None else base.filter(
+        F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cv"))
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    def assign(centroids: DataFrame, over: DataFrame) -> DataFrame:
         scored = (
-            base.withColumn("_one", F.lit(1))
+            over.withColumn("_one", F.lit(1))
             .join(F.broadcast(centroids.withColumn("_one", F.lit(1))),
                   "_one")
             .select("vec_id", "cell", sqdist.alias("sq_dist"))
@@ -445,9 +580,8 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
         return scored.groupBy("vec_id").agg(
             F.min_by("cell", F.struct("sq_dist", "cell")).alias("cell"))
 
-    assigned = None
     for _ in range(iters):
-        assigned = assign(cent)
+        assigned = assign(cent, train)
         means = (
             assigned.join(comps, "vec_id")
             .groupBy("cell", "pos")
@@ -461,7 +595,83 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
         # does not recursively re-derive every previous round
         cent = cent.sparkSession.createDataFrame(
             cent.collect(), schema=cent.schema)
-    final = assign(cent)
+    final = assign(cent, base)
     base.unpersist()
     comps.unpersist()
     return final, cent
+
+
+# ------------------------------------------------- amortized IVF demo
+_COSINE_EXPR = (
+    "CAST(aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+    " / (sqrt(CAST(aggregate(zip_with(q_qv, q_qv, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE))"
+    " * sqrt(CAST(aggregate(zip_with(c_qv, c_qv, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)))")
+
+
+def big_base_df(spark, reps: int = _AMORT_REPS):
+    """The 50k-vector corpus (``_big_base`` expansion) as a DataFrame
+    of (vec_id, qv)."""
+    return spark.sql("WITH %s SELECT vec_id, qv FROM base"
+                     % _big_base(SPARK, reps))
+
+
+def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
+    """The production amortized-IVF path (round-4 ask #7): fit ONCE via
+    ivf_index_df's machinery (sample-trained, _AMORT_TRAIN), persist
+    centroids AND cell assignment as tables, then serve TWO query
+    batches from the persisted index — the regime past BENCH/IVF.md's
+    break-even where IVF beats the brute twin (ann_brute_big) end-to-
+    end.  Row-identical to the ann_ivf_amortized SQL oracle
+    (test-pinned)."""
+    import os
+    import tempfile
+
+    reps, k = _AMORT_REPS, _AMORT_K
+    base = big_base_df(spark, reps)
+    seed = base.filter(
+        "vec_id %% %d = 0 AND vec_id < %d" % (reps, k * reps)).select(
+        F.expr("CAST(vec_id / %d AS INT)" % reps).alias("cell"),
+        F.col("qv").alias("cv"))
+    assignment, centroids = _ivf_fit_impl(
+        base, k, 2, quantized=True, train_filter=_AMORT_TRAIN,
+        seed_df=seed)
+
+    # persist the index: centroids (k rows) + the cell-keyed vector
+    # table — the artifact later query batches scan without refitting
+    # (a real IVF index stores the vectors bucketed by cell)
+    root = index_dir or os.path.join(tempfile.gettempdir(),
+                                     "pdf_parser_spark_ivf_index")
+    centroids.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    base.join(assignment, "vec_id").write.mode("overwrite") \
+        .partitionBy("cell").parquet(os.path.join(root, "vectors"))
+    vectors = spark.read.parquet(os.path.join(root, "vectors"))
+    vectors.createOrReplaceTempView("ivf_vectors")
+    spark.read.parquet(os.path.join(root, "centroids")) \
+        .createOrReplaceTempView("ivf_centroids")
+
+    cands = vectors.select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"),
+        "cell")
+
+    def serve(batch_no: int, r: int) -> DataFrame:
+        qs = (vectors.filter("vec_id %% %d = %d AND vec_id < %d"
+                             % (reps, r, 8 * reps + r))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("qv").alias("q_qv"), "cell"))
+        scored = (qs.join(cands, "cell")
+                  .filter(F.col("query_id") != F.col("cand_id"))
+                  .select(F.lit(batch_no).alias("batch"), "query_id",
+                          "cand_id", F.expr(_COSINE_EXPR).alias("cosine")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), "cand_id")
+        return (scored.withColumn("rank",
+                                  F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= 5)
+                .select("batch", "query_id",
+                        F.col("cand_id").alias("neighbor_id"),
+                        "rank", "cosine"))
+
+    return serve(0, 0).unionAll(serve(1, 50))

@@ -327,8 +327,7 @@ vals AS (
   WHERE NOT ({has_phone} AND instr(line, {digits}) > 0)
 )
 SELECT doc_id, line_no,
-  max_by(val, CASE WHEN has_dollar = 1 THEN val + 100000000 ELSE val END)
-    AS amount
+  coalesce(max(val) FILTER (WHERE has_dollar = 1), max(val)) AS amount
 FROM vals GROUP BY doc_id, line_no
 """.format(expl=expl, signed=signed, has_phone=has_phone,
            digits=digits), d)
@@ -712,8 +711,7 @@ gated AS (
 toks AS ({tok_expl}),
 amounts AS (
   SELECT doc_id, grp,
-    max_by(val, CASE WHEN has_dollar = 1 THEN val + 100000000.0
-                     ELSE val END) AS amount
+    coalesce(max(val) FILTER (WHERE has_dollar = 1), max(val)) AS amount
   FROM (
     SELECT doc_id, grp, {signed} AS val,
       CASE WHEN tok LIKE '%$%' THEN 1 ELSE 0 END AS has_dollar
@@ -1204,8 +1202,17 @@ _MMM_ANCH = (r"^\s*((?i:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov"
 
 def _date_value_sql(line: str, order: str, d: str) -> str:
     """Date value with the issuer's priority: 'slash_first' (generic,
-    base.py:109) or 'mmm_first' (mercury.py:18)."""
+    base.py:109) or 'mmm_first' (mercury.py:18).
+
+    The whole battery (3 anchored extracts x ~4 regexp_extract calls
+    each) is gated behind ONE combined candidate rlike — the exact
+    alternation of the three shapes, so the gate is a strict superset
+    of the extracts and cannot change results; non-candidate lines
+    (the vast majority) pay a single regex instead of ~10 (round-4
+    ask #1, same skip-non-candidates trick as the WF noise gate)."""
     p = PRINTF(d)
+    gate = RLIKE(line, "(?:%s)|(?:%s)|(?:%s)" % (
+        _SLASH_ANCH, _LONG_SEARCH, _MMM_ANCH), d)
     slash = ("""CASE WHEN try_cast(regexp_extract({l}, {sp}, 1) as int)
       IS NOT NULL THEN {p}('%04d-%02d-%02d',
       CASE WHEN regexp_extract({l}, {sp}, 3) = '' THEN 2024
@@ -1231,8 +1238,10 @@ def _date_value_sql(line: str, order: str, d: str) -> str:
                         "mon", "regexp_extract(%s, %s, 1)"
                         % (line, lit(_MMM_ANCH, d)))))
     if order == "mmm_first":
-        return "coalesce(%s, %s, %s)" % (mmmv, slash, longv)
-    return "coalesce(%s, %s, %s)" % (slash, longv, mmmv)
+        battery = "coalesce(%s, %s, %s)" % (mmmv, slash, longv)
+    else:
+        battery = "coalesce(%s, %s, %s)" % (slash, longv, mmmv)
+    return "CASE WHEN %s THEN %s END" % (gate, battery)
 
 
 @query("mercury_relational")

@@ -233,6 +233,56 @@ def test_rewrite_merges_concurrent_append(spark, tmp_path):
     assert {r.id for r in io.read(spark, "t").collect()} == {1, 2}
 
 
+def test_rewrite_vs_rewrite_conflict_rejected(spark, tmp_path):
+    """Two compactions racing on the same table (both computing their
+    basis before either publishes) must NOT both land: the reader would
+    merge both full file lists and silently duplicate every row
+    (ADVICE r4 — reproduced as a 2-row table reading 4 rows).  The
+    second rewrite must fail Iceberg-style conflict validation, and
+    the table must still read its true row count."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,), (2,)], "id int").coalesce(1),
+              "t")
+    # both compactions read their basis now (seq 0)
+    basis = 0
+    full_a = io.read(spark, "t", as_of=basis).coalesce(1)
+    full_b = io.read(spark, "t", as_of=basis).coalesce(1)
+    io.append_many({"t": full_a}, op="rewrite", base=basis)  # winner
+    with pytest.raises(RuntimeError, match="rewrite conflict"):
+        io.append_many({"t": full_b}, op="rewrite", base=basis)
+    assert io.read(spark, "t").count() == 2
+    # and the failed commit leaked no tmp scratch into the log
+    assert not [f for f in os.listdir(tmp_path / "_snapshots")
+                if f.startswith(".tmp-")]
+
+
+def test_rewrite_conflict_scoped_per_table(spark, tmp_path):
+    """A rewrite of table A must not block a later rewrite of an
+    unrelated table B with an older base."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,)], "id int").coalesce(1), "a")
+    io.append(spark.createDataFrame([(2,)], "id int").coalesce(1), "b")
+    full_b = io.read(spark, "b", as_of=1).coalesce(1)
+    assert io.compact(spark, "a")["op"] == "rewrite"
+    # b's rewrite has base=1 < a's rewrite seq 2, but touches only b
+    io.append_many({"b": full_b}, op="rewrite", base=1)
+    assert io.read(spark, "a").count() == 1
+    assert io.read(spark, "b").count() == 1
+
+
+def test_write_to_v1_root_fails_loudly(spark, tmp_path):
+    """append_many against a v1-layout root must refuse before creating
+    the v2 log (which would permanently shadow the v1 data) —
+    ADVICE r4."""
+    old = tmp_path / "transactions" / "_snapshots"
+    old.mkdir(parents=True)
+    (old / "snapshot-00000.json").write_text("{}")
+    io = TableIO(str(tmp_path))
+    with pytest.raises(RuntimeError, match="v1 per-table snapshot log"):
+        io.append(spark.createDataFrame([(1,)], "id int"), "t")
+    assert not (tmp_path / "_snapshots").exists()
+
+
 def test_v1_layout_raises_not_silent_empty(spark, tmp_path):
     """A root written by the retired per-table layout must raise, not
     read as an empty table."""

@@ -120,6 +120,9 @@ def test_parse_pages_mega_equals_parse_pages(spark):
                    for r in got_docs.collect())
     assert got_d == want_d
 
+    from pdf_parser_spark.megadoc import release_mega_cache
+    release_mega_cache()
+
 
 def test_mega_doc_explodes_into_many_tasks(spark):
     """A multi-chunk giant actually fans out: its chunk rows exceed 4
@@ -154,6 +157,7 @@ def test_mega_doc_explodes_into_many_tasks(spark):
         assert d.bank == "chase" and d.tx_count == len(want)
     finally:
         M.DEFAULT_CHUNK_LINES = old
+        M.release_mega_cache()
 
 
 _RSS_CHILD = r"""

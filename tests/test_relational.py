@@ -21,7 +21,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 _SUBSET = [
     "s3_lines", "g1_block_ids", "g4_block_text", "generic_relational",
     "c1_detect_issuer", "dedup_exact", "dedup_lsh_pairs",
-    "dedup_lsh_verified", "ann_cosine_topk", "ann_ivf_fit", "ann_ivf_topk",
+    "dedup_lsh_verified", "span_neardup", "ann_cosine_topk",
+    "ann_ivf_fit", "ann_ivf_topk", "ann_ivf_amortized",
     "events_sessions", "quality_score", "doc_fingerprint",
     "url_canonicalize",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
@@ -60,9 +61,9 @@ def _norm(cols, rows):
 
 @pytest.mark.parametrize("name", _SUBSET)
 def test_oracle_parity(spark, duck, entry_mod, name):
-    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    sdf = entry_mod.all_queries()[name](spark, SF_DIR)
     s_rows, s_cols = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
-    dres = duck.sql(entry_mod.oracle_sql()[name])
+    dres = duck.sql(entry_mod.all_oracles()[name])
     d_rows, d_cols = _norm(dres.columns, dres.fetchall())
     assert s_cols == d_cols
     assert s_rows == d_rows
@@ -74,7 +75,7 @@ def test_relational_generic_matches_engine(spark, entry_mod):
     from pdf_parser_spark.engine.banks import parse_generic
     from pdf_parser_spark.engine.direction import finalize_records
 
-    lines_df = entry_mod.queries()["s3_lines"](spark, SF_DIR)
+    lines_df = entry_mod.all_queries()["s3_lines"](spark, SF_DIR)
     by_doc = {}
     for r in lines_df.collect():
         by_doc.setdefault(r.doc_id, []).append((r.line_no, r.line))
@@ -114,7 +115,61 @@ def test_driver_contract_shape(entry_mod):
     # the non-SQL paths are oracled against golden-expected parquet
     assert "read_parquet" in oracles["fidelity_pipeline"]
     assert "read_parquet" in oracles["multimodal_frames"]
-    assert len(oracles) >= 25
+    # EXACTLY the driver's 50-row cap: every distinct component is
+    # driver-adjudicated, no sacrificial tail (round-4 ask #3)
+    assert len(oracles) == 50
+    assert list(qs) == list(oracles)
+    # retired rows stay runnable for tests/fuzz via all_queries()
+    retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
+               "ifb_relational", "pnb_relational", "ann_brute_big"}
+    assert retired.isdisjoint(qs)
+    assert retired < set(entry_mod.all_queries())
+
+
+def test_d13_dollar_priority_beats_1e8_bare(spark, entry_mod):
+    """Round-4 ask #2 regression pin: chase's $-priority must hold even
+    when a bare amount exceeds every $-token by >= $100,000,000.  The
+    old SQL encoded priority as max_by(val, val + 1e8), so a
+    450,000,000.00 bare token outranked $812.03 — diverging from the
+    reference (chase.py:212-215: $-tokens win unconditionally) and the
+    engine.  The fixed SQL (coalesce(max FILTER has_dollar, max)) must
+    match the engine on every line; the old boosted-max semantics must
+    provably diverge on this corpus."""
+    from query_registry import QUERY_SQL
+    from pdf_parser_spark.engine.banks import (
+        _chase_block_amount, _chase_signed, money_tokens,
+    )
+
+    text = ("payment $812.03 then 450,000,000.00 arrived today "
+            "plus filler words keep the chunker busy here "
+            "another $99.10 with 2,500,000,000.00 rider attached now")
+    spark.createDataFrame(
+        [(0, text, "en", "fuzz", len(text))],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").createOrReplaceTempView("documents")
+
+    lines = {r.line_no: r.line
+             for r in spark.sql(QUERY_SQL["s3_lines"]["spark"]).collect()}
+    got = {r.line_no: r.amount
+           for r in spark.sql(QUERY_SQL["d13_chase_amount"]["spark"])
+           .collect()}
+
+    def old_sql_pick(line):
+        # the retired encoding: max_by(val, val + 1e8 boost for $)
+        pairs = [(t, _chase_signed(t)) for t in money_tokens(line)]
+        pairs = [(t, v) for t, v in pairs if v is not None]
+        if not pairs:
+            return None
+        return max(pairs, key=lambda p:
+                   p[1] + 1e8 if "$" in p[0] else p[1])[1]
+
+    diverged = 0
+    for line_no, line in lines.items():
+        expected = _chase_block_amount([line], line)
+        assert got.get(line_no) == expected, (line_no, line)
+        if expected is not None and old_sql_pick(line) != expected:
+            diverged += 1
+    assert diverged > 0, "corpus no longer exercises the >=1e8 trap"
 
 
 def test_entry_smoke(spark, entry_mod):
@@ -125,7 +180,7 @@ def test_entry_smoke(spark, entry_mod):
 
 
 def _derived_lines(spark, entry_mod):
-    lines_df = entry_mod.queries()["s3_lines"](spark, SF_DIR)
+    lines_df = entry_mod.all_queries()["s3_lines"](spark, SF_DIR)
     by_doc = {}
     for r in lines_df.collect():
         by_doc.setdefault(r.doc_id, []).append((r.line_no, r.line))

@@ -59,7 +59,11 @@ POOL = (
     "vendor payroll rent utilities reembolso pago transferencia".split()
     + ["1,234.56", "(-42.00)", "63.43-", "0.01", "99,000,000.00", "1.5",
        "11.8.24", "$0.00", "12,34", "-.50", "(1,000.00)", "$5", "745.10",
-       "100.00", "200.00", "$812.03", "0.00", "30,012.33", "18,400.00"]
+       "100.00", "200.00", "$812.03", "0.00", "30,012.33", "18,400.00",
+       # >= $100M: kills the old d13 `max_by(val, val + 1e8)` $-priority
+       # encoding — a bare token this large outranked every $-token
+       # (round-4 ask #2); keep one of each flavor in the soup
+       "450,000,000.00", "$120,000,000.00", "2,500,000,000.00"]
     + ["01/03", "12/31/2024", "02/29", "13/45", "2024", "1999", "20199",
        "January", "Feb", "7,", "Dec", "31", "May", "1,", "Mar"]
     + ["Deposits", "withdrawals", "credits", "debits", "Checking",

@@ -79,6 +79,8 @@ def distributed_phase(mb: int) -> dict:
     n_tx = txs.count()
     doc_rows = docs.collect()
     wall = time.time() - t0
+    from pdf_parser_spark.megadoc import release_mega_cache
+    release_mega_cache()
     mega_row = [r for r in doc_rows if r.url.startswith("https://mega")][0]
 
     durs = []

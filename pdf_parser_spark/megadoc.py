@@ -28,10 +28,16 @@ block (chase-date, non-noise, non-section — such a line always breaks
 any gather in progress), and the carried section is re-established by
 prefixing the chunk with the last section-marker LINE seen before the
 split (section lines set state and emit nothing).  truist is a
-single-line machine with the same section carry.  wf/bofa/citi carry
-denser state (daily-balance skip runs, split-segment reassembly) and
-fall back to the whole-document path — their documented worker bound
-is the ~290 MB knee above.
+single-line machine with the same section carry.
+
+Round 4 extends the same construction to wf/bofa/citi (see the
+CHUNKABLE note): wf gathers break at ANY date line before the
+cand/noise checks, so date-opener splits are exact with no carry; citi
+is the same opener argument plus a chase-style carried section line;
+bofa is a single-line machine whose (in_daily, section) state is
+carried as a CANONICAL marker line simulated over _bofa_split_long
+parts.  Only bofa_relationship (close-sentinel suppression) keeps the
+whole-document fallback with its ~290 MB knee.
 """
 
 from __future__ import annotations
@@ -45,8 +51,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .engine.banks import (
-    ALL_PARSERS, TRUIST_SECTION_IN, TRUIST_SECTION_OUT, _chase_date_low,
-    _chase_noise_low, _chase_section_low, parse_generic,
+    ALL_PARSERS, TRUIST_SECTION_IN, TRUIST_SECTION_OUT, WF_NOISE,
+    _bofa_daily_header, _bofa_section, _bofa_split_long, _chase_date_low,
+    _chase_noise_low, _chase_section_low, _citi_date, _citi_noise,
+    _citi_section, _wf_candidate_line, parse_generic,
 )
 from .engine.detect import detect_issuer
 from .engine.direction import classify_direction
@@ -54,9 +62,27 @@ from .engine.textrules import (
     any_date, mmm_first_date, slash_date, split_lines, year_of,
 )
 
-# banks whose state decomposes across the split points above
+# banks whose state decomposes across the split points above.
+# wf/bofa/citi added in round 4 (verdict ask #4):
+#   wf   — blocks open at candidate+non-noise+date lines and ANY date
+#          line terminates a gather (parse_wf's `if dates[j]: break`
+#          runs before the cand/noise checks), so date-opener splits
+#          are exact and no state crosses blocks;
+#   citi — same opener argument (dates[j] breaks the gather first);
+#          the only cross-line state is the checking/savings section,
+#          re-established chase-style by prefixing the last section
+#          LINE (section lines set state and emit nothing);
+#   bofa — a single-line machine (any boundary splits); its
+#          (in_daily, section) state is re-established by a CANONICAL
+#          marker line derived from simulating the state over
+#          _bofa_split_long parts — the raw last marker line cannot be
+#          carried because a >200-char glued line may CONTAIN the
+#          marker plus transaction text that the re-split would
+#          re-emit, duplicating the previous chunk's rows.
+# bofa_relationship keeps the whole-document fallback (its
+# close-sentinel suppression looks arbitrarily far forward).
 CHUNKABLE = {"generic", "ifb", "pnb", "mercury", "valley", "chase",
-             "truist", None}
+             "truist", "wf", "bofa", "citi", None}
 
 DEFAULT_CHUNK_LINES = 200_000
 
@@ -76,11 +102,33 @@ def _date_gate(bank: Optional[str]):
                     and not _chase_noise_low(ln, low)
                     and _chase_date_low(stripped, low, y) is not None)
         return gate
+    if bank == "wf":
+        def gate(ln, y):
+            # a line parse_wf would OPEN a block at; any date line also
+            # TERMINATES a gather (checked before cand/noise), so these
+            # are exact split points
+            if not ln.strip() or not _wf_candidate_line(ln):
+                return False
+            if WF_NOISE.search(ln):
+                return False
+            return any_date(ln, y) is not None
+        return gate
+    if bank == "citi":
+        def gate(ln, y):
+            if not ln or not ln.strip():
+                return False
+            if _citi_section(ln) or _citi_noise(ln):
+                return False
+            return _citi_date(ln, y) is not None
+        return gate
+    if bank == "bofa":
+        # single-line machine: every line boundary is a safe split
+        return lambda ln, y: True
     return lambda ln, y: any_date(ln, y) is not None
 
 
 def _carries_section(bank: Optional[str]) -> bool:
-    return bank in ("chase", "truist")
+    return bank in ("chase", "truist", "citi", "bofa")
 
 
 def _section_line(bank: Optional[str], ln: str) -> bool:
@@ -90,7 +138,45 @@ def _section_line(bank: Optional[str], ln: str) -> bool:
     if bank == "truist":
         return bool(TRUIST_SECTION_IN.search(ln)
                     or TRUIST_SECTION_OUT.search(ln))
+    if bank == "citi":
+        return bool(ln) and bool(ln.strip()) \
+            and _citi_section(ln) is not None
     return False
+
+
+# canonical bofa state lines: classified by the engine as exactly the
+# marker they stand for (daily header / section), emit nothing, and —
+# unlike a raw >200-char glued marker line — cannot re-emit transaction
+# text through _bofa_split_long
+_BOFA_CANON = {
+    "daily": "Daily Ledger Balances",
+    "deposits": "Deposits and other additions",
+    "withdrawals": "Withdrawals and other debits",
+}
+
+
+def _update_carry(bank: Optional[str], span_lines: List[str],
+                  prev: Optional[str]) -> Optional[str]:
+    """The state-reestablishing prefix line for the NEXT chunk after
+    this span (None = no state to carry)."""
+    if bank == "bofa":
+        cur = prev
+        for part in _bofa_split_long(span_lines):
+            if not part.strip():
+                continue
+            # engine order: daily header outranks section on one line
+            if _bofa_daily_header(part):
+                cur = _BOFA_CANON["daily"]
+            else:
+                sec = _bofa_section(part)
+                if sec:
+                    cur = _BOFA_CANON[sec]
+        return cur
+    cur = prev
+    for ln in span_lines:
+        if _section_line(bank, ln):
+            cur = ln
+    return cur
 
 
 def chunk_spans(lines: List[str], year: int, bank: Optional[str],
@@ -118,9 +204,7 @@ def chunk_spans(lines: List[str], year: int, bank: Optional[str],
         end = starts[s_idx + 1] if s_idx + 1 < len(starts) else n
         spans.append((start, end, carried))
         if _carries_section(bank):
-            for ln in lines[start:end]:
-                if _section_line(bank, ln):
-                    carried = ln
+            carried = _update_carry(bank, lines[start:end], carried)
     return spans
 
 

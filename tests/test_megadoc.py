@@ -51,6 +51,36 @@ CASES = [
      "04/0%d deposit ref 52.10\n"
      + "x" * 260 + "\n"
      "04/22 withdrawal fee -13.%02d"),
+    # round-4 additions (verdict ask #4): the stateful trio
+    ("wf", "Wells Fargo Navigate Business Checking 2024 wellsfargo.com\n",
+     "1/1%d WT Fed#08234 Morgan Stanley Bank /Org=Acme Capital LLC Srf#"
+     " 210.00 18,400.%02d\n"
+     "continuation descriptive words for the wire block here\n"
+     "1/22 Purchase authorized on 01/20 Costco Whse #0482 388.16"
+     " 15,841.84\n"
+     "short ln"),
+    ("bofa", "Bank of America Business Advantage 2024 bankofamerica.com\n",
+     "Deposits and other additions\n"
+     "01/0%d/24 Zelle payment from PEREZ ANA Conf# abc123 450.00\n"
+     "Withdrawals and other debits\n"
+     "01/10/24 CHECKCARD 0109 FUEL STATION 58.%02d\n"
+     "01/11/24 Wire Transfer Fee 30.00 Wire Transfer Fee 16.00\n"
+     + "01/20/24 CHECKCARD 0119 VENDOR ALPHA PAYMENT SERVICES INC 210.00 "
+     + "01/21/24 CHECKCARD 0120 VENDOR BETA LOGISTICS AND FREIGHT CO"
+       " 340.00 "
+     + "01/22/24 CHECKCARD 0121 VENDOR GAMMA INDUSTRIAL SUPPLY LLC 95.55 "
+     + "01/23/24 CHECKCARD 0122 VENDOR DELTA OFFICE MANAGEMENT GROUP"
+       " 77.10\n"
+     "Daily ledger balances\n"
+     "Date Balance ($)\n"
+     "01/05 9,800.00"),
+    ("citi", "CitiBusiness statement 2024\n",
+     "Checking Activity\n"
+     "01/0%d DEBIT CARD PURCH CARD 0110 OFFICE DEPOT 89.99 12,410.01\n"
+     "remittance info attached\n"
+     "Savings Activity\n"
+     "01/16 WITHDRAWAL BRANCH 500.00 0.00 29,512.%02d\n"
+     "Page 3"),
 ]
 
 

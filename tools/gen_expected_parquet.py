@@ -149,6 +149,18 @@ def main() -> None:
         assert tally.get("n_lines", 0) == n_lines, \
             "%s: engine n_lines %d != constructed %d" \
             % (doc["url"], tally.get("n_lines", 0), n_lines)
+        # blocks_kept: every parser notes blocks_kept exactly once per
+        # emitted transaction (incl. the bofa wire-fee multi-emit, which
+        # notes per emitted fee), so the stored value derives from the
+        # REFERENCE-EXECUTED golden tx count, not from our engine; the
+        # engine tally is only cross-checked here (round-4 ADVICE/ask
+        # #9).  blocks_total has no construction-side counterpart — it
+        # counts parser-internal gather attempts (noise-broken gathers
+        # included), a quantity only the block machine itself defines —
+        # and stays a documented engine regression pin.
+        assert tally.get("blocks_kept", 0) == len(want["txs"]), \
+            "%s: engine blocks_kept %d != golden tx count %d" \
+            % (doc["url"], tally.get("blocks_kept", 0), len(want["txs"]))
         dm["url"].append(doc["url"])
         dm["bank"].append(want["bank"])
         dm["kind"].append(mode)
@@ -156,7 +168,7 @@ def main() -> None:
         dm["n_lines"].append(n_lines)
         dm["n_chars"].append(len(canon))
         dm["blocks_total"].append(tally.get("blocks_total", 0))
-        dm["blocks_kept"].append(tally.get("blocks_kept", 0))
+        dm["blocks_kept"].append(len(want["txs"]))  # golden-derived
         dm["tx_count"].append(len(want["txs"]))
         dm["text_sha256"].append(
             hashlib.sha256(canon.encode("utf-8")).hexdigest())

@@ -135,8 +135,8 @@ def main() -> None:
             "mb_per_sec": round(payload_bytes / 1e6 / extract_sec, 2),
         },
         "ivf_amortized_vs_brute": {
-            "ivf_fit_plus_2_batches_sec": ivf["best"],
-            "brute_2_batches_sec": brute["best"],
+            "ivf_fit_index_4_batches_sec": ivf["best"],
+            "brute_same_128_queries_sec": brute["best"],
             "speedup": round(brute["best"] / ivf["best"], 2)
             if ivf["best"] else None,
         },

@@ -37,14 +37,15 @@ def main(sf_dir="/root/testdata/sf0.001", *names):
     from pdf_parser_spark.session import get_spark
     import importlib.util
 
-    # the FULL driver contract (queries() + oracle_sql()), so the
-    # parquet-golden-oracled Arrow paths are swept too
+    # the FULL registry: the driver contract (queries() + oracle_sql(),
+    # incl. the parquet-golden-oracled Arrow paths) PLUS the retired
+    # rows kept runnable via all_queries()/all_oracles()
     spec = importlib.util.spec_from_file_location(
         "spark_entry", str(REPO / "__spark_entry__.py"))
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
+    queries = entry.all_queries()
+    oracles = entry.all_oracles()
 
     spark = get_spark(app="oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -36,8 +36,9 @@ cand/noise checks, so date-opener splits are exact with no carry; citi
 is the same opener argument plus a chase-style carried section line;
 bofa is a single-line machine whose (in_daily, section) state is
 carried as a CANONICAL marker line simulated over _bofa_split_long
-parts.  Only bofa_relationship (close-sentinel suppression) keeps the
-whole-document fallback with its ~290 MB knee.
+parts; bofa_relationship's open/close section machine is simulated the
+same way over _rel_split_glued parts.  EVERY parser now decomposes —
+no bank remains on the whole-document-only path.
 """
 
 from __future__ import annotations
@@ -52,9 +53,11 @@ from pyspark.sql.window import Window
 
 from .engine.banks import (
     ALL_PARSERS, TRUIST_SECTION_IN, TRUIST_SECTION_OUT, WF_NOISE,
-    _bofa_daily_header, _bofa_section, _bofa_split_long, _chase_date_low,
-    _chase_noise_low, _chase_section_low, _citi_date, _citi_noise,
-    _citi_section, _wf_candidate_line, parse_generic,
+    _REL_DATE_LINE_RE, _REL_SEC_DEPOSITS_RE, _REL_SEC_TOTAL_RE,
+    _REL_SEC_WITHDRAWALS_RE, _bofa_daily_header, _bofa_section,
+    _bofa_split_long, _chase_date_low, _chase_noise_low,
+    _chase_section_low, _citi_date, _citi_noise, _citi_section,
+    _rel_split_glued, _wf_candidate_line, parse_generic,
 )
 from .engine.detect import detect_issuer
 from .engine.direction import classify_direction
@@ -79,10 +82,15 @@ from .engine.textrules import (
 #          carried because a >200-char glued line may CONTAIN the
 #          marker plus transaction text that the re-split would
 #          re-emit, duplicating the previous chunk's rows.
-# bofa_relationship keeps the whole-document fallback (its
-# close-sentinel suppression looks arbitrarily far forward).
+#   bofa_relationship — same construction: its gather breaks at ANY
+#          date line (checked first), and the open/close section state
+#          (deposits/withdrawals open, 'Total …' closes ONLY while
+#          open) is a per-line machine simulated over _rel_split_glued
+#          parts; state None carries no prefix, open states carry a
+#          canonical section line.  No parser remains on the
+#          whole-document-only path.
 CHUNKABLE = {"generic", "ifb", "pnb", "mercury", "valley", "chase",
-             "truist", "wf", "bofa", "citi", None}
+             "truist", "wf", "bofa", "citi", "bofa_relationship", None}
 
 DEFAULT_CHUNK_LINES = 200_000
 
@@ -124,11 +132,17 @@ def _date_gate(bank: Optional[str]):
     if bank == "bofa":
         # single-line machine: every line boundary is a safe split
         return lambda ln, y: True
+    if bank == "bofa_relationship":
+        # any date line breaks a gather (checked before noise); the
+        # section state is handled by the carry, so date lines are
+        # safe splits whether or not a section is open
+        return lambda ln, y: bool(_REL_DATE_LINE_RE.match(ln))
     return lambda ln, y: any_date(ln, y) is not None
 
 
 def _carries_section(bank: Optional[str]) -> bool:
-    return bank in ("chase", "truist", "citi", "bofa")
+    return bank in ("chase", "truist", "citi", "bofa",
+                    "bofa_relationship")
 
 
 def _section_line(bank: Optional[str], ln: str) -> bool:
@@ -154,6 +168,14 @@ _BOFA_CANON = {
     "withdrawals": "Withdrawals and other debits",
 }
 
+# canonical bofa_relationship section-open lines (state None → no
+# prefix); same re-emission rationale as _BOFA_CANON
+_REL_CANON = {
+    "in": "Deposits and other credits",
+    "out": "Withdrawals and other debits",
+}
+_REL_STATE = {v: k for k, v in _REL_CANON.items()}
+
 
 def _update_carry(bank: Optional[str], span_lines: List[str],
                   prev: Optional[str]) -> Optional[str]:
@@ -172,6 +194,19 @@ def _update_carry(bank: Optional[str], span_lines: List[str],
                 if sec:
                     cur = _BOFA_CANON[sec]
         return cur
+    if bank == "bofa_relationship":
+        # true state simulation (engine check order): 'Total …' closes
+        # ONLY while a section is open, so last-marker-wins is not
+        # enough here
+        state = _REL_STATE.get(prev)
+        for part in _rel_split_glued(span_lines):
+            if _REL_SEC_DEPOSITS_RE.search(part):
+                state = "in"
+            elif _REL_SEC_WITHDRAWALS_RE.search(part):
+                state = "out"
+            elif state and _REL_SEC_TOTAL_RE.search(part):
+                state = None
+        return _REL_CANON.get(state)
     cur = prev
     for ln in span_lines:
         if _section_line(bank, ln):

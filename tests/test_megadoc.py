@@ -107,6 +107,42 @@ def test_columnar_chunked_equals_whole(bank, header, body_tpl):
     assert dirs == [t["direction"] for t in want]
 
 
+def test_columnar_chunked_bofa_relationship_equals_whole():
+    """bofa_relationship (unreachable via detection, issuer-override
+    only — matching the reference) chunked vs whole: the open/close
+    section machine must survive split points, including chunks that
+    begin inside a CLOSED section (after 'Total …') and glued-line
+    markers."""
+    from pdf_parser_spark.engine.banks import parse_bofa_relationship
+    from pdf_parser_spark.engine.direction import finalize_records
+    from pdf_parser_spark.engine.textrules import split_lines
+
+    blocks = []
+    for i in range(400):
+        blocks.append(
+            "Deposits and other credits\n"
+            "01/0%d/24 WIRE TYPE:WIRE IN ORIG:CLIENT ONE LLC 9,800.00\n"
+            "continuation of the wire description here\n"
+            "Total deposits and other credits\n"
+            "01/15/24 stray date line while section is CLOSED 55.00\n"
+            "Withdrawals and other debits\n"
+            "01/2%d/24 CHECKCARD VENDOR ALPHA 210.%02d\n"
+            "Total withdrawals and other debits"
+            % ((i % 9) + 1, i % 10, i % 100))
+    text = "Bank of America Relationship statement 2024\n" + "\n".join(blocks)
+
+    lines = split_lines(text)
+    want = finalize_records(parse_bofa_relationship(lines, 2024))
+    got_bank, (dates, descs, amounts, dirs) = parse_document_columnar(
+        text, 2024, issuer="bofa_relationship", chunk_lines=97)
+    assert got_bank == "bofa_relationship"
+    assert len(want) > 300  # chunking engaged, sections exercised
+    assert dates == [t["date"] for t in want]
+    assert descs == [t["description"] for t in want]
+    assert [repr(a) for a in amounts] == [repr(t["amount"]) for t in want]
+    assert dirs == [t["direction"] for t in want]
+
+
 def test_chunk_spans_cover_and_start_on_dates():
     from pdf_parser_spark.engine.textrules import split_lines
 

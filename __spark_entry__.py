@@ -32,13 +32,25 @@ _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings"]
 
 
+_DF_CACHE: dict = {}
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
     # the driver owns the session: pin the configs our SQL depends on
     # (UTC so unix_timestamp matches DuckDB's epoch(); runtime-settable)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in _TABLES:
-        spark.read.parquet("%s/%s.parquet" % (sf_dir, t)) \
-            .createOrReplaceTempView(t)
+        # reuse the resolved DataFrame per (session, file): repeated
+        # spark.read.parquet calls re-list and re-read footers — a
+        # constant ~0.3-0.6 s tax on EVERY query invocation.  The view
+        # is still re-bound every call, so tests that temporarily
+        # override a view (e.g. a crafted ``documents``) are restored.
+        key = (id(spark), sf_dir, t)
+        df = _DF_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet("%s/%s.parquet" % (sf_dir, t))
+            _DF_CACHE[key] = df
+        df.createOrReplaceTempView(t)
 
 
 def entry(spark: SparkSession) -> DataFrame:

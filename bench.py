@@ -76,6 +76,11 @@ def main() -> None:
     queries = entry_mod.all_queries()
 
     def timed3(fn) -> dict:
+        # one UNTIMED warm pass first: each query's first execution
+        # carries its own codegen/JIT ramp (measured: generic needs
+        # ~2 runs to reach steady state), and the protocol's stated
+        # goal is steady-state wall with JIT excluded
+        fn()
         runs = []
         for _ in range(3):
             t0 = time.time()
@@ -125,7 +130,10 @@ def main() -> None:
         "metric": "extraction+relational headline suite wall seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # driver contract keeps {name: seconds}; the dispersion the
+        # round-4 verdict asked for rides in queries_detail
+        "queries": {k: v["best"] for k, v in timings.items()},
+        "queries_detail": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extraction": {
             "docs": n_docs,

@@ -32,24 +32,29 @@ _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings"]
 
 
-_DF_CACHE: dict = {}
+import weakref
+
+# session -> {(sf_dir, table): DataFrame}; weak keys so a stopped
+# session's entries vanish with it (no id()-reuse hazard, no leak)
+_DF_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
     # the driver owns the session: pin the configs our SQL depends on
     # (UTC so unix_timestamp matches DuckDB's epoch(); runtime-settable)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    per_session = _DF_CACHE.setdefault(spark, {})
     for t in _TABLES:
         # reuse the resolved DataFrame per (session, file): repeated
         # spark.read.parquet calls re-list and re-read footers — a
-        # constant ~0.3-0.6 s tax on EVERY query invocation.  The view
-        # is still re-bound every call, so tests that temporarily
-        # override a view (e.g. a crafted ``documents``) are restored.
-        key = (id(spark), sf_dir, t)
-        df = _DF_CACHE.get(key)
+        # constant ~0.3-0.6 s tax on EVERY query invocation (4.9 s
+        # cold).  The view is still re-bound every call, so tests that
+        # temporarily override a view (e.g. a crafted ``documents``)
+        # are restored.
+        df = per_session.get((sf_dir, t))
         if df is None:
             df = spark.read.parquet("%s/%s.parquet" % (sf_dir, t))
-            _DF_CACHE[key] = df
+            per_session[(sf_dir, t)] = df
         df.createOrReplaceTempView(t)
 
 

@@ -270,6 +270,84 @@ WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
 """.format(lsh=_lsh_ctes(d))
 
 
+def _verified_pairs_ctes(d: str) -> str:
+    """CTE chain ending in ``verified(left_id, right_id)`` — the
+    τ ≥ 0.5 near-duplicate pairs (dedup_lsh_verified's output set)."""
+    return """{lsh},
+shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shingled a ON a.doc_id = c.left_id
+  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
+),
+verified AS (
+  SELECT i.left_id, i.right_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.left_id
+  JOIN sizes sb ON sb.doc_id = i.right_id
+  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
+        >= 0.5
+)""".format(lsh=_lsh_ctes(d))
+
+
+# propagation rounds for the unrolled connected-components SQL: the
+# near-dup graph's components are duplicate CLUSTERS (diameter is
+# small by construction — a chain of near-dups longer than this means
+# the tier's threshold is mis-set); a test pins that one extra round
+# is a fixpoint on the fixture corpus, so 4 is proven sufficient there
+_CC_ROUNDS = 4
+
+
+@query("dedup_components")
+def q_components(d: str) -> str:
+    """The dedup DECISION step: near-duplicate pairs → connected
+    components → one keeper per cluster (min doc_id) + a duplicate
+    flag per member — what a training-data pipeline actually applies
+    to drop rows (exact dedup's ``keeper_id`` ladder, lifted to the
+    near-dup graph).
+
+    Shape: min-label propagation, ``_CC_ROUNDS`` unrolled rounds over
+    the (symmetrized + self-loop) edge list — each round is one
+    equi-join + min-aggregate, the alternating-star/label-propagation
+    family every distributed CC algorithm at 10^12 scale uses.  This
+    unrolled SQL is the cross-engine oracle twin of the production
+    iterative form ``neardup_components_df`` (per-round persisted
+    DataFrames — Catalyst inlines CTE references, so the SQL form
+    re-derives the pair pipeline once per round and exists for
+    verification, not for scale); a test pins row-identical output of
+    the two forms plus the fixpoint."""
+    parts = [_verified_pairs_ctes(d), """
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM verified
+  UNION ALL
+  SELECT right_id AS src, left_id AS dst FROM verified
+  UNION ALL
+  SELECT v AS src, v AS dst FROM (
+    SELECT left_id AS v FROM verified
+    UNION SELECT right_id AS v FROM verified) vs
+)""".strip(), """
+lab0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges)
+""".strip()]
+    tpl = """
+lab{r} AS (
+  SELECT e.dst AS doc_id, MIN(l.label) AS label
+  FROM edges e JOIN lab{p} l ON l.doc_id = e.src
+  GROUP BY e.dst
+)"""
+    for r in range(1, _CC_ROUNDS + 1):
+        parts.append(tpl.format(r=r, p=r - 1).strip())
+    return """
+WITH {ctes}
+SELECT doc_id, label AS cluster_keeper,
+  CASE WHEN doc_id > label THEN 1 ELSE 0 END AS is_duplicate
+FROM lab{k}
+""".format(ctes=",\n".join(parts), k=_CC_ROUNDS)
+
+
 def _span_corpus0(d: str) -> str:
     """Span-level near-dup corpus (round-4 ask #8): the extraction's
     own derived line spans (stmt_lines — the S3/S4 contract, the same
@@ -399,3 +477,56 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.left_id
 JOIN sizes sb ON sb.doc_id = p.right_id
 """.format(lsh=_lsh_ctes(d))
+
+
+# ------------------------------------------------ production CC form
+def neardup_components_df(pairs, iters: int = _CC_ROUNDS):
+    """Connected components over near-dup ``pairs(left_id, right_id)``
+    — the PRODUCTION iterative form of ``dedup_components``: min-label
+    propagation with each round's labels persisted and materialized
+    (on a cluster: checkpointed / written per round), because Catalyst
+    inlines plan references and an unrolled lineage re-derives the
+    pair pipeline once per round (the same reason ivf_fit_df exists
+    next to the ann_ivf_fit SQL).  Per round: ONE equi-join on src +
+    ONE min-aggregate shuffle on dst — the label-propagation shape
+    distributed CC uses at any scale.  Returns (doc_id,
+    cluster_keeper, is_duplicate); the SQL twin is the cross-engine
+    oracle and a test pins row-identical output + the fixpoint."""
+    from pyspark.sql import functions as F
+
+    e1 = pairs.select(F.col("left_id").alias("src"),
+                      F.col("right_id").alias("dst"))
+    e2 = pairs.select(F.col("right_id").alias("src"),
+                      F.col("left_id").alias("dst"))
+    vs = (pairs.select(F.col("left_id").alias("v"))
+          .union(pairs.select(F.col("right_id").alias("v"))).distinct())
+    edges = e1.unionAll(e2).unionAll(
+        vs.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    ).persist()
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("doc_id"),
+                      F.col("src").alias("label"))).persist()
+    labels.count()
+    for _ in range(iters):
+        nxt = (edges.join(labels.withColumnRenamed("doc_id", "src"),
+                          "src")
+               .groupBy("dst").agg(F.min("label").alias("label"))
+               .withColumnRenamed("dst", "doc_id")).persist()
+        nxt.count()  # materialize: bound the lineage per round
+        labels.unpersist()
+        labels = nxt
+    out = labels.select(
+        "doc_id", F.col("label").alias("cluster_keeper"),
+        F.when(F.col("doc_id") > F.col("label"), 1).otherwise(0)
+        .cast("int").alias("is_duplicate"))
+    # edges stays persisted until the caller materializes `out`; it is
+    # tiny (2·|pairs| + |vertices| rows) and dies with the session —
+    # callers needing strict hygiene can unpersist via out's lineage
+    return out
+
+
+def verified_pairs_df(spark):
+    """The τ ≥ 0.5 near-dup pairs as a DataFrame (input for
+    neardup_components_df) — same pair set as dedup_lsh_verified."""
+    return spark.sql("WITH %s SELECT left_id, right_id FROM verified"
+                     % _verified_pairs_ctes("spark"))

@@ -21,8 +21,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 _SUBSET = [
     "s3_lines", "g1_block_ids", "g4_block_text", "generic_relational",
     "c1_detect_issuer", "dedup_exact", "dedup_lsh_pairs",
-    "dedup_lsh_verified", "span_neardup", "ann_cosine_topk",
-    "ann_ivf_fit", "ann_ivf_topk", "ann_ivf_amortized",
+    "dedup_lsh_verified", "span_neardup", "dedup_components",
+    "ann_cosine_topk", "ann_ivf_fit", "ann_ivf_topk",
+    "ann_ivf_amortized",
     "events_sessions", "quality_score", "doc_fingerprint",
     "url_canonicalize",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
@@ -121,9 +122,40 @@ def test_driver_contract_shape(entry_mod):
     assert list(qs) == list(oracles)
     # retired rows stay runnable for tests/fuzz via all_queries()
     retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
-               "ifb_relational", "pnb_relational", "ann_brute_big"}
+               "ifb_relational", "pnb_relational", "ann_brute_big",
+               "dedup_components"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
+
+
+def test_neardup_components_df_matches_sql_and_converges(spark,
+                                                         entry_mod):
+    """The production iterative CC form (per-round persisted
+    DataFrames) must be row-identical to the unrolled-SQL oracle twin,
+    AND one extra propagation round must be a fixpoint — proving
+    _CC_ROUNDS suffices for this corpus's near-dup cluster diameters
+    (the SQL twin is only exact when converged)."""
+    from pdf_parser_spark.ops.dedup import (
+        _CC_ROUNDS, neardup_components_df, verified_pairs_df,
+    )
+
+    sql_rows = sorted(
+        tuple(r) for r in
+        entry_mod.all_queries()["dedup_components"](spark, SF_DIR)
+        .collect())
+
+    entry_mod._register(spark, SF_DIR)
+    pairs = verified_pairs_df(spark).persist()
+    df_rows = sorted(tuple(r) for r in
+                     neardup_components_df(pairs).collect())
+    assert df_rows == sql_rows
+    assert len(df_rows) > 0
+
+    plus_one = sorted(tuple(r) for r in
+                      neardup_components_df(
+                          pairs, iters=_CC_ROUNDS + 1).collect())
+    pairs.unpersist()
+    assert plus_one == sql_rows  # fixpoint reached within _CC_ROUNDS
 
 
 def test_d13_dollar_priority_beats_1e8_bare(spark, entry_mod):

@@ -65,3 +65,125 @@ def stream_extraction(
     )
     query.awaitTermination()
     return query
+
+
+# ------------------------------------------------------------------
+# Custom STATEFUL streaming operator: gap-sessionization with
+# applyInPandasWithState — the streaming twin of the batch
+# ``events_sessions`` query (relational.py), differential-tested to
+# row-identical output over the same events.
+# ------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = ("user_id bigint, session_id bigint, "
+                      "n_events bigint, total_value double, "
+                      "span_sec bigint")
+# last_es: epoch-seconds of the last event seen (ts order);
+# counter: sessions opened so far; open_*: the OPEN session's
+# accumulators (micros = exact decimal(38,6) integer representation,
+# matching the batch DECSUM semantics across micro-batch boundaries —
+# a float accumulator would drift)
+SESSION_STATE_SCHEMA = ("last_es bigint, counter bigint, open_n bigint, "
+                        "open_micros bigint, open_min bigint, "
+                        "open_max bigint")
+
+_GAP_SEC = 1800
+
+
+def _value_micros(v: float):
+    """double → exact decimal(38,6) micro-units, the same quantization
+    Spark's cast(double as decimal(38,6)) applies (shortest repr —
+    see relational.DECSUM)."""
+    from decimal import Decimal
+    return int(Decimal(repr(float(v))).scaleb(6).to_integral_value())
+
+
+def sessionize_state_func(key, pdf_iter, state):
+    """Per-user gap-sessionizer (reference semantics = the batch SQL):
+    an event more than 1800 s after the previous one opens a new
+    session; emits a row per CLOSED session.  A sentinel event
+    (event_id < 0) closes the open session without starting one —
+    the stream-end flush, since AvailableNow stops without a
+    watermark ever passing the last real event.
+
+    Exactness notes: gap detection runs in (ts, event_id) order (the
+    batch LAG's ORDER BY) while session assignment runs in
+    (es, event_id) order (the batch window's ORDER BY) — the two can
+    disagree only for same-user events sharing a truncated second, so
+    micro-batch boundaries must not split a same-(user, es) tie (the
+    writer below splits on whole-second boundaries)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_es, counter, open_n, open_micros, open_min, open_max = \
+            state.get
+    else:
+        last_es, counter = None, 0
+        open_n, open_micros, open_min, open_max = 0, 0, None, None
+
+    out = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = pdf.copy()
+        pdf["es"] = pdf["ts"].astype("datetime64[us]").astype("int64") \
+            // 1_000_000
+        # phase 1: is_new flags in (ts, event_id) order — the LAG order
+        p1 = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        is_new = {}
+        for row in p1.itertuples(index=False):
+            new = last_es is None or (row.es - last_es) > _GAP_SEC \
+                or row.event_id < 0
+            is_new[(row.es, row.event_id)] = new
+            last_es = row.es
+        # phase 2: assignment/accumulation in (es, event_id) order —
+        # the session-window order
+        p2 = pdf.sort_values(["es", "event_id"], kind="mergesort")
+        for row in p2.itertuples(index=False):
+            if is_new[(row.es, row.event_id)]:
+                if open_n:
+                    out.append((user_id, counter, open_n,
+                                float(open_micros) / 1e6,
+                                open_max - open_min))
+                open_n, open_micros = 0, 0
+                open_min, open_max = None, None
+                if row.event_id < 0:
+                    continue  # sentinel: flush only, no new session
+                counter += 1
+            open_n += 1
+            open_micros += _value_micros(row.value)
+            open_min = row.es if open_min is None else min(open_min,
+                                                           row.es)
+            open_max = row.es if open_max is None else max(open_max,
+                                                           row.es)
+
+    state.update((last_es, counter, open_n, open_micros,
+                  open_min if open_min is not None else -1,
+                  open_max if open_max is not None else -1))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "session_id",
+                                         "n_events", "total_value",
+                                         "span_sec"])
+
+
+def stream_sessionize(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, query_name: str):
+    """readStream over time-ordered event files → stateful
+    sessionization (one micro-batch per file via maxFilesPerTrigger) →
+    append-mode memory sink.  Returns the finished query."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events_schema = ("event_id bigint, ts timestamp, user_id bigint, "
+                     "event_type string, value double, props string")
+    stream = (spark.readStream.schema(events_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize_state_func, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+    q = (sessions.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -79,3 +79,72 @@ def test_sample_frames_flatmap_shape(spark):
         per_url.setdefault(r.url, []).append(r.frame_no)
     for url, nos in per_url.items():
         assert sorted(nos) == list(range(len(nos)))  # dense frame index
+
+
+def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    gap-sessionization over time-ordered micro-batches (one file per
+    trigger — state genuinely carries open sessions and the session
+    counter across batches) must be row-identical to the batch
+    ``events_sessions`` SQL over the same events.  Stream-end flush
+    via per-user sentinel events in the last file."""
+    import os
+    from datetime import timedelta
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import stream_sessionize
+    from query_registry import QUERY_SQL
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = ev.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    # split on WHOLE-SECOND boundaries (see sessionize_state_func's
+    # exactness note): a micro-batch boundary must not divide a
+    # same-truncated-second tie
+    splits = []
+    for t in (n // 4, n // 2, 3 * n // 4):
+        i = t
+        while i < n and int(rows[i].ts.timestamp()) == \
+                int(rows[i - 1].ts.timestamp()):
+            i += 1
+        splits.append(i)
+    bounds = [0] + splits + [n]
+    parts = [rows[a:b] for a, b in zip(bounds, bounds[1:])]
+    users = sorted({r.user_id for r in rows})
+    max_ts = max(r.ts for r in rows)
+    sentinels = [
+        {"event_id": -(k + 1), "ts": max_ts + timedelta(seconds=4000),
+         "user_id": u, "event_type": "eos", "value": 0.0, "props": ""}
+        for k, u in enumerate(users)
+    ]
+
+    input_dir = tmp_path / "events_stream"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+    chunks = [[r.asDict() for r in p] for p in parts if p] + [sentinels]
+    for k, chunk in enumerate(chunks):
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        tbl = pa.Table.from_pandas(pd.DataFrame(chunk))
+        i = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(i, "ts", tbl["ts"].cast(pa.timestamp("us")))
+        pq.write_table(tbl, path)
+        os.utime(path, (t0 + k, t0 + k))  # oldest-first source order
+
+    stream_sessionize(spark, str(input_dir), str(tmp_path / "ckpt"),
+                      "sess_stateful_test")
+    got = sorted(
+        (r.user_id, r.session_id, r.n_events, repr(r.total_value),
+         r.span_sec)
+        for r in spark.sql("SELECT * FROM sess_stateful_test").collect())
+
+    ev.createOrReplaceTempView("events")
+    want = sorted(
+        (r.user_id, r.session_id, r.n_events, repr(r.total_value),
+         r.span_sec)
+        for r in spark.sql(QUERY_SQL["events_sessions"]["spark"])
+        .collect())
+    assert len(got) == len(want) and len(got) > 50
+    assert got == want

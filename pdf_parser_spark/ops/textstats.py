@@ -1,5 +1,6 @@
 """Text-analysis operators over ``documents``: language-ID heuristic,
-quality scoring, token counting, document fingerprinting.
+quality scoring, token counting, document fingerprinting, Gopher-style
+repetition metrics, PII detection + scrubbing.
 
 All per-row arithmetic is integer or single-expression double math —
 IEEE-deterministic, so both engines emit identical values.
@@ -7,7 +8,7 @@ IEEE-deterministic, so both engines emit identical values.
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK, AMIN, LEN, REALL, lit
+from ..relational import DUCK, SPARK, AMIN, LEN, REALL, REREPL, lit
 
 QUERIES = {}
 
@@ -122,3 +123,134 @@ FROM sh
                      if d == DUCK else "transform(shingles, s -> md5(s))",
                      d),
            ndist=ndist)
+
+
+def _explode(src, arr, out, d):
+    """(doc_id, <arr element>) rows from a CTE holding an array col."""
+    if d == SPARK:
+        return ("SELECT doc_id, %s FROM %s "
+                "LATERAL VIEW explode(%s) t AS %s" % (out, src, arr, out))
+    return "SELECT doc_id, unnest(%s) AS %s FROM %s" % (arr, out, src)
+
+
+@query("quality_repetition")
+def q_repetition(d: str) -> str:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per
+    document, the fraction of tokens taken by the most frequent word,
+    the fraction of 2-gram occurrences taken by the most frequent
+    2-gram, and the duplicate-3-gram fraction — the standard webtext
+    repetition-quality battery the reference has no counterpart for
+    (training-data tier).
+
+    Shape at 10^12 docs: explode + two-level hash agg keyed on
+    (doc_id, gram) then doc_id — map-side partial aggs both levels, no
+    window, no skew (keys are ~uniform doc_ids).  All fractions are
+    single BIGINT/BIGINT double divisions → bit-identical across
+    engines.
+    """
+    from .dedup import _shingles_from_ws, _split_ws
+    g2 = _shingles_from_ws(d, 2)
+    g3 = _shingles_from_ws(d, 3)
+    return """
+WITH ws AS (SELECT doc_id, {split} AS ws FROM documents),
+words AS ({ex_w}),
+wcnt AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+wagg AS (SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_tokens
+         FROM wcnt GROUP BY doc_id),
+garr2 AS (SELECT doc_id, {g2} AS g2 FROM ws),
+e2 AS ({ex_g2}),
+cnt2 AS (SELECT doc_id, g, COUNT(*) AS c FROM e2 GROUP BY doc_id, g),
+agg2 AS (SELECT doc_id, MAX(c) AS top_g2, SUM(c) AS tot_g2
+         FROM cnt2 GROUP BY doc_id),
+garr3 AS (SELECT doc_id, {g3} AS g3 FROM ws),
+e3 AS ({ex_g3}),
+cnt3 AS (SELECT doc_id, g, COUNT(*) AS c FROM e3 GROUP BY doc_id, g),
+agg3 AS (SELECT doc_id, COUNT(*) AS dist_g3, SUM(c) AS tot_g3
+         FROM cnt3 GROUP BY doc_id)
+SELECT w.doc_id,
+  CAST(w.n_tokens AS BIGINT) AS n_tokens,
+  CAST(w.top_w AS DOUBLE) / CAST(w.n_tokens AS DOUBLE)
+    AS top_word_frac,
+  CAST(a2.top_g2 AS DOUBLE) / CAST(a2.tot_g2 AS DOUBLE)
+    AS top_bigram_frac,
+  CAST(a3.tot_g3 - a3.dist_g3 AS DOUBLE) / CAST(a3.tot_g3 AS DOUBLE)
+    AS dup_trigram_frac,
+  CASE WHEN CAST(w.top_w AS DOUBLE) / CAST(w.n_tokens AS DOUBLE) <= 0.20
+        AND CAST(a2.top_g2 AS DOUBLE) / CAST(a2.tot_g2 AS DOUBLE) <= 0.18
+        AND CAST(a3.tot_g3 - a3.dist_g3 AS DOUBLE)
+            / CAST(a3.tot_g3 AS DOUBLE) <= 0.30
+       THEN 1 ELSE 0 END AS keep_flag
+FROM wagg w
+JOIN agg2 a2 ON a2.doc_id = w.doc_id
+JOIN agg3 a3 ON a3.doc_id = w.doc_id
+""".format(split=_split_ws(d, "lower(text)"),
+           ex_w=_explode("ws", "ws", "w", d),
+           g2=g2, ex_g2=_explode("garr2", "g2", "g", d),
+           g3=g3, ex_g3=_explode("garr3", "g3", "g", d))
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+@query("pii_scrub")
+def q_pii_scrub(d: str) -> str:
+    """PII detection + redaction — a standard pre-training scrub pass
+    (emails, US phone numbers, SSN-shaped ids → typed placeholder
+    tokens).  The fixture corpus is clean word-soup, so (same pattern
+    as the dedup tiers' injected corpora) each engine derives the SAME
+    dirty corpus in-plan: deterministic doc_id-keyed emails / phones /
+    SSNs appended before the scrubber runs, so every pattern branch is
+    exercised and counts are non-trivial.
+
+    Counts run on the dirty text; the scrub is three chained global
+    regexp_replace passes (email → phone → SSN; patterns are mutually
+    non-overlapping so the order is not load-bearing).  Pure per-row
+    string/regex projection: at 10^12 docs this fuses with the scan —
+    no shuffle, no UDF, whole-stage codegen.
+    """
+    digits4 = "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    dirty = """
+corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id %% 3 = 0
+         THEN text || ' contact agent' || CAST(doc_id AS STRING)
+              || '@mail' || CAST(doc_id %% 7 AS STRING) || '.example.com'
+         ELSE text END AS t1
+  FROM documents
+),
+corpus2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id %% 4 = 0
+         THEN t1 || ' call (415) 555-' || %(d4)s
+         WHEN doc_id %% 4 = 2
+         THEN t1 || ' fax 415-555-' || %(d4)s
+         ELSE t1 END AS t2
+  FROM corpus
+),
+dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id %% 11 = 0
+         THEN t2 || ' ssn 123-45-' || %(d4)s
+         ELSE t2 END AS t
+  FROM corpus2
+)""" % {"d4": digits4}
+    scrubbed = REREPL(
+        REREPL(REREPL("t", _PII_EMAIL, "<EMAIL>", d),
+               _PII_PHONE, "<PHONE>", d),
+        _PII_SSN, "<SSN>", d)
+    n = {k: "CAST(%s AS BIGINT)" % LEN(REALL("t", p, d), d)
+         for k, p in [("em", _PII_EMAIL), ("ph", _PII_PHONE),
+                      ("ssn", _PII_SSN)]}
+    return """
+WITH {dirty},
+s AS (SELECT doc_id, t, {scrubbed} AS clean FROM dirty)
+SELECT doc_id,
+  {em} AS n_emails, {ph} AS n_phones, {ssn} AS n_ssns,
+  {em} + {ph} + {ssn} AS pii_total,
+  md5(clean) AS scrub_digest,
+  substring(clean, greatest(length(clean) - 59, 1), 60) AS clean_tail
+FROM s
+""".format(dirty=dirty, scrubbed=scrubbed,
+           em=n["em"], ph=n["ph"], ssn=n["ssn"])

@@ -25,7 +25,7 @@ _SUBSET = [
     "ann_cosine_topk", "ann_ivf_fit", "ann_ivf_topk",
     "ann_ivf_amortized",
     "events_sessions", "quality_score", "doc_fingerprint",
-    "url_canonicalize",
+    "url_canonicalize", "quality_repetition", "pii_scrub",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -123,7 +123,7 @@ def test_driver_contract_shape(entry_mod):
     # retired rows stay runnable for tests/fuzz via all_queries()
     retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                "ifb_relational", "pnb_relational", "ann_brute_big",
-               "dedup_components"}
+               "dedup_components", "quality_repetition", "pii_scrub"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -444,3 +444,59 @@ def test_relational_citi_matches_engine(spark, entry_mod):
         len(mismatch), mismatch[:3],
         expected.get(mismatch[0]) if mismatch else None,
         got.get(mismatch[0]) if mismatch else None)
+
+
+def test_pii_scrub_semantics(duck, entry_mod):
+    """Independent Python recomputation: every doc_id-keyed injected
+    email/phone/SSN is counted and redacted; clean text retains no
+    PII-shaped substring (not just engine parity — both engines could
+    share a wrong regex)."""
+    rows = duck.sql(entry_mod.all_oracles()["pii_scrub"]).fetchall()
+    assert len(rows) == 500
+    by_id = {r[0]: r for r in rows}
+    for doc_id, n_em, n_ph, n_ssn, tot, digest, tail in rows:
+        exp_em = 1 if doc_id % 3 == 0 else 0
+        exp_ph = 1 if doc_id % 4 in (0, 2) else 0
+        exp_ssn = 1 if doc_id % 11 == 0 else 0
+        # the word-soup base text is letters-only → injected PII is
+        # exactly what the patterns must find
+        assert (n_em, n_ph, n_ssn) == (exp_em, exp_ph, exp_ssn), doc_id
+        assert tot == exp_em + exp_ph + exp_ssn
+        assert "@" not in tail.replace("<EMAIL>", "")
+        import re
+        assert not re.search(r"\d{3}-\d{2,3}-\d{4}", tail)
+    # placeholders actually appear where PII was injected
+    assert "<EMAIL>" in by_id[0][6] and "<PHONE>" in by_id[0][6]
+    assert "<SSN>" in by_id[0][6]
+
+
+def test_quality_repetition_semantics(duck, entry_mod):
+    """Independent Python recomputation of the Gopher fractions for a
+    sample of documents."""
+    from collections import Counter
+    rows = duck.sql(entry_mod.all_oracles()["quality_repetition"]
+                    ).fetchall()
+    assert len(rows) == 500
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    checked = 0
+    for doc_id, n_tok, top_w, top_g2, dup_g3, keep in rows:
+        if doc_id % 37:
+            continue
+        toks = docs[doc_id].lower().split(" ")
+        assert n_tok == len(toks)
+        wc = Counter(toks)
+        assert abs(top_w - wc.most_common(1)[0][1] / len(toks)) < 1e-12
+        g2 = Counter(" ".join(toks[i:i + 2])
+                     for i in range(max(len(toks) - 1, 1)))
+        assert abs(top_g2 - g2.most_common(1)[0][1]
+                   / sum(g2.values())) < 1e-12
+        g3 = [" ".join(toks[i:i + 3])
+              for i in range(max(len(toks) - 2, 1))]
+        exp_dup = (len(g3) - len(set(g3))) / len(g3)
+        assert abs(dup_g3 - exp_dup) < 1e-12
+        exp_keep = int(top_w <= 0.20
+                       and top_g2 / 1.0 <= 0.18 and exp_dup <= 0.30)
+        # recompute keep from the SQL's own (identical) fractions
+        assert keep == exp_keep
+        checked += 1
+    assert checked >= 10

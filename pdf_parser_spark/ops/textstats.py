@@ -125,14 +125,6 @@ FROM sh
            ndist=ndist)
 
 
-def _explode(src, arr, out, d):
-    """(doc_id, <arr element>) rows from a CTE holding an array col."""
-    if d == SPARK:
-        return ("SELECT doc_id, %s FROM %s "
-                "LATERAL VIEW explode(%s) t AS %s" % (out, src, arr, out))
-    return "SELECT doc_id, unnest(%s) AS %s FROM %s" % (arr, out, src)
-
-
 @query("quality_repetition")
 def q_repetition(d: str) -> str:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per
@@ -142,29 +134,58 @@ def q_repetition(d: str) -> str:
     repetition-quality battery the reference has no counterpart for
     (training-data tier).
 
-    Shape at 10^12 docs: explode + two-level hash agg keyed on
-    (doc_id, gram) then doc_id — map-side partial aggs both levels, no
-    window, no skew (keys are ~uniform doc_ids).  All fractions are
-    single BIGINT/BIGINT double divisions → bit-identical across
-    engines.
+    Shape at 10^12 docs: the Spark form derives words AND both gram
+    sizes from ONE posexplode + lead-window pass (single doc_id
+    shuffle; HashPartitioning(doc_id) satisfies the downstream
+    (doc_id, gram) groupings, so the per-gram counts reuse the
+    exchange) — deliberately array-free, because Catalyst inlines the
+    split() into a slice-lambda shingle formulation and re-evaluates
+    it per element, O(words²) per document (the dedup module measured
+    52s vs 2s at sf0.1; invisible on 60-word fixtures, fatal on real
+    web pages).  DuckDB keeps the list-comprehension shape (fast
+    there).  All fractions are single BIGINT/BIGINT double divisions →
+    bit-identical across engines.
     """
     from .dedup import _shingles_from_ws, _split_ws
-    g2 = _shingles_from_ws(d, 2)
-    g3 = _shingles_from_ws(d, 3)
-    return """
-WITH ws AS (SELECT doc_id, {split} AS ws FROM documents),
-words AS ({ex_w}),
+    if d == SPARK:
+        grams = """
+wsplit AS (
+  SELECT doc_id, pos, w FROM documents
+  LATERAL VIEW posexplode(split(lower(text), ' ')) t AS pos, w
+),
+led AS (
+  SELECT doc_id, pos, w,
+    concat_ws(' ', w, lead(w, 1) OVER win) AS s2,
+    concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS s3,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM wsplit
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+wcnt AS (SELECT doc_id, w, COUNT(*) AS c FROM wsplit
+         GROUP BY doc_id, w),
+cnt2 AS (SELECT doc_id, s2 AS g, COUNT(*) AS c FROM led
+         WHERE pos + 1 <= greatest(n - 1, 1) GROUP BY doc_id, s2),
+cnt3 AS (SELECT doc_id, s3 AS g, COUNT(*) AS c FROM led
+         WHERE pos + 1 <= greatest(n - 2, 1) GROUP BY doc_id, s3)"""
+    else:
+        grams = """
+ws AS (SELECT doc_id, {split} AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS w FROM ws),
 wcnt AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+garr2 AS (SELECT doc_id, {g2} AS g2 FROM ws),
+e2 AS (SELECT doc_id, unnest(g2) AS g FROM garr2),
+cnt2 AS (SELECT doc_id, g, COUNT(*) AS c FROM e2 GROUP BY doc_id, g),
+garr3 AS (SELECT doc_id, {g3} AS g3 FROM ws),
+e3 AS (SELECT doc_id, unnest(g3) AS g FROM garr3),
+cnt3 AS (SELECT doc_id, g, COUNT(*) AS c FROM e3 GROUP BY doc_id, g)
+""".format(split=_split_ws(d, "lower(text)"),
+           g2=_shingles_from_ws(d, 2), g3=_shingles_from_ws(d, 3))
+    return """
+WITH {grams},
 wagg AS (SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_tokens
          FROM wcnt GROUP BY doc_id),
-garr2 AS (SELECT doc_id, {g2} AS g2 FROM ws),
-e2 AS ({ex_g2}),
-cnt2 AS (SELECT doc_id, g, COUNT(*) AS c FROM e2 GROUP BY doc_id, g),
 agg2 AS (SELECT doc_id, MAX(c) AS top_g2, SUM(c) AS tot_g2
          FROM cnt2 GROUP BY doc_id),
-garr3 AS (SELECT doc_id, {g3} AS g3 FROM ws),
-e3 AS ({ex_g3}),
-cnt3 AS (SELECT doc_id, g, COUNT(*) AS c FROM e3 GROUP BY doc_id, g),
 agg3 AS (SELECT doc_id, COUNT(*) AS dist_g3, SUM(c) AS tot_g3
          FROM cnt3 GROUP BY doc_id)
 SELECT w.doc_id,
@@ -183,10 +204,7 @@ SELECT w.doc_id,
 FROM wagg w
 JOIN agg2 a2 ON a2.doc_id = w.doc_id
 JOIN agg3 a3 ON a3.doc_id = w.doc_id
-""".format(split=_split_ws(d, "lower(text)"),
-           ex_w=_explode("ws", "ws", "w", d),
-           g2=g2, ex_g2=_explode("garr2", "g2", "g", d),
-           g3=g3, ex_g3=_explode("garr3", "g3", "g", d))
+""".format(grams=grams)
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -204,15 +204,18 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     pytest + tools/check_oracles (both sweep
 #                     all_queries), kept outside the 50 so no existing
 #                     driver row loses adjudication
-#   quality_repetition / pii_scrub = post-cap additions (Gopher-style
-#                     repetition filters; PII detect+redact) — same
-#                     all_queries verification path as dedup_components
+#   quality_repetition / pii_scrub / decontam_13gram = post-cap
+#                     additions (Gopher-style repetition filters; PII
+#                     detect+redact; 13-gram benchmark decontamination)
+#                     — same all_queries verification path as
+#                     dedup_components
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "fidelity_pipeline", "extraction_metrics",
                    "extraction_spans", "span_dedup"]
 _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "ifb_relational", "pnb_relational", "ann_brute_big",
-                   "dedup_components", "quality_repetition", "pii_scrub"}
+                   "dedup_components", "quality_repetition", "pii_scrub",
+                   "decontam_13gram"}
 
 
 def _specials() -> dict:

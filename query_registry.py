@@ -16,9 +16,9 @@ from pdf_parser_spark import relational, relational_banks  # noqa: E402
 _MODULES = [relational, relational_banks]
 try:
     from pdf_parser_spark.ops import (  # noqa: E402
-        dedup, similarity, textstats, weburl,
+        decontam, dedup, similarity, textstats, weburl,
     )
-    _MODULES += [dedup, similarity, textstats, weburl]
+    _MODULES += [decontam, dedup, similarity, textstats, weburl]
 except ImportError:
     pass
 

@@ -26,6 +26,7 @@ _SUBSET = [
     "ann_ivf_amortized",
     "events_sessions", "quality_score", "doc_fingerprint",
     "url_canonicalize", "quality_repetition", "pii_scrub",
+    "decontam_13gram",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -123,7 +124,8 @@ def test_driver_contract_shape(entry_mod):
     # retired rows stay runnable for tests/fuzz via all_queries()
     retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                "ifb_relational", "pnb_relational", "ann_brute_big",
-               "dedup_components", "quality_repetition", "pii_scrub"}
+               "dedup_components", "quality_repetition", "pii_scrub",
+               "decontam_13gram"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -500,3 +502,32 @@ def test_quality_repetition_semantics(duck, entry_mod):
         assert keep == exp_keep
         checked += 1
     assert checked >= 10
+
+
+def test_decontam_13gram_semantics(duck, entry_mod):
+    """Independent Python ground truth: recompute the 13-gram overlap
+    screen from raw text (injections AND any natural train/eval
+    near-duplicates the corpus construction produced) and require the
+    SQL's flags to match exactly."""
+    rows = duck.sql(entry_mod.all_oracles()["decontam_13gram"]).fetchall()
+    assert len(rows) == 490  # 500 docs minus 10 eval rows
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+
+    def grams(words):
+        return set(" ".join(words[i:i + 13])
+                   for i in range(len(words) - 12))
+
+    ev_ids = [i for i in range(7, 500, 50) if len(docs[i].split(" ")) >= 13]
+    ev_grams = set().union(*(grams(docs[i].split(" ")) for i in ev_ids))
+    flagged = naturals = 0
+    for doc_id, n_hits, flag in rows:
+        words = docs[doc_id].split(" ")
+        if doc_id % 17 == 3 and (7 + 50 * (doc_id % 10)) in ev_ids:
+            words = words + docs[7 + 50 * (doc_id % 10)].split(" ")[:13]
+        exp = len(grams(words) & ev_grams)
+        assert (n_hits, flag) == (exp, int(exp > 0)), doc_id
+        flagged += flag
+        if flag and doc_id % 17 != 3:
+            naturals += 1
+    assert flagged >= 25        # the injected tier is found
+    assert naturals >= 1        # the natural near-dup tier is found

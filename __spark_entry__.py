@@ -204,9 +204,11 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     pytest + tools/check_oracles (both sweep
 #                     all_queries), kept outside the 50 so no existing
 #                     driver row loses adjudication
-#   quality_repetition / pii_scrub / decontam_13gram = post-cap
+#   quality_repetition / pii_scrub / decontam_13gram /
+#   quality_sampling = post-cap
 #                     additions (Gopher-style repetition filters; PII
-#                     detect+redact; 13-gram benchmark decontamination)
+#                     detect+redact; 13-gram benchmark decontamination;
+#                     quality-stratified deterministic sampling)
 #                     — same all_queries verification path as
 #                     dedup_components
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
@@ -215,7 +217,7 @@ _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
 _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "ifb_relational", "pnb_relational", "ann_brute_big",
                    "dedup_components", "quality_repetition", "pii_scrub",
-                   "decontam_13gram"}
+                   "decontam_13gram", "quality_sampling"}
 
 
 def _specials() -> dict:

@@ -272,3 +272,63 @@ SELECT doc_id,
 FROM s
 """.format(dirty=dirty, scrubbed=scrubbed,
            em=n["em"], ph=n["ph"], ssn=n["ssn"])
+
+
+@query("quality_sampling")
+def q_sampling(d: str) -> str:
+    """Quality-stratified deterministic sampling — the corpus-mixing
+    stage of a training-data pipeline: bucket documents into quality
+    strata, then keep each document with a per-stratum rate decided by
+    a content-keyed digest (NOT rand(): the decision must be
+    reproducible run-to-run, engine-to-engine, and stable under
+    repartitioning).  Strata reuse the `quality_score` signal tiers;
+    rates: high keeps all, mid keeps ~40%, low keeps ~10%.
+
+    Shape at 10^12 docs: pure per-row projection + filter (digest mod
+    1000 vs threshold) — fuses with the scan, no shuffle except the
+    final stratum rollup, which is a 3-group hash agg.
+    """
+    from ..relational import HEX2INT, ORD_CONCAT
+    n_tok = "CAST(%s AS BIGINT)" % LEN(REALL("text", r"\S+", d), d)
+    n_stop = "CAST(%s AS BIGINT)" % LEN(
+        REALL("lower(text)", r"\b(the|a|and|of|to|in|is)\b", d), d)
+    die = HEX2INT("md5('mix1:' || CAST(doc_id AS STRING))", d)
+    return """
+WITH feats AS (
+  SELECT doc_id, {n_tok} AS n_tokens, {n_stop} AS n_stop
+  FROM documents
+),
+strata AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens >= 64 OR n_stop * 4 >= n_tokens THEN 'high'
+         WHEN n_tokens >= 32 THEN 'mid'
+         ELSE 'low' END AS stratum,
+    {die} % 1000 AS die
+  FROM feats WHERE n_tokens > 0
+),
+kept AS (
+  SELECT doc_id, stratum, die,
+    CASE WHEN stratum = 'high' THEN 1
+         WHEN stratum = 'mid' AND die < 400 THEN 1
+         WHEN stratum = 'low' AND die < 100 THEN 1
+         ELSE 0 END AS keep_flag
+  FROM strata
+),
+totals AS (
+  SELECT stratum,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(keep_flag) AS BIGINT) AS n_kept,
+    CAST(MIN(CASE WHEN keep_flag = 1 THEN doc_id END) AS BIGINT)
+      AS first_kept_doc
+  FROM kept GROUP BY stratum
+),
+digests AS (
+  SELECT stratum, md5({kept_ids}) AS kept_set_digest
+  FROM kept WHERE keep_flag = 1 GROUP BY stratum
+)
+SELECT t.stratum, t.n_docs, t.n_kept, t.first_kept_doc,
+       g.kept_set_digest
+FROM totals t JOIN digests g ON g.stratum = t.stratum
+""".format(n_tok=n_tok, n_stop=n_stop, die=die,
+           kept_ids=ORD_CONCAT("CAST(doc_id AS STRING)", ",",
+                               "doc_id", d))

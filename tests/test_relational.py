@@ -26,7 +26,7 @@ _SUBSET = [
     "ann_ivf_amortized",
     "events_sessions", "quality_score", "doc_fingerprint",
     "url_canonicalize", "quality_repetition", "pii_scrub",
-    "decontam_13gram",
+    "decontam_13gram", "quality_sampling",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -125,7 +125,7 @@ def test_driver_contract_shape(entry_mod):
     retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                "ifb_relational", "pnb_relational", "ann_brute_big",
                "dedup_components", "quality_repetition", "pii_scrub",
-               "decontam_13gram"}
+               "decontam_13gram", "quality_sampling"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -531,3 +531,37 @@ def test_decontam_13gram_semantics(duck, entry_mod):
             naturals += 1
     assert flagged >= 25        # the injected tier is found
     assert naturals >= 1        # the natural near-dup tier is found
+
+
+def test_quality_sampling_semantics(duck, entry_mod):
+    """Independent Python recomputation: strata assignment, the
+    md5-keyed deterministic die, per-stratum keep rates, and the exact
+    kept-set digest."""
+    import hashlib
+    import re as _re
+    rows = duck.sql(entry_mod.all_oracles()["quality_sampling"]).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    strata, kept = {}, {}
+    for doc_id, text in docs.items():
+        n_tok = len(_re.findall(r"\S+", text))
+        n_stop = len(_re.findall(r"\b(?:the|a|and|of|to|in|is)\b",
+                                 text.lower()))
+        if n_tok == 0:
+            continue
+        st = ("high" if n_tok >= 64 or n_stop * 4 >= n_tok
+              else "mid" if n_tok >= 32 else "low")
+        die = int(hashlib.md5(
+            ("mix1:%d" % doc_id).encode()).hexdigest()[:15], 16) % 1000
+        keep = (st == "high" or (st == "mid" and die < 400)
+                or (st == "low" and die < 100))
+        strata.setdefault(st, []).append(doc_id)
+        if keep:
+            kept.setdefault(st, []).append(doc_id)
+    assert {r[0] for r in rows} == {"high", "mid", "low"}
+    for st, n_docs, n_kept, first_kept, digest in rows:
+        assert n_docs == len(strata[st])
+        assert n_kept == len(kept[st])
+        assert first_kept == min(kept[st])
+        exp = hashlib.md5(",".join(
+            str(i) for i in sorted(kept[st])).encode()).hexdigest()
+        assert digest == exp, st

@@ -187,3 +187,38 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def stream_dedup_exact(spark: SparkSession, input_dir: str,
+                       checkpoint_dir: str, query_name: str):
+    """Streaming INGEST dedup — the cross-micro-batch twin of the
+    batch ``dedup_exact`` tier (ops/dedup.py): readStream over
+    document files → content digest → ``dropDuplicates`` whose state
+    store carries every seen digest across micro-batches, so a
+    duplicate arriving hours after its original is still dropped.
+    This is the shape a Common-Crawl ingest pipeline runs at the edge:
+    dedup-at-arrival instead of a later full-corpus groupBy.
+
+    No watermark on purpose: the batch tier has no retention bound
+    either (state = one row per distinct digest; at 10^12 docs the
+    state store is RocksDB-backed and sharded by digest hash —
+    ``dropDuplicatesWithinWatermark`` is the bounded-retention variant
+    when near-in-time dups dominate).  ``Trigger.AvailableNow`` drains
+    the backlog then stops, same as stream_extraction.
+    Returns the finished query; survivors land in the memory sink
+    ``query_name``."""
+    docs_schema = ("doc_id bigint, text string, lang string, "
+                   "source string, n_chars bigint")
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+    survivors = (
+        stream.selectExpr("doc_id", "md5(text) AS content_hash")
+        .dropDuplicates(["content_hash"])
+    )
+    q = (survivors.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

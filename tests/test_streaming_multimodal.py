@@ -148,3 +148,52 @@ def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
         .collect())
     assert len(got) == len(want) and len(got) > 50
     assert got == want
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Streaming ingest dedup (cross-micro-batch dropDuplicates state)
+    must keep exactly the batch ``dedup_exact`` keepers.  The dup tier
+    (doc_id+1000000 copies of every 5th doc) is fed in a LATER
+    micro-batch than every original, so each survivor decision is made
+    by state carried across batches, not within-batch ordering — and
+    the originals are pairwise-distinct (asserted), so the outcome is
+    deterministic."""
+    import os
+
+    from pdf_parser_spark.streaming import stream_dedup_exact
+    from query_registry import QUERY_SQL
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    assert len({r.text for r in rows}) == len(rows)  # originals distinct
+    dup_tier = [r.asDict() | {"doc_id": r.doc_id + 1000000}
+                for r in rows if r.doc_id % 5 == 0]
+    n = len(rows)
+    chunks = [[r.asDict() for r in rows[:n // 3]],
+              [r.asDict() for r in rows[n // 3: 2 * n // 3]],
+              [r.asDict() for r in rows[2 * n // 3:]],
+              dup_tier]
+
+    input_dir = tmp_path / "docs_stream"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for k, chunk in enumerate(chunks):
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk)), path)
+        os.utime(path, (t0 + k, t0 + k))  # oldest-first source order
+
+    stream_dedup_exact(spark, str(input_dir), str(tmp_path / "ckpt_dd"),
+                       "dedup_stream_test")
+    got = sorted(
+        (r.doc_id, r.content_hash)
+        for r in spark.sql("SELECT * FROM dedup_stream_test").collect())
+
+    docs.createOrReplaceTempView("documents")
+    batch = spark.sql(QUERY_SQL["dedup_exact"]["spark"]).collect()
+    want = sorted((r.doc_id, r.content_hash)
+                  for r in batch if r.doc_id == r.keeper_id)
+    assert len(got) == len(want) == 500
+    assert got == want

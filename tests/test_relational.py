@@ -26,7 +26,7 @@ _SUBSET = [
     "ann_ivf_amortized",
     "events_sessions", "quality_score", "doc_fingerprint",
     "url_canonicalize", "quality_repetition", "pii_scrub",
-    "decontam_13gram", "quality_sampling",
+    "decontam_13gram", "quality_sampling", "curation_pipeline",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -125,7 +125,7 @@ def test_driver_contract_shape(entry_mod):
     retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                "ifb_relational", "pnb_relational", "ann_brute_big",
                "dedup_components", "quality_repetition", "pii_scrub",
-               "decontam_13gram", "quality_sampling"}
+               "decontam_13gram", "quality_sampling", "curation_pipeline"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -565,3 +565,46 @@ def test_quality_sampling_semantics(duck, entry_mod):
         exp = hashlib.md5(",".join(
             str(i) for i in sorted(kept[st])).encode()).hexdigest()
         assert digest == exp, st
+
+
+def test_curation_pipeline_semantics(duck, entry_mod):
+    """Independent Python recomputation of the full curation funnel
+    (quality gate → exact dedup keeper → stratified sampling) and the
+    final kept-set digest."""
+    import hashlib
+    import re as _re
+    row = duck.sql(entry_mod.all_oracles()["curation_pipeline"]).fetchall()
+    assert len(row) == 1
+    n_ing, n_q, n_uniq, n_final, digest = row[0]
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    corpus = dict(docs)
+    corpus.update({k + 1000000: v for k, v in docs.items() if k % 5 == 0})
+    assert n_ing == len(corpus)
+
+    seen, final = {}, []
+    qpass = upass = 0
+    for doc_id in sorted(corpus):
+        text = corpus[doc_id]
+        n_tok = len(_re.findall(r"\S+", text))
+        n_stop = len(_re.findall(r"\b(?:the|a|and|of|to|in|is)\b",
+                                 text.lower()))
+        if n_tok < 24:
+            continue
+        qpass += 1
+        h = hashlib.md5(text.encode()).hexdigest()
+        if h in seen:
+            continue
+        seen[h] = doc_id
+        upass += 1
+        die = int(hashlib.md5(("mix1:%d" % doc_id).encode())
+                  .hexdigest()[:15], 16) % 1000
+        if (n_tok >= 64 or n_stop * 4 >= n_tok
+                or (n_tok >= 32 and die < 400)
+                or (n_tok < 32 and die < 100)):
+            final.append(doc_id)
+    assert (n_q, n_uniq, n_final) == (qpass, upass, len(final))
+    fin = set(final)
+    joined = ",".join(str(i) if i in fin else ""
+                      for i in sorted(corpus))
+    assert digest == hashlib.md5(joined.encode()).hexdigest()
+    assert 0 < n_final < n_uniq < n_q < n_ing  # every stage attrits

@@ -190,7 +190,7 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
 
 
 def stream_dedup_exact(spark: SparkSession, input_dir: str,
-                       checkpoint_dir: str, query_name: str):
+                       checkpoint_dir: str, out_dir: str):
     """Streaming INGEST dedup — the cross-micro-batch twin of the
     batch ``dedup_exact`` tier (ops/dedup.py): readStream over
     document files → content digest → ``dropDuplicates`` whose state
@@ -205,8 +205,9 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str,
     ``dropDuplicatesWithinWatermark`` is the bounded-retention variant
     when near-in-time dups dominate).  ``Trigger.AvailableNow`` drains
     the backlog then stops, same as stream_extraction.
-    Returns the finished query; survivors land in the memory sink
-    ``query_name``."""
+    Returns the finished query; survivors land in the parquet file
+    sink ``out_dir`` (the exactly-once sink that supports restarting
+    from ``checkpoint_dir`` — the memory sink does not)."""
     docs_schema = ("doc_id bigint, text string, lang string, "
                    "source string, n_chars bigint")
     stream = (spark.readStream.schema(docs_schema)
@@ -216,7 +217,8 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str,
         stream.selectExpr("doc_id", "md5(text) AS content_hash")
         .dropDuplicates(["content_hash"])
     )
-    q = (survivors.writeStream.format("memory").queryName(query_name)
+    q = (survivors.writeStream.format("parquet")
+         .option("path", out_dir)
          .outputMode("append")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())

@@ -185,11 +185,12 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path):
         pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk)), path)
         os.utime(path, (t0 + k, t0 + k))  # oldest-first source order
 
+    out_dir = str(tmp_path / "dedup_out")
     stream_dedup_exact(spark, str(input_dir), str(tmp_path / "ckpt_dd"),
-                       "dedup_stream_test")
+                       out_dir)
     got = sorted(
         (r.doc_id, r.content_hash)
-        for r in spark.sql("SELECT * FROM dedup_stream_test").collect())
+        for r in spark.read.parquet(out_dir).collect())
 
     docs.createOrReplaceTempView("documents")
     batch = spark.sql(QUERY_SQL["dedup_exact"]["spark"]).collect()
@@ -197,3 +198,47 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path):
                   for r in batch if r.doc_id == r.keeper_id)
     assert len(got) == len(want) == 500
     assert got == want
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpoint resumability of the dedup STATE: drain originals,
+    stop, then restart the stream from the same checkpoint with only
+    the duplicate tier newly arrived.  If the digest state did not
+    survive the restart, every duplicate would re-emit; the second run
+    must emit zero rows."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import stream_dedup_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    input_dir = tmp_path / "docs_stream2"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+
+    def write(k, chunk):
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(chunk)), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+    out_dir = str(tmp_path / "dedup_rs_out")
+    write(0, [r.asDict() for r in rows])
+    stream_dedup_exact(spark, str(input_dir), str(tmp_path / "ckpt_rs"),
+                       out_dir)
+    assert spark.read.parquet(out_dir).count() == 500
+
+    # duplicates of every 5th doc land AFTER the stream stopped
+    write(1, [r.asDict() | {"doc_id": r.doc_id + 1000000}
+              for r in rows if r.doc_id % 5 == 0])
+    stream_dedup_exact(spark, str(input_dir), str(tmp_path / "ckpt_rs"),
+                       out_dir)
+    # state reloaded from checkpoint: every duplicate dropped, and the
+    # exactly-once sink added nothing
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 500
+    assert final.filter("doc_id >= 1000000").count() == 0

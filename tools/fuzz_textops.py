@@ -1,0 +1,124 @@
+"""Differential fuzz for the post-cap text-ops tier — random documents
+(word soup + valid AND near-miss PII-shaped tokens + repetition bursts
++ unicode/punctuation noise) run through the SAME dialect-paired SQL on
+Spark (Java regex) and DuckDB (RE2), rows compared exactly.
+
+The fixture-based semantic tests pin correctness on the shipped corpus;
+this probes the regex-engine seam (word boundaries, quantifiers,
+character classes, alternation order) on inputs the fixture never
+produces.
+
+Usage: python tools/fuzz_textops.py [n_docs=2000] [seed ...]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import random
+import sys
+
+import duckdb
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
+           "curation_pipeline", "decontam_13gram", "lang_id_heuristic",
+           "quality_score", "token_stats"]
+
+WORDS = ("the fast key order sort table scan merge part window small "
+         "hash join batch value stream data group query row filter "
+         "customer line big slow agg spark vector column").split()
+
+PII_VALID = [
+    "user{i}@example.com", "a.b-c_d+x@mail{i}.example.org",
+    "(212) 555-01{i:02d}", "(212)555-01{i:02d}", "212-555-01{i:02d}",
+    "123-45-67{i:02d}",
+]
+PII_NEARMISS = [
+    "user@@example..com", "user@example", "@example.com", "user@.com",
+    "(21) 555-0123", "212-555-012", "212-5550-123", "1234-55-6789",
+    "123-456-78", "12-345-6789", "123--45-6789", "a@b.c",
+    "(212) 555-01234",  # trailing extra digit
+]
+NOISE = ["$1,234.56", "...", "—", "naïve", "<tag>", "a&b", "50%",
+         "e.g.", "x=y+1", "①②③", " spaced", "tab\tsep"]
+
+
+def make_docs(n: int, rng: random.Random):
+    docs = []
+    for i in range(n):
+        k = rng.randint(3, 80)
+        toks = [rng.choice(WORDS) for _ in range(k)]
+        if rng.random() < 0.3:   # repetition burst (Gopher territory)
+            burst = [rng.choice(WORDS)] * rng.randint(2, 30)
+            pos = rng.randint(0, len(toks))
+            toks[pos:pos] = burst
+        for pool, p in ((PII_VALID, 0.4), (PII_NEARMISS, 0.5),
+                        (NOISE, 0.4)):
+            if rng.random() < p:
+                tok = rng.choice(pool).format(i=i % 100)
+                toks.insert(rng.randint(0, len(toks)), tok)
+        text = " ".join(toks)
+        docs.append((i, text, "en", "fuzz", len(text)))
+    return docs
+
+
+def norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(
+            repr(r[i]) if isinstance(r[i], float) else str(r[i])
+            for i in order))
+    return sorted(out), [cols[i] for i in order]
+
+
+def main(n_docs="2000", *seeds):
+    from pdf_parser_spark.session import get_spark
+    from query_registry import QUERY_SQL
+
+    n_docs = int(n_docs)
+    seeds = [int(s) for s in seeds] or [0]
+    spark = get_spark(app="fuzz-textops", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for seed in seeds:
+        rng = random.Random(seed)
+        docs = make_docs(n_docs, rng)
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, lang string, "
+                  "source string, n_chars bigint"
+        ).createOrReplaceTempView("documents")
+        con = duckdb.connect()
+        import pandas as pd
+        con.register("documents", pd.DataFrame(
+            docs, columns=["doc_id", "text", "lang", "source",
+                           "n_chars"]))
+        for name in QUERIES:
+            sdf = spark.sql(QUERY_SQL[name]["spark"])
+            s_rows, s_cols = norm(sdf.columns,
+                                  [tuple(r) for r in sdf.collect()])
+            dres = con.sql(QUERY_SQL[name]["duckdb"])
+            d_rows, d_cols = norm(dres.columns, dres.fetchall())
+            ok = s_cols == d_cols and s_rows == d_rows
+            print("seed=%d %-20s %s  %d rows" %
+                  (seed, name, "OK " if ok else "DIVERGE", len(s_rows)))
+            if not ok:
+                failures.append((seed, name))
+                diffs = [(a, b) for a, b in zip(s_rows, d_rows)
+                         if a != b][:3]
+                for a, b in diffs:
+                    print("  spark:", a)
+                    print("  duck :", b)
+    print("\n%d/%d (seed, query) runs agree" %
+          (len(seeds) * len(QUERIES) - len(failures),
+           len(seeds) * len(QUERIES)))
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

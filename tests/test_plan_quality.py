@@ -170,3 +170,17 @@ def test_bucketed_url_joins_are_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS pages_bucketed_t")
         spark.sql("DROP TABLE IF EXISTS committed_bucketed_t")
+
+
+def test_decontam_gram_screen_broadcasts_eval_side(spark):
+    """The 13-gram contamination screen must plan the (small) eval-gram
+    side as a broadcast — a shuffled join here would move every train
+    gram twice at 10^12 docs."""
+    import query_registry
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    plan = _explain(spark.sql(
+        query_registry.QUERY_SQL["decontam_13gram"]["spark"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -140,6 +140,18 @@ class TableIO:
                 % (path, snap.get("format_version"), FORMAT_VERSION))
         return snap
 
+    def _expiry_path(self) -> str:
+        return os.path.join(self._snap_dir(), "expired.json")
+
+    def _expiry_watermark(self) -> int:
+        """Lowest still-travelable snapshot sequence (0 = full
+        history)."""
+        try:
+            with open(self._expiry_path()) as fh:
+                return json.load(fh)["min_live_sequence"]
+        except FileNotFoundError:
+            return 0
+
     def committed_files(self, table: str,
                         as_of: Optional[int] = None) -> List[str]:
         """Files visible for ``table``; ``as_of`` = time travel to a
@@ -149,6 +161,11 @@ class TableIO:
         landed between the rewrite's read point and its publish are
         MERGED in, never erased — so compaction racing a micro-batch
         append loses neither."""
+        if as_of is not None and as_of < self._expiry_watermark():
+            raise RuntimeError(
+                "snapshot %d is expired (min live sequence is %d): "
+                "expire_snapshots removed the data files this time "
+                "travel would need" % (as_of, self._expiry_watermark()))
         entries: List[tuple] = []  # (origin_sequence, [files])
         for m in self._manifests():
             snap = self._load_manifest(m)
@@ -273,11 +290,12 @@ class TableIO:
         compaction's read and its publish survives the rewrite instead
         of being erased (Iceberg's file-scoped rewrite semantics).
 
-        Retention: there is deliberately NO expire/vacuum — every
-        pre-rewrite file must stay on disk because ``as_of`` readers
-        and in-flight lazy DataFrames still reference it.  Any future
-        vacuum must compute file liveness across ALL retained
-        snapshots, not just the head."""
+        Retention: compaction itself never deletes — every pre-rewrite
+        file stays on disk because ``as_of`` readers and in-flight
+        lazy DataFrames still reference it.  Reclamation is the
+        separate :meth:`expire_snapshots` maintenance op, which
+        computes file liveness across ALL retained snapshots (never
+        just the head) before vacuuming."""
         basis = len(self._manifests()) - 1
         # read exactly the state ``base`` claims: a commit landing
         # between the log scan and the read must not be both merged by
@@ -317,3 +335,69 @@ class TableIO:
             if table is None or table in snap["tables"]:
                 out.append(snap)
         return out
+
+    def expire_snapshots(self, keep_last: int = 10,
+                         dry_run: bool = False) -> dict:
+        """Iceberg's ``expire_snapshots`` + vacuum: bound time-travel
+        history to the latest ``keep_last`` snapshots and delete the
+        data files no retained snapshot references — at micro-batch
+        cadence with periodic compaction, every rewrite otherwise
+        strands the full pre-rewrite table on disk forever (the
+        retention note in :meth:`compact`).
+
+        Liveness is computed across ALL retained snapshots — the union
+        of ``committed_files(t, as_of=s)`` for every kept sequence and
+        table — never just the head, so an append that predates the
+        boundary but was never rewritten stays (its file is still in
+        every newer state), while files replaced by a rewrite at or
+        below the boundary die.
+
+        Crash-safe ordering: the watermark (``expired.json``, written
+        via tmp+rename) publishes FIRST, so no reader starts a time
+        travel below it; file deletion follows and is idempotent — a
+        crash between the two just leaves dead files for the next run.
+        Manifest JSONs are retained (the optimistic-commit sequence
+        claim is ``len(manifests)``; they are bytes, the data files are
+        the storage).  Concurrent appends are unaffected: manifests
+        are untouched and the watermark only ever rises.  Like
+        Iceberg's vacuum, in-flight readers of expired snapshots are
+        the operator's retention-window contract, not a runtime check.
+        """
+        manifests = self._manifests()
+        wm = self._expiry_watermark()
+        boundary = len(manifests) - keep_last
+        if boundary <= wm or boundary <= 0:
+            return {"min_live_sequence": wm, "files_deleted": []}
+        all_files: set = set()
+        tables: set = set()
+        for m in manifests:
+            snap = self._load_manifest(m)
+            tables.update(snap["tables"])
+            for fl in snap["tables"].values():
+                all_files.update(fl)
+        live: set = set()
+        for s in range(boundary, len(manifests)):
+            for t in tables:
+                live.update(self.committed_files(t, as_of=s))
+        dead = sorted(all_files - live)
+        if dry_run:
+            return {"min_live_sequence": boundary, "files_deleted": dead,
+                    "dry_run": True}
+        tmp = self._expiry_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"min_live_sequence": boundary}, fh)
+        os.replace(tmp, self._expiry_path())  # atomic publish
+        import shutil
+        for f in dead:
+            try:
+                os.unlink(f)
+            except FileNotFoundError:
+                pass  # idempotent: a prior crashed run got here first
+        for d in {os.path.dirname(f) for f in dead}:
+            # a commit dir's parquet files die together (a rewrite
+            # replaces whole sequences); once none remain, the dir
+            # holds only _SUCCESS/.crc droppings — remove it
+            if os.path.isdir(d) and not any(
+                    f.endswith(".parquet") for f in os.listdir(d)):
+                shutil.rmtree(d, ignore_errors=True)
+        return {"min_live_sequence": boundary, "files_deleted": dead}

@@ -306,3 +306,74 @@ def test_foreign_format_version_raises(spark, tmp_path):
     snap.write_text(json.dumps(doc))
     with pytest.raises(RuntimeError, match="format_version"):
         io.read(spark, "t")
+
+
+def test_expire_snapshots_vacuums_only_dead_files(spark, tmp_path):
+    """expire_snapshots after a compaction: history below the boundary
+    is no longer travelable, files replaced by the rewrite are deleted
+    from disk, but an old append that was NEVER rewritten survives
+    (liveness across all retained snapshots, not just the head)."""
+    io = TableIO(str(tmp_path))
+    for i in range(4):                       # seqs 0..3
+        io.append(spark.createDataFrame(
+            [(i, "v%d" % i)], "id int, v string").coalesce(1), "t")
+    io.compact(spark, "t", target_partitions=1)   # seq 4 rewrites 0..3
+    io.append(spark.createDataFrame(
+        [(9, "z")], "id int, v string").coalesce(1), "t")   # seq 5
+    pre_rewrite_files = set(io.committed_files("t", as_of=3))
+    live_before = set(io.committed_files("t"))
+    assert pre_rewrite_files.isdisjoint(live_before)
+
+    res = io.expire_snapshots(keep_last=2)   # keep seqs 4, 5
+    assert res["min_live_sequence"] == 4
+    assert set(res["files_deleted"]) == pre_rewrite_files
+    for f in pre_rewrite_files:
+        assert not os.path.exists(f)
+    # current state and retained time travel are untouched
+    assert sorted(r.id for r in io.read(spark, "t").collect()) == \
+        [0, 1, 2, 3, 9]
+    assert io.read(spark, "t", as_of=4).count() == 4
+    # expired history errors loudly instead of missing files
+    with pytest.raises(RuntimeError, match="expired"):
+        io.committed_files("t", as_of=3)
+    # appends after expiry still claim sequences correctly
+    io.append(spark.createDataFrame(
+        [(10, "w")], "id int, v string").coalesce(1), "t")   # seq 6
+    assert io.read(spark, "t").count() == 6
+    assert io.snapshots()[-1]["sequence"] == 6
+
+
+def test_expire_snapshots_keeps_unrewritten_old_appends(spark,
+                                                       tmp_path):
+    """With no rewrite, every old append is still referenced by the
+    retained snapshots: expiry moves the watermark but deletes
+    nothing."""
+    io = TableIO(str(tmp_path))
+    for i in range(5):
+        io.append(spark.createDataFrame(
+            [(i, "v")], "id int, v string").coalesce(1), "t")
+    res = io.expire_snapshots(keep_last=2)
+    assert res["min_live_sequence"] == 3
+    assert res["files_deleted"] == []
+    assert io.read(spark, "t").count() == 5
+    with pytest.raises(RuntimeError, match="expired"):
+        io.read(spark, "t", as_of=1)
+
+
+def test_expire_snapshots_dry_run_and_idempotence(spark, tmp_path):
+    """dry_run lists the dead files without deleting or moving the
+    watermark; a repeated real run is a no-op."""
+    io = TableIO(str(tmp_path))
+    for i in range(3):
+        io.append(spark.createDataFrame(
+            [(i, "v")], "id int, v string").coalesce(1), "t")
+    io.compact(spark, "t")                    # seq 3
+    dry = io.expire_snapshots(keep_last=1, dry_run=True)
+    assert dry["dry_run"] and len(dry["files_deleted"]) >= 3
+    assert io._expiry_watermark() == 0        # watermark unmoved
+    assert all(os.path.exists(f) for f in dry["files_deleted"])
+
+    real = io.expire_snapshots(keep_last=1)
+    assert real["files_deleted"] == dry["files_deleted"]
+    again = io.expire_snapshots(keep_last=1)
+    assert again == {"min_live_sequence": 3, "files_deleted": []}

@@ -401,3 +401,44 @@ class TableIO:
                     f.endswith(".parquet") for f in os.listdir(d)):
                 shutil.rmtree(d, ignore_errors=True)
         return {"min_live_sequence": boundary, "files_deleted": dead}
+
+    def remove_orphan_files(self, older_than_seconds: float = 86400.0,
+                            dry_run: bool = False) -> dict:
+        """Iceberg's ``remove_orphan_files``: a writer that crashes
+        between parquet write and manifest publish leaves data files no
+        manifest references — invisible to readers (the commit-point
+        guarantee) but paying storage forever.  Deletes every commit
+        dir under the table root that no manifest names, guarded by an
+        age threshold so an IN-FLIGHT commit (parquet written, manifest
+        milliseconds away) is never swept; Iceberg's default guard is
+        the same 24 h for the same race.
+
+        Scoped to ``commit-*`` dirs only — foreign files in the root
+        are never touched.  Idempotent; safe beside concurrent appends
+        (a referenced dir is by definition not an orphan, and new dirs
+        fail the age guard)."""
+        import shutil
+        import time
+        referenced: set = set()
+        for m in self._manifests():
+            for fl in self._load_manifest(m)["tables"].values():
+                referenced.update(os.path.dirname(f) for f in fl)
+        now = time.time()
+        orphans = []
+        if os.path.isdir(self.root):
+            for entry in os.listdir(self.root):
+                tdir = os.path.join(self.root, entry)
+                if entry == "_snapshots" or not os.path.isdir(tdir):
+                    continue
+                for sub in os.listdir(tdir):
+                    d = os.path.join(tdir, sub)
+                    if (sub.startswith("commit-") and os.path.isdir(d)
+                            and d not in referenced
+                            and now - os.path.getmtime(d)
+                            >= older_than_seconds):
+                        orphans.append(d)
+        orphans.sort()
+        if not dry_run:
+            for d in orphans:
+                shutil.rmtree(d, ignore_errors=True)
+        return {"orphan_dirs": orphans, "dry_run": dry_run}

@@ -377,3 +377,42 @@ def test_expire_snapshots_dry_run_and_idempotence(spark, tmp_path):
     assert real["files_deleted"] == dry["files_deleted"]
     again = io.expire_snapshots(keep_last=1)
     assert again == {"min_live_sequence": 3, "files_deleted": []}
+
+
+def test_remove_orphan_files_sweeps_only_crashed_commits(
+        spark, tmp_path, two_tables, monkeypatch):
+    """Orphan cleanup after a crashed commit: the manifest-less dirs
+    are removed (once old enough), referenced dirs and committed rows
+    are untouched, and the age guard protects fresh dirs."""
+    a, b = two_tables
+    io = TableIO(str(tmp_path))
+    io.append_many({"ta": a, "tb": b})          # committed state
+
+    real_link = os.link
+
+    def crash(src, dst):
+        if "snapshot-" in dst:
+            raise RuntimeError("simulated crash at commit point")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", crash)
+    with pytest.raises(RuntimeError):
+        io.append_many({"ta": a, "tb": b})      # orphans both tables
+    monkeypatch.undo()
+
+    # age guard: fresh orphans are NOT swept
+    res = io.remove_orphan_files(older_than_seconds=3600)
+    assert res["orphan_dirs"] == []
+
+    res = io.remove_orphan_files(older_than_seconds=0, dry_run=True)
+    assert len(res["orphan_dirs"]) == 2 and res["dry_run"]
+    assert all(os.path.isdir(d) for d in res["orphan_dirs"])
+
+    res = io.remove_orphan_files(older_than_seconds=0)
+    assert len(res["orphan_dirs"]) == 2
+    assert not any(os.path.isdir(d) for d in res["orphan_dirs"])
+    # committed state untouched, rerun still clean
+    assert io.read(spark, "ta").count() == 2
+    assert io.read(spark, "tb").count() == 1
+    assert io.remove_orphan_files(older_than_seconds=0) == {
+        "orphan_dirs": [], "dry_run": False}

@@ -202,6 +202,7 @@ class TableIO:
             self._check_v1_residue()
         commit_id = uuid.uuid4().hex[:12]
         table_files: Dict[str, List[str]] = {}
+        table_schemas: Dict[str, str] = {}
         for table, df in dfs.items():
             data_dir = os.path.join(self._table_dir(table),
                                     "commit-%s" % commit_id)
@@ -210,6 +211,11 @@ class TableIO:
                 os.path.join(data_dir, f) for f in os.listdir(data_dir)
                 if f.endswith(".parquet")
             ]
+            # manifest-recorded schema = Iceberg's table-schema role:
+            # the reader applies the LATEST schema explicitly, so
+            # additive evolution needs no mergeSchema footer sweep
+            # (driver-side O(files) at 10^12 scale)
+            table_schemas[table] = df.schema.json()
         snap_dir = self._snap_dir()
         os.makedirs(snap_dir, exist_ok=True)
         tmp = os.path.join(snap_dir, ".tmp-%s.json" % commit_id)
@@ -225,6 +231,7 @@ class TableIO:
                     "format_version": FORMAT_VERSION, "sequence": seq,
                     "commit_id": commit_id, "run_id": run_id,
                     "op": op, "tables": table_files,
+                    "schemas": table_schemas,
                 }
                 if op == "rewrite":
                     manifest["base"] = seq - 1 if base is None else base
@@ -311,16 +318,42 @@ class TableIO:
                run_id: Optional[str] = None) -> dict:
         return self.append_many({table: df}, run_id=run_id)
 
+    def table_schema(self, table: str,
+                     as_of: Optional[int] = None):
+        """The table's schema as of a snapshot (latest wins — Iceberg's
+        current-schema rule); None for pre-schema manifests."""
+        from pyspark.sql.types import StructType
+        latest = None
+        for m in self._manifests():
+            snap = self._load_manifest(m)
+            if as_of is not None and snap["sequence"] > as_of:
+                break
+            sj = snap.get("schemas", {}).get(table)
+            if sj is not None:
+                latest = sj
+        return None if latest is None else \
+            StructType.fromJson(json.loads(latest))
+
     def read(self, spark: SparkSession, table: str,
              as_of: Optional[int] = None) -> Optional[DataFrame]:
         """Committed rows only (None if no snapshot exists);
-        ``as_of`` time-travels to a snapshot sequence."""
+        ``as_of`` time-travels to a snapshot sequence.
+
+        Additive schema evolution: the read applies the LATEST
+        manifest-recorded schema explicitly, so files written before a
+        column was added scan as NULL for it — no mergeSchema footer
+        sweep, and the schema seen is per-``as_of`` correct.  (Type
+        changes are NOT supported, same as the parquet reader: widen by
+        rewriting via :meth:`compact` with a cast.)"""
         if self.fmt == "iceberg":
             return spark.read.format("iceberg").load(table)
         files = self.committed_files(table, as_of=as_of)
         if not files:
             return None
-        return spark.read.parquet(*files)
+        schema = self.table_schema(table, as_of=as_of)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*files)
+        return spark.read.parquet(*files)  # pre-schema manifests
 
     def committed_keys(self, spark: SparkSession, table: str,
                        key: str = "url") -> Optional[DataFrame]:

@@ -416,3 +416,30 @@ def test_remove_orphan_files_sweeps_only_crashed_commits(
     assert io.read(spark, "tb").count() == 1
     assert io.remove_orphan_files(older_than_seconds=0) == {
         "orphan_dirs": [], "dry_run": False}
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A later append may add a column: reads apply the latest
+    manifest-recorded schema, so pre-evolution files scan as NULL for
+    the new column (no mergeSchema footer sweep); time travel below
+    the evolution sees the old schema."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string").coalesce(1), "t")
+    io.append(spark.createDataFrame(
+        [(3, "c", 0.5)], "id int, v string, score double").coalesce(1),
+        "t")
+
+    cur = io.read(spark, "t")
+    assert cur.columns == ["id", "v", "score"]
+    rows = {r.id: r.score for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    old = io.read(spark, "t", as_of=0)
+    assert old.columns == ["id", "v"] and old.count() == 2
+
+    # compaction carries the evolved schema forward
+    io.compact(spark, "t")
+    after = io.read(spark, "t")
+    assert after.columns == ["id", "v", "score"]
+    assert after.count() == 3

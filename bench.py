@@ -123,6 +123,15 @@ def main() -> None:
         timings[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 
+    # ---- post-cap text-ops tier: measured separately so the headline
+    # suite stays round-over-round comparable (these rows are outside
+    # the driver's 50-row contract)
+    textops: dict[str, dict] = {}
+    for name in ("quality_repetition", "pii_scrub", "decontam_13gram",
+                 "quality_sampling", "curation_pipeline"):
+        textops[name] = timed3(
+            lambda name=name: queries[name](spark, SF_DIR).count())
+
     total = round(sum(t["best"] for t in timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     ivf, brute = (timings[n] for n in ANN_PAIR)
@@ -148,6 +157,8 @@ def main() -> None:
             "speedup": round(brute["best"] / ivf["best"], 2)
             if ivf["best"] else None,
         },
+        "textops": {k: v["best"] for k, v in textops.items()},
+        "textops_detail": textops,
         "cpus": CPUS,
     }))
 

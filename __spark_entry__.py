@@ -205,10 +205,11 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     all_queries), kept outside the 50 so no existing
 #                     driver row loses adjudication
 #   quality_repetition / pii_scrub / decontam_13gram /
-#   quality_sampling = post-cap
+#   quality_sampling / curation_pipeline = post-cap
 #                     additions (Gopher-style repetition filters; PII
 #                     detect+redact; 13-gram benchmark decontamination;
-#                     quality-stratified deterministic sampling)
+#                     quality-stratified deterministic sampling; the
+#                     one-plan curation composition)
 #                     — same all_queries verification path as
 #                     dedup_components
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",

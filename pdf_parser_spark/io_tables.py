@@ -132,12 +132,22 @@ class TableIO:
                     "reading" % (self.root, old))
 
     def _load_manifest(self, path: str) -> dict:
+        # published manifests are immutable (the os.link claim is the
+        # commit point; nothing ever rewrites one), so cache by path —
+        # read() walks the log twice (files + schema) and
+        # expire_snapshots' liveness union walks it keep_last×tables
+        # times; without the cache that is O(manifests) json parses per
+        # walk at micro-batch-cadence log sizes
+        cache = self.__dict__.setdefault("_manifest_cache", {})
+        if path in cache:
+            return cache[path]
         with open(path) as fh:
             snap = json.load(fh)
         if snap.get("format_version") != FORMAT_VERSION:
             raise RuntimeError(
                 "manifest %s has format_version=%r, reader expects %d"
                 % (path, snap.get("format_version"), FORMAT_VERSION))
+        cache[path] = snap
         return snap
 
     def _expiry_path(self) -> str:
@@ -396,10 +406,18 @@ class TableIO:
         Iceberg's vacuum, in-flight readers of expired snapshots are
         the operator's retention-window contract, not a runtime check.
         """
+        if keep_last < 1:
+            # keep_last=0 would make the liveness union empty and
+            # vacuum the HEAD snapshot's files — total data loss from
+            # one maintenance call
+            raise ValueError("keep_last must be >= 1, got %d" % keep_last)
         manifests = self._manifests()
         wm = self._expiry_watermark()
-        boundary = len(manifests) - keep_last
-        if boundary <= wm or boundary <= 0:
+        # never below the published watermark: a rerun after a crash
+        # between watermark publish and deletion recomputes the same
+        # dead set and finishes the vacuum (deletion is idempotent)
+        boundary = max(len(manifests) - keep_last, wm)
+        if boundary <= 0:
             return {"min_live_sequence": wm, "files_deleted": []}
         all_files: set = set()
         tables: set = set()
@@ -412,7 +430,7 @@ class TableIO:
         for s in range(boundary, len(manifests)):
             for t in tables:
                 live.update(self.committed_files(t, as_of=s))
-        dead = sorted(all_files - live)
+        dead = sorted(f for f in all_files - live if os.path.exists(f))
         if dry_run:
             return {"min_live_sequence": boundary, "files_deleted": dead,
                     "dry_run": True}
@@ -452,10 +470,16 @@ class TableIO:
         fail the age guard)."""
         import shutil
         import time
-        referenced: set = set()
-        for m in self._manifests():
-            for fl in self._load_manifest(m)["tables"].values():
-                referenced.update(os.path.dirname(f) for f in fl)
+        # canonicalize both sides: manifests may record the root under
+        # a different spelling than this instance's (relative vs
+        # absolute, ./-prefixed, symlinked) — raw string comparison
+        # would mark every COMMITTED dir an orphan and delete live data
+        referenced = {
+            os.path.realpath(os.path.dirname(f))
+            for m in self._manifests()
+            for fl in self._load_manifest(m)["tables"].values()
+            for f in fl
+        }
         now = time.time()
         orphans = []
         if os.path.isdir(self.root):
@@ -466,7 +490,7 @@ class TableIO:
                 for sub in os.listdir(tdir):
                     d = os.path.join(tdir, sub)
                     if (sub.startswith("commit-") and os.path.isdir(d)
-                            and d not in referenced
+                            and os.path.realpath(d) not in referenced
                             and now - os.path.getmtime(d)
                             >= older_than_seconds):
                         orphans.append(d)

@@ -8,7 +8,9 @@ corpus has no eval benchmark, so — same pattern as the dedup tiers'
 injected corpora — both engines derive the SAME split + contamination
 in-plan: every 50th document (doc_id % 50 = 7, with >= 13 tokens; the
 standard protocol excludes shorter eval rows from the n-gram screen)
-is the "eval set", the rest is "train", and train docs with
+is the "eval set" (eval rows are the benchmark, not training data —
+they never appear in the per-train-document output, whatever their
+length), the rest is "train", and train docs with
 doc_id % 17 = 3 get their partner eval doc's first 13 words appended
 so the screen has true positives to find.
 

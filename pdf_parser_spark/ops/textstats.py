@@ -274,6 +274,23 @@ FROM s
            em=n["em"], ph=n["ph"], ssn=n["ssn"])
 
 
+# Corpus-mixing tiers shared by quality_sampling and curation_pipeline
+# (ONE definition — the composed pipeline must not drift from the
+# standalone sampler):
+_TOK_HIGH, _TOK_MID = 64, 32          # stratum cuts (whitespace tokens)
+_RATE_MID, _RATE_LOW = 400, 100       # die < rate keeps (per mille)
+
+
+def _mix_features(d: str):
+    """(n_tokens, n_stop, die) SQL exprs shared by the quality tiers."""
+    from ..relational import HEX2INT
+    n_tok = "CAST(%s AS BIGINT)" % LEN(REALL("text", r"\S+", d), d)
+    n_stop = "CAST(%s AS BIGINT)" % LEN(
+        REALL("lower(text)", r"\b(the|a|and|of|to|in|is)\b", d), d)
+    die = HEX2INT("md5('mix1:' || CAST(doc_id AS STRING))", d)
+    return n_tok, n_stop, die
+
+
 @query("quality_sampling")
 def q_sampling(d: str) -> str:
     """Quality-stratified deterministic sampling — the corpus-mixing
@@ -288,11 +305,8 @@ def q_sampling(d: str) -> str:
     1000 vs threshold) — fuses with the scan, no shuffle except the
     final stratum rollup, which is a 3-group hash agg.
     """
-    from ..relational import HEX2INT, ORD_CONCAT
-    n_tok = "CAST(%s AS BIGINT)" % LEN(REALL("text", r"\S+", d), d)
-    n_stop = "CAST(%s AS BIGINT)" % LEN(
-        REALL("lower(text)", r"\b(the|a|and|of|to|in|is)\b", d), d)
-    die = HEX2INT("md5('mix1:' || CAST(doc_id AS STRING))", d)
+    from ..relational import ORD_CONCAT
+    n_tok, n_stop, die = _mix_features(d)
     return """
 WITH feats AS (
   SELECT doc_id, {n_tok} AS n_tokens, {n_stop} AS n_stop
@@ -300,8 +314,9 @@ WITH feats AS (
 ),
 strata AS (
   SELECT doc_id,
-    CASE WHEN n_tokens >= 64 OR n_stop * 4 >= n_tokens THEN 'high'
-         WHEN n_tokens >= 32 THEN 'mid'
+    CASE WHEN n_tokens >= {tok_hi} OR n_stop * 4 >= n_tokens
+         THEN 'high'
+         WHEN n_tokens >= {tok_mid} THEN 'mid'
          ELSE 'low' END AS stratum,
     {die} % 1000 AS die
   FROM feats WHERE n_tokens > 0
@@ -309,8 +324,8 @@ strata AS (
 kept AS (
   SELECT doc_id, stratum, die,
     CASE WHEN stratum = 'high' THEN 1
-         WHEN stratum = 'mid' AND die < 400 THEN 1
-         WHEN stratum = 'low' AND die < 100 THEN 1
+         WHEN stratum = 'mid' AND die < {rate_mid} THEN 1
+         WHEN stratum = 'low' AND die < {rate_low} THEN 1
          ELSE 0 END AS keep_flag
   FROM strata
 ),
@@ -328,8 +343,10 @@ digests AS (
 )
 SELECT t.stratum, t.n_docs, t.n_kept, t.first_kept_doc,
        g.kept_set_digest
-FROM totals t JOIN digests g ON g.stratum = t.stratum
+FROM totals t LEFT JOIN digests g ON g.stratum = t.stratum
 """.format(n_tok=n_tok, n_stop=n_stop, die=die,
+           tok_hi=_TOK_HIGH, tok_mid=_TOK_MID,
+           rate_mid=_RATE_MID, rate_low=_RATE_LOW,
            kept_ids=ORD_CONCAT("CAST(doc_id AS STRING)", ",",
                                "doc_id", d))
 
@@ -347,12 +364,9 @@ def q_curation(d: str) -> str:
     Funnel counts let the judge (and a pipeline owner) see attrition
     per stage; the ordered digest pins exact membership.
     """
-    from ..relational import HEX2INT, ORD_CONCAT
+    from ..relational import ORD_CONCAT
     from .dedup import _dup_corpus
-    n_tok = "CAST(%s AS BIGINT)" % LEN(REALL("text", r"\S+", d), d)
-    n_stop = "CAST(%s AS BIGINT)" % LEN(
-        REALL("lower(text)", r"\b(the|a|and|of|to|in|is)\b", d), d)
-    die = HEX2INT("md5('mix1:' || CAST(doc_id AS STRING))", d)
+    n_tok, n_stop, die = _mix_features(d)
     return """
 WITH {corpus},
 feats AS (
@@ -375,9 +389,9 @@ deduped AS (
 sampled AS (
   SELECT doc_id, quality_pass, is_keeper,
     CASE WHEN is_keeper = 1 AND (
-           n_tokens >= 64 OR n_stop * 4 >= n_tokens
-           OR (n_tokens >= 32 AND {die} % 1000 < 400)
-           OR (n_tokens < 32 AND {die} % 1000 < 100))
+           n_tokens >= {tok_hi} OR n_stop * 4 >= n_tokens
+           OR (n_tokens >= {tok_mid} AND {die} % 1000 < {rate_mid})
+           OR (n_tokens < {tok_mid} AND {die} % 1000 < {rate_low}))
     THEN 1 ELSE 0 END AS in_final
   FROM deduped
 )
@@ -389,7 +403,8 @@ SELECT
   md5({kept}) AS final_set_digest
 FROM sampled
 """.format(corpus=_dup_corpus(d).strip(), n_tok=n_tok, n_stop=n_stop,
-           die=die,
+           die=die, tok_hi=_TOK_HIGH, tok_mid=_TOK_MID,
+           rate_mid=_RATE_MID, rate_low=_RATE_LOW,
            kept=ORD_CONCAT(
                "CASE WHEN in_final = 1 THEN CAST(doc_id AS STRING) "
                "ELSE '' END", ",", "doc_id", d))

@@ -443,3 +443,49 @@ def test_additive_schema_evolution(spark, tmp_path):
     after = io.read(spark, "t")
     assert after.columns == ["id", "v", "score"]
     assert after.count() == 3
+
+
+def test_expire_snapshots_rejects_zero_keep(spark, tmp_path):
+    """keep_last=0 would make the liveness union empty and vacuum the
+    head snapshot — must be rejected, not executed."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,)], "id int"), "t")
+    with pytest.raises(ValueError, match="keep_last"):
+        io.expire_snapshots(keep_last=0)
+    assert io.read(spark, "t").count() == 1
+
+
+def test_expire_snapshots_recovers_crashed_vacuum(spark, tmp_path):
+    """Crash between watermark publish and file deletion: the rerun
+    must recompute and delete the dead files below the already-
+    published watermark instead of reporting nothing to do."""
+    import json
+
+    io = TableIO(str(tmp_path))
+    for i in range(3):
+        io.append(spark.createDataFrame(
+            [(i,)], "id int").coalesce(1), "t")
+    io.compact(spark, "t")                       # seq 3 rewrites 0..2
+    dead = io.expire_snapshots(keep_last=1, dry_run=True)["files_deleted"]
+    assert len(dead) >= 3
+    # simulate the crash: watermark published, no files deleted
+    with open(io._expiry_path(), "w") as fh:
+        json.dump({"min_live_sequence": 3}, fh)
+    res = io.expire_snapshots(keep_last=1)
+    assert res["files_deleted"] == dead          # recovered, not []
+    assert not any(os.path.exists(f) for f in dead)
+    assert io.read(spark, "t").count() == 3
+
+
+def test_remove_orphans_path_spelling_is_canonicalized(
+        spark, tmp_path, monkeypatch):
+    """A cleanup run whose TableIO spells the root differently than
+    the writer (relative vs absolute) must not classify committed
+    dirs as orphans."""
+    monkeypatch.chdir(tmp_path)
+    writer = TableIO(str(tmp_path / "tables"))   # absolute
+    writer.append(spark.createDataFrame([(1,)], "id int"), "t")
+    cleaner = TableIO("tables")                  # relative, same root
+    res = cleaner.remove_orphan_files(older_than_seconds=0)
+    assert res["orphan_dirs"] == []
+    assert TableIO(str(tmp_path / "tables")).read(spark, "t").count() == 1

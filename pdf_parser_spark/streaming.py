@@ -224,3 +224,101 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+# ------------------------------------------------------------------
+# Streaming NEAR-dup candidate detection: MinHash/LSH banding with
+# cross-micro-batch bucket state — the ingest-time twin of the batch
+# ``dedup_lsh_pairs`` tier (ops/dedup.py), same shingle/hash chain
+# (4-word shingles; sig_i = min md5("i:"+shingle), 8 sigs; band_b =
+# md5(sig_2b || sig_2b+1), 4 bands), so a batch-vs-stream differential
+# can demand exact candidate-set equality.
+# ------------------------------------------------------------------
+
+LSH_BAND_SCHEMA = "band_no int, band_key string, doc_id bigint"
+LSH_PAIR_SCHEMA = "left_id bigint, right_id bigint, band_no int"
+LSH_STATE_SCHEMA = "ids array<bigint>"
+
+
+def _minhash_band_rows(pdf_iter):
+    """mapInPandas: per document, the 4 LSH band keys — the exact
+    Python mirror of ops/dedup's SQL chain (shingle tail semantics
+    included: <=4 words collapse to one whole-text shingle)."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = text.split(" ")
+            if len(words) <= 4:
+                shingles = [" ".join(words)]
+            else:
+                shingles = [" ".join(words[i:i + 4])
+                            for i in range(len(words) - 3)]
+            sigs = [
+                min(hashlib.md5(("%d:%s" % (i, s)).encode())
+                    .hexdigest() for s in shingles)
+                for i in range(8)
+            ]
+            for b in range(4):
+                key = hashlib.md5(
+                    (sigs[2 * b] + sigs[2 * b + 1]).encode()).hexdigest()
+                rows.append((b, key, int(doc_id)))
+        yield pd.DataFrame(rows,
+                           columns=["band_no", "band_key", "doc_id"])
+
+
+def lsh_bucket_state_func(key, pdf_iter, state):
+    """Per (band_no, band_key) bucket: state = every doc_id ever seen
+    in the bucket; each arriving doc emits a candidate pair with each
+    earlier member (and earlier arrivals in the same batch).  A pair
+    colliding in k bands is emitted k times — at-least-once per band,
+    dedup at consumption, exactly like the batch ``cand`` CTE before
+    its DISTINCT."""
+    import pandas as pd
+
+    band_no = int(key[0])
+    seen = list(state.get[0]) if state.exists else []
+    out = []
+    incoming = sorted(
+        {int(d) for pdf in pdf_iter for d in pdf["doc_id"]})
+    for d in incoming:
+        for s in seen:
+            lo, hi = (s, d) if s < d else (d, s)
+            out.append((lo, hi, band_no))
+        seen.append(d)
+    state.update((seen,))
+    yield pd.DataFrame(out,
+                       columns=["left_id", "right_id", "band_no"])
+
+
+def stream_lsh_candidates(spark: SparkSession, input_dir: str,
+                          checkpoint_dir: str, out_dir: str):
+    """readStream over document files → per-doc band keys (stateless
+    Arrow pass) → stateful band-bucket join via applyInPandasWithState
+    → parquet sink.  Near-duplicates arriving in ANY later micro-batch
+    still pair with their original: the bucket membership is state,
+    not a per-batch join.  At 10^12 docs the state store shards by
+    (band_no, band_key) hash; the super-bucket guard of the batch tier
+    maps to a state-size cap per bucket (not applied here so the
+    batch differential can demand exact equality)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs_schema = ("doc_id bigint, text string, lang string, "
+                   "source string, n_chars bigint")
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+    banded = stream.mapInPandas(_minhash_band_rows, LSH_BAND_SCHEMA)
+    pairs = banded.groupBy("band_no", "band_key").applyInPandasWithState(
+        lsh_bucket_state_func, LSH_PAIR_SCHEMA, LSH_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+    q = (pairs.writeStream.format("parquet")
+         .option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -242,3 +242,57 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
     final = spark.read.parquet(out_dir)
     assert final.count() == 500
     assert final.filter("doc_id >= 1000000").count() == 0
+
+
+def test_stream_lsh_candidates_match_batch(spark, tmp_path):
+    """Streaming MinHash/LSH near-dup candidates (stateful band
+    buckets) must equal the batch ``dedup_lsh_pairs`` candidate set
+    exactly.  The near-dup tier (every 4th doc, first word dropped,
+    doc_id+1000000) arrives in the LAST micro-batch, so every true
+    near-dup pair is found via state carried across batches."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import stream_lsh_candidates
+    from query_registry import QUERY_SQL
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    # the exact corpus the batch SQL derives (_near_corpus)
+    near_tier = [
+        r.asDict() | {"doc_id": r.doc_id + 1000000,
+                      "text": r.text.split(" ", 1)[1]
+                      if " " in r.text else r.text}
+        for r in rows if r.doc_id % 4 == 0
+    ]
+    n = len(rows)
+    chunks = [[r.asDict() for r in rows[:n // 2]],
+              [r.asDict() for r in rows[n // 2:]],
+              near_tier]
+
+    input_dir = tmp_path / "lsh_stream"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+    for k, chunk in enumerate(chunks):
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk)), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+    out_dir = str(tmp_path / "lsh_out")
+    stream_lsh_candidates(spark, str(input_dir),
+                          str(tmp_path / "ckpt_lsh"), out_dir)
+    got = {(r.left_id, r.right_id)
+           for r in spark.read.parquet(out_dir).collect()}
+
+    docs.createOrReplaceTempView("documents")
+    want = {(r.left_id, r.right_id)
+            for r in spark.sql(QUERY_SQL["dedup_lsh_pairs"]["spark"])
+            .collect()}
+    # every near-dup pair straddles a micro-batch boundary by
+    # construction (original in batch 0/1, jittered twin in batch 2)
+    cross_batch = {(l, r) for l, r in want if r >= 1000000 > l}
+    assert len(cross_batch) >= 50
+    assert got == want

@@ -296,3 +296,53 @@ def test_stream_lsh_candidates_match_batch(spark, tmp_path):
     cross_batch = {(l, r) for l, r in want if r >= 1000000 > l}
     assert len(cross_batch) >= 50
     assert got == want
+
+
+def test_stream_lsh_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState checkpoint resumability: drain the
+    originals, stop, deliver the near-dup tier, restart from the same
+    checkpoint — the bucket state reloads, so the union of both runs'
+    pairs equals the batch candidate set and the second run emits ONLY
+    cross-tier pairs (no recomputation of batch-1 collisions)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import stream_lsh_candidates
+    from query_registry import QUERY_SQL
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    input_dir = tmp_path / "lsh_rs_stream"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+
+    def write(k, chunk):
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk)), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+    out_dir = str(tmp_path / "lsh_rs_out")
+    ckpt = str(tmp_path / "ckpt_lsh_rs")
+    write(0, [r.asDict() for r in rows])
+    stream_lsh_candidates(spark, str(input_dir), ckpt, out_dir)
+    run1 = {(r.left_id, r.right_id)
+            for r in spark.read.parquet(out_dir).collect()}
+
+    write(1, [r.asDict() | {"doc_id": r.doc_id + 1000000,
+                            "text": r.text.split(" ", 1)[1]
+                            if " " in r.text else r.text}
+              for r in rows if r.doc_id % 4 == 0])
+    stream_lsh_candidates(spark, str(input_dir), ckpt, out_dir)
+    total = {(r.left_id, r.right_id)
+             for r in spark.read.parquet(out_dir).collect()}
+    run2 = total - run1
+    assert run2 and all(r >= 1000000 for _, r in run2)  # only new pairs
+
+    docs.createOrReplaceTempView("documents")
+    want = {(r.left_id, r.right_id)
+            for r in spark.sql(QUERY_SQL["dedup_lsh_pairs"]["spark"])
+            .collect()}
+    assert total == want

@@ -720,3 +720,94 @@ def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
             .select("batch", "query_id",
                     F.col("cand_id").alias("neighbor_id"),
                     "rank", "cosine"))
+
+
+# ------------------------------------------- incremental index ingest
+
+def ivf_index_write(spark, index_dir: str, vectors: DataFrame,
+                    centroids: DataFrame, k: int = _AMORT_K) -> None:
+    """Persist an IVF index: centroids (k rows) + the cell-partitioned
+    vector table (one file per cell via the pre-write repartition)."""
+    import os
+
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids"))
+    vectors.repartition(k, "cell").write.mode("overwrite") \
+        .partitionBy("cell").parquet(os.path.join(index_dir, "vectors"))
+
+
+def ivf_index_append(spark, index_dir: str,
+                     new_vectors: DataFrame) -> None:
+    """Incremental ingest into a PERSISTED IVF index — the serving-side
+    lifecycle step after :func:`amortized_ivf_demo`'s fit: new vectors
+    are assigned to their nearest existing centroid (broadcast k-row
+    join, no refit, no full-corpus scan) and appended to the
+    cell-partitioned vector table.  This is how production IVF indexes
+    absorb a growing corpus between periodic refits; recall for the
+    new vectors is exact w.r.t. the CURRENT centroids (the standard
+    contract — drift is handled by the next refit).
+
+    ``new_vectors``: (vec_id bigint, qv array<bigint>) — quantized
+    like the index.  At 10^12 scale this is a map-only pass plus a
+    k-way partitioned append: no shuffle beyond the cell repartition,
+    no state beyond the k centroids."""
+    import os
+
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    sqdist = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    assigned = (
+        new_vectors.withColumn("_one", F.lit(1))
+        .join(F.broadcast(centroids.withColumn("_one", F.lit(1))),
+              "_one")
+        .select("vec_id", "qv", "cell", sqdist.alias("sq_dist"))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("sq_dist", "cell")))
+        .filter("rk = 1").select("vec_id", "qv", "cell")
+    )
+    k = centroids.count()
+    assigned.repartition(k, "cell").write.mode("append") \
+        .partitionBy("cell").parquet(os.path.join(index_dir, "vectors"))
+
+
+def ivf_persisted_topk(spark, index_dir: str, n_queries: int = 8,
+                       nprobe: int = 1, topn: int = 5) -> DataFrame:
+    """Serve cosine top-k from a persisted index (centroids + cell
+    table) WITHOUT refitting — queries probe their ``nprobe`` nearest
+    cells; nprobe=k degenerates to exact brute force over everything
+    the index holds (the equivalence the ingest test leans on)."""
+    import os
+
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    sqdist = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    queries = vectors.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "qv")
+    probed = (
+        queries.withColumn("_one", F.lit(1))
+        .join(F.broadcast(centroids.withColumn("_one", F.lit(1))),
+              "_one")
+        .select("vec_id", "qv", "cell", sqdist.alias("sq_dist"))
+        .withColumn("cell_rank", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("sq_dist", "cell")))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("qv").alias("q_qv"), "cell")
+    )
+    cands = vectors.select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"),
+        "cell")
+    scored = (probed.join(cands, "cell")
+              .filter(F.col("query_id") != F.col("cand_id"))
+              .select("query_id", "cand_id",
+                      F.expr(_COSINE_EXPR).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                              "cand_id")
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= topn)
+            .select("query_id", F.col("cand_id").alias("neighbor_id"),
+                    "rank", "cosine"))

@@ -89,3 +89,67 @@ def test_ivf_candidate_reduction(spark):
     ivf_pairs = sum(sizes[c] - 1 for c in qcells)
     brute_pairs = 8 * (n - 1)
     assert brute_pairs / ivf_pairs >= 3.0, (brute_pairs, ivf_pairs, sizes)
+
+
+def test_ivf_index_append_then_serve_exact(spark, tmp_path):
+    """Incremental index lifecycle: fit on the first 400 vectors,
+    persist, append the remaining 100 WITHOUT refitting (broadcast
+    centroid assignment only), then serve with nprobe=k — which is
+    exact brute force over everything the index holds — and compare
+    against fresh top-k over the full corpus computed independently.
+    Also: the appended vectors must land in the same cells the
+    persisted centroids imply."""
+    from pdf_parser_spark.ops.similarity import (
+        _ivf_fit_impl, ivf_index_append, ivf_index_write,
+        ivf_persisted_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               " * 1000000.0) AS BIGINT))").alias("qv"))
+    part_a = base.filter("vec_id < 400")
+    part_b = base.filter("vec_id >= 400")
+
+    k = 8
+    vectors_a, centroids = _ivf_fit_impl(part_a, k, 2, quantized=True,
+                                         carry_qv=True)
+    idx = str(tmp_path / "ivf_idx")
+    ivf_index_write(spark, idx, vectors_a, centroids, k)
+    ivf_index_append(spark, idx, part_b)
+
+    # the index now holds the full corpus, cell-assigned
+    vectors = spark.read.parquet(idx + "/vectors")
+    assert vectors.count() == 500
+    # appended rows sit in their centroid-nearest cell
+    cents = {r.cell: r.cv for r in centroids.collect()}
+    for r in vectors.filter("vec_id >= 400").collect():
+        dists = {c: sum((x - y) ** 2 for x, y in zip(r.qv, cv))
+                 for c, cv in cents.items()}
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert r.cell == best, r.vec_id
+
+    # nprobe=k serve over the persisted index == brute top-5 over the
+    # UNION corpus (computed independently, no index)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, repr(r.cosine))
+        for r in ivf_persisted_topk(spark, idx, n_queries=8,
+                                    nprobe=k, topn=5).collect())
+    rows = {r.vec_id: r.qv for r in base.collect()}
+
+    def cosine(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return float(dot) / (na * nb)
+
+    want = []
+    for q in range(8):
+        scored = sorted(
+            ((-cosine(rows[q], qv), c) for c, qv in rows.items()
+             if c != q))
+        for rank, (negc, c) in enumerate(scored[:5], 1):
+            want.append((q, rank, c, repr(-negc)))
+    assert got == sorted(want)

@@ -218,7 +218,8 @@ _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
 _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "ifb_relational", "pnb_relational", "ann_brute_big",
                    "dedup_components", "quality_repetition", "pii_scrub",
-                   "decontam_13gram", "quality_sampling", "curation_pipeline"}
+                   "decontam_13gram", "quality_sampling", "curation_pipeline",
+                   "doc_chunking", "sequence_packing"}
 
 
 def _specials() -> dict:

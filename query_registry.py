@@ -16,9 +16,10 @@ from pdf_parser_spark import relational, relational_banks  # noqa: E402
 _MODULES = [relational, relational_banks]
 try:
     from pdf_parser_spark.ops import (  # noqa: E402
-        decontam, dedup, similarity, textstats, weburl,
+        decontam, dedup, packing, similarity, textstats, weburl,
     )
-    _MODULES += [decontam, dedup, similarity, textstats, weburl]
+    _MODULES += [decontam, dedup, packing, similarity, textstats,
+                 weburl]
 except ImportError:
     pass
 

@@ -27,6 +27,7 @@ _SUBSET = [
     "events_sessions", "quality_score", "doc_fingerprint",
     "url_canonicalize", "quality_repetition", "pii_scrub",
     "decontam_13gram", "quality_sampling", "curation_pipeline",
+    "doc_chunking", "sequence_packing",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -125,7 +126,8 @@ def test_driver_contract_shape(entry_mod):
     retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                "ifb_relational", "pnb_relational", "ann_brute_big",
                "dedup_components", "quality_repetition", "pii_scrub",
-               "decontam_13gram", "quality_sampling", "curation_pipeline"}
+               "decontam_13gram", "quality_sampling", "curation_pipeline",
+               "doc_chunking", "sequence_packing"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -612,3 +614,50 @@ def test_curation_pipeline_semantics(duck, entry_mod):
                       for i in sorted(corpus))
     assert digest == hashlib.md5(joined.encode()).hexdigest()
     assert 0 < n_final < n_uniq < n_q < n_ing  # every stage attrits
+
+
+def test_doc_chunking_semantics(duck, entry_mod):
+    """Independent Python recomputation: overlapping 32/8 token
+    windows every 24 tokens, tail chunks short-but-nonempty, digest
+    over the exact window text."""
+    import hashlib
+    rows = duck.sql(entry_mod.all_oracles()["doc_chunking"]).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    got = {(r[0], r[1]): (r[2], r[3]) for r in rows}
+    want = {}
+    for doc_id, text in docs.items():
+        words = text.split(" ")
+        # a window at every stride start below n (standard sliding
+        # window: the stride marches to the end, tail truncated)
+        c = 0
+        while c * 24 < len(words) or c == 0:
+            win = words[c * 24:c * 24 + 32]
+            want[(doc_id, c)] = (
+                len(win),
+                hashlib.md5(" ".join(win).encode()).hexdigest())
+            c += 1
+    assert got == want
+    assert any(c > 0 for _, c in got)            # multi-chunk docs exist
+    assert any(n < 32 for n, _ in got.values())  # short tails exist
+
+
+def test_sequence_packing_semantics(duck, entry_mod):
+    """Independent Python recomputation of the concat-and-cut layout:
+    offsets are the doc_id-ordered token cumsum; first/last sequence
+    from 512-token cuts; spans over boundaries exist."""
+    import re as _re
+    rows = duck.sql(
+        entry_mod.all_oracles()["sequence_packing"]).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents"
+                         " ORDER BY doc_id").fetchall())
+    off = 0
+    want = {}
+    for doc_id in sorted(docs):
+        n = len(_re.findall(r"\S+", docs[doc_id]))
+        if n > 0:
+            want[doc_id] = (n, off, off // 512, (off + n - 1) // 512,
+                            (off + n - 1) // 512 - off // 512 + 1)
+        off += n
+    got = {r[0]: tuple(r[1:]) for r in rows}
+    assert got == want
+    assert any(v[4] > 1 for v in want.values())  # boundary-spanning docs

@@ -24,7 +24,8 @@ sys.path.insert(0, str(REPO))
 
 QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "curation_pipeline", "decontam_13gram", "lang_id_heuristic",
-           "quality_score", "token_stats"]
+           "quality_score", "token_stats", "doc_chunking",
+           "sequence_packing"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -128,7 +128,8 @@ def main() -> None:
     # the driver's 50-row contract)
     textops: dict[str, dict] = {}
     for name in ("quality_repetition", "pii_scrub", "decontam_13gram",
-                 "quality_sampling", "curation_pipeline"):
+                 "quality_sampling", "curation_pipeline",
+                 "doc_chunking", "sequence_packing"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

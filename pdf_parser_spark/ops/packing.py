@@ -21,7 +21,7 @@ q_packing carries the plan note.
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK, LEN, REALL
+from ..relational import DUCK, SPARK, LEN
 
 QUERIES = {}
 
@@ -41,11 +41,13 @@ _SEQ_LEN = 512                # training-sequence length (tokens)
 @query("doc_chunking")
 def q_chunking(d: str) -> str:
     """Overlapping token-window chunks per document: windows of
-    {chunk} tokens every {stride} (overlap {overlap}); the tail chunk
-    may be short but is never empty; single-chunk docs pass through
-    whole.  Output pins exact chunk membership via an md5 over the
-    space-joined window.""".format(chunk=_CHUNK, stride=_STRIDE,
-                                   overlap=_OVERLAP)
+    _CHUNK (32) tokens every _STRIDE (24), overlap _OVERLAP (8) — one
+    window at every stride start below the token count (the stride
+    marches to the end, tail windows truncated: standard
+    sliding-window semantics).  Output pins exact chunk membership via
+    an md5 over the space-joined window.  Tokens are split-by-space
+    positions — the SAME universe sequence_packing counts, so the two
+    maps compose."""
     if d == SPARK:
         toks = """
 toks AS (
@@ -96,7 +98,8 @@ def q_packing(d: str) -> str:
     """Concat-and-cut sequence packing: documents concatenate in
     doc_id order; each takes the token interval
     [start_offset, start_offset + n_tokens) of the global stream,
-    which is cut into training sequences of {seq} tokens.  Per
+    which is cut into training sequences of _SEQ_LEN (512) tokens.
+    Per
     document: its offset, the first/last sequence it lands in, and how
     many sequences it spans — the doc→sequence attribution map a
     pretraining dataloader (and any contamination audit of a trained
@@ -107,8 +110,13 @@ def q_packing(d: str) -> str:
     docs the same math is hierarchical: per-partition token subtotals
     (tiny) are collected, prefix-summed, and broadcast back as
     per-partition base offsets — two narrow passes, no global sort of
-    the data itself.""".format(seq=_SEQ_LEN)
-    n_tok = "CAST(%s AS BIGINT)" % LEN(REALL("text", r"\S+", d), d)
+    the data itself."""
+    # split-by-space token count — the SAME universe doc_chunking
+    # windows over (a regex \S+ count here would disagree on docs
+    # with doubled/leading/trailing spaces and mis-attribute offsets)
+    split = ("split(text, ' ')" if d == SPARK
+             else "string_split(text, ' ')")
+    n_tok = "CAST(%s AS BIGINT)" % LEN(split, d)
     return """
 WITH counted AS (
   SELECT doc_id, {n_tok} AS n_tokens FROM documents

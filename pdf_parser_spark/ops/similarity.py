@@ -501,9 +501,7 @@ def ivf_topk_df(embeddings: DataFrame, k: int = 8, iters: int = 2,
         "vec_id",
         F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
                " * 1000000.0) AS BIGINT))").alias("qv"))
-    sqdist = F.expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    sqdist = F.expr(_SQDIST_EXPR)
     queries = base.filter(F.col("vec_id") < n_queries)
     probed = (
         queries.withColumn("_one", F.lit(1))
@@ -592,9 +590,7 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
         F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cv"))
     cent_rows = sorted((r.cell, list(r.cv)) for r in cent0.collect())
     spark = embeddings.sparkSession
-    sqdist = F.expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    sqdist = F.expr(_SQDIST_EXPR)
 
     def assign_join(rows, over: DataFrame) -> DataFrame:
         cdf = spark.createDataFrame(rows, "cell int, cv array<bigint>")
@@ -633,6 +629,10 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
 
 
 # ------------------------------------------------- amortized IVF demo
+_SQDIST_EXPR = (
+    "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
 _COSINE_EXPR = (
     "CAST(aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y),"
     " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
@@ -754,17 +754,21 @@ def ivf_index_append(spark, index_dir: str,
     import os
 
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    sqdist = F.expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    sqdist = F.expr(_SQDIST_EXPR)
+    # min_by hash-agg, not a row_number window: the window spelling
+    # shuffles all n*k scored rows; this one partial-aggregates
+    # map-side and shuffles ~n rows (same tie-break as
+    # _ivf_fit_impl.assign_join); qv is constant per vec_id across the
+    # k scored copies, so any_value is deterministic here
     assigned = (
         new_vectors.withColumn("_one", F.lit(1))
         .join(F.broadcast(centroids.withColumn("_one", F.lit(1))),
               "_one")
         .select("vec_id", "qv", "cell", sqdist.alias("sq_dist"))
-        .withColumn("rk", F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("sq_dist", "cell")))
-        .filter("rk = 1").select("vec_id", "qv", "cell")
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("sq_dist", "cell")).alias("cell"),
+             F.any_value("qv").alias("qv"))
+        .select("vec_id", "qv", "cell")
     )
     k = centroids.count()
     assigned.repartition(k, "cell").write.mode("append") \
@@ -781,9 +785,7 @@ def ivf_persisted_topk(spark, index_dir: str, n_queries: int = 8,
 
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    sqdist = F.expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    sqdist = F.expr(_SQDIST_EXPR)
     queries = vectors.filter(F.col("vec_id") < n_queries).select(
         "vec_id", "qv")
     probed = (

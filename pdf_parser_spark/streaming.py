@@ -208,9 +208,7 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str,
     Returns the finished query; survivors land in the parquet file
     sink ``out_dir`` (the exactly-once sink that supports restarting
     from ``checkpoint_dir`` — the memory sink does not)."""
-    docs_schema = ("doc_id bigint, text string, lang string, "
-                   "source string, n_chars bigint")
-    stream = (spark.readStream.schema(docs_schema)
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 1)
               .parquet(input_dir))
     survivors = (
@@ -235,6 +233,9 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str,
 # can demand exact candidate-set equality.
 # ------------------------------------------------------------------
 
+DOCS_SCHEMA = ("doc_id bigint, text string, lang string, "
+               "source string, n_chars bigint")
+
 LSH_BAND_SCHEMA = "band_no int, band_key string, doc_id bigint"
 LSH_PAIR_SCHEMA = "left_id bigint, right_id bigint, band_no int"
 LSH_STATE_SCHEMA = "ids array<bigint>"
@@ -251,6 +252,9 @@ def _minhash_band_rows(pdf_iter):
     for pdf in pdf_iter:
         rows = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if not isinstance(text, str):
+                continue  # NULL text: the batch twin's
+                # posexplode(split(NULL)) yields no shingles either
             words = text.split(" ")
             if len(words) <= 4:
                 shingles = [" ".join(words)]
@@ -284,11 +288,16 @@ def lsh_bucket_state_func(key, pdf_iter, state):
     out = []
     incoming = sorted(
         {int(d) for pdf in pdf_iter for d in pdf["doc_id"]})
+    already = set(seen)
     for d in incoming:
+        if d in already:
+            continue  # re-delivered doc (replay/backfill): already a
+            # bucket member — no self-pair, no duplicate state entry
         for s in seen:
             lo, hi = (s, d) if s < d else (d, s)
             out.append((lo, hi, band_no))
         seen.append(d)
+        already.add(d)
     state.update((seen,))
     yield pd.DataFrame(out,
                        columns=["left_id", "right_id", "band_no"])
@@ -306,9 +315,7 @@ def stream_lsh_candidates(spark: SparkSession, input_dir: str,
     batch differential can demand exact equality)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    docs_schema = ("doc_id bigint, text string, lang string, "
-                   "source string, n_chars bigint")
-    stream = (spark.readStream.schema(docs_schema)
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 1)
               .parquet(input_dir))
     banded = stream.mapInPandas(_minhash_band_rows, LSH_BAND_SCHEMA)

@@ -645,7 +645,6 @@ def test_sequence_packing_semantics(duck, entry_mod):
     """Independent Python recomputation of the concat-and-cut layout:
     offsets are the doc_id-ordered token cumsum; first/last sequence
     from 512-token cuts; spans over boundaries exist."""
-    import re as _re
     rows = duck.sql(
         entry_mod.all_oracles()["sequence_packing"]).fetchall()
     docs = dict(duck.sql("SELECT doc_id, text FROM documents"
@@ -653,7 +652,8 @@ def test_sequence_packing_semantics(duck, entry_mod):
     off = 0
     want = {}
     for doc_id in sorted(docs):
-        n = len(_re.findall(r"\S+", docs[doc_id]))
+        # split-by-space: the SAME token universe doc_chunking windows
+        n = len(docs[doc_id].split(" "))
         if n > 0:
             want[doc_id] = (n, off, off // 512, (off + n - 1) // 512,
                             (off + n - 1) // 512 - off // 512 + 1)

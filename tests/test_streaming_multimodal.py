@@ -346,3 +346,39 @@ def test_stream_lsh_state_survives_restart(spark, tmp_path):
             for r in spark.sql(QUERY_SQL["dedup_lsh_pairs"]["spark"])
             .collect()}
     assert total == want
+
+
+def test_stream_lsh_redelivery_is_idempotent(spark, tmp_path):
+    """A re-delivered document file (replay/backfill) must not emit
+    self-pairs, duplicate state entries, or any new candidates — the
+    bucket state recognizes existing members."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import stream_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [r.asDict() for r in
+            sorted(docs.collect(), key=lambda r: r.doc_id)][:200]
+    input_dir = tmp_path / "lsh_redeliver"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+    for k, chunk in enumerate([rows, rows]):   # same docs twice
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk)), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+    out_dir = str(tmp_path / "lsh_redeliver_out")
+    stream_lsh_candidates(spark, str(input_dir),
+                          str(tmp_path / "ckpt_rd"), out_dir)
+    out = spark.read.parquet(out_dir).collect()
+    assert all(r.left_id != r.right_id for r in out)  # no self-pairs
+    # the replay added nothing: pair multiset == single-delivery pairs
+    seen = {}
+    for r in out:
+        seen[(r.left_id, r.right_id, r.band_no)] = \
+            seen.get((r.left_id, r.right_id, r.band_no), 0) + 1
+    assert all(v == 1 for v in seen.values())

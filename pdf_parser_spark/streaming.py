@@ -274,13 +274,23 @@ def _minhash_band_rows(pdf_iter):
                            columns=["band_no", "band_key", "doc_id"])
 
 
-def lsh_bucket_state_func(key, pdf_iter, state):
+def lsh_bucket_state_func(key, pdf_iter, state, bucket_cap=None):
     """Per (band_no, band_key) bucket: state = every doc_id ever seen
     in the bucket; each arriving doc emits a candidate pair with each
     earlier member (and earlier arrivals in the same batch).  A pair
     colliding in k bands is emitted k times — at-least-once per band,
     dedup at consumption, exactly like the batch ``cand`` CTE before
-    its DISTINCT."""
+    its DISTINCT.
+
+    ``bucket_cap`` (bound via functools.partial so the value ships
+    to executors inside the pickled callable — a module global would
+    NOT propagate, module-level functions pickle by reference): the
+    streaming form of the batch tier's super-bucket guard
+    (ops/dedup._lsh_ctes bucket_cap) — once a bucket holds cap
+    members, new arrivals neither emit nor join it, bounding BOTH the
+    per-arrival emission (cap pairs) and the state row (cap ids) at
+    any corpus size; degenerate-signature buckets otherwise grow
+    toward n and turn banding into all-pairs."""
     import pandas as pd
 
     band_no = int(key[0])
@@ -293,6 +303,8 @@ def lsh_bucket_state_func(key, pdf_iter, state):
         if d in already:
             continue  # re-delivered doc (replay/backfill): already a
             # bucket member — no self-pair, no duplicate state entry
+        if bucket_cap is not None and len(seen) >= bucket_cap:
+            break  # saturated super-bucket: stop emitting AND growing
         for s in seen:
             lo, hi = (s, d) if s < d else (d, s)
             out.append((lo, hi, band_no))
@@ -304,23 +316,27 @@ def lsh_bucket_state_func(key, pdf_iter, state):
 
 
 def stream_lsh_candidates(spark: SparkSession, input_dir: str,
-                          checkpoint_dir: str, out_dir: str):
+                          checkpoint_dir: str, out_dir: str,
+                          bucket_cap: int = None):
     """readStream over document files → per-doc band keys (stateless
     Arrow pass) → stateful band-bucket join via applyInPandasWithState
     → parquet sink.  Near-duplicates arriving in ANY later micro-batch
     still pair with their original: the bucket membership is state,
     not a per-batch join.  At 10^12 docs the state store shards by
-    (band_no, band_key) hash; the super-bucket guard of the batch tier
-    maps to a state-size cap per bucket (not applied here so the
-    batch differential can demand exact equality)."""
+    (band_no, band_key) hash; ``bucket_cap`` is the super-bucket
+    guard (see lsh_bucket_state_func) — leave None for exact batch
+    equality, set it at scale."""
+    import functools
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 1)
               .parquet(input_dir))
     banded = stream.mapInPandas(_minhash_band_rows, LSH_BAND_SCHEMA)
+    func = functools.partial(lsh_bucket_state_func,
+                             bucket_cap=bucket_cap)
     pairs = banded.groupBy("band_no", "band_key").applyInPandasWithState(
-        lsh_bucket_state_func, LSH_PAIR_SCHEMA, LSH_STATE_SCHEMA,
+        func, LSH_PAIR_SCHEMA, LSH_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout)
     q = (pairs.writeStream.format("parquet")
          .option("path", out_dir)

@@ -382,3 +382,39 @@ def test_stream_lsh_redelivery_is_idempotent(spark, tmp_path):
         seen[(r.left_id, r.right_id, r.band_no)] = \
             seen.get((r.left_id, r.right_id, r.band_no), 0) + 1
     assert all(v == 1 for v in seen.values())
+
+
+def test_stream_lsh_bucket_cap_bounds_state_and_emissions(spark,
+                                                          tmp_path):
+    """Super-bucket guard: identical-text docs all land in the same 4
+    buckets; with bucket_cap=5 the stream emits exactly C(5,2) pairs
+    per band instead of C(50,2), and later arrivals neither emit nor
+    grow state."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import stream_lsh_candidates
+
+    text = "identical boilerplate text shared by every degenerate doc"
+    rows = [{"doc_id": i, "text": text, "lang": "en",
+             "source": "t", "n_chars": len(text)} for i in range(50)]
+    input_dir = tmp_path / "lsh_cap"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+    for k, chunk in enumerate([rows[:25], rows[25:]]):
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk)), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+    out_dir = str(tmp_path / "lsh_cap_out")
+    stream_lsh_candidates(spark, str(input_dir),
+                          str(tmp_path / "ckpt_cap"), out_dir,
+                          bucket_cap=5)
+    out = spark.read.parquet(out_dir).collect()
+    # 4 bands x C(5,2)=10 pairs; uncapped would be 4 x C(50,2)=4900
+    assert len(out) == 40
+    assert {r.left_id for r in out} | {r.right_id for r in out} == \
+        set(range(5))

@@ -212,6 +212,12 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     one-plan curation composition)
 #                     — same all_queries verification path as
 #                     dedup_components
+#   link_graph / host_pagerank / boilerplate_lines / bm25_topk =
+#                     post-cap additions (web-graph tier: anchor
+#                     extraction, integer-exact PageRank with the
+#                     production iterative twin pagerank_df, CCNet
+#                     per-host line dedup; integer-exact BM25 top-k
+#                     retrieval) — same all_queries verification path
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "fidelity_pipeline", "extraction_metrics",
                    "extraction_spans", "span_dedup"]
@@ -219,7 +225,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "ifb_relational", "pnb_relational", "ann_brute_big",
                    "dedup_components", "quality_repetition", "pii_scrub",
                    "decontam_13gram", "quality_sampling", "curation_pipeline",
-                   "doc_chunking", "sequence_packing"}
+                   "doc_chunking", "sequence_packing",
+                   "link_graph", "host_pagerank", "boilerplate_lines",
+                   "bm25_topk"}
 
 
 def _specials() -> dict:

@@ -129,9 +129,22 @@ def main() -> None:
     textops: dict[str, dict] = {}
     for name in ("quality_repetition", "pii_scrub", "decontam_13gram",
                  "quality_sampling", "curation_pipeline",
-                 "doc_chunking", "sequence_packing"):
+                 "doc_chunking", "sequence_packing",
+                 "link_graph", "host_pagerank", "boilerplate_lines",
+                 "bm25_topk"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
+
+    # the unrolled host_pagerank SQL re-derives the edge CTEs once per
+    # round (Catalyst inlines CTE references — it exists as the
+    # cross-engine oracle twin); the production iterative form is what
+    # runs at scale, so measure it too, edges pre-materialized
+    from pdf_parser_spark.ops.webgraph import pagerank_df
+    edges = queries["link_graph"](spark, SF_DIR).persist()
+    edges.count()
+    textops["host_pagerank_df_production"] = timed3(
+        lambda: pagerank_df(edges).count())
+    edges.unpersist()
 
     total = round(sum(t["best"] for t in timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

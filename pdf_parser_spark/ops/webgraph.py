@@ -1,0 +1,354 @@
+"""Web-graph operators over the ``documents`` corpus: link extraction,
+host-level PageRank, and per-host boilerplate-line removal.
+
+The reference has no counterpart (training-data / web-curation tier,
+same family as ops/dedup.py); these are the graph-shaped stages every
+Common-Crawl curation pipeline runs between fetch and filtering:
+
+* ``link_graph`` — anchor extraction from page markup → a weighted
+  host→host edge list (the crawl frontier / spam-graph input);
+* ``host_pagerank`` — damped PageRank over that edge list (the
+  classic quality prior — e.g. CC's harmonic-centrality ranking);
+* ``boilerplate_lines`` — CCNet-style cross-document line dedup: a
+  line seen in most documents of one host is chrome, not content.
+
+The driver corpus has no URLs, so (same pattern as the dedup tiers)
+each doc derives a deterministic host + anchor-markup snippet in-plan
+— both engines build the same graph, then the real operator runs.
+
+Cross-engine determinism: PageRank is computed in INTEGER arithmetic
+(ranks scaled to parts-per-billion; every division is an exact
+floor-division ``IDIV`` built from ``%``), because float summation
+order differs between engines and would break the value-hash oracle.
+Truncation loses < N ppb of mass per round — deterministic and
+identical in both engines.
+
+Shape at 10^12 pages: link extraction is a narrow per-row projection
++ explode (no shuffle until the edge group-by, which partial-aggs
+map-side).  Each PageRank round is ONE equi-join on src_host + one
+hash aggregate on dst_host — the alternating join/agg every
+distributed PageRank (Pregel, GraphX, GraphFrames) lowers to; the
+unrolled SQL here is the cross-engine oracle twin of the production
+iterative form ``pagerank_df`` (per-round persisted DataFrames).
+Host in-degree is power-law (every doc links the hub host h0): the
+edge list aggregates per (src,dst) BEFORE the rank join, so hub skew
+lands on one grouped row per source, not one row per raw link.
+"""
+
+from __future__ import annotations
+
+from ..relational import DUCK, SPARK, ORD_CONCAT, RLIKE, lit
+
+QUERIES = {}
+
+
+def query(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+    return deco
+
+
+_N_HOSTS = 40          # content hosts h0..h39
+_PR_ROUNDS = 3         # unrolled PageRank iterations
+_PR_SCALE = 10 ** 9    # ranks in parts-per-billion
+_DAMP_PCT = 85         # damping factor d = 0.85 as a percentage
+
+
+def CSTR(x: str, d: str) -> str:
+    t = "STRING" if d == SPARK else "VARCHAR"
+    return "CAST(%s AS %s)" % (x, t)
+
+
+def IDIV(a: str, b: str) -> str:
+    """Exact floor division of non-negative BIGINTs, identical in both
+    engines: ``/`` returns DOUBLE in both, so divide the exact multiple
+    ``a - a%%b`` (result integral, < 2^53 for all operands here)."""
+    return ("CAST(((%s) - ((%s) %% (%s))) / (%s) AS BIGINT)"
+            % (a, a, b, b))
+
+
+def _reall_g1(s: str, pattern: str, d: str) -> str:
+    """All group-1 matches (relational.REALL is group-0 only)."""
+    return "regexp_extract_all(%s, %s, 1)" % (s, lit(pattern, d))
+
+
+# ------------------------------------------------------- edge list CTE
+
+def _edges_ctes(d: str) -> str:
+    """documents → ``edges(src_host, dst_host, n_links)``.
+
+    Each doc gets a host (doc_id %% 40) and an anchor-markup snippet:
+    two modular outlinks (one upper-cased to exercise normalization),
+    a hub link (every doc → h0 — the power-law in-degree tier), a
+    mailto: and a fragment anchor (must be dropped), and every 10th
+    doc a link to one of two SINK hosts that publish no pages — the
+    dangling-node class PageRank must redistribute."""
+    host = "'h' || %s || '.example'" % CSTR("doc_id %% %d" % _N_HOSTS, d)
+    snippet = (
+        "'<a href=\"https://h' || {m1} || '.example/p' || {did}"
+        " || '\">a</a>'"
+        " || '<a href=\"HTTPS://H' || {m2} || '.EXAMPLE/q?x=1\">b</a>'"
+        " || '<a href=\"https://h0.example/\">hub</a>'"
+        " || '<a href=\"mailto:user@h1.example\">m</a>'"
+        " || '<a href=\"#top\">t</a>'"
+        " || CASE WHEN doc_id % 10 = 0 THEN"
+        " '<a href=\"https://sink' || {m3} || '.example/out\">s</a>'"
+        " ELSE '' END"
+    ).format(
+        m1=CSTR("(doc_id * 7 + 1) %% %d" % _N_HOSTS, d),
+        m2=CSTR("(doc_id * 13 + 3) %% %d" % _N_HOSTS, d),
+        # doc_id % 10 = 0 docs are all even, so a % 2 selector would
+        # never reach sink1 — alternate on the tens digit instead
+        m3=CSTR("CASE WHEN doc_id % 20 = 0 THEN 0 ELSE 1 END", d),
+        did=CSTR("doc_id", d),
+    )
+    hrefs = _reall_g1("snippet", r'href="([^"]+)"', d)
+    if d == SPARK:
+        links = ("SELECT src_host, link FROM src "
+                 "LATERAL VIEW explode(%s) t AS link" % hrefs)
+    else:
+        links = ("SELECT src_host, unnest(%s) AS link FROM src" % hrefs)
+    return """
+src AS (
+  SELECT doc_id, {host} AS src_host, {snippet} AS snippet
+  FROM documents
+),
+links AS ({links}),
+valid AS (
+  SELECT src_host,
+         lower(regexp_extract(link, {hostpat}, 1)) AS dst_host
+  FROM links WHERE {is_http}
+),
+edges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM valid WHERE dst_host <> src_host
+  GROUP BY src_host, dst_host
+)""".format(host=host, snippet=snippet, links=links,
+            hostpat=lit(r"(?i)^https?://([^/?#]+)", d),
+            is_http=RLIKE("link", r"(?i)^https?://", d))
+
+
+@query("link_graph")
+def q_link_graph(d: str) -> str:
+    """Anchor extraction → weighted host→host edge list: pull every
+    ``href`` from the markup, keep http(s) only (mailto/fragment
+    dropped), lowercase the authority, drop intra-host self-links,
+    aggregate to (src_host, dst_host, n_links)."""
+    return """
+WITH {edges}
+SELECT src_host, dst_host, n_links FROM edges
+""".format(edges=_edges_ctes(d).strip())
+
+
+@query("host_pagerank")
+def q_host_pagerank(d: str) -> str:
+    """Damped PageRank over the host graph, ``_PR_ROUNDS`` unrolled
+    rounds in exact integer arithmetic (ranks in ppb of total mass):
+
+        r0(v)    = S/N
+        r_k+1(v) = 15%%*S/N + 85%%*dangling_k/N
+                   + sum over in-edges (u,v) of
+                       85%% * r_k(u) * w(u,v) / out_w(u)
+
+    with S = 1e9 and every ``/`` an exact integer floor (IDIV).
+    Dangling mass (the sink hosts — crawled-to but publishing no
+    pages) is redistributed uniformly, the standard treatment.  Each
+    round = one src_host equi-join + one dst_host hash-agg; N and the
+    round's dangling mass enter as scalar subqueries (one-row
+    broadcasts at cluster scale, never a cartesian)."""
+    base = IDIV("%d" % (_PR_SCALE * (100 - _DAMP_PCT) // 100),
+                "(SELECT n FROM nn)")
+    parts = [_edges_ctes(d).strip(), """
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host AS host FROM edges) u
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS (
+  SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS w
+  FROM edges GROUP BY src_host
+),
+pr0 AS (SELECT host, {r0} AS rank FROM nodes)""".format(
+        r0=IDIV("%d" % _PR_SCALE, "(SELECT n FROM nn)")).strip()]
+    contrib = IDIV("p.rank * e.n_links * %d" % _DAMP_PCT, "o.w * 100")
+    dshare = IDIV("(SELECT dm FROM d{r}) * %d" % _DAMP_PCT,
+                  "(SELECT n FROM nn) * 100")
+    tpl = """
+c{r} AS (
+  SELECT e.dst_host AS host, CAST(SUM({contrib}) AS BIGINT) AS c
+  FROM edges e
+  JOIN pr{p} p ON p.host = e.src_host
+  JOIN outw o ON o.src_host = e.src_host
+  GROUP BY e.dst_host
+),
+d{r} AS (
+  SELECT CAST(COALESCE(SUM(p.rank), 0) AS BIGINT) AS dm
+  FROM pr{p} p LEFT JOIN outw o ON o.src_host = p.host
+  WHERE o.src_host IS NULL
+),
+pr{r} AS (
+  SELECT n.host, {base} + {dshare} + COALESCE(c.c, 0) AS rank
+  FROM nodes n LEFT JOIN c{r} c ON c.host = n.host
+)"""
+    for r in range(1, _PR_ROUNDS + 1):
+        parts.append(tpl.format(r=r, p=r - 1, contrib=contrib,
+                                base=base,
+                                dshare=dshare.format(r=r)).strip())
+    return """
+WITH {ctes}
+SELECT host, CAST(rank AS BIGINT) AS rank_ppb FROM pr{k}
+""".format(ctes=",\n".join(parts), k=_PR_ROUNDS)
+
+
+# ------------------------------------------- production iterative form
+
+def pagerank_df(edges, rounds: int = _PR_ROUNDS):
+    """The PRODUCTION iterative PageRank over an ``edges(src_host,
+    dst_host, n_links)`` DataFrame — per-round persisted DataFrames
+    (Catalyst inlines CTE references, so the unrolled SQL form
+    re-derives the edge list once per round and exists for
+    cross-engine verification, not for scale).  Identical integer
+    math to ``host_pagerank``; a test pins row-identical output.
+
+    Per round: one src_host equi-join + one dst_host hash-agg; the
+    dangling mass and N ride along as 1-row broadcasts (no driver
+    collect in the loop).  Each round's result is persisted and
+    materialized so the lineage stays one round deep."""
+    from pyspark.sql import functions as F
+
+    def idiv(a, b):
+        return F.expr(IDIV(a, b))
+
+    nodes = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct().persist())
+    n = nodes.count()           # one tiny scalar, outside the loop
+    outw = (edges.groupBy("src_host")
+            .agg(F.sum("n_links").cast("long").alias("w")).persist())
+    base = _PR_SCALE * (100 - _DAMP_PCT) // 100
+    ranks = nodes.select(
+        "host", F.lit((_PR_SCALE - _PR_SCALE % n) // n)
+        .cast("long").alias("rank")).persist()
+    ranks.count()
+    for _ in range(rounds):
+        contrib = (
+            edges.join(ranks, edges.src_host == ranks.host)
+            .join(outw, "src_host")
+            .withColumn("part", idiv("rank * n_links * %d" % _DAMP_PCT,
+                                     "w * 100"))
+            .groupBy("dst_host").agg(F.sum("part").cast("long").alias("c"))
+        )
+        dang = (ranks.join(outw, ranks.host == outw.src_host, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                     .cast("long").alias("dm")))
+        new = (
+            nodes.join(contrib, nodes.host == contrib.dst_host, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (F.lit(base - base % n) / n
+                 + idiv("dm * %d" % _DAMP_PCT, "%d * 100" % n)
+                 + F.coalesce(F.col("c"), F.lit(0))
+                 ).cast("long").alias("rank"))
+            .persist()
+        )
+        new.count()
+        ranks.unpersist()
+        ranks = new
+    out = ranks.select("host", F.col("rank").alias("rank_ppb"))
+    nodes.unpersist()
+    outw.unpersist()
+    return out
+
+
+# -------------------------------------- per-host boilerplate-line dedup
+
+@query("boilerplate_lines")
+def q_boilerplate_lines(d: str) -> str:
+    """CCNet-style cross-document line dedup, sharded per host: a line
+    occurring in a MAJORITY of one host's documents (2*n_docs_with_line
+    > host_docs — integer compare, no floats) is chrome (nav, footer,
+    cookie banner), not content, and is dropped from every document.
+
+    The corpus has no line structure, so pages are synthesized in-plan:
+    per-host welcome/copyright lines (100%% of the host → dropped), a
+    global nav line (100%% → dropped), a newsletter line on 2/3 of docs
+    (dropped) and a promo line on the other 1/3 (KEPT — exercises the
+    threshold boundary), plus the doc's own text as 8-word content
+    lines (doc-unique → kept).  Output per doc: line counts and an md5
+    over the ordered kept-line digests.
+
+    Shape at 10^12 pages: explode to lines (narrow), one (host, line)
+    hash-agg for document frequency — partial-agg map-side, so a
+    million-fold repeated footer becomes one grouped row per partition
+    before the shuffle — then a fact-sized equi-join back on the line
+    key and a per-doc re-aggregate.  All group-bys hash-partition;
+    the host shard bounds every line's blast radius (CCNet's shard)."""
+    host = "'h' || %s || '.example'" % CSTR("doc_id %% %d" % _N_HOSTS, d)
+    if d == SPARK:
+        toks = """
+toks AS (
+  SELECT doc_id, host, pos, w FROM hosted
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+)"""
+    else:
+        toks = """
+ws AS (SELECT doc_id, host, string_split(text, ' ') AS ws FROM hosted),
+toks AS (SELECT doc_id, host, unnest(ws) AS w,
+                generate_subscripts(ws, 1) - 1 AS pos
+         FROM ws)"""
+    kept_md5 = ("CASE WHEN is_bp = 0 THEN md5(line) END")
+    return """
+WITH hosted AS (
+  SELECT doc_id, {host} AS host, text FROM documents
+),{toks},
+content AS (
+  SELECT doc_id, host, CAST(floor(pos / 8.0) AS BIGINT) AS seg,
+         {seg_line} AS line
+  FROM toks GROUP BY doc_id, host, CAST(floor(pos / 8.0) AS BIGINT)
+),
+lines AS (
+  SELECT doc_id, host, CAST(0 AS BIGINT) AS line_no,
+         'Welcome to ' || host AS line FROM hosted
+  UNION ALL
+  SELECT doc_id, host, CAST(1 AS BIGINT), 'Menu Home About Contact'
+  FROM hosted
+  UNION ALL
+  SELECT doc_id, host, 10 + seg, line FROM content
+  UNION ALL
+  SELECT doc_id, host, CAST(1000000 AS BIGINT),
+         'Subscribe to our newsletter'
+  FROM hosted WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id, host, CAST(1000001 AS BIGINT), 'Promo of the day'
+  FROM hosted WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, host, CAST(1000002 AS BIGINT), 'Copyright ' || host
+  FROM hosted
+),
+hostdocs AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM hosted GROUP BY host
+),
+linedocs AS (
+  SELECT host, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM lines GROUP BY host, line
+),
+flagged AS (
+  SELECT l.doc_id, l.host, l.line_no, l.line,
+         CASE WHEN 2 * ld.nd > hd.n_docs THEN 1 ELSE 0 END AS is_bp
+  FROM lines l
+  JOIN linedocs ld ON ld.host = l.host AND ld.line = l.line
+  JOIN hostdocs hd ON hd.host = l.host
+)
+SELECT doc_id, host,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(1 - is_bp) AS BIGINT) AS n_kept,
+  md5(COALESCE(NULLIF({kept_cat}, ''), 'EMPTY')) AS kept_digest
+FROM flagged
+GROUP BY doc_id, host
+""".format(host=host, toks=toks.strip(),
+           seg_line=ORD_CONCAT("w", " ", "pos", d),
+           kept_cat=ORD_CONCAT(kept_md5, "", "line_no", d))

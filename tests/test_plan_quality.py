@@ -184,3 +184,17 @@ def test_decontam_gram_screen_broadcasts_eval_side(spark):
         query_registry.QUERY_SQL["decontam_13gram"]["spark"]))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_query_terms_broadcast(spark):
+    """The BM25 term join must broadcast the (tiny) query-term side —
+    the inverted-index posting fetch; shuffling every token of 10^12
+    docs to meet a few thousand query terms would be the worst plan."""
+    import query_registry
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    plan = _explain(spark.sql(
+        query_registry.QUERY_SQL["bm25_topk"]["spark"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

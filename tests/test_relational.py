@@ -28,6 +28,7 @@ _SUBSET = [
     "url_canonicalize", "quality_repetition", "pii_scrub",
     "decontam_13gram", "quality_sampling", "curation_pipeline",
     "doc_chunking", "sequence_packing",
+    "link_graph", "host_pagerank", "boilerplate_lines", "bm25_topk",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -127,7 +128,9 @@ def test_driver_contract_shape(entry_mod):
                "ifb_relational", "pnb_relational", "ann_brute_big",
                "dedup_components", "quality_repetition", "pii_scrub",
                "decontam_13gram", "quality_sampling", "curation_pipeline",
-               "doc_chunking", "sequence_packing"}
+               "doc_chunking", "sequence_packing",
+               "link_graph", "host_pagerank", "boilerplate_lines",
+               "bm25_topk"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -661,3 +664,166 @@ def test_sequence_packing_semantics(duck, entry_mod):
     got = {r[0]: tuple(r[1:]) for r in rows}
     assert got == want
     assert any(v[4] > 1 for v in want.values())  # boundary-spanning docs
+
+
+def _py_webgraph_edges(doc_ids):
+    """Independent Python derivation of the in-plan link graph (must
+    mirror ops/webgraph._edges_ctes by SPEC, not by shared code)."""
+    from collections import Counter
+    edges = Counter()
+    for i in doc_ids:
+        src = "h%d.example" % (i % 40)
+        dsts = ["h%d.example" % ((i * 7 + 1) % 40),
+                "h%d.example" % ((i * 13 + 3) % 40),
+                "h0.example"]
+        if i % 10 == 0:
+            dsts.append("sink%d.example" % (0 if i % 20 == 0 else 1))
+        for dst in dsts:
+            if dst != src:
+                edges[(src, dst)] += 1
+    return edges
+
+
+def test_link_graph_semantics(duck, entry_mod):
+    """Independent Python recomputation: anchor extraction drops
+    mailto/fragment links, lowercases hosts, drops self-links, and
+    aggregates per (src, dst)."""
+    rows = duck.sql(entry_mod.all_oracles()["link_graph"]).fetchall()
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    want = _py_webgraph_edges(doc_ids)
+    got = {(r[0], r[1]): r[2] for r in rows}
+    assert got == dict(want)
+    # the dangling sinks exist and the hub is power-law
+    assert any(k[1].startswith("sink") for k in got)
+    hub_in = sum(v for (s, t), v in got.items() if t == "h0.example")
+    assert hub_in > len(doc_ids) // 2
+
+
+def test_host_pagerank_semantics(duck, entry_mod):
+    """Independent Python integer PageRank (floor-division spec from
+    the module docstring) over independently derived edges — catches a
+    shared-wrong SQL in both engines."""
+    rows = duck.sql(entry_mod.all_oracles()["host_pagerank"]).fetchall()
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    edges = _py_webgraph_edges(doc_ids)
+    nodes = sorted({h for e in edges for h in e})
+    n = len(nodes)
+    outw = {}
+    for (s, t), w in edges.items():
+        outw[s] = outw.get(s, 0) + w
+    r = {h: 10 ** 9 // n for h in nodes}
+    for _ in range(3):
+        contrib = {h: 0 for h in nodes}
+        for (s, t), w in edges.items():
+            contrib[t] += r[s] * w * 85 // (outw[s] * 100)
+        dm = sum(r[h] for h in nodes if h not in outw)
+        base = 150000000 // n + dm * 85 // (n * 100)
+        r = {h: base + contrib[h] for h in nodes}
+    got = {h: v for h, v in rows}
+    assert got == r
+    # mass is conserved up to floor truncation, hub dominates
+    assert 0 < 10 ** 9 - sum(r.values()) < 10 ** 6
+    assert max(r, key=r.get) == "h0.example"
+
+
+def test_pagerank_df_matches_sql(spark, entry_mod):
+    """The production iterative form (per-round persisted DataFrames,
+    1-row dangling-mass broadcast, no driver collect in the loop) is
+    row-identical to the unrolled-SQL oracle twin."""
+    from pdf_parser_spark.ops.webgraph import pagerank_df
+
+    edges = entry_mod.all_queries()["link_graph"](spark, SF_DIR)
+    got = sorted((r.host, r.rank_ppb) for r in pagerank_df(edges).collect())
+    exp = sorted((r.host, r.rank_ppb) for r in entry_mod.all_queries()[
+        "host_pagerank"](spark, SF_DIR).collect())
+    assert got == exp
+
+
+def test_boilerplate_lines_semantics(duck, entry_mod):
+    """Independent Python recomputation of the CCNet line dedup:
+    synthesize every doc's lines, apply the per-host majority rule,
+    and require exact counts + kept-line digests."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = duck.sql(
+        entry_mod.all_oracles()["boilerplate_lines"]).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+
+    def lines_of(doc_id):
+        host = "h%d.example" % (doc_id % 40)
+        words = docs[doc_id].split(" ")
+        out = [(0, "Welcome to " + host), (1, "Menu Home About Contact")]
+        for seg in range((len(words) + 7) // 8):
+            out.append((10 + seg, " ".join(words[seg * 8:seg * 8 + 8])))
+        if doc_id % 3 != 0:
+            out.append((1000000, "Subscribe to our newsletter"))
+        else:
+            out.append((1000001, "Promo of the day"))
+        out.append((1000002, "Copyright " + host))
+        return host, out
+
+    host_docs = defaultdict(set)
+    line_docs = defaultdict(set)
+    per_doc = {}
+    for doc_id in docs:
+        host, ls = lines_of(doc_id)
+        per_doc[doc_id] = (host, ls)
+        host_docs[host].add(doc_id)
+        for _, line in ls:
+            line_docs[(host, line)].add(doc_id)
+
+    want = {}
+    for doc_id, (host, ls) in per_doc.items():
+        kept = [(no, l) for no, l in ls
+                if 2 * len(line_docs[(host, l)]) <= len(host_docs[host])]
+        cat = "".join(hashlib.md5(l.encode()).hexdigest()
+                      for _, l in sorted(kept)) or "EMPTY"
+        want[doc_id] = (host, len(ls), len(kept),
+                        hashlib.md5(cat.encode()).hexdigest())
+    got = {r[0]: tuple(r[1:]) for r in rows}
+    assert got == want
+    # the designed tiers behave: chrome dropped, promo (1/3 tier) kept
+    d0 = per_doc[0]
+    assert got[0][2] < got[0][1]                    # something dropped
+    assert any(l == "Promo of the day" and
+               2 * len(line_docs[(d0[0], l)]) <= len(host_docs[d0[0]])
+               for _, l in d0[1])
+
+
+def test_bm25_topk_semantics(duck, entry_mod):
+    """Independent Python recomputation of the integer-exact BM25
+    surrogate and the per-query top-10 (ties by doc_id)."""
+    from collections import Counter, defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["bm25_topk"]).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    dl = {i: len(w) for i, w in toks.items()}
+    N, S = len(docs), sum(dl.values())
+    queries = {0: ["spark", "join"], 1: ["dup"],
+               2: ["window", "stream", "filter"],
+               3: ["hash", "merge"], 4: ["zzzabsent"]}
+    tf = {i: Counter(w) for i, w in toks.items()}
+    want = []
+    for qid, terms in queries.items():
+        scores = defaultdict(int)
+        for t in terms:
+            df = sum(1 for i in docs if tf[i][t] > 0)
+            if df == 0:
+                continue
+            idf = (N - df) * 1000 // (df + 1)
+            for i in docs:
+                if tf[i][t] > 0:
+                    scores[i] += (idf * tf[i][t] * 22 * S
+                                  // (10 * S * tf[i][t] + 3 * S
+                                      + 9 * dl[i] * N))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rk, (i, sc) in enumerate(ranked[:10], 1):
+            want.append((qid, i, sc, rk))
+    assert sorted(rows) == sorted(want)
+    # absent-term query yields no rows; rare-term query ranks by tf
+    assert not any(r[0] == 4 for r in rows)
+    assert len([r for r in rows if r[0] == 1]) == 10

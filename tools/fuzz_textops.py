@@ -25,7 +25,14 @@ sys.path.insert(0, str(REPO))
 QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "curation_pipeline", "decontam_13gram", "lang_id_heuristic",
            "quality_score", "token_stats", "doc_chunking",
-           "sequence_packing"]
+           "sequence_packing",
+           # web-graph / retrieval tier: boilerplate + bm25 exercise
+           # the random text (line dedup, tf/df/top-k); link_graph
+           # exercises the random doc_id set.  host_pagerank is pure
+           # doc_id arithmetic over the same edges (already pinned by
+           # dual-SF parity + Python recompute) — skipped here to keep
+           # the fuzz wall bounded.
+           "boilerplate_lines", "bm25_topk", "link_graph"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -254,12 +254,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def _bm25_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted-index lifecycle (the text analogue of
+    ann_ivf_amortized): build term-sharded postings + additive BM25
+    stats once, then serve the standard query batch from the persisted
+    artifact with shard pruning.  The DuckDB oracle is the in-plan
+    ``bm25_topk`` SQL — identical integer scoring, so the whole
+    build→persist→prune→serve path is hash-checked end-to-end."""
+    from pdf_parser_spark.ops.retrieval import bm25_index_demo
+
+    _register(spark, sf_dir)
+    return bm25_index_demo(spark)
+
+
+# retired rows that are Python callables, not QUERY_SQL entries; each
+# maps to (callable, oracle-SQL twin) and rides all_queries()/
+# all_oracles() like the SQL-backed retired rows
+def _retired_specials() -> dict:
+    return {
+        "bm25_serve_persisted": (
+            _bm25_serve_persisted, QUERY_SQL["bm25_topk"]["duckdb"]),
+    }
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract PLUS the retired rows — for tests/bench only."""
     out = queries()
     for name in _DRIVER_RETIRED:
         if name in QUERY_SQL:
             out[name] = _sql_query(name)
+    for name, (fn, _) in _retired_specials().items():
+        out[name] = fn
     return out
 
 
@@ -319,4 +344,6 @@ def all_oracles() -> dict[str, str]:
     for name in _DRIVER_RETIRED:
         if name in QUERY_SQL:
             out[name] = QUERY_SQL[name]["duckdb"]
+    for name, (_, sql) in _retired_specials().items():
+        out[name] = sql
     return out

@@ -146,6 +146,24 @@ def main() -> None:
         lambda: pagerank_df(edges).count())
     edges.unpersist()
 
+    # persisted BM25 index amortization: build once, then each served
+    # batch reads only matching postings (shard-pruned) — vs the
+    # in-plan query re-tokenizing the corpus every time
+    import shutil
+    import tempfile
+    from pdf_parser_spark.ops.retrieval import bm25_serve, text_index_append
+    idx = os.path.join(tempfile.gettempdir(), "bench_bm25_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    text_index_append(spark, idx, spark.table("documents")
+                      .select("doc_id", "text"))
+    build_sec = round(time.time() - t0, 3)
+    serve = timed3(lambda: bm25_serve(spark, idx).count())
+    textops["bm25_index_build"] = {"best": build_sec, "median": build_sec,
+                                   "spread": 0.0}
+    textops["bm25_serve_persisted"] = serve
+    shutil.rmtree(idx, ignore_errors=True)
+
     total = round(sum(t["best"] for t in timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     ivf, brute = (timings[n] for n in ANN_PAIR)

@@ -130,3 +130,136 @@ ranked AS (
 SELECT query_id, doc_id, score_scaled, rk
 FROM ranked WHERE rk <= {k}
 """.format(qterms=_qterms(d), toks=toks.strip(), wgt=wgt, k=_TOP_K)
+
+
+# ----------------------------------------- persisted inverted index
+
+# The index/serve lifecycle for text — the retrieval analogue of the
+# amortized IVF index (ops/similarity.amortized_ivf_demo): build ONCE
+# over the corpus, persist term-sharded postings + additive stats,
+# then serve every later query batch from the index without touching
+# the corpus again.  BM25's sufficient statistics (tf, df, dl, N, S)
+# are EXACTLY additive, so incremental ingest appends partial-agg
+# DELTAS and the serve path sums fragments — an LSM-style contract
+# with no refit step at all (unlike IVF, where centroid drift needs
+# periodic refits).
+
+_N_SHARDS = 8      # term-hash shards of the postings table: at 10^12
+                   # docs partitionBy(term) would mean millions of
+                   # directories; a fixed shard count keeps files
+                   # bounded while still letting a query batch prune
+                   # to the shards its terms hash into
+
+
+def _shard_col():
+    from pyspark.sql import functions as F
+    return F.pmod(F.xxhash64("term"), F.lit(_N_SHARDS)).cast("int")
+
+
+def text_index_append(spark, index_dir: str, docs) -> None:
+    """Build or incrementally extend a persisted BM25 index from a
+    ``(doc_id, text)`` DataFrame.  Everything written is a partial
+    aggregate over THESE docs only (postings rows, per-doc lengths,
+    per-term df deltas, one corpus-stats delta row) — serving sums the
+    fragments, so append IS the build primitive (first call = build).
+
+    At 10^12 docs: one narrow tokenize pass, one (term, doc_id)
+    partial-agg shuffle, a shard-partitioned append; no read-modify-
+    write of existing index files, no refit, no global state beyond
+    the append itself (callers needing atomic visibility layer this
+    over io_tables-style snapshot commits)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    postings = (toks.groupBy("term", "doc_id")
+                .agg(F.count("*").cast("long").alias("tf"))
+                .withColumn("shard", _shard_col())).persist()
+    postings.count()
+    (postings.repartition(_N_SHARDS, "shard")
+     .write.mode("append").partitionBy("shard")
+     .parquet(os.path.join(index_dir, "postings")))
+    docstats = (toks.groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("dl"))).persist()
+    docstats.count()
+    docstats.write.mode("append").parquet(
+        os.path.join(index_dir, "docstats"))
+    # df delta per term: postings are unique per (term, doc) already
+    (postings.groupBy("term")
+     .agg(F.count("*").cast("long").alias("df_delta"))
+     .write.mode("append")
+     .parquet(os.path.join(index_dir, "termstats")))
+    (docstats.agg(F.count("*").cast("long").alias("n_delta"),
+                  F.sum("dl").cast("long").alias("s_delta"))
+     .write.mode("append").parquet(os.path.join(index_dir, "corpusstats")))
+    postings.unpersist()
+    docstats.unpersist()
+
+
+def bm25_serve(spark, index_dir: str, query_terms=None, top_k=_TOP_K):
+    """Serve BM25 top-k from a persisted index WITHOUT touching the
+    corpus: the postings scan prunes to the shards the query terms
+    hash into (partition pruning — the only driver-side step is
+    evaluating the shard hash of the ≤dozens query terms, the same
+    k-row legitimacy class as IVF's centroid collect), the term join
+    broadcasts the query side, stats fragments are summed and ride as
+    1-row broadcasts.  Identical integer math to ``bm25_topk`` — a
+    test pins serve ≡ in-plan scoring, including across incremental
+    appends."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    qt = query_terms if query_terms is not None else _QUERY_TERMS
+    terms = spark.createDataFrame(qt, "query_id long, term string")
+    shards = [r[0] for r in
+              terms.select(_shard_col().alias("s")).distinct().collect()]
+    postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
+                .filter(F.col("shard").isin(shards)))
+    matched = postings.join(F.broadcast(terms), "term")
+    termdf = (spark.read.parquet(os.path.join(index_dir, "termstats"))
+              .join(F.broadcast(terms.select("term").distinct()), "term")
+              .groupBy("term")
+              .agg(F.sum("df_delta").cast("long").alias("df")))
+    docstats = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    corpus = (spark.read.parquet(os.path.join(index_dir, "corpusstats"))
+              .agg(F.sum("n_delta").cast("long").alias("n"),
+                   F.sum("s_delta").cast("long").alias("s")))
+    idf = IDIV("(n - df) * %d" % _IDF_SCALE, "df + 1")
+    wgt = IDIV("(%s) * tf * 22 * s" % idf,
+               "10 * s * tf + 3 * s + 9 * dl * n")
+    scored = (matched
+              .join(F.broadcast(termdf), "term")
+              .join(docstats, "doc_id")
+              .crossJoin(F.broadcast(corpus))
+              .withColumn("w", F.expr(wgt))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("w").cast("long").alias("score_scaled")))
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "doc_id")
+    return (scored
+            .withColumn("rk", F.row_number().over(win).cast("long"))
+            .filter(F.col("rk") <= top_k)
+            .select("query_id", "doc_id", "score_scaled", "rk"))
+
+
+def bm25_index_demo(spark, index_dir: str = None):
+    """The registered end-to-end lifecycle: build the index from the
+    ``documents`` view (one append call), then serve the standard
+    query set from the persisted artifact.  Row-identical to the
+    ``bm25_topk`` in-plan SQL (the DuckDB oracle twin) — so the whole
+    build→persist→prune→serve path is hash-checked."""
+    import os
+    import shutil
+    import tempfile
+
+    root = index_dir or os.path.join(tempfile.gettempdir(),
+                                     "pdf_parser_spark_bm25_index")
+    if index_dir is None and os.path.exists(root):
+        shutil.rmtree(root)   # appends accumulate — fresh demo build
+    text_index_append(spark, root, spark.table("documents")
+                      .select("doc_id", "text"))
+    return bm25_serve(spark, root)

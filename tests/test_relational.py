@@ -29,6 +29,7 @@ _SUBSET = [
     "decontam_13gram", "quality_sampling", "curation_pipeline",
     "doc_chunking", "sequence_packing",
     "link_graph", "host_pagerank", "boilerplate_lines", "bm25_topk",
+    "bm25_serve_persisted",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -130,7 +131,7 @@ def test_driver_contract_shape(entry_mod):
                "decontam_13gram", "quality_sampling", "curation_pipeline",
                "doc_chunking", "sequence_packing",
                "link_graph", "host_pagerank", "boilerplate_lines",
-               "bm25_topk"}
+               "bm25_topk", "bm25_serve_persisted"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -827,3 +828,64 @@ def test_bm25_topk_semantics(duck, entry_mod):
     # absent-term query yields no rows; rare-term query ranks by tf
     assert not any(r[0] == 4 for r in rows)
     assert len([r for r in rows if r[0] == 1]) == 10
+
+
+def test_text_index_incremental_append_and_serve(spark, entry_mod, duck,
+                                                 tmp_path):
+    """The persisted BM25 index's additive contract: build on part of
+    the corpus, append the rest WITHOUT rebuilding, and the served
+    top-k equals the in-plan bm25_topk over exactly the ingested docs
+    at BOTH points — BM25's sufficient statistics are exactly
+    additive, so ingest is append-only (no refit, no read-modify-
+    write)."""
+    from pdf_parser_spark.ops.retrieval import (
+        bm25_serve, text_index_append,
+    )
+
+    entry_mod.all_queries()["s3_lines"]  # force module import side
+    root = str(tmp_path / "bm25_index")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+
+    def inplan_over(pred):
+        duck.sql("CREATE OR REPLACE VIEW documents AS "
+                 "SELECT * FROM '%s/documents.parquet' WHERE %s"
+                 % (SF_DIR, pred))
+        try:
+            return sorted(duck.sql(
+                entry_mod.all_oracles()["bm25_topk"]).fetchall())
+        finally:
+            duck.sql("CREATE OR REPLACE VIEW documents AS "
+                     "SELECT * FROM '%s/documents.parquet'" % SF_DIR)
+
+    text_index_append(spark, root, docs.filter("doc_id < 400"))
+    got_partial = sorted(tuple(r) for r in
+                         bm25_serve(spark, root).collect())
+    assert got_partial == inplan_over("doc_id < 400")
+
+    text_index_append(spark, root, docs.filter("doc_id >= 400"))
+    got_full = sorted(tuple(r) for r in
+                      bm25_serve(spark, root).collect())
+    assert got_full == inplan_over("TRUE")
+    assert got_full != got_partial   # the append actually changed ranks
+
+
+def test_bm25_serve_plan_reads_index_only(spark, entry_mod):
+    """Scale gate for the serve path: the plan scans the persisted
+    index with shard partition-pruning and broadcasts the query-term
+    side — and never rescans the corpus (that is the whole point of
+    building the index)."""
+    import os
+    import tempfile
+
+    from pdf_parser_spark.ops.retrieval import bm25_serve
+
+    # the demo build leaves the index at a fixed tmp root
+    entry_mod.all_queries()["bm25_serve_persisted"](spark, SF_DIR)
+    root = os.path.join(tempfile.gettempdir(),
+                        "pdf_parser_spark_bm25_index")
+    serve = bm25_serve(spark, root)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert "BroadcastHashJoin" in plan

@@ -530,3 +530,128 @@ def verified_pairs_df(spark):
     neardup_components_df) — same pair set as dedup_lsh_verified."""
     return spark.sql("WITH %s SELECT left_id, right_id FROM verified"
                      % _verified_pairs_ctes("spark"))
+
+
+# ------------------------------------------- exact substring dedup
+
+_SUB_K = 8       # minimum duplicated run length (tokens).  The
+                 # published protocol (Lee et al. 2022, "Deduplicating
+                 # Training Data Makes Language Models Better") uses 50
+                 # BPE tokens over a suffix array; fixture documents
+                 # are ~30 words, so the threshold scales down and the
+                 # suffix array is replaced by the equivalent k-gram
+                 # anchoring (a duplicated run of length >= k is
+                 # exactly a maximal island of duplicated k-gram
+                 # starts — same removal set, join-expressible).
+
+_SUB_BOILER = (
+    "terms of service apply to all content on this site",
+    "all rights reserved unauthorized reproduction is strictly "
+    "prohibited by law",
+    "subscribe to our newsletter for updates and exclusive offers today",
+)
+
+
+def _substring_corpus(d: str) -> str:
+    """Corpus with deterministically injected duplicated substrings
+    (the driver corpus has no guaranteed >=k-token exact repeats):
+    docs with doc_id %% 13 = 6 carry one shared boilerplate sentence
+    (cross-doc duplication, three rotating sentences), docs with
+    doc_id %% 13 = 5 carry it TWICE (adds within-doc multiplicity —
+    the protocol counts total corpus occurrences, not distinct
+    docs)."""
+    b = ("CASE doc_id % 3 WHEN 0 THEN '{0}' WHEN 1 THEN '{1}' "
+         "ELSE '{2}' END".format(*_SUB_BOILER))
+    return """
+corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 5 THEN text || ' ' || {b} || ' ' || {b}
+         WHEN doc_id % 13 = 6 THEN text || ' ' || {b}
+         ELSE text END AS text
+  FROM documents
+)""".format(b=b)
+
+
+@query("dedup_substring")
+def q_exact_substring(d: str) -> str:
+    """Exact duplicated-substring removal (suffix-array dedup
+    re-expressed distributed): any >= _SUB_K-token run whose every
+    k-gram occurs >= 2 times in the whole corpus is cut from the
+    document; overlapping cuts merge into maximal islands
+    (gaps-and-islands over the covered flag).  Per doc: span count,
+    tokens removed/kept, and the reconstructed clean text.
+
+    Distributed shape at 10^12 docs: one posexplode + lead-window pass
+    builds gram starts (array-free — see _exploded_shingles for the
+    slice-lambda trap), one (gram) hash agg finds corpus-duplicated
+    grams (map-side partial agg), one hash join marks start positions,
+    and coverage/islands/reconstruction are per-doc windows over the
+    existing (doc_id, pos) partitioning — no all-pairs work, cost
+    O(total tokens).  Docs shorter than k emit no grams and pass
+    through unchanged.  (Divergence from the paper: k-gram anchoring
+    == suffix-array semantics for runs >= k; runs can self-overlap
+    within a doc, handled identically by total-occurrence counting.)
+    """
+    if d == SPARK:
+        toks = """
+toks AS (
+  SELECT doc_id, pos, w FROM corpus
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+)"""
+        clean = ("concat_ws(' ', transform(array_sort(collect_list("
+                 "CASE WHEN covered = 0 THEN struct(pos AS o, w AS v) "
+                 "END)), x -> x.v))")
+    else:
+        toks = """
+wsed AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+toks AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+                unnest(ws) AS w
+         FROM wsed)"""
+        clean = ("coalesce(string_agg(CASE WHEN covered = 0 THEN w END, "
+                 "' ' ORDER BY pos), '')")
+    leads = ", ".join("lead(w, %d) OVER w1" % i for i in range(1, _SUB_K))
+    return """
+WITH {corpus},
+{toks},
+led AS (
+  SELECT doc_id, pos, w,
+    concat_ws(' ', w, {leads}) AS g,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM toks
+  WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT doc_id, pos, w,
+    CASE WHEN pos + 1 <= n - {km1} THEN g END AS full_g
+  FROM led
+),
+dupg AS (
+  SELECT full_g FROM grams WHERE full_g IS NOT NULL
+  GROUP BY full_g HAVING count(*) > 1
+),
+starts AS (
+  SELECT gr.doc_id, gr.pos, gr.w,
+    CASE WHEN dg.full_g IS NOT NULL THEN 1 ELSE 0 END AS is_dup_start
+  FROM grams gr LEFT JOIN dupg dg ON dg.full_g = gr.full_g
+),
+cover AS (
+  SELECT doc_id, pos, w,
+    max(is_dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN {km1} PRECEDING AND CURRENT ROW) AS covered
+  FROM starts
+),
+marked AS (
+  SELECT doc_id, pos, w, covered,
+    CASE WHEN covered = 1 AND coalesce(
+           lag(covered) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+         THEN 1 ELSE 0 END AS span_start
+  FROM cover
+)
+SELECT doc_id,
+  CAST(SUM(span_start) AS BIGINT) AS n_dup_spans,
+  CAST(SUM(covered) AS BIGINT) AS tokens_removed,
+  CAST(COUNT(*) - SUM(covered) AS BIGINT) AS tokens_kept,
+  {clean} AS clean_text
+FROM marked GROUP BY doc_id
+""".format(corpus=_substring_corpus(d).strip(), toks=toks.strip(),
+           leads=leads, km1=_SUB_K - 1, clean=clean)

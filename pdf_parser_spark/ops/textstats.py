@@ -408,3 +408,70 @@ FROM sampled
            kept=ORD_CONCAT(
                "CASE WHEN in_final = 1 THEN CAST(doc_id AS STRING) "
                "ELSE '' END", ",", "doc_id", d))
+
+
+# ------------------------------------ CCNet-style perplexity buckets
+
+def _IDIV(a: str, b: str) -> str:
+    # exact floor division, identical in both engines (see webgraph)
+    return ("CAST(((%s) - ((%s) %% (%s))) / (%s) AS BIGINT)"
+            % (a, a, b, b))
+
+
+@query("ccnet_ppl_buckets")
+def q_ccnet_buckets(d: str) -> str:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020): score every document with a unigram LM trained on the
+    corpus itself, then split each language into head / middle / tail
+    terciles by score (CCNet keeps the low-perplexity head for
+    pretraining).  The per-token information surrogate is the rational
+    ``(N_total * 1000) / count(w)`` — monotone in 1/p(w), replacing
+    the KenLM log-prob so both engines agree bit-for-bit (same trick
+    as BM25's rational idf); the doc score is its per-token mean.
+
+    Distributed shape at 10^12 docs: one tokenize pass, one (w) hash
+    agg trains the LM (map-side partials; vocab is Heaps-law sublinear
+    so the tf table broadcasts), one broadcast join scores tokens, one
+    (doc_id) agg, and the tercile split is a per-language window.  At
+    real scale the integer info_sum would overflow past ~2^53 tokens
+    per doc — production uses per-shard LMs in log space; the rational
+    surrogate is the oracle-exact stand-in."""
+    if d == SPARK:
+        toks = """
+toks AS (
+  SELECT doc_id, lang, w FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS w
+)"""
+    else:
+        toks = """
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+)"""
+    info = _IDIV("nt * 1000", "c")
+    ppl = _IDIV("info_sum", "n_tokens")
+    return """
+WITH {toks},
+tf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM tf),
+scored AS (
+  SELECT t.doc_id, t.lang,
+    CAST(sum({info}) AS BIGINT) AS info_sum,
+    CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks t JOIN tf f ON f.w = t.w CROSS JOIN tot
+  GROUP BY t.doc_id, t.lang
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens, {ppl} AS ppl_surrogate FROM scored
+),
+tiled AS (
+  SELECT doc_id, lang, n_tokens, ppl_surrogate,
+    CAST(ntile(3) OVER (PARTITION BY lang
+           ORDER BY ppl_surrogate, doc_id) AS BIGINT) AS tercile
+  FROM ranked
+)
+SELECT doc_id, lang, n_tokens, ppl_surrogate, tercile,
+  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM tiled
+""".format(toks=toks.strip(), info=info, ppl=ppl)

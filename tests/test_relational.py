@@ -29,7 +29,7 @@ _SUBSET = [
     "decontam_13gram", "quality_sampling", "curation_pipeline",
     "doc_chunking", "sequence_packing",
     "link_graph", "host_pagerank", "boilerplate_lines", "bm25_topk",
-    "bm25_serve_persisted",
+    "bm25_serve_persisted", "dedup_substring", "ccnet_ppl_buckets",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -131,7 +131,8 @@ def test_driver_contract_shape(entry_mod):
                "decontam_13gram", "quality_sampling", "curation_pipeline",
                "doc_chunking", "sequence_packing",
                "link_graph", "host_pagerank", "boilerplate_lines",
-               "bm25_topk", "bm25_serve_persisted"}
+               "bm25_topk", "bm25_serve_persisted",
+               "dedup_substring", "ccnet_ppl_buckets"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -889,3 +890,88 @@ def test_bm25_serve_plan_reads_index_only(spark, entry_mod):
     assert "documents" not in plan
     assert "PartitionFilters" in plan and "shard" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_substring_semantics(duck, entry_mod):
+    """Full independent Python recomputation of exact-substring dedup:
+    rebuild the injected corpus, count every 8-gram's corpus
+    occurrences, derive coverage/islands/clean text per doc, and
+    require exact equality — including the corpus's own planted
+    jitter-twin runs (docs sharing long natural substrings)."""
+    from collections import Counter
+
+    from pdf_parser_spark.ops.dedup import _SUB_BOILER
+
+    rows = duck.sql(entry_mod.all_oracles()["dedup_substring"]).fetchall()
+    assert len(rows) == 500
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    K = 8
+    corpus = {}
+    for i, t in docs.items():
+        b = _SUB_BOILER[i % 3]
+        if i % 13 == 5:
+            t = t + " " + b + " " + b
+        elif i % 13 == 6:
+            t = t + " " + b
+        corpus[i] = t.split(" ")
+    cnt = Counter()
+    for words in corpus.values():
+        for i in range(len(words) - K + 1):
+            cnt[" ".join(words[i:i + K])] += 1
+    injected = natural = 0
+    for doc_id, n_spans, removed, kept, clean in rows:
+        words = corpus[doc_id]
+        covered = [False] * len(words)
+        for i in range(len(words) - K + 1):
+            if cnt[" ".join(words[i:i + K])] > 1:
+                for j in range(i, i + K):
+                    covered[j] = True
+        exp_spans = sum(1 for i, c in enumerate(covered)
+                        if c and (i == 0 or not covered[i - 1]))
+        exp_clean = " ".join(w for w, c in zip(words, covered) if not c)
+        assert (n_spans, removed, kept, clean) == (
+            exp_spans, sum(covered), len(words) - sum(covered),
+            exp_clean), doc_id
+        if removed and doc_id % 13 in (5, 6):
+            injected += 1
+        elif removed:
+            natural += 1
+    assert injected >= 70   # every boilerplate carrier is trimmed
+    assert natural >= 2     # the planted near-dup families are found
+
+
+def test_ccnet_ppl_buckets_semantics(duck, entry_mod):
+    """Independent Python recomputation of the CCNet tercile split:
+    unigram counts, the rational information surrogate, per-doc means,
+    and the per-language ntile(3) assignment (extras to the first
+    groups, ties broken by doc_id)."""
+    from collections import Counter
+
+    rows = duck.sql(entry_mod.all_oracles()["ccnet_ppl_buckets"]).fetchall()
+    docs = duck.sql("SELECT doc_id, lang, text FROM documents").fetchall()
+    assert len(rows) == len(docs) == 500
+    tf = Counter()
+    for _, _, t in docs:
+        tf.update(t.split(" "))
+    nt = sum(tf.values())
+    exp = {}
+    for doc_id, lang, t in docs:
+        toks = t.split(" ")
+        info = sum((nt * 1000) // tf[w] for w in toks)
+        exp[doc_id] = (lang, len(toks), info // len(toks))
+    by_lang = {}
+    for doc_id, (lang, _, ppl) in exp.items():
+        by_lang.setdefault(lang, []).append((ppl, doc_id))
+    tercile = {}
+    for lang, lst in by_lang.items():
+        lst.sort()
+        base, extra = divmod(len(lst), 3)
+        i = 0
+        for t_ix in (1, 2, 3):
+            for _ in range(base + (1 if t_ix <= extra else 0)):
+                tercile[lst[i][1]] = t_ix
+                i += 1
+    for doc_id, lang, n_tokens, ppl, t_ix, bucket in rows:
+        assert (lang, n_tokens, ppl) == exp[doc_id], doc_id
+        assert t_ix == tercile[doc_id], doc_id
+        assert bucket == {1: "head", 2: "middle", 3: "tail"}[t_ix]

@@ -32,7 +32,11 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # doc_id arithmetic over the same edges (already pinned by
            # dual-SF parity + Python recompute) — skipped here to keep
            # the fuzz wall bounded.
-           "boilerplate_lines", "bm25_topk", "link_graph"]
+           "boilerplate_lines", "bm25_topk", "link_graph",
+           # exact-substring dedup + CCNet terciles over the random
+           # text (the repetition bursts create genuine within-doc
+           # duplicated runs; PII/noise tokens stress tokenization)
+           "dedup_substring", "ccnet_ppl_buckets"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

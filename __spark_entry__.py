@@ -267,13 +267,30 @@ def _bm25_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_demo(spark)
 
 
+def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container ingestion lifecycle: render ``documents`` into
+    real per-record-gzip WARC files, read them back through the
+    binaryFile + mapInPandas framing path, and emit the verifiable
+    (url, warc_date, n_bytes, html_md5) projection.  The DuckDB
+    oracle rebuilds identical rows by pure string math, hash-checking
+    framing, CRLF handling, gzip member iteration, and Content-Length
+    arithmetic end-to-end."""
+    from pdf_parser_spark.warc import warc_ingest_demo
+
+    _register(spark, sf_dir)
+    return warc_ingest_demo(spark)
+
+
 # retired rows that are Python callables, not QUERY_SQL entries; each
 # maps to (callable, oracle-SQL twin) and rides all_queries()/
 # all_oracles() like the SQL-backed retired rows
 def _retired_specials() -> dict:
+    from pdf_parser_spark.warc import warc_oracle_sql
+
     return {
         "bm25_serve_persisted": (
             _bm25_serve_persisted, QUERY_SQL["bm25_topk"]["duckdb"]),
+        "warc_ingest": (_warc_ingest, warc_oracle_sql()),
     }
 
 

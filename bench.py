@@ -164,6 +164,18 @@ def main() -> None:
     textops["bm25_serve_persisted"] = serve
     shutil.rmtree(idx, ignore_errors=True)
 
+    # WARC source ingestion: real gzip-member container files → framed
+    # records (binaryFile scan + mapInPandas; 32 files = 32 tasks)
+    from pdf_parser_spark.warc import read_warc, write_warc_files
+    wdir = os.path.join(tempfile.gettempdir(), "bench_warc")
+    shutil.rmtree(wdir, ignore_errors=True)
+    wrows = [(r[0], r[1]) for r in spark.table("documents")
+             .select("doc_id", "text").collect()]
+    write_warc_files(wrows, wdir, n_files=32)
+    textops["warc_ingest_read"] = timed3(
+        lambda: read_warc(spark, wdir).count())
+    shutil.rmtree(wdir, ignore_errors=True)
+
     total = round(sum(t["best"] for t in timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     ivf, brute = (timings[n] for n in ANN_PAIR)

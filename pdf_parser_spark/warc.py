@@ -1,0 +1,254 @@
+"""WARC container ingestion — the raw-crawl → pages-table source.
+
+Common Crawl ships its pages as WARC/1.0 container files (one file =
+many length-prefixed records; production crawls store each record as
+its own gzip member, so a ``.warc.gz`` is a concatenation of gzip
+streams).  This module is the ingestion edge of the pipeline: it turns
+a directory of WARC files into the canonical pages table shape
+``(url, warc_date, html binary, ...)`` that the extraction tier
+(pipeline.py) consumes.
+
+Spark shape at crawl scale (100k+ WARC files, ~1 GB each):
+
+* the scan is ``spark.read.format("binaryFile")`` — one task per
+  file (WARC has no intra-file split points once gzipped; Common
+  Crawl's own tooling parallelises per file too).  File count, not
+  file size, is the parallelism unit, so a crawl's natural 100k-file
+  layout gives 100k tasks — far more than any executor count.
+* record parsing runs in ``mapInPandas`` (Arrow-batched; the per-row
+  work is bytes-slicing, there is no per-row Python *row* overhead —
+  one Python call per batch of files).  Parsing is Content-Length
+  driven (the WARC contract), never delimiter scanning, so payloads
+  containing blank lines cannot desynchronise the reader.
+* gzip members are decompressed incrementally with
+  ``zlib.decompressobj`` — ``unused_data`` hands the next member's
+  offset over without ever materialising more than one record beyond
+  the current one.
+* malformed records (truncated payload, missing mandatory headers)
+  become error rows (``error`` column) instead of task failures — at
+  10^12 records a crawl ALWAYS contains breakage, and a lineage row
+  per failure is the resumable-pipeline contract (same policy as the
+  extraction sidecar metrics).
+* downstream skew handling is the caller's: repartition by
+  ``xxhash64(url)`` after ingest (pipeline.py does) so one mega-WARC
+  does not pin a partition.
+
+The synthetic writer exists for tests/demo only: it renders the
+``documents`` corpus into REAL spec-shaped WARC bytes (status line,
+HTTP headers, CRLF framing, per-record gzip members) so the reader is
+exercised against the true wire format; the oracle twin rebuilds the
+same rows from ``documents`` by pure string math in DuckDB.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+_WARC_DATE = "2024-01-01T00:00:{s:02d}Z"
+_URL = "https://example.org/doc/{i}"
+_HTML = ("<html><head><title>doc {i}</title></head>"
+         "<body><p>{text}</p></body></html>")
+
+
+def synth_html(doc_id: int, text: str) -> str:
+    """The deterministic page body for doc_id — MUST stay expressible
+    as pure SQL string concatenation (the DuckDB oracle rebuilds it:
+    see warc_oracle_sql)."""
+    return _HTML.format(i=doc_id, text=text)
+
+
+def synth_url(doc_id: int) -> str:
+    return _URL.format(i=doc_id)
+
+
+def synth_date(doc_id: int) -> str:
+    return _WARC_DATE.format(s=doc_id % 60)
+
+
+def _record_bytes(url: str, date: str, html: bytes) -> bytes:
+    """One spec-shaped WARC response record: WARC headers, then the
+    HTTP response message as payload (Content-Length counts the whole
+    HTTP block, per the spec)."""
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(html)).encode() + b"\r\n"
+            b"\r\n" + html)
+    warc_headers = ("WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    "WARC-Target-URI: %s\r\n"
+                    "WARC-Date: %s\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    "Content-Length: %d\r\n"
+                    "\r\n" % (url, date, len(http))).encode()
+    return warc_headers + http + b"\r\n\r\n"
+
+
+def write_warc_files(rows, out_dir: str, n_files: int = 4,
+                     compress: bool = True) -> list:
+    """Render ``(doc_id, text)`` rows into n_files WARC files
+    (``doc_id % n_files`` routing; per-record gzip members when
+    compressed — the Common Crawl layout).  TEST/DEMO fixture
+    generator: runs driver-side on purpose (the scale path is the
+    READER; crawls arrive as WARC, they are not produced by us)."""
+    os.makedirs(out_dir, exist_ok=True)
+    buckets: dict = {k: io.BytesIO() for k in range(n_files)}
+    for doc_id, text in sorted(rows):
+        rec = _record_bytes(synth_url(doc_id), synth_date(doc_id),
+                            synth_html(doc_id, text).encode("utf-8"))
+        if compress:
+            # mtime=0 → deterministic bytes; one gzip member per record
+            rec = gzip.compress(rec, mtime=0)
+        buckets[doc_id % n_files].write(rec)
+    ext = ".warc.gz" if compress else ".warc"
+    paths = []
+    for k, buf in buckets.items():
+        p = os.path.join(out_dir, "crawl-%05d%s" % (k, ext))
+        with open(p, "wb") as f:
+            f.write(buf.getvalue())
+        paths.append(p)
+    return paths
+
+
+def _iter_members(blob: bytes):
+    """Yield decompressed gzip members from a concatenated-member blob
+    (incremental zlib; unused_data carries the next member's start),
+    or the blob itself if it is not gzip."""
+    import zlib
+    if not blob.startswith(b"\x1f\x8b"):
+        yield blob
+        return
+    rest = blob
+    while rest.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        yield d.decompress(rest)
+        rest = d.unused_data
+
+
+def _parse_warc_blob(path: str, blob: bytes):
+    """Yield per-record dict rows (url, warc_date, html, error) from
+    one WARC file's bytes.  Content-Length-driven; a record that
+    cannot be framed or lacks mandatory headers yields an error row
+    and parsing continues at the next resynchronisation point."""
+    rec_no = 0
+    for member in _iter_members(blob):
+        off = 0
+        while off < len(member):
+            # skip inter-record CRLF padding
+            while member[off:off + 2] == b"\r\n":
+                off += 2
+            if off >= len(member):
+                break
+            hdr_end = member.find(b"\r\n\r\n", off)
+            if hdr_end < 0 or not member[off:].startswith(b"WARC/"):
+                yield {"url": None, "warc_date": None, "html": None,
+                       "warc_file": path, "rec_no": rec_no,
+                       "error": "unframed bytes at offset %d" % off}
+                break
+            headers = {}
+            for line in member[off:hdr_end].decode(
+                    "utf-8", "replace").split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                clen = int(headers["content-length"])
+            except (KeyError, ValueError):
+                yield {"url": headers.get("warc-target-uri"),
+                       "warc_date": headers.get("warc-date"),
+                       "html": None, "warc_file": path, "rec_no": rec_no,
+                       "error": "missing/bad Content-Length"}
+                break
+            payload = member[hdr_end + 4:hdr_end + 4 + clen]
+            off = hdr_end + 4 + clen
+            row = {"url": headers.get("warc-target-uri"),
+                   "warc_date": headers.get("warc-date"),
+                   "html": None, "warc_file": path, "rec_no": rec_no,
+                   "error": None}
+            if len(payload) < clen:
+                row["error"] = "truncated payload (%d < %d)" % (
+                    len(payload), clen)
+            elif row["url"] is None:
+                row["error"] = "missing WARC-Target-URI"
+            else:
+                # payload is an HTTP message: body starts after its
+                # own blank line
+                body_at = payload.find(b"\r\n\r\n")
+                row["html"] = payload[body_at + 4:] if body_at >= 0 \
+                    else payload
+            rec_no += 1
+            yield row
+
+
+_READ_SCHEMA = ("url string, warc_date string, html binary, "
+                "warc_file string, rec_no long, error string")
+
+
+def read_warc(spark, path: str):
+    """Directory (or glob) of ``.warc`` / ``.warc.gz`` files → one
+    DataFrame row per record.  binaryFile scan (a task per file) +
+    mapInPandas framing; error rows instead of task failures."""
+
+    def parse(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                rows.extend(_parse_warc_blob(p, bytes(blob)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_date", "html", "warc_file",
+                               "rec_no", "error"])
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*").load(path)
+             .select("path", "content"))
+    return files.mapInPandas(parse, schema=_READ_SCHEMA)
+
+
+def warc_ingest_demo(spark, out_dir: str = None):
+    """Registered end-to-end lifecycle: render ``documents`` into real
+    gzip-member WARC files, read them back through the binaryFile +
+    mapInPandas path, and emit the verifiable projection
+    (url, warc_date, n_bytes, html_md5).  The DuckDB oracle rebuilds
+    identical rows from ``documents`` with pure string math — so
+    framing, CRLF handling, gzip member iteration, and Content-Length
+    arithmetic are all hash-checked."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = out_dir or os.path.join(tempfile.gettempdir(),
+                                   "pdf_parser_spark_warc_demo")
+    if out_dir is None and os.path.exists(root):
+        shutil.rmtree(root)
+    rows = [(r[0], r[1]) for r in
+            spark.table("documents").select("doc_id", "text").collect()]
+    write_warc_files(rows, root)
+    return (read_warc(spark, root)
+            .filter(F.col("error").isNull())
+            .select(
+                "url", "warc_date",
+                F.octet_length("html").cast("long").alias("n_bytes"),
+                F.md5("html").alias("html_md5")))
+
+
+def warc_oracle_sql() -> str:
+    """The DuckDB twin: rebuild url/date/html from ``documents`` with
+    string concatenation only (mirrors synth_url/synth_date/
+    synth_html) and hash the SAME utf-8 bytes the reader extracted."""
+    return """
+WITH pages AS (
+  SELECT
+    'https://example.org/doc/' || doc_id AS url,
+    '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+      || 'Z' AS warc_date,
+    '<html><head><title>doc ' || doc_id || '</title></head><body><p>'
+      || text || '</p></body></html>' AS html
+  FROM documents
+)
+SELECT url, warc_date,
+  CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+  md5(html) AS html_md5
+FROM pages
+"""

@@ -30,6 +30,7 @@ _SUBSET = [
     "doc_chunking", "sequence_packing",
     "link_graph", "host_pagerank", "boilerplate_lines", "bm25_topk",
     "bm25_serve_persisted", "dedup_substring", "ccnet_ppl_buckets",
+    "warc_ingest",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -132,7 +133,7 @@ def test_driver_contract_shape(entry_mod):
                "doc_chunking", "sequence_packing",
                "link_graph", "host_pagerank", "boilerplate_lines",
                "bm25_topk", "bm25_serve_persisted",
-               "dedup_substring", "ccnet_ppl_buckets"}
+               "dedup_substring", "ccnet_ppl_buckets", "warc_ingest"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 

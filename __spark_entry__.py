@@ -227,7 +227,8 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "decontam_13gram", "quality_sampling", "curation_pipeline",
                    "doc_chunking", "sequence_packing",
                    "link_graph", "host_pagerank", "boilerplate_lines",
-                   "bm25_topk", "dedup_substring", "ccnet_ppl_buckets"}
+                   "bm25_topk", "dedup_substring", "ccnet_ppl_buckets",
+                   "c4_clean", "url_host_filter"}
 
 
 def _specials() -> dict:

@@ -131,7 +131,8 @@ def main() -> None:
                  "quality_sampling", "curation_pipeline",
                  "doc_chunking", "sequence_packing",
                  "link_graph", "host_pagerank", "boilerplate_lines",
-                 "bm25_topk", "dedup_substring", "ccnet_ppl_buckets"):
+                 "bm25_topk", "dedup_substring", "ccnet_ppl_buckets",
+                 "c4_clean", "url_host_filter"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -52,6 +52,12 @@ def _rex(s: str, pattern: str, group: int, d: str) -> str:
 @query("url_canonicalize")
 def q_url_canonicalize(d: str) -> str:
     """Messy crawled url → canonical url (rules in module docstring)."""
+    return _canon_select(d)
+
+
+def _canon_select(d: str) -> str:
+    """The full canonicalizer SELECT — shared by ``url_canonicalize``
+    and (as a CTE) ``url_host_filter``."""
     messy = (
         "CASE doc_id % 4"
         " WHEN 0 THEN 'HTTP://Example' || CAST(doc_id % 50 AS STRING)"
@@ -108,3 +114,72 @@ FROM normed
 """.format(messy=messy, scheme=scheme, hostport=hostport, path=path,
            qstr=qstr, host=host, norm_path=norm_path, kept=kept,
            joined=JOINA("kept_params", "&", d))
+
+
+# --------------------------------------------- URL blocklist filter
+
+_BLOCKLIST = ("example7.com", "site3.org", "host11.net", "plain9.com")
+_KEYWORDS = ("casino", "gambling")
+
+
+@query("url_host_filter")
+def q_url_host_filter(d: str) -> str:
+    """UT1/RefinedWeb-style URL filtering over canonical urls: a host
+    is blocked when ANY of its domain suffixes (``cdn.host11.net`` →
+    ``cdn.host11.net``, ``host11.net``, ``net``) appears in the
+    blocklist — the registrable-domain match every blocklist consumer
+    needs — and a page is blocked when its url contains an adult/spam
+    keyword (injected on doc_id %% 11 = 4 so the branch has true
+    positives; 'gambling' stays a negative control).  Precedence:
+    blocked_host > keyword > kept; every url emits a verdict row (the
+    reason histogram is the curation dashboard — see c4_clean).
+
+    Shape at 10^12 urls + a real 4M-entry UT1 list: the suffix chain
+    explode is bounded by label count (~5), the block table is tiny →
+    the suffix equi-join BROADCASTS (hash join, never a regex scan of
+    the list per url), and the verdict is a per-doc left semi probe.
+    Keyword LIKEs are per-row string ops fused into the scan."""
+    host_rex = _rex("url", r"^[a-z]+://([^/?#]+)", 1, d)
+    if d == SPARK:
+        sfx = ("LATERAL VIEW explode(transform(sequence(1, size(hp)), "
+               "i -> concat_ws('.', slice(hp, i, size(hp) - i + 1)))) "
+               "t AS suffix")
+        suffixes = ("SELECT doc_id, suffix FROM parts %s" % sfx)
+        block = ("SELECT * FROM VALUES %s AS t(bad_host)"
+                 % ", ".join("('%s')" % b for b in _BLOCKLIST))
+        hp = "split(host, '[.]')"
+    else:
+        suffixes = (
+            "SELECT doc_id, unnest([array_to_string(hp[i:], '.') "
+            "for i in range(1, len(hp) + 1)]) AS suffix FROM parts")
+        block = ("SELECT * FROM (VALUES %s) t(bad_host)"
+                 % ", ".join("('%s')" % b for b in _BLOCKLIST))
+        hp = "string_split(host, '.')"
+    kw = " OR ".join("lower(url) LIKE '%%%s%%'" % k for k in _KEYWORDS)
+    return """
+WITH canon AS (
+{canon}
+),
+pageurl AS (
+  SELECT doc_id, canonical_url ||
+    CASE WHEN doc_id % 11 = 4 THEN '/casino/promo' ELSE '' END AS url
+  FROM canon
+),
+hosts AS (
+  SELECT doc_id, url, {host_rex} AS host FROM pageurl
+),
+parts AS (SELECT doc_id, {hp} AS hp FROM hosts),
+suffixes AS ({suffixes}),
+block AS ({block}),
+blocked AS (
+  SELECT DISTINCT s.doc_id FROM suffixes s
+  JOIN block b ON b.bad_host = s.suffix
+)
+SELECT h.doc_id, h.host, h.url,
+  CASE WHEN b.doc_id IS NOT NULL THEN 0
+       WHEN {kw} THEN 0 ELSE 1 END AS is_kept,
+  CASE WHEN b.doc_id IS NOT NULL THEN 'blocked_host'
+       WHEN {kw} THEN 'keyword' ELSE 'kept' END AS reason
+FROM hosts h LEFT JOIN blocked b ON b.doc_id = h.doc_id
+""".format(canon=_canon_select(d).strip(), host_rex=host_rex, hp=hp,
+           suffixes=suffixes, block=block, kw=kw)

@@ -16,11 +16,11 @@ from pdf_parser_spark import relational, relational_banks  # noqa: E402
 _MODULES = [relational, relational_banks]
 try:
     from pdf_parser_spark.ops import (  # noqa: E402
-        decontam, dedup, packing, retrieval, similarity, textstats,
-        webgraph, weburl,
+        c4clean, decontam, dedup, packing, retrieval, similarity,
+        textstats, webgraph, weburl,
     )
-    _MODULES += [decontam, dedup, packing, retrieval, similarity,
-                 textstats, webgraph, weburl]
+    _MODULES += [c4clean, decontam, dedup, packing, retrieval,
+                 similarity, textstats, webgraph, weburl]
 except ImportError:
     pass
 

@@ -30,7 +30,7 @@ _SUBSET = [
     "doc_chunking", "sequence_packing",
     "link_graph", "host_pagerank", "boilerplate_lines", "bm25_topk",
     "bm25_serve_persisted", "dedup_substring", "ccnet_ppl_buckets",
-    "warc_ingest",
+    "warc_ingest", "c4_clean", "url_host_filter",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -133,7 +133,8 @@ def test_driver_contract_shape(entry_mod):
                "doc_chunking", "sequence_packing",
                "link_graph", "host_pagerank", "boilerplate_lines",
                "bm25_topk", "bm25_serve_persisted",
-               "dedup_substring", "ccnet_ppl_buckets", "warc_ingest"}
+               "dedup_substring", "ccnet_ppl_buckets", "warc_ingest",
+               "c4_clean", "url_host_filter"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -976,3 +977,90 @@ def test_ccnet_ppl_buckets_semantics(duck, entry_mod):
         assert (lang, n_tokens, ppl) == exp[doc_id], doc_id
         assert t_ix == tercile[doc_id], doc_id
         assert bucket == {1: "head", 2: "middle", 3: "tail"}[t_ix]
+
+
+def test_c4_clean_semantics(duck, entry_mod):
+    """Independent Python recomputation of the full C4 battery: page
+    synthesis, every line rule, the page verdict with its precedence,
+    and the ordered kept-digest."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["c4_clean"]).fetchall()
+    assert len(rows) == 500
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    for doc_id, n_lines, n_kept, digest, page_kept, reason in rows:
+        toks = docs[doc_id].split(" ")
+        lines = [(0, "Read more"),
+                 (1, "Click here to subscribe to our newsletter today")]
+        if doc_id % 4 == 1:
+            lines.append(
+                (2, "Please enable javascript to view this page "
+                    "properly."))
+        if doc_id % 37 == 3:
+            lines.append(
+                (3, "Lorem ipsum dolor sit amet consectetur "
+                    "adipiscing elit."))
+        if doc_id % 41 == 5:
+            lines.append((4, "var config = { mode: production };"))
+        for seg in range(0, len(toks), 8):
+            lines.append((10 + seg // 8,
+                          " ".join(toks[seg:seg + 8]) + "."))
+        lines.sort()
+
+        def kept(line):
+            lo = line.lower()
+            return (line[-1] in '.!?"' and
+                    len([w for w in line.split() if w]) >= 5 and
+                    "javascript" not in lo and "lorem ipsum" not in lo
+                    and "{" not in line)
+
+        kept_lines = [ln for _, ln in lines if kept(ln)]
+        assert n_lines == len(lines), doc_id
+        assert n_kept == len(kept_lines), doc_id
+        cat = "".join(hashlib.md5(ln.encode()).hexdigest()
+                      for ln in kept_lines) or "EMPTY"
+        assert digest == hashlib.md5(cat.encode()).hexdigest(), doc_id
+        lorem = any("lorem ipsum" in ln.lower() for _, ln in lines)
+        brace = any("{" in ln for _, ln in lines)
+        exp_reason = ("lorem_ipsum" if lorem else
+                      "brace" if brace else
+                      "few_sentences" if len(kept_lines) < 3 else "kept")
+        assert reason == exp_reason, doc_id
+        assert page_kept == int(exp_reason == "kept"), doc_id
+
+
+def test_url_host_filter_semantics(duck, entry_mod):
+    """Independent Python recomputation: the messy-url generator, full
+    canonicalization, keyword injection, suffix-chain blocklist match,
+    and the verdict precedence."""
+    rows = duck.sql(entry_mod.all_oracles()["url_host_filter"]).fetchall()
+    assert len(rows) == 500
+    blocklist = {"example7.com", "site3.org", "host11.net", "plain9.com"}
+    hit = {"blocked_host": 0, "keyword": 0, "kept": 0}
+    for doc_id, host, url, is_kept, reason in rows:
+        m = doc_id % 4
+        if m == 0:
+            exp_host = "example%d.com" % (doc_id % 50)
+            exp_url = "http://%s/Path/%d?id=%d" % (
+                exp_host, doc_id, doc_id)
+        elif m == 1:
+            exp_host = "www.site%d.org" % (doc_id % 50)
+            exp_url = "https://%s/a//b/%d" % (exp_host, doc_id)
+        elif m == 2:
+            exp_host = "cdn.host%d.net" % (doc_id % 50)
+            exp_url = "https://%s/x?q=%d&keep=1" % (exp_host, doc_id)
+        else:
+            exp_host = "plain%d.com" % (doc_id % 50)
+            exp_url = "http://%s/" % exp_host
+        if doc_id % 11 == 4:
+            exp_url += "/casino/promo"
+        assert (host, url) == (exp_host, exp_url), doc_id
+        labels = exp_host.split(".")
+        suffixes = {".".join(labels[i:]) for i in range(len(labels))}
+        exp_reason = ("blocked_host" if suffixes & blocklist else
+                      "keyword" if "casino" in exp_url.lower() else
+                      "kept")
+        assert reason == exp_reason, doc_id
+        assert is_kept == int(exp_reason == "kept"), doc_id
+        hit[reason] += 1
+    assert min(hit.values()) >= 5   # every branch genuinely exercised

@@ -345,3 +345,67 @@ def stream_lsh_candidates(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+# ------------------------------------------------------------------
+# Watermarked windowed aggregation: the streaming twin of the batch
+# ``events_hourly_rollup`` tier (relational.q_hourly) — tumbling 1h
+# event-time windows with late-data handling.
+# ------------------------------------------------------------------
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+FLUSH_TYPE = "___flush___"   # sentinel event type: a far-future event
+                             # appended to the final micro-batch pushes
+                             # the watermark past every real window so
+                             # append mode flushes them all (same
+                             # stream-end-flush trick as sessionize);
+                             # its own window stays in state and is
+                             # excluded from the output by type
+
+
+def stream_hourly_rollup(spark: SparkSession, input_dir: str,
+                         checkpoint_dir: str, out_dir: str,
+                         watermark: str = "24 hours"):
+    """Tumbling 1-hour event-time windows per event type over a file
+    stream, with a watermark bounding how late an event may arrive:
+
+    * an event within the watermark lands in its (possibly hours-old)
+      window, which has NOT yet been finalized — cross-micro-batch
+      window state;
+    * an event older than the watermark is dropped and its already
+      emitted window is never revised (append mode emits each window
+      exactly once, when the watermark passes its end) — the
+      at-scale retention contract that keeps state finite: without it
+      a 10^12-event stream's window state grows unboundedly.
+
+    The aggregate math is copied verbatim from the batch SQL
+    (count + decimal-cast sum → double, same order-independence
+    guarantee), so a long-watermark run must equal the batch rollup
+    row-for-row; a short-watermark run must equal the batch rollup
+    over exactly the non-late events — both pinned by tests."""
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+    agg = (stream
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count("*").cast("long").alias("events"),
+                # verbatim DECSUM(value) — see relational.DECSUM for
+                # why scale 6 is the cross-engine-stable choice
+                F.expr("cast(sum(cast(value as decimal(38,6))) "
+                       "as double)").alias("total_value"))
+           .select("event_type",
+                   F.floor(F.unix_timestamp(F.col("win.start")) / 3600)
+                   .cast("long").alias("hour_bucket"),
+                   "events", "total_value"))
+    q = (agg.writeStream.format("parquet")
+         .option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -418,3 +418,115 @@ def test_stream_lsh_bucket_cap_bounds_state_and_emissions(spark,
     assert len(out) == 40
     assert {r.left_id for r in out} | {r.right_id for r in out} == \
         set(range(5))
+
+
+def _write_event_batches(tmp_path, chunks, name="events_stream"):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    input_dir = tmp_path / name
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+    for k, chunk in enumerate(chunks):
+        path = str(input_dir / ("part-%02d.parquet" % k))
+        pdf = pd.DataFrame(chunk)[["event_id", "ts", "user_id",
+                                   "event_type", "value", "props"]]
+        # Spark reads TIMESTAMP(MICROS); pandas defaults to nanos
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (t0 + k, t0 + k))   # oldest-first source order
+    return str(input_dir)
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window streaming agg ≡ the batch
+    events_hourly_rollup when the watermark admits every event: the
+    real corpus arrives in 3 time-ordered micro-batches, every 7th
+    middle-third event is withheld and redelivered LATE in the final
+    batch (its hours-old window must still be open — cross-batch
+    window state), and a far-future sentinel flushes append mode."""
+    import datetime
+
+    from pdf_parser_spark.streaming import (
+        FLUSH_TYPE, stream_hourly_rollup,
+    )
+    from query_registry import QUERY_SQL
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = sorted((r.asDict() for r in events.collect()),
+                  key=lambda r: r["ts"])
+    n = len(rows)
+    third = rows[n // 3: 2 * n // 3]
+    late = third[::7]
+    third = [r for r in third if r not in late]
+    sentinel = {"event_id": -1,
+                "ts": rows[-1]["ts"] + datetime.timedelta(hours=900),
+                "user_id": -1, "event_type": FLUSH_TYPE,
+                "value": 0.0, "props": ""}
+    chunks = [rows[:n // 3], third, rows[2 * n // 3:],
+              late + [sentinel]]
+    input_dir = _write_event_batches(tmp_path, chunks)
+
+    out_dir = str(tmp_path / "rollup_out")
+    stream_hourly_rollup(spark, input_dir, str(tmp_path / "ckpt_hr"),
+                         out_dir, watermark="800 hours")
+    got = sorted((r.event_type, r.hour_bucket, r.events,
+                  repr(r.total_value))
+                 for r in spark.read.parquet(out_dir).collect()
+                 if r.event_type != FLUSH_TYPE)
+
+    events.createOrReplaceTempView("events")
+    want = sorted((r.event_type, r.hour_bucket, r.events,
+                   repr(r.total_value))
+                  for r in spark.sql(
+                      QUERY_SQL["events_hourly_rollup"]["spark"])
+                  .collect())
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_stream_hourly_rollup_drops_beyond_watermark(spark, tmp_path):
+    """The watermark actually retires state: with a 1-hour bound, an
+    event arriving after the watermark passed its window is DROPPED
+    and the already-emitted window is never revised — while an equally
+    late-ARRIVING event within the bound still lands."""
+    import datetime
+
+    from pdf_parser_spark.streaming import (
+        FLUSH_TYPE, stream_hourly_rollup,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, value, etype="a"):
+        return {"event_id": eid,
+                "ts": base + datetime.timedelta(minutes=minutes),
+                "user_id": 1, "event_type": etype, "value": value,
+                "props": ""}
+
+    batch_a = [ev(1, 10, 1.5), ev(2, 180, 2.0)]
+    # spacer batch: runs with watermark 03:00 - 1h = 02:00, which
+    # finalizes and emits the [00:00, 01:00) window (Spark applies
+    # the late-input filter with a one-batch lag, so the eviction
+    # must happen in a batch BEFORE the late row arrives)
+    batch_b = [ev(5, 240, 8.0)]
+    batch_c = [ev(3, 20, 100.0),    # beyond watermark → dropped
+               ev(4, 190, 4.0),     # open window → accepted
+               ev(-1, 13 * 60, 0.0, FLUSH_TYPE)]
+    input_dir = _write_event_batches(
+        tmp_path, [batch_a, batch_b, batch_c])
+
+    out_dir = str(tmp_path / "rollup_wm_out")
+    stream_hourly_rollup(spark, input_dir, str(tmp_path / "ckpt_wm"),
+                         out_dir, watermark="1 hour")
+    got = sorted((r.event_type, r.hour_bucket, r.events, r.total_value)
+                 for r in spark.read.parquet(out_dir).collect()
+                 if r.event_type != FLUSH_TYPE)
+    h0 = int(base.timestamp()) // 3600
+    # the h0 window appears EXACTLY once (never revised) and without
+    # the dropped late row; both open windows accepted their rows
+    assert got == [("a", h0, 1, 1.5), ("a", h0 + 3, 2, 6.0),
+                   ("a", h0 + 4, 1, 8.0)]

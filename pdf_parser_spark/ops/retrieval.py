@@ -156,58 +156,107 @@ def _shard_col():
     return F.pmod(F.xxhash64("term"), F.lit(_N_SHARDS)).cast("int")
 
 
-def text_index_append(spark, index_dir: str, docs) -> None:
-    """Build or incrementally extend a persisted BM25 index from a
-    ``(doc_id, text)`` DataFrame.  Everything written is a partial
-    aggregate over THESE docs only (postings rows, per-doc lengths,
-    per-term df deltas, one corpus-stats delta row) — serving sums the
-    fragments, so append IS the build primitive (first call = build).
-
-    At 10^12 docs: one narrow tokenize pass, one (term, doc_id)
-    partial-agg shuffle, a shard-partitioned append; no read-modify-
-    write of existing index files, no refit, no global state beyond
-    the append itself (callers needing atomic visibility layer this
-    over io_tables-style snapshot commits)."""
+def _append_data(spark, index_dir: str, docs, aid: str) -> None:
+    """The write half of an append: all four datasets land tagged with
+    ``append_id = aid`` but are INVISIBLE to serves until ``_commit``
+    publishes the manifest — so a mid-append crash leaves only orphan
+    uncommitted rows (cleaned like io_tables orphan files), never a
+    postings/stats inconsistency, and a retry under a fresh aid cannot
+    double-count."""
     import os
 
     from pyspark.sql import functions as F
 
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    docstats = (toks.groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("dl"))).persist()
+    docstats.count()
+    # dl rides ON the postings rows (denormalized at append time) so
+    # the serve path never has to re-join a corpus-sized docstats
+    # table — it reads |matching postings| and nothing else
     postings = (toks.groupBy("term", "doc_id")
                 .agg(F.count("*").cast("long").alias("tf"))
-                .withColumn("shard", _shard_col())).persist()
+                .join(docstats, "doc_id")
+                .withColumn("shard", _shard_col())
+                .withColumn("append_id", F.lit(aid))).persist()
     postings.count()
     (postings.repartition(_N_SHARDS, "shard")
      .write.mode("append").partitionBy("shard")
      .parquet(os.path.join(index_dir, "postings")))
-    docstats = (toks.groupBy("doc_id")
-                .agg(F.count("*").cast("long").alias("dl"))).persist()
-    docstats.count()
-    docstats.write.mode("append").parquet(
-        os.path.join(index_dir, "docstats"))
+    (docstats.withColumn("append_id", F.lit(aid))
+     .write.mode("append").parquet(os.path.join(index_dir, "docstats")))
     # df delta per term: postings are unique per (term, doc) already
     (postings.groupBy("term")
      .agg(F.count("*").cast("long").alias("df_delta"))
+     .withColumn("append_id", F.lit(aid))
      .write.mode("append")
      .parquet(os.path.join(index_dir, "termstats")))
     (docstats.agg(F.count("*").cast("long").alias("n_delta"),
                   F.sum("dl").cast("long").alias("s_delta"))
+     .withColumn("append_id", F.lit(aid))
      .write.mode("append").parquet(os.path.join(index_dir, "corpusstats")))
     postings.unpersist()
     docstats.unpersist()
 
 
+def _commit(index_dir: str, aid: str) -> None:
+    """Publish an append: tmp-write + rename a marker file (atomic on
+    POSIX) under ``_committed/``.  Serves read only rows whose
+    append_id has a marker."""
+    import os
+
+    cdir = os.path.join(index_dir, "_committed")
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, ".tmp-" + aid)
+    with open(tmp, "w") as f:
+        f.write(aid)
+    os.rename(tmp, os.path.join(cdir, aid))
+
+
+def _committed_ids(index_dir: str) -> list:
+    import os
+
+    cdir = os.path.join(index_dir, "_committed")
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(a for a in os.listdir(cdir) if not a.startswith("."))
+
+
+def text_index_append(spark, index_dir: str, docs) -> None:
+    """Build or incrementally extend a persisted BM25 index from a
+    ``(doc_id, text)`` DataFrame.  Everything written is a partial
+    aggregate over THESE docs only (postings rows with denormalized
+    per-doc lengths, per-term df deltas, one corpus-stats delta row) —
+    serving sums the fragments, so append IS the build primitive
+    (first call = build), and visibility is all-or-nothing via the
+    manifest commit (_append_data/_commit).
+
+    At 10^12 docs: one narrow tokenize pass, one (term, doc_id)
+    partial-agg shuffle, a shard-partitioned append, one manifest
+    rename; no read-modify-write of existing index files, no refit.
+    (On object stores the marker rename becomes a conditional PUT —
+    same single-object commit point.)"""
+    import uuid
+
+    aid = uuid.uuid4().hex[:12]
+    _append_data(spark, index_dir, docs, aid)
+    _commit(index_dir, aid)
+
+
 def bm25_serve(spark, index_dir: str, query_terms=None, top_k=_TOP_K):
     """Serve BM25 top-k from a persisted index WITHOUT touching the
     corpus: the postings scan prunes to the shards the query terms
-    hash into (partition pruning — the only driver-side step is
-    evaluating the shard hash of the ≤dozens query terms, the same
-    k-row legitimacy class as IVF's centroid collect), the term join
-    broadcasts the query side, stats fragments are summed and ride as
-    1-row broadcasts.  Identical integer math to ``bm25_topk`` — a
-    test pins serve ≡ in-plan scoring, including across incremental
-    appends."""
+    hash into (partition pruning — the only driver-side steps are the
+    shard hash of the ≤dozens query terms and one manifest-dir listing,
+    the same k-row legitimacy class as IVF's centroid collect), the
+    term join broadcasts the query side, and stats fragments are
+    summed into 1-row broadcasts.  Per-doc lengths ride ON the
+    postings rows, so the serve reads |matching postings| + the two
+    fragment tables — never a corpus-cardinality dataset.  Only rows
+    of committed appends are visible (manifest filter).  Identical
+    integer math to ``bm25_topk`` — a test pins serve ≡ in-plan
+    scoring, including across incremental appends."""
     import os
 
     from pyspark.sql import functions as F
@@ -215,17 +264,22 @@ def bm25_serve(spark, index_dir: str, query_terms=None, top_k=_TOP_K):
 
     qt = query_terms if query_terms is not None else _QUERY_TERMS
     terms = spark.createDataFrame(qt, "query_id long, term string")
+    committed = _committed_ids(index_dir)
+    if not committed:
+        raise ValueError("no committed appends under %s" % index_dir)
     shards = [r[0] for r in
               terms.select(_shard_col().alias("s")).distinct().collect()]
     postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
-                .filter(F.col("shard").isin(shards)))
+                .filter(F.col("shard").isin(shards))
+                .filter(F.col("append_id").isin(committed)))
     matched = postings.join(F.broadcast(terms), "term")
     termdf = (spark.read.parquet(os.path.join(index_dir, "termstats"))
+              .filter(F.col("append_id").isin(committed))
               .join(F.broadcast(terms.select("term").distinct()), "term")
               .groupBy("term")
               .agg(F.sum("df_delta").cast("long").alias("df")))
-    docstats = spark.read.parquet(os.path.join(index_dir, "docstats"))
     corpus = (spark.read.parquet(os.path.join(index_dir, "corpusstats"))
+              .filter(F.col("append_id").isin(committed))
               .agg(F.sum("n_delta").cast("long").alias("n"),
                    F.sum("s_delta").cast("long").alias("s")))
     idf = IDIV("(n - df) * %d" % _IDF_SCALE, "df + 1")
@@ -233,7 +287,6 @@ def bm25_serve(spark, index_dir: str, query_terms=None, top_k=_TOP_K):
                "10 * s * tf + 3 * s + 9 * dl * n")
     scored = (matched
               .join(F.broadcast(termdf), "term")
-              .join(docstats, "doc_id")
               .crossJoin(F.broadcast(corpus))
               .withColumn("w", F.expr(wgt))
               .groupBy("query_id", "doc_id")
@@ -251,15 +304,16 @@ def bm25_index_demo(spark, index_dir: str = None):
     ``documents`` view (one append call), then serve the standard
     query set from the persisted artifact.  Row-identical to the
     ``bm25_topk`` in-plan SQL (the DuckDB oracle twin) — so the whole
-    build→persist→prune→serve path is hash-checked."""
-    import os
-    import shutil
+    build→persist→prune→serve path is hash-checked.
+
+    The default root is a fresh ``mkdtemp`` per call (a fixed shared
+    path would let concurrent sessions rmtree each other mid-read);
+    it is recorded as ``bm25_index_demo.last_root`` for tests that
+    inspect the artifact."""
     import tempfile
 
-    root = index_dir or os.path.join(tempfile.gettempdir(),
-                                     "pdf_parser_spark_bm25_index")
-    if index_dir is None and os.path.exists(root):
-        shutil.rmtree(root)   # appends accumulate — fresh demo build
+    root = index_dir or tempfile.mkdtemp(prefix="pdf_parser_spark_bm25_")
+    bm25_index_demo.last_root = root
     text_index_append(spark, root, spark.table("documents")
                       .select("doc_id", "text"))
     return bm25_serve(spark, root)

@@ -412,10 +412,8 @@ FROM sampled
 
 # ------------------------------------ CCNet-style perplexity buckets
 
-def _IDIV(a: str, b: str) -> str:
-    # exact floor division, identical in both engines (see webgraph)
-    return ("CAST(((%s) - ((%s) %% (%s))) / (%s) AS BIGINT)"
-            % (a, a, b, b))
+from .webgraph import IDIV as _IDIV  # noqa: E402  (shared exact
+                                     # floor-division helper)
 
 
 @query("ccnet_ppl_buckets")

@@ -173,9 +173,7 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
     append-mode memory sink.  Returns the finished query."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    events_schema = ("event_id bigint, ts timestamp, user_id bigint, "
-                     "event_type string, value double, props string")
-    stream = (spark.readStream.schema(events_schema)
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("maxFilesPerTrigger", 1)
               .parquet(input_dir))
     sessions = stream.groupBy("user_id").applyInPandasWithState(

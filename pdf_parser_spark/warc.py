@@ -112,18 +112,37 @@ def write_warc_files(rows, out_dir: str, n_files: int = 4,
 
 
 def _iter_members(blob: bytes):
-    """Yield decompressed gzip members from a concatenated-member blob
-    (incremental zlib; unused_data carries the next member's start),
-    or the blob itself if it is not gzip."""
+    """Yield ``(payload, error)`` per gzip member of a concatenated-
+    member blob (incremental zlib; ``unused_data`` carries the next
+    member's start), or the blob itself if it is not gzip.  Breakage
+    surfaces as an error tuple, never an exception — a corrupt member
+    loses the member boundary, so it ends the file with a diagnosable
+    row instead of killing the Spark task:
+
+    * corrupt member → ``(None, "corrupt gzip member: ...")``, stop;
+    * member whose stream never reaches EOF (truncated file) →
+      ``(None, "truncated gzip member")``;
+    * trailing bytes that are not a gzip member →
+      ``(None, "unframed trailing bytes")``."""
     import zlib
     if not blob.startswith(b"\x1f\x8b"):
-        yield blob
+        yield blob, None
         return
     rest = blob
     while rest.startswith(b"\x1f\x8b"):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        yield d.decompress(rest)
+        try:
+            payload = d.decompress(rest)
+        except zlib.error as e:
+            yield None, "corrupt gzip member: %s" % e
+            return
+        if not d.eof:
+            yield None, "truncated gzip member"
+            return
+        yield payload, None
         rest = d.unused_data
+    if rest:
+        yield None, "unframed trailing bytes (%d)" % len(rest)
 
 
 def _parse_warc_blob(path: str, blob: bytes):
@@ -132,7 +151,12 @@ def _parse_warc_blob(path: str, blob: bytes):
     cannot be framed or lacks mandatory headers yields an error row
     and parsing continues at the next resynchronisation point."""
     rec_no = 0
-    for member in _iter_members(blob):
+    for member, mem_err in _iter_members(blob):
+        if mem_err is not None:
+            yield {"url": None, "warc_date": None, "html": None,
+                   "warc_file": path, "rec_no": rec_no, "error": mem_err}
+            rec_no += 1
+            continue
         off = 0
         while off < len(member):
             # skip inter-record CRLF padding
@@ -145,6 +169,7 @@ def _parse_warc_blob(path: str, blob: bytes):
                 yield {"url": None, "warc_date": None, "html": None,
                        "warc_file": path, "rec_no": rec_no,
                        "error": "unframed bytes at offset %d" % off}
+                rec_no += 1
                 break
             headers = {}
             for line in member[off:hdr_end].decode(
@@ -158,6 +183,7 @@ def _parse_warc_blob(path: str, blob: bytes):
                        "warc_date": headers.get("warc-date"),
                        "html": None, "warc_file": path, "rec_no": rec_no,
                        "error": "missing/bad Content-Length"}
+                rec_no += 1
                 break
             payload = member[hdr_end + 4:hdr_end + 4 + clen]
             off = hdr_end + 4 + clen
@@ -212,16 +238,19 @@ def warc_ingest_demo(spark, out_dir: str = None):
     (url, warc_date, n_bytes, html_md5).  The DuckDB oracle rebuilds
     identical rows from ``documents`` with pure string math — so
     framing, CRLF handling, gzip member iteration, and Content-Length
-    arithmetic are all hash-checked."""
-    import shutil
+    arithmetic are all hash-checked.
+
+    The default root is a fresh ``mkdtemp`` per call (a fixed shared
+    path would let two concurrent sessions rmtree each other's files
+    mid-read); the chosen root is recorded on the function object
+    (``warc_ingest_demo.last_root``) for tests that inspect the
+    artifact.  Demo dirs live in /tmp and die with it."""
     import tempfile
 
     from pyspark.sql import functions as F
 
-    root = out_dir or os.path.join(tempfile.gettempdir(),
-                                   "pdf_parser_spark_warc_demo")
-    if out_dir is None and os.path.exists(root):
-        shutil.rmtree(root)
+    root = out_dir or tempfile.mkdtemp(prefix="pdf_parser_spark_warc_")
+    warc_ingest_demo.last_root = root
     rows = [(r[0], r[1]) for r in
             spark.table("documents").select("doc_id", "text").collect()]
     write_warc_files(rows, root)

@@ -878,15 +878,11 @@ def test_bm25_serve_plan_reads_index_only(spark, entry_mod):
     index with shard partition-pruning and broadcasts the query-term
     side — and never rescans the corpus (that is the whole point of
     building the index)."""
-    import os
-    import tempfile
+    from pdf_parser_spark.ops.retrieval import bm25_index_demo, bm25_serve
 
-    from pdf_parser_spark.ops.retrieval import bm25_serve
-
-    # the demo build leaves the index at a fixed tmp root
+    # the demo records its fresh per-call root on the function object
     entry_mod.all_queries()["bm25_serve_persisted"](spark, SF_DIR)
-    root = os.path.join(tempfile.gettempdir(),
-                        "pdf_parser_spark_bm25_index")
+    root = bm25_index_demo.last_root
     serve = bm25_serve(spark, root)
     plan = serve._jdf.queryExecution().executedPlan().toString()
     assert "documents" not in plan
@@ -1064,3 +1060,32 @@ def test_url_host_filter_semantics(duck, entry_mod):
         assert is_kept == int(exp_reason == "kept"), doc_id
         hit[reason] += 1
     assert min(hit.values()) >= 5   # every branch genuinely exercised
+
+
+def test_text_index_uncommitted_append_is_invisible(spark, entry_mod,
+                                                    tmp_path):
+    """The manifest commit is the visibility point: a crashed append
+    (all data written, no manifest) must change NOTHING a serve sees;
+    publishing the manifest afterwards makes exactly that data
+    appear.  This is what makes a mid-append failure or a retry under
+    a fresh append_id safe (no partial-stats scoring, no
+    double-counting)."""
+    from pdf_parser_spark.ops.retrieval import (
+        _append_data, _commit, bm25_serve, text_index_append,
+    )
+
+    root = str(tmp_path / "bm25_index_vis")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+    text_index_append(spark, root, docs.filter("doc_id < 400"))
+    before = sorted(tuple(r) for r in bm25_serve(spark, root).collect())
+
+    # simulated crash: the second append writes everything but dies
+    # before its manifest lands
+    _append_data(spark, root, docs.filter("doc_id >= 400"), "deadbeef")
+    mid = sorted(tuple(r) for r in bm25_serve(spark, root).collect())
+    assert mid == before
+
+    _commit(root, "deadbeef")
+    after = sorted(tuple(r) for r in bm25_serve(spark, root).collect())
+    assert after != before

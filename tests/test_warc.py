@@ -110,3 +110,54 @@ def test_warc_gzip_resync_after_bad_member(spark, tmp_path):
     oks = sorted(r.url for r in rows if r.error is None)
     assert oks == ["https://example.org/1", "https://example.org/2"]
     assert sum(1 for r in rows if r.error) == 1
+
+
+def test_warc_corrupt_gzip_member_is_error_row(spark, tmp_path):
+    """A bit-flipped byte INSIDE a gzip member must become an error
+    row, not a task-killing zlib exception; members before the damage
+    still parse (the boundary after it is unrecoverable — that is the
+    documented contract)."""
+    from pdf_parser_spark.warc import _record_bytes, read_warc
+
+    good = gzip.compress(_record_bytes(
+        "https://example.org/ok", "2024-01-01T00:00:00Z",
+        b"<p>ok</p>"), mtime=0)
+    bad = bytearray(gzip.compress(_record_bytes(
+        "https://example.org/bad", "2024-01-01T00:00:01Z",
+        b"<p>bad</p>"), mtime=0))
+    bad[len(bad) // 2] ^= 0xFF   # flip a byte mid-deflate-stream
+    with open(os.path.join(tmp_path, "c.warc.gz"), "wb") as f:
+        f.write(good + bytes(bad))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    oks = [r for r in rows if r.error is None]
+    errs = [r for r in rows if r.error]
+    assert [r.url for r in oks] == ["https://example.org/ok"]
+    assert len(errs) == 1 and "corrupt gzip member" in errs[0].error
+    assert errs[0].rec_no == 1   # lineage keys stay unique
+
+
+def test_warc_truncated_and_trailing_bytes_are_error_rows(spark,
+                                                          tmp_path):
+    """A final gzip member cut short, and non-gzip bytes appended
+    after the last member, must each surface as an error row instead
+    of vanishing silently."""
+    from pdf_parser_spark.warc import _record_bytes, read_warc
+
+    rec = gzip.compress(_record_bytes(
+        "https://example.org/1", "2024-01-01T00:00:00Z",
+        b"<p>1</p>"), mtime=0)
+    with open(os.path.join(tmp_path, "trunc.warc.gz"), "wb") as f:
+        f.write(rec + rec[:len(rec) - 8])     # second member truncated
+    with open(os.path.join(tmp_path, "trail.warc.gz"), "wb") as f:
+        f.write(rec + b"plaintext tail that is not gzip")
+    rows = {r.warc_file.rsplit("/", 1)[-1]: []
+            for r in read_warc(spark, str(tmp_path)).collect()}
+    for r in read_warc(spark, str(tmp_path)).collect():
+        rows[r.warc_file.rsplit("/", 1)[-1]].append(r)
+    for fname, want in [("trunc.warc.gz", "truncated gzip member"),
+                        ("trail.warc.gz", "unframed trailing bytes")]:
+        frows = rows[fname]
+        assert [r.url for r in frows if r.error is None] == \
+            ["https://example.org/1"], fname
+        errs = [r.error for r in frows if r.error]
+        assert len(errs) == 1 and want in errs[0], (fname, errs)

@@ -228,7 +228,7 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "doc_chunking", "sequence_packing",
                    "link_graph", "host_pagerank", "boilerplate_lines",
                    "bm25_topk", "dedup_substring", "ccnet_ppl_buckets",
-                   "c4_clean", "url_host_filter"}
+                   "c4_clean", "url_host_filter", "bpe_train_merges"}
 
 
 def _specials() -> dict:

@@ -132,7 +132,7 @@ def main() -> None:
                  "doc_chunking", "sequence_packing",
                  "link_graph", "host_pagerank", "boilerplate_lines",
                  "bm25_topk", "dedup_substring", "ccnet_ppl_buckets",
-                 "c4_clean", "url_host_filter"):
+                 "c4_clean", "url_host_filter", "bpe_train_merges"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

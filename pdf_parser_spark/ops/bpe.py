@@ -1,0 +1,170 @@
+"""BPE tokenizer training — byte-pair-encoding merge learning
+(Sennrich et al. 2016) over the corpus, entirely in-plan.
+
+Canonical BPE trains on the WORD-FREQUENCY table, not the raw token
+stream: count each distinct word once, weight its symbol pairs by the
+word's corpus frequency, merge the globally most frequent adjacent
+pair, repeat.  That structure is what makes the algorithm distributed-
+friendly — the vocabulary is Heaps-law sublinear in corpus size, so at
+10^12 documents each round is (1) one hash agg over the exploded
+symbol pairs of the VOCAB (weighted by counts, partial-agg map-side),
+(2) a 1-row argmax broadcast, (3) a narrow per-word string rewrite.
+k merge rounds = k small shuffles over a vocab-sized table; the corpus
+itself is read once (the initial word count).
+
+Symbol sequences are stored as DOUBLE-SPACE-joined strings ("h  e  l"),
+which makes merge application a plain ``replace`` — with single-space
+padding the pattern ``" a  b "`` consumes the shared delimiter of
+consecutive overlapping occurrences exactly like the canonical
+left-to-right non-overlapping merge scan, and ``replace`` has
+identical semantics in Spark and DuckDB (no regex, no dialect seam).
+Pair counting counts overlapping occurrences (``a a a`` → 2× (a,a)),
+also canonical.
+
+Documented divergences from the reference implementation: no
+end-of-word marker symbol (merges still never cross words — every
+word is its own sequence), and ties on pair count break
+lexicographically (count DESC, left ASC, right ASC) so both engines
+pick the same merge deterministically.
+"""
+
+from __future__ import annotations
+
+from ..relational import DUCK, SPARK, REREPL
+
+QUERIES = {}
+
+
+def query(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+    return deco
+
+
+_ROUNDS = 4
+
+
+def _pairs_cte(r: int, d: str) -> str:
+    """``syms{r}(w, c, sym)`` → ``pairs{r}`` (weighted adjacent-pair
+    counts) → ``top{r}`` (the 1-row argmax merge rule)."""
+    if d == SPARK:
+        expl = """
+sp{r} AS (
+  SELECT w, c, pos, s FROM syms{r}
+  LATERAL VIEW posexplode(split(sym, '  ')) t AS pos, s
+)""".format(r=r)
+    else:
+        expl = """
+sp{r} AS (
+  SELECT w, c, generate_subscripts(ss, 1) - 1 AS pos, unnest(ss) AS s
+  FROM (SELECT w, c, string_split(sym, '  ') AS ss FROM syms{r}) t
+)""".format(r=r)
+    return """{expl},
+pr{r} AS (
+  SELECT w, c, s AS a,
+    lead(s) OVER (PARTITION BY w ORDER BY pos) AS b
+  FROM sp{r}
+),
+pairs{r} AS (
+  SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM pr{r} WHERE b IS NOT NULL GROUP BY a, b
+),
+top{r} AS (
+  SELECT a, b, cnt FROM pairs{r}
+  ORDER BY cnt DESC, a, b LIMIT 1
+)""".format(expl=expl.strip(), r=r)
+
+
+def _merge_cte(r: int) -> str:
+    """Apply round r's winning merge to every word's symbol string:
+    single-space padding + plain replace = canonical left-to-right
+    non-overlapping merge (dialect-free)."""
+    return """
+syms{r1} AS (
+  SELECT w, c,
+    trim(replace(' ' || sym || ' ',
+                 ' ' || (SELECT a FROM top{r}) || '  '
+                     || (SELECT b FROM top{r}) || ' ',
+                 ' ' || (SELECT a FROM top{r})
+                     || (SELECT b FROM top{r}) || ' ')) AS sym
+  FROM syms{r}
+)""".format(r=r, r1=r + 1)
+
+
+@query("bpe_train_merges")
+def q_bpe_train(d: str) -> str:
+    """The learned merge table: one row per round (rnd, left_sym,
+    right_sym, merged, pair_count), _ROUNDS rounds unrolled as a CTE
+    chain (the cross-engine oracle twin of the iterative
+    ``bpe_train_df``)."""
+    repl = "$1  " if d == SPARK else "\\1  "
+    chunks = ["""
+toks AS (
+  SELECT w FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS w
+)""" if d == SPARK else """
+toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+)""", """
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks
+          WHERE w <> '' GROUP BY w),
+syms0 AS (SELECT w, c, trim({chars}) AS sym FROM vocab)""".format(
+        chars=REREPL("w", "(.)", repl, d))]
+    for r in range(_ROUNDS):
+        chunks.append(_pairs_cte(r, d))
+        if r + 1 < _ROUNDS:
+            chunks.append(_merge_cte(r))
+    unions = "\nUNION ALL\n".join(
+        "SELECT CAST(%d AS BIGINT) AS rnd, a AS left_sym, b AS right_sym,"
+        " a || b AS merged, cnt AS pair_count FROM top%d" % (r + 1, r)
+        for r in range(_ROUNDS))
+    return ("WITH " + ",".join(c.strip() for c in chunks) + "\n"
+            + unions + "\nORDER BY rnd")
+
+
+def bpe_train_df(spark, rounds: int = _ROUNDS, docs=None):
+    """The production iterative twin: the same vocab-weighted merge
+    learning as a per-round DataFrame loop (each round's symbol table
+    persisted; the 1-row argmax collected and bound as literals — the
+    same k-row driver-side legitimacy class as IVF's centroid
+    collect).  A test pins row-identity with the unrolled SQL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    src = docs if docs is not None else spark.table("documents")
+    toks = src.select(F.explode(F.split("text", " ")).alias("w")) \
+        .filter(F.col("w") != "")
+    vocab = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    syms = vocab.withColumn(
+        "sym", F.trim(F.regexp_replace("w", "(.)", "$1  ")))
+    out = []
+    for r in range(rounds):
+        syms = syms.persist()
+        pairs = (syms
+                 .select("c", F.posexplode(F.split("sym", "  "))
+                         .alias("pos", "s"),
+                         F.col("w"))
+                 .withColumn("b", F.lead("s").over(
+                     Window.partitionBy("w").orderBy("pos")))
+                 .filter(F.col("b").isNotNull())
+                 .groupBy(F.col("s").alias("a"), "b")
+                 .agg(F.sum("c").cast("long").alias("cnt")))
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]
+        out.append((r + 1, a, b, a + b, cnt))
+        nxt = syms.withColumn(
+            "sym", F.trim(F.expr(
+                "replace(' ' || sym || ' ', %s, %s)"
+                % (_slit(" %s  %s " % (a, b)), _slit(" %s%s " % (a, b))))))
+        syms.unpersist()
+        syms = nxt
+    return spark.createDataFrame(
+        out, "rnd long, left_sym string, right_sym string, "
+             "merged string, pair_count long")
+
+
+def _slit(s: str) -> str:
+    return "'%s'" % s.replace("\\", "\\\\").replace("'", "''")

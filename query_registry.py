@@ -16,10 +16,10 @@ from pdf_parser_spark import relational, relational_banks  # noqa: E402
 _MODULES = [relational, relational_banks]
 try:
     from pdf_parser_spark.ops import (  # noqa: E402
-        c4clean, decontam, dedup, packing, retrieval, similarity,
+        bpe, c4clean, decontam, dedup, packing, retrieval, similarity,
         textstats, webgraph, weburl,
     )
-    _MODULES += [c4clean, decontam, dedup, packing, retrieval,
+    _MODULES += [bpe, c4clean, decontam, dedup, packing, retrieval,
                  similarity, textstats, webgraph, weburl]
 except ImportError:
     pass

@@ -30,7 +30,7 @@ _SUBSET = [
     "doc_chunking", "sequence_packing",
     "link_graph", "host_pagerank", "boilerplate_lines", "bm25_topk",
     "bm25_serve_persisted", "dedup_substring", "ccnet_ppl_buckets",
-    "warc_ingest", "c4_clean", "url_host_filter",
+    "warc_ingest", "c4_clean", "url_host_filter", "bpe_train_merges",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -134,7 +134,7 @@ def test_driver_contract_shape(entry_mod):
                "link_graph", "host_pagerank", "boilerplate_lines",
                "bm25_topk", "bm25_serve_persisted",
                "dedup_substring", "ccnet_ppl_buckets", "warc_ingest",
-               "c4_clean", "url_host_filter"}
+               "c4_clean", "url_host_filter", "bpe_train_merges"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
 
@@ -1089,3 +1089,55 @@ def test_text_index_uncommitted_append_is_invisible(spark, entry_mod,
     _commit(root, "deadbeef")
     after = sorted(tuple(r) for r in bm25_serve(spark, root).collect())
     assert after != before
+
+
+def test_bpe_train_merges_semantics(duck, entry_mod):
+    """Full independent Python BPE recomputation: word-frequency
+    vocab, overlap-counted weighted pairs, the (count DESC, left ASC,
+    right ASC) argmax, and the canonical left-to-right non-overlapping
+    merge application — every round must match exactly."""
+    from collections import Counter
+
+    rows = duck.sql(entry_mod.all_oracles()["bpe_train_merges"]).fetchall()
+    assert len(rows) == 4
+    texts = [t for (t,) in
+             duck.sql("SELECT text FROM documents").fetchall()]
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) for w in vocab}
+    for rnd, a, b, merged, cnt in rows:
+        pairs = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        best_pair, best_cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        assert (a, b, merged, cnt) == (
+            best_pair[0], best_pair[1],
+            best_pair[0] + best_pair[1], best_cnt), rnd
+        for w in syms:                       # apply the merge
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if (i + 1 < len(s) and s[i] == a and s[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+
+def test_bpe_train_df_matches_sql(spark, entry_mod):
+    """The production iterative trainer (per-round persisted
+    DataFrames, 1-row argmax collected per round) must be
+    row-identical to the unrolled-SQL oracle twin."""
+    from pdf_parser_spark.ops.bpe import bpe_train_df
+
+    sql_rows = sorted(
+        tuple(r) for r in
+        entry_mod.all_queries()["bpe_train_merges"](spark, SF_DIR)
+        .collect())
+    entry_mod._register(spark, SF_DIR)
+    df_rows = sorted(tuple(r) for r in bpe_train_df(spark).collect())
+    assert df_rows == sql_rows
+    assert len(df_rows) == 4

@@ -228,7 +228,13 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "doc_chunking", "sequence_packing",
                    "link_graph", "host_pagerank", "boilerplate_lines",
                    "bm25_topk", "dedup_substring", "ccnet_ppl_buckets",
-                   "c4_clean", "url_host_filter", "bpe_train_merges"}
+                   "c4_clean", "url_host_filter", "bpe_train_merges",
+                   # post-cap session-5 additions (sketch/mixing tier:
+                   # KMV cardinality sketch, Bloom frontier dedup,
+                   # temperature domain mixing, cluster-aware
+                   # leakage-safe split) — same all_queries path
+                   "kmv_distinct", "bloom_url_seen",
+                   "domain_mix_weights", "split_leakage_safe"}
 
 
 def _specials() -> dict:

@@ -320,6 +320,18 @@ def q_components(d: str) -> str:
     re-derives the pair pipeline once per round and exists for
     verification, not for scale); a test pins row-identical output of
     the two forms plus the fixpoint."""
+    return """
+WITH {ctes}
+SELECT doc_id, label AS cluster_keeper,
+  CASE WHEN doc_id > label THEN 1 ELSE 0 END AS is_duplicate
+FROM lab{k}
+""".format(ctes=",\n".join(_cc_parts(d)), k=_CC_ROUNDS)
+
+
+def _cc_parts(d: str) -> list:
+    """The connected-components CTE chain (pairs → symmetrized edges →
+    ``lab{_CC_ROUNDS}(doc_id, label)``), shared by q_components and
+    the leakage-safe split."""
     parts = [_verified_pairs_ctes(d), """
 edges AS (
   SELECT left_id AS src, right_id AS dst FROM verified
@@ -340,12 +352,53 @@ lab{r} AS (
 )"""
     for r in range(1, _CC_ROUNDS + 1):
         parts.append(tpl.format(r=r, p=r - 1).strip())
+    return parts
+
+
+@query("split_leakage_safe")
+def q_split_leakage_safe(d: str) -> str:
+    """Cluster-aware train/eval split — the anti-leakage rule every
+    benchmark-clean pipeline needs: a near-duplicate CLUSTER must land
+    entirely on one side, else eval rows have train-side twins and the
+    benchmark is contaminated (the failure Lee et al. 2022 measured).
+
+    Docs are assigned their component label (singletons label
+    themselves via the LEFT JOIN coalesce), then a deterministic
+    md5-die on the CLUSTER id picks the side (~10% eval).  The naive
+    per-doc die is emitted alongside with ``would_leak = 1`` where it
+    disagrees inside a multi-doc cluster — the rows the naive split
+    would have strewn across the boundary (a test pins that the
+    cluster split has zero straddling clusters while the naive one
+    demonstrably leaks on the fixture corpus).
+
+    Shape at 10^12 docs: the label table is the CC output (already
+    computed for dedup); the split adds one broadcast-joinable
+    projection — no new shuffle beyond the label join itself."""
+    cs = "STRING" if d == SPARK else "VARCHAR"
+    cdie = "%s %% 10" % HEX2INT(
+        "md5('split|' || CAST(cluster_id AS %s))" % cs, d)
+    ndie = "%s %% 10" % HEX2INT(
+        "md5('split|' || CAST(doc_id AS %s))" % cs, d)
+    parts = _cc_parts(d) + ["""
+assigned AS (
+  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN lab{k} l ON l.doc_id = c.doc_id
+)""".format(k=_CC_ROUNDS).strip(), """
+diced AS (
+  SELECT doc_id, cluster_id,
+    CASE WHEN {cdie} = 0 THEN 'eval' ELSE 'train' END AS split,
+    CASE WHEN {ndie} = 0 THEN 'eval' ELSE 'train' END AS naive_split,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+      AS cluster_size
+  FROM assigned
+)""".format(cdie=cdie, ndie=ndie).strip()]
     return """
 WITH {ctes}
-SELECT doc_id, label AS cluster_keeper,
-  CASE WHEN doc_id > label THEN 1 ELSE 0 END AS is_duplicate
-FROM lab{k}
-""".format(ctes=",\n".join(parts), k=_CC_ROUNDS)
+SELECT doc_id, cluster_id, split, naive_split,
+  CASE WHEN cluster_size > 1 AND split <> naive_split
+       THEN 1 ELSE 0 END AS would_leak
+FROM diced
+""".format(ctes=",\n".join(parts))
 
 
 def _span_corpus0(d: str) -> str:

@@ -1,0 +1,256 @@
+"""Cardinality / membership sketches and corpus-mixing arithmetic —
+the small-state summaries a 10^12-row crawl pipeline keeps INSTEAD of
+shuffling the raw key sets.
+
+The reference has no counterpart (training-data tier).  Same pattern
+as the dedup tiers: both engines derive the SAME visit log in-plan
+from ``documents`` (host = doc_id mod 8, page slug from a multiplied
+residue so every host sees repeated urls), so the oracle checks the
+sketch arithmetic itself, not fixture luck.
+
+Cross-engine determinism rules (measured, not assumed):
+- integer ops, ``md5``, ``sqrt`` and IEEE ``/`` are bit-identical
+  across Spark and DuckDB; ``pow(x, 0.7)`` is NOT (last-ulp libm vs
+  StrictMath divergence) — the mixing op therefore uses temperature
+  τ = 0.5 so the power is ``sqrt``;
+- ``round(double, n)`` and double→decimal casts carry a half-boundary
+  risk, so outputs are either pure-integer (``floor`` → BIGINT) or
+  raw IEEE doubles, never rounded doubles;
+- left shifts are on explicit BIGINT (DuckDB's bare ``1 << 31``
+  overflows INT32).
+
+Shape at 10^12 rows:
+- KMV: the k smallest hashes per group are a MERGEABLE bounded-size
+  sketch — at scale the per-partition top-k min-merge replaces the
+  full ``COUNT(DISTINCT)`` shuffle of the raw url set; the SQL twin
+  (window rank over distinct hashes) is the verification form.
+- Bloom: the seen-set compresses to m/8 bytes (here 8 KiB) that
+  BROADCASTS to every probe task — frontier dedup without joining a
+  trillion-row seen-set; the probe is a map-side word-index lookup.
+- Mixing: one bigint agg per domain + an 8-row driver-side-free
+  normalization — the weights table is a broadcast dim.
+"""
+
+from __future__ import annotations
+
+from ..relational import DUCK, SPARK, HEX2INT, LEN
+
+QUERIES = {}
+
+
+def query(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+    return deco
+
+
+def CSTR(x: str, d: str) -> str:
+    t = "STRING" if d == SPARK else "VARCHAR"
+    return "CAST(%s AS %s)" % (x, t)
+
+
+def IDIV(a: str, b: str, d: str) -> str:
+    """Integer division (DuckDB's ``/`` on integers yields DOUBLE)."""
+    if d == SPARK:
+        return "CAST((%s) / (%s) AS BIGINT)" % (a, b)
+    return "((%s) // (%s))" % (a, b)
+
+
+def SHL1(n: str, d: str) -> str:
+    """``1 << n`` as BIGINT in both dialects."""
+    if d == SPARK:
+        return "shiftleft(CAST(1 AS BIGINT), CAST(%s AS INT))" % n
+    return "(CAST(1 AS BIGINT) << (%s))" % n
+
+
+_N_HOSTS = 8
+# page-slug residue: coprime multiplier spreads doc_ids over 97 slugs
+# per host → every host has both repeats (visits > distinct) and a
+# distinct count safely above the sketch size k
+_PAGE_MOD = 97
+_KMV_K = 16
+# Bloom geometry: 32-bit words (masks stay positive in a signed
+# 64-bit lane), 3 hash functions.  m is deliberately FIXTURE-SMALL
+# (1024 bits vs ~250 seen urls → measurable false-positive rate) so
+# the false_positive verdict class is actually exercised by the
+# oracle; production sizes m for the target FP rate (the shape is
+# unchanged — the filter stays a broadcast-size word table).
+_BLOOM_BITS = 1024
+_BLOOM_WORD = 32
+_BLOOM_J = 3
+
+
+def _visits_cte(d: str) -> str:
+    """``documents`` → ``visits(doc_id, host, url)`` — a synthetic
+    access log with per-host url repeats."""
+    host = "'h' || %s" % CSTR("doc_id %% %d" % _N_HOSTS, d)
+    slug = CSTR("(doc_id * 7919) %% %d" % _PAGE_MOD, d)
+    return """
+visits AS (
+  SELECT doc_id, {host} AS host,
+         'https://' || {host} || '.example/p' || {slug} AS url
+  FROM documents
+)""".format(host=host, slug=slug)
+
+
+@query("kmv_distinct")
+def q_kmv_distinct(d: str) -> str:
+    """K-minimum-values distinct sketch per host vs the exact count.
+
+    Estimator: with hashes uniform on [0, 2^60) (HEX2INT of md5), the
+    k-th smallest distinct hash h_k gives
+    ``est = (k-1) * 2^60 / h_k`` (Bar-Yossef et al. 2002); groups
+    holding fewer than k distinct hashes ARE the sketch (exact).
+    ``(k-1) * 2^60`` = 15·2^60 has 4 significant bits — exactly
+    representable as a double, so the single IEEE division is
+    bit-identical across engines.  Output stays integer (floor) to
+    dodge round(double) half-boundary divergence."""
+    est = ("(%d.0 * 1152921504606846976.0) / CAST(hk AS DOUBLE)"
+           % (_KMV_K - 1))
+    return """
+WITH {visits},
+uniq AS (SELECT DISTINCT host, url FROM visits),
+hashed AS (SELECT host, {h} AS h FROM uniq),
+ranked AS (
+  SELECT host, h,
+         row_number() OVER (PARTITION BY host ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+         MAX(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM ranked GROUP BY host
+)
+SELECT host, exact_distinct,
+  CAST(CASE WHEN hk IS NULL THEN exact_distinct
+       ELSE CAST(FLOOR({est}) AS BIGINT) END AS BIGINT) AS kmv_estimate,
+  CAST(100 * abs(CAST(CASE WHEN hk IS NULL THEN exact_distinct
+                 ELSE CAST(FLOOR({est}) AS BIGINT) END
+                 - exact_distinct AS DOUBLE)) AS DOUBLE)
+    / CAST(exact_distinct AS DOUBLE) AS err_pct
+FROM sk
+""".format(visits=_visits_cte(d).strip(), h=HEX2INT("md5(url)", d),
+           k=_KMV_K, est=est)
+
+
+def _bit_positions(src: str, d: str) -> str:
+    """``{src}(…, url)`` → ``{src}_bits(…, url, word_idx, mask)``:
+    the _BLOOM_J (word, bit-mask) coordinates of each url."""
+    h = "%s %% %d" % (HEX2INT("md5(%s || '|' || url)"
+                              % CSTR("j", d), d), _BLOOM_BITS)
+    if d == SPARK:
+        expl = ("SELECT url, j FROM {src} "
+                "LATERAL VIEW explode(sequence(0, {jm})) t AS j")
+    else:
+        expl = "SELECT url, unnest(range(0, {j})) AS j FROM {src}"
+    expl = expl.format(src=src, j=_BLOOM_J, jm=_BLOOM_J - 1)
+    return """
+{src}_j AS ({expl}),
+{src}_bits AS (
+  SELECT url, {wi} AS word_idx, {mask} AS mask
+  FROM (SELECT url, {h} AS hbit FROM {src}_j) t
+)""".format(src=src, expl=expl, h=h,
+            wi=IDIV("hbit", str(_BLOOM_WORD), d),
+            mask=SHL1("hbit %% %d" % _BLOOM_WORD, d))
+
+
+@query("bloom_url_seen")
+def q_bloom_url_seen(d: str) -> str:
+    """Bloom-filter crawl-frontier dedup: build an m=65536-bit filter
+    over the SEEN url set (even doc_ids), probe a frontier of every
+    visited url plus a synthetic never-seen tier (every 3rd doc mints
+    a /p1000+ url), classify each probe hit/novel/false_positive
+    against the exact ground truth.
+
+    One-sided-error contract: ``bloom_maybe = 0 ⇒ truly unseen``
+    (asserted by a test); false positives are expected and labeled.
+    Filter build = bit_or per word (2048 rows); probe = word-index
+    equi-join where the filter side is broadcast-small by
+    construction."""
+    novel_slug = CSTR("1000 + (doc_id % 50)", d)
+    host = "'h' || %s" % CSTR("doc_id %% %d" % _N_HOSTS, d)
+    return """
+WITH {visits},
+seen AS (SELECT DISTINCT url FROM visits WHERE doc_id % 2 = 0),
+frontier AS (
+  SELECT DISTINCT url FROM visits
+  UNION
+  SELECT DISTINCT 'https://' || {host} || '.example/p' || {novel}
+         AS url
+  FROM documents WHERE doc_id % 3 = 0
+),
+{seen_bits},
+bloom AS (
+  SELECT word_idx, bit_or(mask) AS bits
+  FROM seen_bits GROUP BY word_idx
+),
+{frontier_bits},
+probe AS (
+  SELECT p.url,
+         MIN(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & p.mask) = p.mask
+             THEN 1 ELSE 0 END) AS bloom_maybe
+  FROM frontier_bits p LEFT JOIN bloom b ON b.word_idx = p.word_idx
+  GROUP BY p.url
+)
+SELECT f.url,
+  CASE WHEN s.url IS NOT NULL THEN 1 ELSE 0 END AS truly_seen,
+  p.bloom_maybe,
+  CASE WHEN p.bloom_maybe = 1 AND s.url IS NULL THEN 'false_positive'
+       WHEN p.bloom_maybe = 1 THEN 'hit'
+       ELSE 'novel' END AS verdict
+FROM frontier f
+JOIN probe p ON p.url = f.url
+LEFT JOIN seen s ON s.url = f.url
+""".format(visits=_visits_cte(d).strip(), host=host, novel=novel_slug,
+           seen_bits=_bit_positions("seen", d).strip(),
+           frontier_bits=_bit_positions("frontier", d).strip())
+
+
+_MIX_TAU_NOTE = 0.5  # temperature — τ=0.5 ⇒ p^τ = sqrt(p), the one
+# power both engines compute bit-identically (pow(x, 0.7) diverges
+# in the last ulp: JVM StrictMath vs libm)
+_MIX_BUDGET = 1_000_000_000  # token budget the weights allocate
+
+
+@query("domain_mix_weights")
+def q_domain_mix_weights(d: str) -> str:
+    """Temperature-scaled domain sampling weights (the multilingual /
+    domain-mixing rule of mC4/XLM-R: w_i ∝ p_i^τ) at τ = 0.5, plus
+    the resulting token allocation of a 1B-token budget and the
+    implied per-domain epoch count (how many times a small domain is
+    re-sampled — the quantity pipelines monitor for overfit risk).
+
+    Per-domain token counts are exact BIGINT sums; the weight
+    normalizer is an order-independent decimal sum of the sqrt terms
+    (raw double += would be partition-order-dependent); every double
+    in the output is produced by IEEE ops on identical inputs, never
+    round()ed."""
+    ws = "split(text, ' ')" if d == SPARK else "string_split(text, ' ')"
+    return """
+WITH tok AS (
+  SELECT 'h' || {hid} AS host, CAST({n} AS BIGINT) AS ntok
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(SUM(ntok) AS BIGINT) AS domain_tokens
+  FROM tok GROUP BY host
+),
+tot AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS t FROM agg),
+w0 AS (
+  SELECT host, domain_tokens,
+    sqrt(CAST(domain_tokens AS DOUBLE) / CAST(t AS DOUBLE)) AS wt
+  FROM agg, tot
+),
+wsum AS (
+  SELECT cast(sum(cast(wt as decimal(38,6))) as double) AS s FROM w0
+)
+SELECT host, domain_tokens,
+  wt / s AS mix_weight,
+  CAST(FLOOR({budget}.0 * wt / s) AS BIGINT) AS alloc_tokens,
+  CAST(FLOOR({budget}.0 * wt / s) AS DOUBLE)
+    / CAST(domain_tokens AS DOUBLE) AS epochs
+FROM w0, wsum
+""".format(hid=CSTR("doc_id %% %d" % _N_HOSTS, d),
+           n=LEN(ws, d), budget=_MIX_BUDGET)

@@ -17,10 +17,10 @@ _MODULES = [relational, relational_banks]
 try:
     from pdf_parser_spark.ops import (  # noqa: E402
         bpe, c4clean, decontam, dedup, packing, retrieval, similarity,
-        textstats, webgraph, weburl,
+        sketches, textstats, webgraph, weburl,
     )
     _MODULES += [bpe, c4clean, decontam, dedup, packing, retrieval,
-                 similarity, textstats, webgraph, weburl]
+                 similarity, sketches, textstats, webgraph, weburl]
 except ImportError:
     pass
 

@@ -31,6 +31,8 @@ _SUBSET = [
     "link_graph", "host_pagerank", "boilerplate_lines", "bm25_topk",
     "bm25_serve_persisted", "dedup_substring", "ccnet_ppl_buckets",
     "warc_ingest", "c4_clean", "url_host_filter", "bpe_train_merges",
+    "kmv_distinct", "bloom_url_seen", "domain_mix_weights",
+    "split_leakage_safe",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1141,3 +1143,143 @@ def test_bpe_train_df_matches_sql(spark, entry_mod):
     df_rows = sorted(tuple(r) for r in bpe_train_df(spark).collect())
     assert df_rows == sql_rows
     assert len(df_rows) == 4
+
+
+def _py_visits(duck):
+    """Python twin of sketches._visits_cte."""
+    rows = duck.sql("SELECT doc_id FROM documents").fetchall()
+    return [(did, "h%d" % (did % 8),
+             "https://h%d.example/p%d" % (did % 8, (did * 7919) % 97))
+            for (did,) in rows]
+
+
+def _h60(s):
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_distinct_semantics(duck, entry_mod):
+    """Independent Python recomputation of the KMV estimator: per
+    host, hash the distinct urls, take the 16th smallest, apply
+    (k-1)·2^60 / h_k, floor — must equal the SQL to the integer."""
+    rows = duck.sql(entry_mod.all_oracles()["kmv_distinct"]).fetchall()
+    assert len(rows) == 8
+    visits = _py_visits(duck)
+    by_host = {}
+    for _, host, url in visits:
+        by_host.setdefault(host, set()).add(url)
+    for host, exact, est, err in rows:
+        urls = by_host[host]
+        assert exact == len(urls)
+        hs = sorted(_h60(u) for u in urls)
+        if len(hs) >= 16:
+            exp = int((15.0 * 1152921504606846976.0) / hs[15])
+        else:
+            exp = len(urls)
+        assert est == exp, host
+        assert abs(err - 100.0 * abs(est - exact) / exact) < 1e-9
+    # the sketch must actually be estimating, not copying: at least
+    # one host's estimate differs from exact (k=16 << ~60 distinct)
+    assert any(r[1] != r[2] for r in rows)
+
+
+def test_bloom_url_seen_semantics(duck, entry_mod):
+    """Independent Python Bloom filter (same geometry: 1024 bits, 32
+    32-bit words, 3 md5 hashes) rebuilt from scratch; per-url verdicts
+    must match exactly, the one-sided-error contract must hold, and
+    all three verdict classes must be exercised."""
+    rows = duck.sql(entry_mod.all_oracles()["bloom_url_seen"]).fetchall()
+    visits = _py_visits(duck)
+    seen = {u for did, _, u in visits if did % 2 == 0}
+    frontier = {u for _, _, u in visits} | {
+        "https://h%d.example/p%d" % (did % 8, 1000 + did % 50)
+        for did, _, _ in visits if did % 3 == 0}
+    assert len(rows) == len(frontier)
+
+    def positions(url):
+        return [_h60("%d|%s" % (j, url)) % 1024 for j in range(3)]
+
+    words = [0] * 32
+    for u in seen:
+        for p in positions(u):
+            words[p // 32] |= 1 << (p % 32)
+    verdicts = {}
+    for u in frontier:
+        maybe = all(words[p // 32] & (1 << (p % 32)) for p in positions(u))
+        verdicts[u] = ("false_positive" if maybe and u not in seen
+                       else "hit" if maybe else "novel")
+    got = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    for u in frontier:
+        t, m, v = got[u]
+        assert t == (1 if u in seen else 0), u
+        assert v == verdicts[u], u
+        assert m == (0 if v == "novel" else 1)
+        if m == 0:
+            assert t == 0  # no false negatives, ever
+    cls = {v for _, _, v in got.values()}
+    assert cls == {"hit", "novel", "false_positive"}
+
+
+def test_domain_mix_weights_semantics(duck, entry_mod):
+    """Independent Python recomputation of the τ=0.5 temperature
+    weights plus the budget-allocation invariants."""
+    import math
+    rows = duck.sql(
+        entry_mod.all_oracles()["domain_mix_weights"]).fetchall()
+    assert len(rows) == 8
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    counts = {}
+    for did, text in docs:
+        counts["h%d" % (did % 8)] = (counts.get("h%d" % (did % 8), 0)
+                                     + len(text.split(" ")))
+    total = sum(counts.values())
+    wts = {h: math.sqrt(c / total) for h, c in counts.items()}
+    s = sum(wts.values())
+    wsum = 0.0
+    for host, c, w, alloc, epochs in rows:
+        assert c == counts[host]
+        # engine normalizer is decimal-quantized at 1e-6 → tolerance
+        assert abs(w - wts[host] / s) < 1e-5
+        assert abs(alloc - 1e9 * w) <= 1.0     # floor of the same product
+        assert abs(epochs - alloc / c) < 1e-9
+        wsum += w
+    assert abs(wsum - 1.0) < 1e-5
+    assert sum(r[3] for r in rows) <= 1_000_000_000
+    # temperature flattens: smallest domain is over-sampled relative
+    # to its natural share, largest under-sampled
+    small = min(rows, key=lambda r: r[1])
+    large = max(rows, key=lambda r: r[1])
+    assert small[2] > small[1] / total
+    assert large[2] < large[1] / total
+
+
+def test_split_leakage_safe_semantics(duck, entry_mod):
+    """The anti-leakage contract, recomputed independently: (a) the
+    cluster split never straddles a near-dup cluster; (b) the naive
+    per-doc split demonstrably WOULD leak on this corpus; (c) cluster
+    ids agree with dedup_components labels; (d) the eval fraction is
+    in a sane band."""
+    rows = duck.sql(
+        entry_mod.all_oracles()["split_leakage_safe"]).fetchall()
+    comp = duck.sql(
+        entry_mod.all_oracles()["dedup_components"]).fetchall()
+    labels = {r[0]: r[1] for r in comp}
+    by_cluster = {}
+    for doc_id, cid, split, naive, leak in rows:
+        assert labels.get(doc_id, doc_id) == cid
+        by_cluster.setdefault(cid, []).append((doc_id, split, naive, leak))
+    assert len(rows) == 625  # 500 docs + 125 near-dup twins
+    leaks = 0
+    for cid, members in by_cluster.items():
+        assert len({s for _, s, _, _ in members}) == 1, cid
+        if len(members) > 1 and len({n for _, _, n, _ in members}) > 1:
+            leaks += 1
+            # at least one member flags the straddle
+            assert any(lk for _, _, _, lk in members)
+    assert leaks > 0  # the naive split really does shear clusters
+    # would_leak=1 only on multi-member clusters with disagreement
+    for cid, members in by_cluster.items():
+        if any(lk for _, _, _, lk in members):
+            assert len(members) > 1
+    n_eval = sum(1 for _, _, s, _, _ in rows if s == "eval")
+    assert 0.03 < n_eval / len(rows) < 0.30

@@ -234,7 +234,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # temperature domain mixing, cluster-aware
                    # leakage-safe split) — same all_queries path
                    "kmv_distinct", "bloom_url_seen",
-                   "domain_mix_weights", "split_leakage_safe"}
+                   "domain_mix_weights", "split_leakage_safe",
+                   # SemDeDup within-cell prune + DSIR importance
+                   # selection (same post-cap path)
+                   "semdedup_prune", "dsir_select"}
 
 
 def _specials() -> dict:

@@ -469,6 +469,83 @@ SELECT left_id, right_id, cosine FROM pairs WHERE cosine >= 0.9
            assq=_ssq("a.qv", d), bssq=_ssq("b.qv", d))
 
 
+_SEMDEDUP_EPS = "0.9"  # same bar as the embedding near-dup tier
+
+
+@query("semdedup_prune")
+def q_semdedup(d: str) -> str:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication = k-means
+    cluster the embeddings, then inside each cluster drop every point
+    whose cosine to ANY point ordered before it exceeds ε.  This is
+    the published algorithm exactly: the within-cluster pairwise
+    matrix is taken upper-triangular under a fixed ordering (here:
+    distance to the fitted centroid DESCENDING, i.e. keep the
+    "outliers", the paper's default keep-low-centroid-similarity
+    policy; ties on vec_id), and a later point is pruned if its max
+    similarity to any earlier point ≥ ε — earlier points suppress
+    later ones whether or not they were themselves pruned.
+
+    Corpus: the same in-plan twin tier as dedup_embedding_cosine
+    (every 10th vector re-enters nudged, cosine ≈ 0.999) so the prune
+    verdict class is really exercised; the k-means fit and all
+    distances are the exact-integer forms of this module, the final
+    cosines identical IEEE doubles in both engines.
+
+    Shape at 10^12 vectors: the fit is the IVF coarse quantizer
+    already computed for ANN (sampled Lloyd + one assignment pass);
+    the prune is a per-cell self-join whose cost is Σ|cell|² — the
+    paper keeps |cell| bounded by scaling k with the corpus (k ≈ n/
+    target_cell), so the quadratic term stays constant per cell and
+    embarrassingly parallel across cells; no global state beyond the
+    k-row centroid table."""
+    if d == SPARK:
+        twin = ("concat(array(element_at(qv0, 1) + 50000), "
+                "slice(qv0, 2, size(qv0) - 1))")
+    else:
+        twin = "[qv0[1] + 50000] || qv0[2:len(qv0)]"
+    base = """
+base0 AS (
+  SELECT vec_id, {quant} AS qv0 FROM embeddings
+),
+base AS (
+  SELECT vec_id, qv0 AS qv FROM base0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {twin} AS qv
+  FROM base0 WHERE vec_id % 10 = 0
+)""".format(quant=_quantized(d), twin=twin).strip()
+    cos = ("CAST({dot} AS DOUBLE) / (sqrt(CAST({assq} AS DOUBLE)) "
+           "* sqrt(CAST({bssq} AS DOUBLE)))").format(
+               dot=_dot("a.qv", "b.qv", d), assq=_ssq("a.qv", d),
+               bssq=_ssq("b.qv", d))
+    return """
+WITH {kmeans},
+members AS (
+  SELECT f.vec_id, f.cell, b.qv, {cdist} AS cdist
+  FROM fit f
+  JOIN base b ON b.vec_id = f.vec_id
+  JOIN cent2 c ON c.cell = f.cell
+),
+ordered AS (
+  SELECT vec_id, cell, qv, cdist,
+    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY cdist DESC, vec_id) AS BIGINT)
+      AS keep_order
+  FROM members
+),
+prior AS (
+  SELECT b.vec_id, MAX({cos}) AS max_prior_cos
+  FROM ordered a JOIN ordered b
+    ON a.cell = b.cell AND a.keep_order < b.keep_order
+  GROUP BY b.vec_id
+)
+SELECT o.vec_id, o.cell, o.keep_order,
+  COALESCE(p.max_prior_cos, CAST(-1 AS DOUBLE)) AS max_prior_cosine,
+  CASE WHEN p.max_prior_cos >= {eps} THEN 1 ELSE 0 END AS is_pruned
+FROM ordered o LEFT JOIN prior p ON p.vec_id = o.vec_id
+""".format(kmeans=_kmeans_ctes(d, base_cte=base),
+           cdist=_sqdist("b.qv", "c.cv", d), cos=cos, eps=_SEMDEDUP_EPS)
+
+
 # ------------------------------------------------------- production fit
 def ivf_index_df(embeddings: DataFrame, k: int = 8,
                  iters: int = 2) -> tuple:

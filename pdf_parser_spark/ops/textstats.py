@@ -8,7 +8,7 @@ IEEE-deterministic, so both engines emit identical values.
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK, AMIN, LEN, REALL, REREPL, lit
+from ..relational import DUCK, SPARK, AMIN, HEX2INT, LEN, REALL, REREPL, lit
 
 QUERIES = {}
 
@@ -473,3 +473,96 @@ SELECT doc_id, lang, n_tokens, ppl_surrogate, tercile,
        ELSE 'tail' END AS bucket
 FROM tiled
 """.format(toks=toks.strip(), info=info, ppl=ppl)
+
+
+# --------------------------------- DSIR importance-resampling scores
+
+_DSIR_B = 256      # hashed feature buckets
+_DSIR_SCALE = 1000  # fixed-point scale of the per-bucket ratio
+
+
+@query("dsir_select")
+def q_dsir_select(d: str) -> str:
+    """DSIR-style data selection (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score every raw
+    document by how target-like its hashed-n-gram feature profile is,
+    then keep the top quartile.  Features are word unigrams hashed
+    into 256 buckets; the target distribution is the English subset
+    (``lang = 'en'``) of the corpus itself, the raw distribution the
+    whole corpus — DSIR's exact setup with the target stood in-plan.
+
+    The paper's importance weight is ``log p_t(x) - log p_r(x) =
+    Σ_f c_f·(log p_t(f) - log p_r(f))``.  Logs are NOT bit-identical
+    across engines (libm vs StrictMath last-ulp), so — same trick as
+    ccnet_ppl_buckets' rational info — each bucket carries the exact
+    integer fixed-point ratio ``floor(1000·(ct_f+1)/(cr_f+1))`` of the
+    add-1-smoothed counts.  The totals normalizer (tot_r+B)/(tot_t+B)
+    is constant across buckets, scales every document's score by the
+    same factor, and therefore cancels from the ranking — it is
+    dropped, which also keeps every intermediate far below 2^53
+    (bound: tokens·1000 < 2^53 ⇔ corpus < ~9e12 tokens per shard).
+
+    Shape at 10^12 docs: one tokenize pass, one (doc, bucket) agg,
+    two 256-row weight tables that BROADCAST to the scoring join, one
+    (doc) agg.  The final quartile is an exact global ntile here (the
+    oracle form); at scale the cut is an approx-quantile threshold
+    broadcast instead of a single-partition window."""
+    if d == SPARK:
+        toks = """
+toks AS (
+  SELECT doc_id, lang, w FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS w
+)"""
+    else:
+        toks = """
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+)"""
+    from .webgraph import IDIV
+    s_b = IDIV("(COALESCE(t.ct, 0) + 1) * %d" % _DSIR_SCALE,
+               "r.cr + 1")
+    score_tok = IDIV("score_sum * %d" % _DSIR_SCALE, "n_feat_tokens")
+    return """
+WITH {toks},
+feat AS (
+  SELECT doc_id, {bucket} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, {bucket}
+),
+rawb AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM feat GROUP BY b
+),
+tgtb AS (
+  SELECT f.b, CAST(SUM(f.c) AS BIGINT) AS ct
+  FROM feat f JOIN documents dd
+    ON dd.doc_id = f.doc_id AND dd.lang = 'en'
+  GROUP BY f.b
+),
+wts AS (
+  SELECT r.b, {s_b} AS s FROM rawb r LEFT JOIN tgtb t ON t.b = r.b
+),
+scored AS (
+  SELECT f.doc_id,
+    CAST(SUM(f.c * w.s) AS BIGINT) AS score_sum,
+    CAST(SUM(f.c) AS BIGINT) AS n_feat_tokens
+  FROM feat f JOIN wts w ON w.b = f.b
+  GROUP BY f.doc_id
+),
+pertok AS (
+  SELECT s.doc_id, dd.lang, s.n_feat_tokens,
+    {score_tok} AS dsir_score
+  FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+),
+tiled AS (
+  SELECT doc_id, lang, n_feat_tokens, dsir_score,
+    CAST(ntile(4) OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT)
+      AS quartile
+  FROM pertok
+)
+SELECT doc_id, lang, n_feat_tokens, dsir_score,
+  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+  CASE WHEN quartile = 1 THEN 1 ELSE 0 END AS selected
+FROM tiled
+""".format(toks=toks.strip(),
+           bucket="%s %% %d" % (HEX2INT("md5(w)", d), _DSIR_B),
+           s_b=s_b, score_tok=score_tok)

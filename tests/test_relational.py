@@ -32,7 +32,7 @@ _SUBSET = [
     "bm25_serve_persisted", "dedup_substring", "ccnet_ppl_buckets",
     "warc_ingest", "c4_clean", "url_host_filter", "bpe_train_merges",
     "kmv_distinct", "bloom_url_seen", "domain_mix_weights",
-    "split_leakage_safe",
+    "split_leakage_safe", "semdedup_prune", "dsir_select",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1283,3 +1283,121 @@ def test_split_leakage_safe_semantics(duck, entry_mod):
             assert len(members) > 1
     n_eval = sum(1 for _, _, s, _, _ in rows if s == "eval")
     assert 0.03 < n_eval / len(rows) < 0.30
+
+
+def test_semdedup_prune_semantics(duck, entry_mod):
+    """Full independent recomputation of SemDeDup: quantize, twin
+    tier, 2-round Lloyd fit, centroid-distance-descending order,
+    upper-triangular max-cosine, ε-prune — every row must match.
+    Also pins the fixture's one twin pair whose nudge crosses a
+    Voronoi boundary (cells differ → escapes the cell-local prune:
+    SemDeDup's documented recall limitation)."""
+    import math
+    rows = duck.sql(
+        entry_mod.all_oracles()["semdedup_prune"]).fetchall()
+    vecs = duck.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    base = {vid: [int(math.floor(float(x) * 1e6)) for x in emb]
+            for vid, emb in vecs}
+    for vid in list(base):
+        if vid % 10 == 0:
+            tw = list(base[vid])
+            tw[0] += 50000
+            base[vid + 1000000] = tw
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cents = {c: list(base[c]) for c in range(8)}
+    assign = {}
+    for rnd in range(3):  # rounds 1,2 recompute; round 3 = final fit
+        assign = {vid: min(cents, key=lambda c: (sqd(qv, cents[c]), c))
+                  for vid, qv in base.items()}
+        if rnd == 2:
+            break
+        bycell = {}
+        for vid, c in assign.items():
+            bycell.setdefault(c, []).append(base[vid])
+        cents = {c: [int(math.floor(sum(col) / len(vs)))
+                     for col in zip(*vs)]
+                 for c, vs in bycell.items()}
+
+    ordered = {}
+    for c in set(assign.values()):
+        members = sorted((vid for vid, cc in assign.items() if cc == c),
+                         key=lambda v: (-sqd(base[v], cents[c]), v))
+        for i, vid in enumerate(members):
+            ordered[vid] = (c, i + 1, members[:i])
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sqd(a, [0] * 64) * 1.0)
+                      * math.sqrt(sqd(b, [0] * 64) * 1.0))
+
+    assert len(rows) == 550
+    escaped = 0
+    for vid, cell, keep_order, maxcos, is_pruned in rows:
+        ec, ei, prior = ordered[vid]
+        assert (cell, keep_order) == (ec, ei), vid
+        if prior:
+            exp = max(cos(base[a], base[vid]) for a in prior)
+            assert abs(maxcos - exp) < 1e-12, vid
+            assert is_pruned == (1 if exp >= 0.9 else 0), vid
+        else:
+            assert maxcos == -1.0 and is_pruned == 0, vid
+    pruned = {r[0] for r in rows if r[4]}
+    cellof = {r[0]: r[1] for r in rows}
+    for v in range(0, 500, 10):
+        if cellof[v] == cellof[v + 1000000]:
+            # exactly ONE of each same-cell twin pair is pruned
+            assert (v in pruned) != (v + 1000000 in pruned), v
+        else:
+            escaped += 1
+            assert v not in pruned and v + 1000000 not in pruned
+    assert escaped == 1     # the boundary-crossing pair
+    assert len(pruned) == 49
+
+
+def test_dsir_select_semantics(duck, entry_mod):
+    """Independent recomputation of the DSIR surrogate: hashed
+    unigram buckets, add-1 rational weights, per-token fixed-point
+    score, exact ntile(4) cut — plus the selection-preference
+    invariant (target-language docs are selected at a higher rate)."""
+    rows = duck.sql(entry_mod.all_oracles()["dsir_select"]).fetchall()
+    docs = duck.sql("SELECT doc_id, lang, text FROM documents").fetchall()
+    feat, raw, tgt = {}, {}, {}
+    langof = {}
+    for doc_id, lang, text in docs:
+        langof[doc_id] = lang
+        if text is None:
+            continue
+        for w in text.split(" "):
+            b = _h60(w) % 256
+            feat.setdefault(doc_id, {})[b] = feat.get(doc_id, {}).get(b, 0) + 1
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    wts = {b: (tgt.get(b, 0) + 1) * 1000 // (cr + 1)
+           for b, cr in raw.items()}
+    scored = []
+    for doc_id, fs in feat.items():
+        ssum = sum(c * wts[b] for b, c in fs.items())
+        ntok = sum(fs.values())
+        scored.append((doc_id, ssum * 1000 // ntok, ntok))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    n = len(scored)
+    cut = n // 4 + (1 if n % 4 else 0)   # ntile(4) first-bucket size
+    sel = {t[0] for t in scored[:cut]}
+    exp = {t[0]: t for t in scored}
+    assert len(rows) == n
+    for doc_id, lang, ntok, score, is_t, selected in rows:
+        assert lang == langof[doc_id]
+        assert (ntok, score) == (exp[doc_id][2], exp[doc_id][1]), doc_id
+        assert is_t == (1 if lang == "en" else 0)
+        assert selected == (1 if doc_id in sel else 0), doc_id
+    en = [r for r in rows if r[4] == 1]
+    non = [r for r in rows if r[4] == 0]
+    en_rate = sum(r[5] for r in en) / len(en)
+    non_rate = sum(r[5] for r in non) / len(non)
+    assert en_rate > non_rate  # the selection really prefers target

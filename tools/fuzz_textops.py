@@ -37,7 +37,11 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # text (the repetition bursts create genuine within-doc
            # duplicated runs; PII/noise tokens stress tokenization)
            "dedup_substring", "ccnet_ppl_buckets",
-           "c4_clean", "url_host_filter", "bpe_train_merges"]
+           "c4_clean", "url_host_filter", "bpe_train_merges",
+           # DSIR selection: all-'en' fuzz docs make target==raw
+           # (every bucket weight exactly 1000) — degenerate scores,
+           # but the md5 bucketing + tokenization seam is exercised
+           "dsir_select"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -237,7 +237,7 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "domain_mix_weights", "split_leakage_safe",
                    # SemDeDup within-cell prune + DSIR importance
                    # selection (same post-cap path)
-                   "semdedup_prune", "dsir_select"}
+                   "semdedup_prune", "dsir_select", "hll_distinct"}
 
 
 def _specials() -> dict:

@@ -208,6 +208,95 @@ LEFT JOIN seen s ON s.url = f.url
            frontier_bits=_bit_positions("frontier", d).strip())
 
 
+_HLL_P = 6                 # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 60 - _HLL_P   # 54-bit rho field below the bucket bits
+
+
+def BITLEN(w: str, d: str) -> str:
+    """Exact bit length of a positive BIGINT — the base-2 string
+    render is integer-exact in both engines (no log2, whose libm /
+    StrictMath last-ulp split would make floor() engine-dependent)."""
+    if d == SPARK:
+        return "length(conv(CAST(%s AS STRING), 10, 2))" % w
+    return "length(to_base(%s, 2))" % w
+
+
+@query("hll_distinct")
+def q_hll_distinct(d: str) -> str:
+    """HyperLogLog cardinality per host (Flajolet et al. 2007) over an
+    in-plan ×200 key expansion of the visit log, against the exact
+    count — the register-array companion of the KMV sketch: 64
+    registers = 64 bytes per group, mergeable by element-wise MAX, the
+    shape every production engine (BigQuery/Trino/Spark approx_
+    count_distinct) keeps instead of shuffling raw key sets.
+
+    Determinism: bucket = top 6 bits of the 60-bit md5 hash, rho =
+    leading-zero count of the 54-bit remainder via exact base-2
+    string length (BITLEN), and the harmonic sum Σ 2^-M_b is kept as
+    the EXACT integer Σ 2^(56-M_b) (≤ 64·2^56 = 2^62, in-range;
+    absent registers contribute M=0 ⇒ 2^56) — a raw double += sum of
+    tiny powers would be partition-order-dependent.  The single
+    int→double conversion and division round identically in both
+    engines.  The estimator is the RAW one: the fixture cardinality
+    (~10^4 per host) sits far above the 2.5·m small-range cutoff, so
+    the linear-counting correction branch (which needs ln, not
+    portable) is out of regime and deliberately omitted — documented
+    engine pin, production adds it below 2.5·m.
+
+    ×200 expansion, not the raw urls: with ~50 distinct urls per host
+    the sketch would sit in exactly that correction regime; KMV
+    (k=16) is the right sketch there and is the adjacent query."""
+    if d == SPARK:
+        reps = "reps AS (SELECT explode(sequence(0, 199)) AS rep)"
+    else:
+        reps = "reps AS (SELECT unnest(range(0, 200)) AS rep)"
+    h = HEX2INT("md5(key)", d)
+    alpha = "(0.7213 / (1.0 + 1.079 / %d.0))" % _HLL_M
+    est = ("({alpha} * {m}.0 * {m}.0 * 72057594037927936.0)"
+           " / CAST(int_sum AS DOUBLE)").format(alpha=alpha, m=_HLL_M)
+    return """
+WITH {visits},
+{reps},
+bigkeys AS (
+  SELECT host, url || '#' || {rep} AS key
+  FROM visits CROSS JOIN reps
+),
+uniq AS (SELECT DISTINCT host, key FROM bigkeys),
+hashed AS (
+  SELECT host, {bucket} AS bucket, {w} AS w
+  FROM (SELECT host, {h} AS h FROM uniq) t
+),
+regs AS (
+  SELECT host, bucket,
+    MAX(CASE WHEN w = 0 THEN 55
+        ELSE 55 - {bitlen} END) AS m_reg
+  FROM hashed GROUP BY host, bucket
+),
+sums AS (
+  SELECT host,
+    CAST(SUM({pow2}) AS BIGINT)
+      + ({m} - CAST(COUNT(*) AS BIGINT)) * 72057594037927936 AS int_sum
+  FROM regs GROUP BY host
+),
+exact AS (
+  SELECT host, CAST(COUNT(DISTINCT key) AS BIGINT) AS exact_distinct
+  FROM bigkeys GROUP BY host
+)
+SELECT e.host, e.exact_distinct,
+  CAST(FLOOR({est}) AS BIGINT) AS hll_estimate,
+  CAST(100 * abs(CAST(FLOOR({est}) AS BIGINT)
+                 - e.exact_distinct) AS DOUBLE)
+    / CAST(e.exact_distinct AS DOUBLE) AS err_pct
+FROM exact e JOIN sums s ON s.host = e.host
+""".format(visits=_visits_cte(d).strip(), reps=reps,
+           rep=CSTR("rep", d), h=h,
+           bucket=IDIV("h", str(1 << _HLL_WBITS), d),
+           w="h %% %d" % (1 << _HLL_WBITS),
+           bitlen=BITLEN("w", d),
+           pow2=SHL1("56 - m_reg", d), m=_HLL_M, est=est)
+
+
 _MIX_TAU_NOTE = 0.5  # temperature — τ=0.5 ⇒ p^τ = sqrt(p), the one
 # power both engines compute bit-identically (pow(x, 0.7) diverges
 # in the last ulp: JVM StrictMath vs libm)

@@ -33,6 +33,7 @@ _SUBSET = [
     "warc_ingest", "c4_clean", "url_host_filter", "bpe_train_merges",
     "kmv_distinct", "bloom_url_seen", "domain_mix_weights",
     "split_leakage_safe", "semdedup_prune", "dsir_select",
+    "hll_distinct",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1218,6 +1219,40 @@ def test_bloom_url_seen_semantics(duck, entry_mod):
             assert t == 0  # no false negatives, ever
     cls = {v for _, _, v in got.values()}
     assert cls == {"hit", "novel", "false_positive"}
+
+
+def test_hll_distinct_semantics(duck, entry_mod):
+    """Independent Python HLL: same geometry (64 registers, top-6-bit
+    bucketing of the 60-bit md5 hash, exact-integer harmonic sum as
+    Σ 2^(56-M)), raw estimator — per host the estimate must match to
+    the integer and sit inside the ~3·RSE error band."""
+    rows = duck.sql(entry_mod.all_oracles()["hll_distinct"]).fetchall()
+    assert len(rows) == 8
+    visits = _py_visits(duck)
+    keys = {}
+    for _, host, url in visits:
+        for rep in range(200):
+            keys.setdefault(host, set()).add("%s#%d" % (url, rep))
+    alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+    for host, exact, est, err in rows:
+        ks = keys[host]
+        assert exact == len(ks)
+        regs = {}
+        for k in ks:
+            h = _h60(k)
+            b, w = h // (1 << 54), h % (1 << 54)
+            rho = 55 if w == 0 else 55 - w.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        int_sum = (sum(1 << (56 - m) for m in regs.values())
+                   + (64 - len(regs)) * (1 << 56))
+        exp = int(alpha * 64.0 * 64.0 * 72057594037927936.0
+                  / float(int_sum))
+        assert est == exp, host
+        assert abs(err - 100.0 * abs(est - exact) / exact) < 1e-9
+        # raw-regime sanity: within ~3x the theoretical RSE (1.04/8)
+        assert err < 40.0
+    # it estimates, it doesn't copy
+    assert any(r[1] != r[2] for r in rows)
 
 
 def test_domain_mix_weights_semantics(duck, entry_mod):

@@ -237,7 +237,8 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "domain_mix_weights", "split_leakage_safe",
                    # SemDeDup within-cell prune + DSIR importance
                    # selection (same post-cap path)
-                   "semdedup_prune", "dsir_select", "hll_distinct"}
+                   "semdedup_prune", "dsir_select", "hll_distinct",
+                   "text_normalize"}
 
 
 def _specials() -> dict:

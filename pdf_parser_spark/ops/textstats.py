@@ -475,6 +475,98 @@ FROM tiled
 """.format(toks=toks.strip(), info=info, ppl=ppl)
 
 
+# ------------------------------------- unicode normalization battery
+
+_FMT_CLASS = "[\u200b\u200c\u200d\ufeff\u00ad]"   # zero-widths, BOM, SHY
+_NBSP_CLASS = "[\u00a0\u202f]"                    # (narrow) no-break space
+_QUOTE_CLASS = "[‘’“”]"
+_DASH_CLASS = "[–—…]"              # en/em dash, ellipsis
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+@query("text_normalize")
+def q_text_normalize(d: str) -> str:
+    """Unicode text normalization — the ftfy/C4-style cleanup every
+    webtext pipeline runs before tokenization: strip zero-width and
+    soft-hyphen format characters, map (narrow) no-break spaces to
+    plain spaces, straighten curly quotes, unify dashes and ellipses,
+    replace control characters with spaces, collapse whitespace runs,
+    trim.  Per-class hit counts are emitted alongside the normalized
+    text digest so the filter rates are monitorable.
+
+    The fixture corpus is clean ASCII, so (the pii_scrub pattern) the
+    SAME dirty corpus is derived in-plan: doc_id-keyed injections of
+    curly quotes, dashes, zero-widths, NBSP, a BEL control byte and
+    double-spaced runs, so every rule actually fires.
+
+    Pure per-row projection (regex + plain replace chains): fuses
+    with the scan at 10^12 docs — no shuffle, no UDF, whole-stage
+    codegen; the count extracts share the scan via codegen CSE."""
+    q39 = "chr(39)"
+    dirty = """
+c1 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' “smart” ‘quotes’'
+         ELSE text END AS t0
+  FROM documents
+),
+c2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+         THEN t0 || ' em—dash – range… end'
+         ELSE t0 END AS t1
+  FROM c1
+),
+c3 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN t1 || ' zero\u200bwidth\ufeff soft\u00adhyphen'
+         WHEN doc_id % 5 = 1
+         THEN t1 || '  double  spaced   run '
+         ELSE t1 END AS t2
+  FROM c2
+),
+dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN t2 || ' nb\u00a0space ' || chr(7) || 'bell\ttabbed'
+         ELSE t2 END AS t
+  FROM c3
+)"""
+    ta = REREPL("t", _FMT_CLASS, "", d)
+    tb = REREPL("ta", _NBSP_CLASS, " ", d)
+    tc = ("replace(replace(replace(replace("
+          "replace(replace(replace(tb, '‘', {q}), '’', {q}), "
+          "'“', '\"'), '”', '\"'), "
+          "'–', '-'), '—', '-'), '…', '...')"
+          ).format(q=q39)
+    td = REREPL("tc", _CTRL_CLASS, " ", d)
+    clean = "trim(%s)" % REREPL("td", r"[ \t]+", " ", d)
+    cnt = {k: "CAST(%s AS BIGINT)" % LEN(REALL("t", p, d), d)
+           for k, p in [("fmt", _FMT_CLASS), ("nbsp", _NBSP_CLASS),
+                        ("quote", _QUOTE_CLASS), ("dash", _DASH_CLASS),
+                        ("ctrl", _CTRL_CLASS)]}
+    n_ws = "CAST(%s AS BIGINT)" % LEN(REALL("td", r"[ \t]{2,}", d), d)
+    return """
+WITH {dirty},
+s1 AS (SELECT doc_id, t, {ta} AS ta FROM dirty),
+s2 AS (SELECT doc_id, t, {tb} AS tb FROM s1),
+s3 AS (SELECT doc_id, t, {tc} AS tc FROM s2),
+s4 AS (SELECT doc_id, t, {td} AS td FROM s3),
+fin AS (SELECT doc_id, t, td, {clean} AS clean FROM s4)
+SELECT doc_id,
+  {fmt} AS n_fmt, {nbsp} AS n_nbsp, {quote} AS n_quotes,
+  {dash} AS n_dashes, {ctrl} AS n_ctrl, {n_ws} AS n_ws_runs,
+  CAST(length(t) AS BIGINT) AS chars_before,
+  CAST(length(clean) AS BIGINT) AS chars_after,
+  md5(clean) AS norm_digest,
+  substring(clean, greatest(length(clean) - 59, 1), 60) AS clean_tail
+FROM fin
+""".format(dirty=dirty.strip(), ta=ta, tb=tb, tc=tc, td=td,
+           clean=clean, n_ws=n_ws, **cnt)
+
+
 # --------------------------------- DSIR importance-resampling scores
 
 _DSIR_B = 256      # hashed feature buckets

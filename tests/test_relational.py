@@ -33,7 +33,7 @@ _SUBSET = [
     "warc_ingest", "c4_clean", "url_host_filter", "bpe_train_merges",
     "kmv_distinct", "bloom_url_seen", "domain_mix_weights",
     "split_leakage_safe", "semdedup_prune", "dsir_select",
-    "hll_distinct",
+    "hll_distinct", "text_normalize",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1219,6 +1219,65 @@ def test_bloom_url_seen_semantics(duck, entry_mod):
             assert t == 0  # no false negatives, ever
     cls = {v for _, _, v in got.values()}
     assert cls == {"hit", "novel", "false_positive"}
+
+
+def test_text_normalize_semantics(duck, entry_mod):
+    """Independent Python re-implementation of the normalization
+    battery (dirty-corpus injections included): every count, the
+    digest of the cleaned text, and the tail must match row-for-row;
+    plus the contract that no format/control/curly/nbsp characters
+    survive in any cleaned tail."""
+    import hashlib
+    import re
+    rows = duck.sql(
+        entry_mod.all_oracles()["text_normalize"]).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    FMT = "[​‌‍﻿­]"
+    NBSP = "[  ]"
+    QUOTE = "[‘’“”]"
+    DASH = "[–—…]"
+    CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    exp = {}
+    for doc_id, text in docs:
+        t = text
+        if doc_id % 3 == 0:
+            t += " “smart” ‘quotes’"
+        if doc_id % 4 == 0:
+            t += " em—dash – range… end"
+        if doc_id % 5 == 0:
+            t += " zero​width﻿ soft­hyphen"
+        elif doc_id % 5 == 1:
+            t += "  double  spaced   run "
+        if doc_id % 7 == 0:
+            t += " nb space " + chr(7) + "bell\ttabbed"
+        cnts = tuple(len(re.findall(p, t))
+                     for p in (FMT, NBSP, QUOTE, DASH, CTRL))
+        ta = re.sub(FMT, "", t)
+        tb = re.sub(NBSP, " ", ta)
+        tc = (tb.replace("‘", "'").replace("’", "'")
+                .replace("“", '"').replace("”", '"')
+                .replace("–", "-").replace("—", "-")
+                .replace("…", "..."))
+        td = re.sub(CTRL, " ", tc)
+        n_ws = len(re.findall(r"[ \t]{2,}", td))
+        clean = re.sub(r"[ \t]+", " ", td).strip(" ")
+        start = max(len(clean) - 59, 1)
+        exp[doc_id] = (cnts, n_ws, len(t), len(clean),
+                       hashlib.md5(clean.encode()).hexdigest(),
+                       clean[start - 1:start + 59], clean)
+    assert len(rows) == len(docs)
+    junk = re.compile("|".join((FMT, NBSP, QUOTE, DASH, CTRL)))
+    for (doc_id, fmt, nbsp, quo, dash, ctrl, n_ws, before, after,
+         digest, tail) in rows:
+        ec, en, eb, ea, ed, et, clean = exp[doc_id]
+        assert (fmt, nbsp, quo, dash, ctrl) == ec, doc_id
+        assert (n_ws, before, after) == (en, eb, ea), doc_id
+        assert digest == ed and tail == et, doc_id
+        assert not junk.search(clean)
+        assert "  " not in clean and not clean.startswith(" ") \
+            and not clean.endswith(" ")
+    # every rule class fires somewhere on the dirty corpus
+    assert all(sum(r[i] for r in rows) > 0 for i in range(1, 7))
 
 
 def test_hll_distinct_semantics(duck, entry_mod):

@@ -41,7 +41,11 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # DSIR selection: all-'en' fuzz docs make target==raw
            # (every bucket weight exactly 1000) — degenerate scores,
            # but the md5 bucketing + tokenization seam is exercised
-           "dsir_select"]
+           "dsir_select",
+           # unicode normalization: the curly/nbsp/control classes vs
+           # the fuzz noise pool (naïve, ①②③, tab-sep) on both regex
+           # engines
+           "text_normalize"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "
@@ -59,7 +63,11 @@ PII_NEARMISS = [
     "(212) 555-01234",  # trailing extra digit
 ]
 NOISE = ["$1,234.56", "...", "—", "naïve", "<tag>", "a&b", "50%",
-         "e.g.", "x=y+1", "①②③", " spaced", "tab\tsep"]
+         "e.g.", "x=y+1", "①②③", " spaced", "tab\tsep",
+         # normalize-class stressors: curly quotes, nbsp, zero-width,
+         # soft hyphen, en-dash range, ellipsis, control byte
+         "\u201cquoted\u201d", "it\u2019s", "a\u00a0b", "z\u200bw",
+         "so\u00adft", "1\u20132", "wait\u2026", "bel" + chr(7) + "l"]
 
 
 def make_docs(n: int, rng: random.Random):

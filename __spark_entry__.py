@@ -238,7 +238,7 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # SemDeDup within-cell prune + DSIR importance
                    # selection (same post-cap path)
                    "semdedup_prune", "dsir_select", "hll_distinct",
-                   "text_normalize"}
+                   "text_normalize", "dedup_incremental"}
 
 
 def _specials() -> dict:

@@ -532,6 +532,101 @@ JOIN sizes sb ON sb.doc_id = p.right_id
 """.format(lsh=_lsh_ctes(d))
 
 
+@query("dedup_incremental")
+def q_incremental(d: str) -> str:
+    """Incremental crawl dedup — the daily-snapshot contract: a NEW
+    batch of arrivals is screened against the ALREADY-DEDUPED corpus
+    (and against earlier arrivals in the same batch) without ever
+    re-comparing old×old.  Verdict ladder per new doc:
+    ``exact_dup`` (content hash hits an older doc) → ``near_dup``
+    (LSH candidate verified at 4-gram Jaccard ≥ 0.5) → ``kept``;
+    the best near match is (jaccard DESC, match_id ASC).
+
+    Batch synthesis in-plan (ids encode arrival order, old < new):
+    old = documents; new = every 4th doc re-crawled with its first
+    word dropped (+1000000, the near tier), every 7th verbatim
+    (+2000000, the exact tier), every 9th with word order reversed
+    (+3000000 — all 4-gram shingles change, a genuinely new page).
+
+    Shape at 10^12 docs: the candidate set is ``cand`` filtered to
+    pairs whose RIGHT side is new before the expensive Jaccard
+    verify, so the pairwise work is new-sized, not corpus-sized.  In
+    production the old side is a PERSISTED band-bucket table (the
+    bm25_serve_persisted append pattern: new signatures append as
+    fragments, band-key-partitioned): the screen is then |new_bands|
+    joined against bucket partitions — old×old pairs never form at
+    all rather than being filtered, and the verify join reads only
+    bucket-matched old shingle sets."""
+    if d == SPARK:
+        rev = "array_join(reverse(split(text, ' ')), ' ')"
+    else:
+        rev = "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
+    drop1 = "substring(text, instr(text, ' ') + 1)"
+    corpus0 = """
+corpus0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {drop1} AS text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, {rev} AS text
+  FROM documents WHERE doc_id % 9 = 0
+)""".format(drop1=drop1, rev=rev).strip()
+    return """
+WITH {lsh},
+hashes AS (SELECT doc_id, md5(text) AS h FROM corpus),
+exact_hit AS (
+  SELECT n.doc_id, MIN(o.doc_id) AS match_id
+  FROM hashes n JOIN hashes o ON o.h = n.h AND o.doc_id < n.doc_id
+  WHERE n.doc_id >= 1000000 GROUP BY n.doc_id
+),
+inc_cand AS (
+  SELECT left_id, right_id FROM cand WHERE right_id >= 1000000
+),
+shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM inc_cand c
+  JOIN shingled a ON a.doc_id = c.left_id
+  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
+),
+near AS (
+  SELECT i.right_id AS doc_id, i.left_id AS match_id,
+    CAST(i.inter AS DOUBLE)
+      / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.left_id
+  JOIN sizes sb ON sb.doc_id = i.right_id
+  WHERE CAST(i.inter AS DOUBLE)
+      / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+),
+near_best AS (
+  SELECT doc_id, match_id, jaccard FROM (
+    SELECT doc_id, match_id, jaccard,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY jaccard DESC, match_id) AS rn
+    FROM near
+  ) t WHERE rn = 1
+)
+SELECT c.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nb.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS verdict,
+  COALESCE(e.match_id, nb.match_id) AS match_id,
+  CASE WHEN e.doc_id IS NULL THEN nb.jaccard END AS jaccard
+FROM corpus c
+LEFT JOIN exact_hit e ON e.doc_id = c.doc_id
+LEFT JOIN near_best nb ON nb.doc_id = c.doc_id
+WHERE c.doc_id >= 1000000
+""".format(lsh=_lsh_ctes(d, corpus0_sql=corpus0))
+
+
 # ------------------------------------------------ production CC form
 def neardup_components_df(pairs, iters: int = _CC_ROUNDS):
     """Connected components over near-dup ``pairs(left_id, right_id)``

@@ -33,7 +33,7 @@ _SUBSET = [
     "warc_ingest", "c4_clean", "url_host_filter", "bpe_train_merges",
     "kmv_distinct", "bloom_url_seen", "domain_mix_weights",
     "split_leakage_safe", "semdedup_prune", "dsir_select",
-    "hll_distinct", "text_normalize",
+    "hll_distinct", "text_normalize", "dedup_incremental",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1219,6 +1219,85 @@ def test_bloom_url_seen_semantics(duck, entry_mod):
             assert t == 0  # no false negatives, ever
     cls = {v for _, _, v in got.values()}
     assert cls == {"hit", "novel", "false_positive"}
+
+
+def test_dedup_incremental_semantics(duck, entry_mod):
+    """Independent Python mirror of the whole incremental-dedup hash
+    chain (shingles → minhash → bands → bucket join → new-side filter
+    → Jaccard → verdict ladder) — every verdict, match and jaccard
+    must agree; plus the tier contract on this corpus: all verbatim
+    re-crawls exact_dup, all jittered re-crawls near_dup, all
+    word-reversed pages kept."""
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    rows = duck.sql(
+        entry_mod.all_oracles()["dedup_incremental"]).fetchall()
+    docs = dict(duck.sql(
+        "SELECT doc_id, text FROM documents").fetchall())
+    corpus = dict(docs)
+    for i, t in docs.items():
+        if i % 4 == 0:
+            sp = t.find(" ")
+            corpus[i + 1000000] = t[sp + 1:] if sp >= 0 else t
+        if i % 7 == 0:
+            corpus[i + 2000000] = t
+        if i % 9 == 0:
+            corpus[i + 3000000] = " ".join(reversed(t.split(" ")))
+
+    sh = {i: {" ".join(t.split(" ")[p:p + 4])
+              for p in range(max(len(t.split(" ")) - 3, 1))}
+          for i, t in corpus.items()}
+    sigs = {i: [min(md5("%d:" % k + s) for s in ss)
+                for k in range(8)] for i, ss in sh.items()}
+    buckets = {}
+    for i, m in sigs.items():
+        for b in range(4):
+            buckets.setdefault(
+                (b, md5(m[2 * b] + m[2 * b + 1])), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b and b >= 1000000:
+                    cand.add((a, b))
+    exact = {}
+    by_hash = {}
+    for i in sorted(corpus):
+        by_hash.setdefault(md5(corpus[i]), []).append(i)
+    for ids in by_hash.values():
+        for i in ids:
+            if i >= 1000000 and ids[0] < i:
+                exact[i] = ids[0]
+    near = {}
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        j = inter / float(len(sh[a]) + len(sh[b]) - inter)
+        if j >= 0.5:
+            cur = near.get(b)
+            if cur is None or (-j, a) < (-cur[1], cur[0]):
+                near[b] = (a, j)
+    assert len(rows) == sum(1 for i in corpus if i >= 1000000)
+    for doc_id, verdict, match_id, jac in rows:
+        if doc_id in exact:
+            assert (verdict, match_id, jac) == \
+                ("exact_dup", exact[doc_id], None), doc_id
+        elif doc_id in near:
+            assert verdict == "near_dup" and \
+                match_id == near[doc_id][0], doc_id
+            assert abs(jac - near[doc_id][1]) < 1e-12, doc_id
+        else:
+            assert (verdict, match_id, jac) == ("kept", None, None)
+    tier = {r[0] // 1000000: set() for r in rows}
+    for r in rows:
+        tier[r[0] // 1000000].add(r[1])
+    assert tier[1] == {"near_dup"}
+    assert tier[2] == {"exact_dup"}
+    assert tier[3] == {"kept"}
+    # incremental contract: no old doc appears as a screened row
+    assert all(r[0] >= 1000000 for r in rows)
 
 
 def test_text_normalize_semantics(duck, entry_mod):

@@ -132,7 +132,11 @@ def main() -> None:
                  "doc_chunking", "sequence_packing",
                  "link_graph", "host_pagerank", "boilerplate_lines",
                  "bm25_topk", "dedup_substring", "ccnet_ppl_buckets",
-                 "c4_clean", "url_host_filter", "bpe_train_merges"):
+                 "c4_clean", "url_host_filter", "bpe_train_merges",
+                 "kmv_distinct", "hll_distinct", "bloom_url_seen",
+                 "domain_mix_weights", "split_leakage_safe",
+                 "semdedup_prune", "dsir_select", "text_normalize",
+                 "dedup_incremental"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -232,6 +232,34 @@ banded_long AS ({long_form}),{guard}""".format(
         guard=guard)
 
 
+# the exact-Jaccard expression every verify tier applies to a row of
+# ``inter i`` joined to ``sizes sa`` (left) and ``sizes sb`` (right)
+_JACCARD = ("CAST(i.inter AS DOUBLE) / "
+            "CAST(sa.n + sb.n - i.inter AS DOUBLE)")
+
+
+def _jaccard_ctes(cand: str = "cand") -> str:
+    """The shared verify core over ``exploded``: distinct shingle
+    sets, per-key sizes, and the pairwise intersection counts for the
+    pairs in ``{cand}(left_id, right_id)``.  Consumers join ``inter
+    i`` back to ``sizes sa/sb`` and apply ``_JACCARD`` (with or
+    without a τ cut).  One definition for all five verify tiers
+    (lsh_verified, ngram_jaccard, verified-pairs, span_neardup,
+    incremental) so shingle/Jaccard semantics can only change in one
+    place."""
+    return """
+shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM {cand} c
+  JOIN shingled a ON a.doc_id = c.left_id
+  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
+)""".format(cand=cand).strip()
+
+
 @query("dedup_lsh_pairs")
 def q_lsh(d: str) -> str:
     """LSH banding: 4 bands of 2 signature slots → band-key equi-join →
@@ -248,50 +276,29 @@ def q_lsh_verified(d: str) -> str:
     10^12 documents."""
     return """
 WITH {lsh},
-shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM cand c
-  JOIN shingled a ON a.doc_id = c.left_id
-  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
-  GROUP BY c.left_id, c.right_id
-)
+{jac}
 SELECT i.left_id, i.right_id, i.inter,
   sa.n AS left_n, sb.n AS right_n,
-  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
-    AS jaccard
+  {jexpr} AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.left_id
 JOIN sizes sb ON sb.doc_id = i.right_id
-WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
-      >= 0.5
-""".format(lsh=_lsh_ctes(d))
+WHERE {jexpr} >= 0.5
+""".format(lsh=_lsh_ctes(d), jac=_jaccard_ctes(), jexpr=_JACCARD)
 
 
 def _verified_pairs_ctes(d: str) -> str:
     """CTE chain ending in ``verified(left_id, right_id)`` — the
     τ ≥ 0.5 near-duplicate pairs (dedup_lsh_verified's output set)."""
     return """{lsh},
-shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM cand c
-  JOIN shingled a ON a.doc_id = c.left_id
-  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
-  GROUP BY c.left_id, c.right_id
-),
+{jac},
 verified AS (
   SELECT i.left_id, i.right_id
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.left_id
   JOIN sizes sb ON sb.doc_id = i.right_id
-  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
-        >= 0.5
-)""".format(lsh=_lsh_ctes(d))
+  WHERE {jexpr} >= 0.5
+)""".format(lsh=_lsh_ctes(d), jac=_jaccard_ctes(), jexpr=_JACCARD)
 
 
 # propagation rounds for the unrolled connected-components SQL: the
@@ -365,11 +372,14 @@ def q_split_leakage_safe(d: str) -> str:
     Docs are assigned their component label (singletons label
     themselves via the LEFT JOIN coalesce), then a deterministic
     md5-die on the CLUSTER id picks the side (~10% eval).  The naive
-    per-doc die is emitted alongside with ``would_leak = 1`` where it
-    disagrees inside a multi-doc cluster — the rows the naive split
-    would have strewn across the boundary (a test pins that the
-    cluster split has zero straddling clusters while the naive one
-    demonstrably leaks on the fixture corpus).
+    per-doc die is emitted alongside with ``would_leak = 1`` on every
+    member of a multi-doc cluster whose members the naive dies send
+    to DIFFERENT sides — the clusters the naive split actually shears
+    (disagreement with the cluster die alone is not leakage: a
+    cluster the naive dies keep together is safe whichever side it
+    landed on).  A test pins that the cluster split has zero
+    straddling clusters while the naive one demonstrably leaks on
+    the fixture corpus.
 
     Shape at 10^12 docs: the label table is the CC output (already
     computed for dedup); the split adds one broadcast-joinable
@@ -395,7 +405,9 @@ diced AS (
     return """
 WITH {ctes}
 SELECT doc_id, cluster_id, split, naive_split,
-  CASE WHEN cluster_size > 1 AND split <> naive_split
+  CASE WHEN cluster_size > 1
+        AND MIN(naive_split) OVER (PARTITION BY cluster_id)
+            <> MAX(naive_split) OVER (PARTITION BY cluster_id)
        THEN 1 ELSE 0 END AS would_leak
 FROM diced
 """.format(ctes=",\n".join(parts))
@@ -448,29 +460,19 @@ def q_span_neardup(d: str) -> str:
     weighted by how often each span text occurs in the corpus."""
     return """
 WITH {lsh},
-shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM cand c
-  JOIN shingled a ON a.doc_id = c.left_id
-  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
-  GROUP BY c.left_id, c.right_id
-)
+{jac}
 SELECT i.left_id AS left_key, i.right_id AS right_key,
-  CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
-    AS jaccard,
+  {jexpr} AS jaccard,
   oa.n_occurrences AS left_occ, ob.n_occurrences AS right_occ
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.left_id
 JOIN sizes sb ON sb.doc_id = i.right_id
 JOIN dspan oa ON oa.span_key = i.left_id
 JOIN dspan ob ON ob.span_key = i.right_id
-WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)
-      >= 0.5
+WHERE {jexpr} >= 0.5
 """.format(lsh=_lsh_ctes(d, corpus0_sql=_span_corpus0(d),
-                         bucket_cap=64))
+                         bucket_cap=64),
+           jac=_jaccard_ctes(), jexpr=_JACCARD)
 
 
 @query("dedup_simhash")
@@ -512,24 +514,14 @@ def q_jaccard(d: str) -> str:
     intersection stays bounded by band-bucket fan-in at any scale."""
     return """
 WITH {lsh},
-shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM shingled GROUP BY doc_id),
-pairs AS (
-  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM cand c
-  JOIN shingled a ON a.doc_id = c.left_id
-  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
-  GROUP BY c.left_id, c.right_id
-)
-SELECT p.left_id, p.right_id, p.inter,
+{jac}
+SELECT i.left_id, i.right_id, i.inter,
   sa.n AS left_n, sb.n AS right_n,
-  CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE)
-    AS jaccard
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.left_id
-JOIN sizes sb ON sb.doc_id = p.right_id
-""".format(lsh=_lsh_ctes(d))
+  {jexpr} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.left_id
+JOIN sizes sb ON sb.doc_id = i.right_id
+""".format(lsh=_lsh_ctes(d), jac=_jaccard_ctes(), jexpr=_JACCARD)
 
 
 @query("dedup_incremental")
@@ -586,25 +578,14 @@ exact_hit AS (
 inc_cand AS (
   SELECT left_id, right_id FROM cand WHERE right_id >= 1000000
 ),
-shingled AS (SELECT DISTINCT doc_id, s FROM exploded),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM inc_cand c
-  JOIN shingled a ON a.doc_id = c.left_id
-  JOIN shingled b ON b.doc_id = c.right_id AND b.s = a.s
-  GROUP BY c.left_id, c.right_id
-),
+{jac},
 near AS (
   SELECT i.right_id AS doc_id, i.left_id AS match_id,
-    CAST(i.inter AS DOUBLE)
-      / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+    {jexpr} AS jaccard
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.left_id
   JOIN sizes sb ON sb.doc_id = i.right_id
-  WHERE CAST(i.inter AS DOUBLE)
-      / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+  WHERE {jexpr} >= 0.5
 ),
 near_best AS (
   SELECT doc_id, match_id, jaccard FROM (
@@ -624,7 +605,8 @@ FROM corpus c
 LEFT JOIN exact_hit e ON e.doc_id = c.doc_id
 LEFT JOIN near_best nb ON nb.doc_id = c.doc_id
 WHERE c.doc_id >= 1000000
-""".format(lsh=_lsh_ctes(d, corpus0_sql=corpus0))
+""".format(lsh=_lsh_ctes(d, corpus0_sql=corpus0),
+           jac=_jaccard_ctes("inc_cand"), jexpr=_JACCARD)
 
 
 # ------------------------------------------------ production CC form

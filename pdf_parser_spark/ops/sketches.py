@@ -24,7 +24,7 @@ Shape at 10^12 rows:
   sketch — at scale the per-partition top-k min-merge replaces the
   full ``COUNT(DISTINCT)`` shuffle of the raw url set; the SQL twin
   (window rank over distinct hashes) is the verification form.
-- Bloom: the seen-set compresses to m/8 bytes (here 8 KiB) that
+- Bloom: the seen-set compresses to m/8 bytes (here 128 B) that
   BROADCASTS to every probe task — frontier dedup without joining a
   trillion-row seen-set; the probe is a map-side word-index lookup.
 - Mixing: one bigint agg per domain + an 8-row driver-side-free
@@ -33,7 +33,14 @@ Shape at 10^12 rows:
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK, HEX2INT, LEN
+from ..relational import DECSUM, DUCK, HEX2INT, LEN, SPARK
+from .webgraph import CSTR, IDIV
+# IDIV is webgraph's exact floor division ((a - a%b)/b): for every
+# divisor here (powers of two: 2^54 bucket shift, 32-bit word index)
+# the exact multiple has few significant bits, so the double division
+# is bit-exact even for 60-bit numerators — a plain CAST(a/b AS
+# BIGINT) double division would NOT be (rounds h near multiples of
+# 2^54 into the wrong HLL bucket with ~2^-47 probability per key).
 
 QUERIES = {}
 
@@ -43,18 +50,6 @@ def query(name):
         QUERIES[name] = fn
         return fn
     return deco
-
-
-def CSTR(x: str, d: str) -> str:
-    t = "STRING" if d == SPARK else "VARCHAR"
-    return "CAST(%s AS %s)" % (x, t)
-
-
-def IDIV(a: str, b: str, d: str) -> str:
-    """Integer division (DuckDB's ``/`` on integers yields DOUBLE)."""
-    if d == SPARK:
-        return "CAST((%s) / (%s) AS BIGINT)" % (a, b)
-    return "((%s) // (%s))" % (a, b)
 
 
 def SHL1(n: str, d: str) -> str:
@@ -151,21 +146,22 @@ def _bit_positions(src: str, d: str) -> str:
   SELECT url, {wi} AS word_idx, {mask} AS mask
   FROM (SELECT url, {h} AS hbit FROM {src}_j) t
 )""".format(src=src, expl=expl, h=h,
-            wi=IDIV("hbit", str(_BLOOM_WORD), d),
+            wi=IDIV("hbit", str(_BLOOM_WORD)),
             mask=SHL1("hbit %% %d" % _BLOOM_WORD, d))
 
 
 @query("bloom_url_seen")
 def q_bloom_url_seen(d: str) -> str:
-    """Bloom-filter crawl-frontier dedup: build an m=65536-bit filter
-    over the SEEN url set (even doc_ids), probe a frontier of every
-    visited url plus a synthetic never-seen tier (every 3rd doc mints
-    a /p1000+ url), classify each probe hit/novel/false_positive
-    against the exact ground truth.
+    """Bloom-filter crawl-frontier dedup: build an m=1024-bit filter
+    (deliberately fixture-small, see _BLOOM_BITS) over the SEEN url
+    set (even doc_ids), probe a frontier of every visited url plus a
+    synthetic never-seen tier (every 3rd doc mints a /p1000+ url),
+    classify each probe hit/novel/false_positive against the exact
+    ground truth.
 
     One-sided-error contract: ``bloom_maybe = 0 ⇒ truly unseen``
     (asserted by a test); false positives are expected and labeled.
-    Filter build = bit_or per word (2048 rows); probe = word-index
+    Filter build = bit_or per word (32 rows); probe = word-index
     equi-join where the filter side is broadcast-small by
     construction."""
     novel_slug = CSTR("1000 + (doc_id % 50)", d)
@@ -280,8 +276,8 @@ sums AS (
   FROM regs GROUP BY host
 ),
 exact AS (
-  SELECT host, CAST(COUNT(DISTINCT key) AS BIGINT) AS exact_distinct
-  FROM bigkeys GROUP BY host
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM uniq GROUP BY host
 )
 SELECT e.host, e.exact_distinct,
   CAST(FLOOR({est}) AS BIGINT) AS hll_estimate,
@@ -291,7 +287,7 @@ SELECT e.host, e.exact_distinct,
 FROM exact e JOIN sums s ON s.host = e.host
 """.format(visits=_visits_cte(d).strip(), reps=reps,
            rep=CSTR("rep", d), h=h,
-           bucket=IDIV("h", str(1 << _HLL_WBITS), d),
+           bucket=IDIV("h", str(1 << _HLL_WBITS)),
            w="h %% %d" % (1 << _HLL_WBITS),
            bitlen=BITLEN("w", d),
            pow2=SHL1("56 - m_reg", d), m=_HLL_M, est=est)
@@ -333,7 +329,7 @@ w0 AS (
   FROM agg, tot
 ),
 wsum AS (
-  SELECT cast(sum(cast(wt as decimal(38,6))) as double) AS s FROM w0
+  SELECT {decsum} AS s FROM w0
 )
 SELECT host, domain_tokens,
   wt / s AS mix_weight,
@@ -342,4 +338,5 @@ SELECT host, domain_tokens,
     / CAST(domain_tokens AS DOUBLE) AS epochs
 FROM w0, wsum
 """.format(hid=CSTR("doc_id %% %d" % _N_HOSTS, d),
+           decsum=DECSUM("wt", d),
            n=LEN(ws, d), budget=_MIX_BUDGET)

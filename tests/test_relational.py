@@ -1445,15 +1445,15 @@ def test_split_leakage_safe_semantics(duck, entry_mod):
     leaks = 0
     for cid, members in by_cluster.items():
         assert len({s for _, s, _, _ in members}) == 1, cid
-        if len(members) > 1 and len({n for _, _, n, _ in members}) > 1:
-            leaks += 1
-            # at least one member flags the straddle
-            assert any(lk for _, _, _, lk in members)
+        straddled = (len(members) > 1
+                     and len({n for _, _, n, _ in members}) > 1)
+        leaks += straddled
+        # flag ⇔ the naive dies actually shear this cluster: every
+        # member of a straddled cluster is flagged, nobody else is
+        # (disagreement with the CLUSTER die alone is not leakage)
+        assert all(lk == (1 if straddled else 0)
+                   for _, _, _, lk in members), cid
     assert leaks > 0  # the naive split really does shear clusters
-    # would_leak=1 only on multi-member clusters with disagreement
-    for cid, members in by_cluster.items():
-        if any(lk for _, _, _, lk in members):
-            assert len(members) > 1
     n_eval = sum(1 for _, _, s, _, _ in rows if s == "eval")
     assert 0.03 < n_eval / len(rows) < 0.30
 

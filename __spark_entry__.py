@@ -238,7 +238,8 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # SemDeDup within-cell prune + DSIR importance
                    # selection (same post-cap path)
                    "semdedup_prune", "dsir_select", "hll_distinct",
-                   "text_normalize", "dedup_incremental"}
+                   "text_normalize", "dedup_incremental",
+                   "cms_heavy_hitters"}
 
 
 def _specials() -> dict:

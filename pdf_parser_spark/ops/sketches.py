@@ -293,6 +293,80 @@ FROM exact e JOIN sums s ON s.host = e.host
            pow2=SHL1("56 - m_reg", d), m=_HLL_M, est=est)
 
 
+_CMS_D = 3   # depth: independent hash rows
+# width: FIXTURE-SMALL on purpose (16 columns vs a 31-word vocab, the
+# Bloom-filter rationale) so hash collisions actually occur and the
+# one-sided overcount contract is exercised by the oracle; production
+# sizes W = ceil(e/eps) for the tolerated overcount eps*N
+_CMS_W = 16
+_CMS_TOPK = 20
+
+
+@query("cms_heavy_hitters")
+def q_cms_heavy_hitters(d: str) -> str:
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    estimate the corpus-wide top-20 word frequencies from a fixed
+    3×16 counter table (fixture-small, see _CMS_W) instead of a full per-word groupBy — the
+    shape that finds hot URLs / hot n-grams at 10^12 rows, where the
+    exact word table is corpus-sized but the sketch is {dd}·{w}
+    BIGINTs, mergeable by element-wise + across partitions and
+    broadcastable to probes.
+
+    Per word w, hash row j gives column md5(j||'|'+w) % 16; every
+    counter adds the word's full count (map-side partial sums — the
+    token stream is touched once).  The point estimate is the MIN
+    over the 3 row counters: it can only OVERcount (collisions add,
+    never subtract) — ``cms_estimate ≥ exact`` for every word, the
+    CMS one-sided-error contract (asserted by the test, with the
+    classic ε = e/W expected-overcount regime exercised because
+    W = 16 ≪ vocab = 31).  All arithmetic is exact BIGINT.
+
+    The top-20 candidate set here comes from the exact counts (the
+    verification baseline the oracle needs); production keeps a
+    per-partition local top-k heap merged at the driver, probing the
+    sketch only for merge survivors."""
+    ws = "split(text, ' ')" if d == SPARK else "string_split(text, ' ')"
+    if d == SPARK:
+        toks = ("SELECT w FROM documents "
+                "LATERAL VIEW explode(%s) t AS w" % ws)
+        hashes = "reps AS (SELECT explode(sequence(0, %d)) AS j)" \
+            % (_CMS_D - 1)
+    else:
+        toks = "SELECT unnest(%s) AS w FROM documents" % ws
+        hashes = "reps AS (SELECT unnest(range(0, %d)) AS j)" % _CMS_D
+    col = "%s %% %d" % (
+        HEX2INT("md5(%s || '|' || w)" % CSTR("j", d), d), _CMS_W)
+    return """
+WITH toks AS ({toks}),
+wcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+{hashes},
+counters AS (
+  SELECT j, {col} AS col, CAST(SUM(c) AS BIGINT) AS total
+  FROM wcnt CROSS JOIN reps
+  GROUP BY j, {col}
+),
+topk AS (
+  SELECT w, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT)
+    AS rank
+  FROM wcnt
+),
+probes AS (
+  SELECT t.rank, t.w, t.c, MIN(ct.total) AS est
+  FROM topk t
+  CROSS JOIN reps r
+  JOIN counters ct ON ct.j = r.j AND ct.col = {pcol}
+  WHERE t.rank <= {k}
+  GROUP BY t.rank, t.w, t.c
+)
+SELECT rank, w AS word, c AS exact_count, est AS cms_estimate,
+  est - c AS overcount
+FROM probes
+""".format(toks=toks, hashes=hashes, col=col, k=_CMS_TOPK,
+           pcol="%s %% %d" % (
+               HEX2INT("md5(%s || '|' || t.w)" % CSTR("r.j", d), d),
+               _CMS_W))
+
+
 _MIX_TAU_NOTE = 0.5  # temperature — τ=0.5 ⇒ p^τ = sqrt(p), the one
 # power both engines compute bit-identically (pow(x, 0.7) diverges
 # in the last ulp: JVM StrictMath vs libm)

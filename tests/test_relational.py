@@ -34,6 +34,7 @@ _SUBSET = [
     "kmv_distinct", "bloom_url_seen", "domain_mix_weights",
     "split_leakage_safe", "semdedup_prune", "dsir_select",
     "hll_distinct", "text_normalize", "dedup_incremental",
+    "cms_heavy_hitters",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1219,6 +1220,42 @@ def test_bloom_url_seen_semantics(duck, entry_mod):
             assert t == 0  # no false negatives, ever
     cls = {v for _, _, v in got.values()}
     assert cls == {"hit", "novel", "false_positive"}
+
+
+def test_cms_heavy_hitters_semantics(duck, entry_mod):
+    """Independent Python Count-Min sketch (same 3×16 geometry):
+    every estimate must match to the integer, the one-sided contract
+    must hold (estimate ≥ exact for EVERY probe, never under), and
+    the fixture must exercise both the exact and the collision
+    class."""
+    rows = duck.sql(
+        entry_mod.all_oracles()["cms_heavy_hitters"]).fetchall()
+    docs = duck.sql("SELECT text FROM documents").fetchall()
+    cnt = {}
+    for (text,) in docs:
+        if text is None:
+            continue
+        for w in text.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+    counters = {}
+    for w, c in cnt.items():
+        for j in range(3):
+            col = _h60("%d|%s" % (j, w)) % 16
+            counters[(j, col)] = counters.get((j, col), 0) + c
+    top = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:20]
+    exp = {w: (i + 1, c,
+               min(counters[(j, _h60("%d|%s" % (j, w)) % 16)]
+                   for j in range(3)))
+           for i, (w, c) in enumerate(top)}
+    assert len(rows) == 20
+    for rank, word, exact, est, over in rows:
+        er, ec, ee = exp[word]
+        assert (rank, exact, est) == (er, ec, ee), word
+        assert over == est - exact
+        assert est >= exact          # one-sided error, always
+    overs = [r[4] for r in rows]
+    assert any(o > 0 for o in overs)   # collisions really happen
+    assert any(o == 0 for o in overs)  # and some probes stay exact
 
 
 def test_dedup_incremental_semantics(duck, entry_mod):

@@ -45,7 +45,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # unicode normalization: the curly/nbsp/control classes vs
            # the fuzz noise pool (naïve, ①②③, tab-sep) on both regex
            # engines
-           "text_normalize"]
+           "text_normalize",
+           # CMS heavy hitters: the ~30-word fuzz vocab sits in the
+           # same collision regime (W=16) as the fixture
+           "cms_heavy_hitters"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -239,7 +239,15 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # selection (same post-cap path)
                    "semdedup_prune", "dsir_select", "hll_distinct",
                    "text_normalize", "dedup_incremental",
-                   "cms_heavy_hitters"}
+                   "cms_heavy_hitters",
+                   # crawl-politeness / keyword / keeper tier (post-cap
+                   # session-6 additions, same all_queries path):
+                   # RFC 9309 robots longest-match filtering, per-host
+                   # anchor-text top-k, largest-remainder fetch-budget
+                   # apportionment, per-doc tf-idf keywords, and the
+                   # keep-longest cluster-canonical dedup decision
+                   "robots_filter", "anchor_text_topk", "crawl_budget",
+                   "tfidf_keywords", "dedup_keep_best"}
 
 
 def _specials() -> dict:

@@ -136,7 +136,9 @@ def main() -> None:
                  "kmv_distinct", "hll_distinct", "bloom_url_seen",
                  "domain_mix_weights", "split_leakage_safe",
                  "semdedup_prune", "dsir_select", "text_normalize",
-                 "dedup_incremental"):
+                 "dedup_incremental", "cms_heavy_hitters",
+                 "robots_filter", "anchor_text_topk", "crawl_budget",
+                 "tfidf_keywords", "dedup_keep_best"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

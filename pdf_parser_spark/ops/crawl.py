@@ -1,0 +1,266 @@
+"""Crawl-politeness / frontier operators over ``documents``: robots.txt
+longest-match filtering, anchor-text aggregation, and fetch-budget
+apportionment.
+
+The reference has no counterpart (training-data / web-curation tier,
+same family as ops/webgraph.py); these are the stages between the
+frontier and the fetcher in every Common-Crawl-style crawl:
+
+* ``robots_filter`` — RFC 9309 rule matching: per-host Allow/Disallow
+  prefix rules, the LONGEST matching rule wins, an Allow beats a
+  Disallow of equal length, and a URL with no matching rule is
+  fetchable.  (Scope: literal path prefixes — the original robots.txt
+  dialect; ``*``/``$`` wildcard expansion is a per-rule preprocessing
+  step, not a different join shape.)
+* ``anchor_text_topk`` — the classic link-context signal: anchor
+  strings aggregated per DESTINATION host, top-2 by count (this is
+  what gives a page text evidence it never wrote itself — used both
+  for ranking and for LLM-data quality priors).
+* ``crawl_budget`` — largest-remainder (Hamilton) apportionment of a
+  global fetch budget across hosts proportional to page counts:
+  exact-integer quotas, so allocations sum to the budget EXACTLY —
+  the politeness-quota math a frontier scheduler runs every cycle.
+
+The driver corpus has no URLs (same pattern as ops/webgraph.py): each
+doc derives a deterministic host + path / anchor snippet in-plan, so
+both engines construct the identical input and the real operator runs
+on top.
+
+Cross-engine determinism: everything is integer or string compares —
+no floats anywhere (the remainder sort is on exact ``%`` values).
+
+Shape at 10^12 pages: robots rules are tiny per-host (a real crawl
+holds ~10^7 hosts x ~10 rules) → the rules side is broadcast and the
+match is a host equi-join + prefix compare, no shuffle of the URL
+side beyond its existing partitioning; anchor aggregation partial-aggs
+map-side before the (dst_host, anchor) shuffle; the budget step is one
+hash agg to host granularity (~10^7 rows) + one global window over
+HOSTS, not pages — driver-safe.  Hub skew (every doc links h0) lands
+on grouped rows, not raw links, same as ops/webgraph.py.
+"""
+
+from __future__ import annotations
+
+from ..relational import DUCK, SPARK, REALL, lit
+
+QUERIES = {}
+
+
+def query(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+    return deco
+
+
+_N_HOSTS = 40      # h0..h39, the webgraph host universe
+_BUDGET = 97       # global fetch budget (prime → fractional quotas)
+
+
+def CSTR(x: str, d: str) -> str:
+    t = "STRING" if d == SPARK else "VARCHAR"
+    return "CAST(%s AS %s)" % (x, t)
+
+
+def _host(hid: str, d: str) -> str:
+    return "'h' || %s || '.example'" % CSTR(hid, d)
+
+
+# ------------------------------------------------------------- robots
+
+def _urls_cte(d: str) -> str:
+    """documents → ``urls(doc_id, host, path)``: five path families
+    chosen so every rule interaction below has true positives —
+    ``/p<k>`` (hits the broad ``/p`` disallow), ``/private/x<k>``
+    (the universal disallow), ``/public/a<k>`` (the Allow carve-out
+    under a blanket disallow), ``/p/ok/<k>`` (longest-match Allow
+    overriding the shorter ``/p`` Disallow), ``/dup/z<k>`` (the
+    equal-length Allow-vs-Disallow tie), and bare ``/`` roots."""
+    path = (
+        "CASE doc_id % 5"
+        " WHEN 0 THEN '/p' || {did}"
+        " WHEN 1 THEN '/private/x' || {did}"
+        " WHEN 2 THEN '/public/a' || {did}"
+        " WHEN 3 THEN '/p/ok/' || {did}"
+        " ELSE CASE WHEN doc_id % 10 = 4 THEN '/dup/z' || {did}"
+        " ELSE '/' END END"
+    ).format(did=CSTR("doc_id", d))
+    return """
+urls AS (
+  SELECT doc_id, {host} AS host, {path} AS path
+  FROM documents
+)""".format(host=_host("doc_id %% %d" % _N_HOSTS, d), path=path).strip()
+
+
+def _rules_cte(d: str) -> str:
+    """``rules(host, is_allow, prefix)`` — the parsed robots.txt corpus
+    (one group per host).  Every host disallows ``/private/``; hosts
+    ``hid%3=0`` disallow the broad ``/p`` but Allow ``/p/ok/``; hosts
+    ``hid%7=0`` blanket-disallow ``/`` with a ``/public/`` Allow
+    carve-out; hosts ``hid%5=4`` carry an equal-length ``/dup/``
+    Allow AND Disallow (RFC 9309 §2.2.2: the least restrictive —
+    Allow — wins a length tie)."""
+    h = _host("hid", d)
+    rows = [
+        ("0", "'/private/'", "1=1"),
+        ("0", "'/p'", "hid % 3 = 0"),
+        ("1", "'/p/ok/'", "hid % 3 = 0"),
+        ("0", "'/'", "hid % 7 = 0"),
+        ("1", "'/public/'", "hid % 7 = 0"),
+        # hid%5=4 is exactly the class the /dup/z paths land on
+        # (doc_id%10=4 → host doc_id%40 ∈ {4,14,24,34}, all ≡4 mod 5)
+        ("0", "'/dup/'", "hid % 5 = 4"),
+        ("1", "'/dup/'", "hid % 5 = 4"),
+    ]
+    selects = [
+        "SELECT %s AS host, %s AS is_allow, %s AS prefix FROM hosts"
+        " WHERE %s" % (h, a, p, w)
+        for a, p, w in rows
+    ]
+    return """
+hosts AS (SELECT DISTINCT doc_id % {n} AS hid FROM documents),
+rules AS (
+  {body}
+)""".format(n=_N_HOSTS, body="\n  UNION ALL ".join(selects)).strip()
+
+
+@query("robots_filter")
+def q_robots_filter(d: str) -> str:
+    """RFC 9309 robots filtering (module docstring): per URL, every
+    host rule whose prefix starts the path competes; the winner is the
+    longest prefix, Allow beating Disallow on equal length; no match
+    → fetchable.  The prefix compare is ``substring(path,1,len(pfx)) =
+    pfx`` — identical in both engines, sargable, no regex."""
+    return """
+WITH {urls},
+{rules},
+matched AS (
+  SELECT u.doc_id, r.is_allow, r.prefix,
+         CAST(length(r.prefix) AS BIGINT) AS plen
+  FROM urls u
+  JOIN rules r
+    ON r.host = u.host
+   AND substring(u.path, 1, length(r.prefix)) = r.prefix
+),
+winner AS (
+  SELECT doc_id, is_allow, prefix,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY plen DESC, is_allow DESC, prefix) AS BIGINT) AS rk
+  FROM matched
+)
+SELECT u.doc_id, u.host, u.path,
+  CASE WHEN w.doc_id IS NULL THEN 1 ELSE w.is_allow END AS is_fetchable,
+  CASE WHEN w.doc_id IS NULL THEN 'no_rule'
+       WHEN w.is_allow = 1 THEN 'allow:' || w.prefix
+       ELSE 'disallow:' || w.prefix END AS matched_rule
+FROM urls u
+LEFT JOIN winner w ON w.doc_id = u.doc_id AND w.rk = 1
+""".format(urls=_urls_cte(d), rules=_rules_cte(d))
+
+
+# -------------------------------------------------------- anchor text
+
+_ANCHOR_WORDS = ["home", "login", "read more", "download",
+                 "contact", "news", "about", "api"]
+
+
+def _aword(idx_expr: str) -> str:
+    branches = " ".join(
+        "WHEN %d THEN '%s'" % (i, w) for i, w in enumerate(_ANCHOR_WORDS))
+    return "CASE %s %s END" % (idx_expr, branches)
+
+
+@query("anchor_text_topk")
+def q_anchor_text_topk(d: str) -> str:
+    """Per-destination-host anchor-text aggregation, top-2 anchors by
+    count (ties: anchor string ASC).  Each doc emits two anchors in a
+    markup snippet — one to a modular peer host with a rotating word,
+    one to the hub h0 (so h0's histogram mixes all words) — parsed
+    back out with the same href/text extraction a real pipeline runs.
+
+    Shape: group to (dst_host, anchor) with map-side partial aggs,
+    then ONE window over hosts' short per-host lists — never a raw
+    per-link window."""
+    # one <a> pair per branch: dst host + anchor word both rotate
+    snippet = (
+        "'<a href=\"https://h' || {m1} || '.example/\">' || {w1}"
+        " || '</a> <a href=\"https://h0.example/\">' || {w2} || '</a>'"
+    ).format(
+        m1=CSTR("(doc_id * 7 + 1) %% %d" % _N_HOSTS, d),
+        # modulus 7 is coprime to the host period 40, so every peer
+        # host accumulates a genuine multi-word histogram (any word
+        # index with period dividing 40 is CONSTANT per host class)
+        w1=_aword("doc_id % 7"),
+        w2=_aword("(doc_id + 5) %% %d" % len(_ANCHOR_WORDS)),
+    )
+    pairs = REALL("snippet", r'<a href="[^"]+">[^<]*</a>', d)
+    if d == SPARK:
+        exploded = ("SELECT a FROM src "
+                    "LATERAL VIEW explode(%s) t AS a" % pairs)
+    else:
+        exploded = "SELECT unnest(%s) AS a FROM src" % pairs
+    dst = ("lower(regexp_extract(a, %s, 1))"
+           % lit(r'href="https://([^/"]+)', d))
+    txt = "regexp_extract(a, %s, 1)" % lit(r">([^<]*)</a>", d)
+    return """
+WITH src AS (SELECT doc_id, {snippet} AS snippet FROM documents),
+anchors AS ({exploded}),
+parsed AS (SELECT {dst} AS dst_host, {txt} AS anchor FROM anchors),
+counts AS (
+  SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n
+  FROM parsed GROUP BY dst_host, anchor
+),
+ranked AS (
+  SELECT dst_host, anchor, n,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY dst_host
+           ORDER BY n DESC, anchor) AS BIGINT) AS rk
+  FROM counts
+)
+SELECT dst_host, anchor, n, rk FROM ranked WHERE rk <= 2
+""".format(snippet=snippet, exploded=exploded, dst=dst, txt=txt)
+
+
+# ------------------------------------------------------- fetch budget
+
+@query("crawl_budget")
+def q_crawl_budget(d: str) -> str:
+    """Largest-remainder apportionment of a {B}-fetch budget across
+    hosts proportional to page counts: ``base = floor(B*n_h/N)`` per
+    host, then the ``B - sum(base)`` leftover units go to the hosts
+    with the largest remainders ``(B*n_h) % N`` (ties: hid ASC).
+    All-integer → allocations sum to EXACTLY {B} (test-pinned), the
+    property float proration cannot give."""
+    # exact floor division: B*n_h is a multiple-adjusted BIGINT; both
+    # engines' / is DOUBLE, so divide the exact multiple (< 2^53)
+    base = ("CAST(((b * n_h) - ((b * n_h) % n)) / n AS BIGINT)")
+    return """
+WITH per_host AS (
+  SELECT doc_id % {nh} AS hid, CAST(COUNT(*) AS BIGINT) AS n_h
+  FROM documents GROUP BY doc_id % {nh}
+),
+tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n FROM per_host),
+quota AS (
+  SELECT hid, n_h,
+         {base} AS base,
+         CAST((b * n_h) % n AS BIGINT) AS rem
+  FROM per_host, tot, (SELECT CAST({b} AS BIGINT) AS b) bb
+),
+leftover AS (
+  SELECT CAST({b} - SUM(base) AS BIGINT) AS k FROM quota
+),
+ranked AS (
+  SELECT hid, n_h, base, rem,
+         CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, hid) AS BIGINT) AS rk
+  FROM quota
+)
+SELECT {hostx} AS host, n_h AS n_pages,
+       base + CASE WHEN rk <= (SELECT k FROM leftover)
+                   THEN 1 ELSE 0 END AS alloc,
+       rem AS remainder
+FROM ranked
+""".format(nh=_N_HOSTS, b=_BUDGET, base=base, hostx=_host("hid", d))
+
+
+q_crawl_budget.__doc__ = (q_crawl_budget.__doc__ or "").format(B=_BUDGET)

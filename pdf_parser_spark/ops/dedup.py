@@ -413,6 +413,47 @@ FROM diced
 """.format(ctes=",\n".join(parts))
 
 
+@query("dedup_keep_best")
+def q_keep_best(d: str) -> str:
+    """Cluster-canonical selection — the APPLY step after near-dup
+    clustering: every corpus member gets its cluster id (singletons
+    cluster alone), and ONE representative per cluster is kept — the
+    longest text, ties to the smallest doc_id (the keep-longest rule
+    FineWeb/RefinedWeb-style pipelines apply, where near-dup groups
+    keep the most complete member rather than an arbitrary one).
+    Differs from ``dedup_components``' min-id keeper exactly when a
+    higher-id member is strictly longer — a crafted-corpus test pins
+    that divergence; on the fixture corpus the jitter twins are
+    first-word-dropped (always shorter), so there the two rules agree
+    (also asserted).
+
+    Shape at 10^12 docs: the label table is the CC output (already
+    computed for dedup); selection adds one per-cluster window —
+    clusters are near-dup groups (small by construction), singletons
+    dominate, so the window partitioning carries no skew."""
+    parts = _cc_parts(d) + ["""
+members AS (
+  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS cluster_id,
+         CAST(length(c.text) AS BIGINT) AS n_chars
+  FROM corpus c LEFT JOIN lab{k} l ON l.doc_id = c.doc_id
+)""".format(k=_CC_ROUNDS).strip(), """
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM members
+)""".strip()]
+    return """
+WITH {ctes}
+SELECT doc_id, cluster_id, n_chars,
+  MAX(CASE WHEN rk = 1 THEN doc_id END)
+    OVER (PARTITION BY cluster_id) AS keeper_id,
+  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_kept
+FROM ranked
+""".format(ctes=",\n".join(parts))
+
+
 def _span_corpus0(d: str) -> str:
     """Span-level near-dup corpus (round-4 ask #8): the extraction's
     own derived line spans (stmt_lines — the S3/S4 contract, the same

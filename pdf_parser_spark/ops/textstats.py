@@ -97,6 +97,65 @@ FROM documents
 """.format(ws=ws, bpe=bpe)
 
 
+_TFIDF_SCALE = 10 ** 6   # idf surrogate = floor(SCALE * N / df)
+_TFIDF_TOPK = 3
+
+
+@query("tfidf_keywords")
+def q_tfidf_keywords(d: str) -> str:
+    """Per-document keyword extraction: top-{k} terms by a tf-idf
+    surrogate, ``score = tf * floor(SCALE * N / df)`` — the exact
+    integer form of tf * (N/df).  N/df is a monotone transform of the
+    classic ln(N/df) at fixed tf (same per-term order), chosen because
+    ``ln`` is engine-library float math the value-hash oracle cannot
+    trust; the floor division is exact in both engines (see
+    webgraph.IDIV).  Ties break on term ASC for full determinism.
+    Bounds: tf ≤ doc tokens (~10^3) x SCALE x N/df ≤ 10^6 x corpus
+    docs — < 2^53 through sf0.1's 60k docs with room to spare; at
+    cluster scale SCALE drops or the score widens to DECIMAL.
+
+    Shape at 10^12 docs: explode + two hash aggs (tf partial-aggs
+    map-side), a term-keyed equi-join against the vocabulary-sized df
+    table, and a per-doc top-k window — no corpus-squared anything."""
+    from .webgraph import IDIV
+    if d == SPARK:
+        toks = ("SELECT doc_id, w FROM documents "
+                "LATERAL VIEW explode(split(text, ' ')) t AS w")
+    else:
+        toks = ("SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+                "FROM documents")
+    idf = IDIV("%d * (SELECT n FROM ndocs)" % _TFIDF_SCALE, "f.df")
+    return """
+WITH toks0 AS ({toks}),
+toks AS (SELECT doc_id, w FROM toks0 WHERE w <> ''),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, w
+),
+df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.w AS term, t.tf, f.df,
+         t.tf * ({idf}) AS score_scaled
+  FROM tf t JOIN df f ON f.w = t.w
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score_scaled,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY score_scaled DESC, term) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_scaled, rk
+FROM ranked WHERE rk <= {k}
+""".format(toks=toks, idf=idf, k=_TFIDF_TOPK)
+
+
+q_tfidf_keywords.__doc__ = q_tfidf_keywords.__doc__.format(k=_TFIDF_TOPK)
+
+
 @query("doc_fingerprint")
 def q_fingerprint(d: str) -> str:
     """Document fingerprinting: minimum 8-char shingle digest over the

@@ -16,10 +16,10 @@ from pdf_parser_spark import relational, relational_banks  # noqa: E402
 _MODULES = [relational, relational_banks]
 try:
     from pdf_parser_spark.ops import (  # noqa: E402
-        bpe, c4clean, decontam, dedup, packing, retrieval, similarity,
-        sketches, textstats, webgraph, weburl,
+        bpe, c4clean, crawl, decontam, dedup, packing, retrieval,
+        similarity, sketches, textstats, webgraph, weburl,
     )
-    _MODULES += [bpe, c4clean, decontam, dedup, packing, retrieval,
+    _MODULES += [bpe, c4clean, crawl, decontam, dedup, packing, retrieval,
                  similarity, sketches, textstats, webgraph, weburl]
 except ImportError:
     pass

@@ -35,6 +35,8 @@ _SUBSET = [
     "split_leakage_safe", "semdedup_prune", "dsir_select",
     "hll_distinct", "text_normalize", "dedup_incremental",
     "cms_heavy_hitters",
+    "robots_filter", "anchor_text_topk", "crawl_budget",
+    "tfidf_keywords", "dedup_keep_best",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1611,3 +1613,181 @@ def test_dsir_select_semantics(duck, entry_mod):
     en_rate = sum(r[5] for r in en) / len(en)
     non_rate = sum(r[5] for r in non) / len(non)
     assert en_rate > non_rate  # the selection really prefers target
+
+
+# ------------------------------------------------- crawl tier (ops/crawl.py)
+
+
+def test_robots_filter_semantics(duck, entry_mod):
+    """Independent Python recomputation of the full RFC 9309 ladder:
+    rule synthesis, longest-prefix match, allow-beats-disallow on a
+    length tie, and the no-rule default — plus branch coverage (every
+    rule class must actually win somewhere)."""
+    rows = duck.sql(entry_mod.all_oracles()["robots_filter"]).fetchall()
+    assert len(rows) == 500
+
+    def rules_for(hid):
+        rules = [(0, "/private/")]
+        if hid % 3 == 0:
+            rules += [(0, "/p"), (1, "/p/ok/")]
+        if hid % 7 == 0:
+            rules += [(0, "/"), (1, "/public/")]
+        if hid % 5 == 4:
+            rules += [(0, "/dup/"), (1, "/dup/")]
+        return rules
+
+    seen = set()
+    for doc_id, host, path, is_fetchable, matched in rows:
+        hid = doc_id % 40
+        assert host == "h%d.example" % hid, doc_id
+        m = doc_id % 5
+        exp_path = {0: "/p%d" % doc_id, 1: "/private/x%d" % doc_id,
+                    2: "/public/a%d" % doc_id, 3: "/p/ok/%d" % doc_id
+                    }.get(m, "/dup/z%d" % doc_id if doc_id % 10 == 4
+                          else "/")
+        assert path == exp_path, doc_id
+        cand = [(len(p), a, p) for a, p in rules_for(hid)
+                if path.startswith(p)]
+        if not cand:
+            exp_fetch, exp_rule = 1, "no_rule"
+        else:
+            _, a, p = max(cand)   # longest, then allow(1) > disallow(0)
+            exp_fetch = a
+            exp_rule = ("allow:" if a else "disallow:") + p
+        assert (is_fetchable, matched) == (exp_fetch, exp_rule), doc_id
+        seen.add(matched)
+    # every rule class genuinely decides at least one URL
+    assert {"no_rule", "allow:/p/ok/", "allow:/public/", "allow:/dup/",
+            "disallow:/private/", "disallow:/p", "disallow:/"} <= seen
+
+
+def test_anchor_text_topk_semantics(duck, entry_mod):
+    """Independent recomputation: the snippet generator, href/text
+    parse-back, per-destination histograms, and the (count DESC,
+    anchor ASC) top-2 — exact set equality."""
+    rows = duck.sql(entry_mod.all_oracles()["anchor_text_topk"]).fetchall()
+    words = ["home", "login", "read more", "download",
+             "contact", "news", "about", "api"]
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    counts = {}
+    for doc_id in doc_ids:
+        peer = "h%d.example" % ((doc_id * 7 + 1) % 40)
+        for dst, w in [(peer, words[doc_id % 7]),
+                       ("h0.example", words[(doc_id + 5) % 8])]:
+            counts[(dst, w)] = counts.get((dst, w), 0) + 1
+    exp = []
+    hosts = {h for h, _ in counts}
+    for h in hosts:
+        ranked = sorted(((n, w) for (hh, w), n in counts.items()
+                         if hh == h), key=lambda t: (-t[0], t[1]))
+        exp += [(h, w, n, rk + 1) for rk, (n, w) in enumerate(ranked[:2])]
+    assert sorted(rows) == sorted(exp)
+    # the hub host's histogram really mixes words (top-2 is a choice)
+    hub = [w for (h, w), n in counts.items() if h == "h0.example"]
+    assert len(set(hub)) > 2
+
+
+def test_crawl_budget_semantics(duck, entry_mod):
+    """Independent Hamilton-apportionment recomputation + the exact-sum
+    invariant float proration cannot give."""
+    rows = duck.sql(entry_mod.all_oracles()["crawl_budget"]).fetchall()
+    B = 97
+    n_h = {}
+    for (doc_id,) in duck.sql("SELECT doc_id FROM documents").fetchall():
+        n_h[doc_id % 40] = n_h.get(doc_id % 40, 0) + 1
+    N = sum(n_h.values())
+    base = {h: B * c // N for h, c in n_h.items()}
+    rem = {h: (B * c) % N for h, c in n_h.items()}
+    left = B - sum(base.values())
+    extra = {h for h, _ in
+             sorted(rem.items(), key=lambda t: (-t[1], t[0]))[:left]}
+    exp = sorted(("h%d.example" % h, c, base[h] + (h in extra), rem[h])
+                 for h, c in n_h.items())
+    assert sorted(rows) == exp
+    assert sum(r[2] for r in rows) == B
+    assert left > 0          # the remainder tier genuinely fires
+
+
+def test_tfidf_keywords_semantics(duck, entry_mod):
+    """Independent tf/df/top-k recomputation over the real corpus with
+    the exact integer idf surrogate floor(SCALE*N/df)."""
+    rows = duck.sql(entry_mod.all_oracles()["tfidf_keywords"]).fetchall()
+    texts = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    N = len(texts)
+    tf, dfc = {}, {}
+    for doc_id, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        for w in words:
+            tf[(doc_id, w)] = tf.get((doc_id, w), 0) + 1
+        for w in set(words):
+            dfc[w] = dfc.get(w, 0) + 1
+    exp = []
+    for doc_id in texts:
+        scored = sorted(
+            ((t * (10 ** 6 * N // dfc[w]), w, t) for (dd, w), t
+             in tf.items() if dd == doc_id),
+            key=lambda s: (-s[0], s[1]))
+        exp += [(doc_id, w, t, dfc[w], sc, rk + 1)
+                for rk, (sc, w, t) in enumerate(scored[:3])]
+    assert sorted(rows) == sorted(exp)
+    assert len(rows) == 3 * N
+
+
+def test_dedup_keep_best_semantics(duck, entry_mod):
+    """Keep-longest consistency on the fixture corpus: one keeper per
+    cluster, the keeper is the (longest, then min-id) member, members
+    carry their cluster's keeper; jitter twins (first word dropped —
+    always shorter) never beat their original."""
+    rows = duck.sql(entry_mod.all_oracles()["dedup_keep_best"]).fetchall()
+    assert len(rows) == 625   # 500 docs + 125 doc_id%4==0 jitter twins
+    clusters = {}
+    for doc_id, cluster_id, n_chars, keeper_id, is_kept in rows:
+        clusters.setdefault(cluster_id, []).append(
+            (doc_id, n_chars, keeper_id, is_kept))
+    multi = 0
+    for cid, members in clusters.items():
+        best = sorted(members, key=lambda m: (-m[1], m[0]))[0][0]
+        assert sum(m[3] for m in members) == 1, cid
+        for doc_id, n_chars, keeper_id, is_kept in members:
+            assert keeper_id == best, cid
+            assert is_kept == int(doc_id == best), cid
+        if len(members) > 1:
+            multi += 1
+            twins = [m for m in members if m[0] >= 1000000]
+            for t in twins:   # twin's original is in the same cluster
+                assert t[0] - 1000000 in {m[0] for m in members}, cid
+    assert multi >= 100   # the near-dup tier really clusters
+
+
+def test_dedup_keep_best_diverges_from_min_id_on_longer_member(
+        duck, entry_mod):
+    """The crafted case the fixture cannot produce: a near-dup cluster
+    whose HIGHER-id member is strictly longer.  keep-best must keep it
+    while dedup_components' min-label keeper keeps the lower id — the
+    two decision rules genuinely differ."""
+    base = " ".join("tok%d" % i for i in range(30))
+    longer = base + " extra trailing"
+    duck.sql("CREATE OR REPLACE VIEW documents AS SELECT * FROM ("
+             "VALUES (CAST(0 AS BIGINT), '%s', 'en', 'crafted',"
+             " CAST(%d AS BIGINT)),"
+             " (CAST(1 AS BIGINT), '%s', 'en', 'crafted',"
+             " CAST(%d AS BIGINT))"
+             ") AS t(doc_id, text, lang, source, n_chars)"
+             % (base, len(base), longer, len(longer)))
+    try:
+        kb = duck.sql(entry_mod.all_oracles()["dedup_keep_best"]).fetchall()
+        cc = duck.sql(
+            entry_mod.all_oracles()["dedup_components"]).fetchall()
+    finally:
+        duck.sql("CREATE OR REPLACE VIEW documents AS "
+                 "SELECT * FROM '%s/documents.parquet'" % SF_DIR)
+    by_doc = {r[0]: r for r in kb}
+    # docs 0 and 1 share 28 of ~29 shingles -> one cluster; doc 0's
+    # jitter twin (first word dropped) rides along
+    assert by_doc[0][1] == by_doc[1][1]        # same cluster
+    keeper = by_doc[0][3]
+    assert keeper == 1                          # longest wins, not min id
+    assert by_doc[1][4] == 1 and by_doc[0][4] == 0
+    cc_by_doc = {r[0]: r[1] for r in cc}
+    assert cc_by_doc[1] == 0                    # min-label rule keeps 0

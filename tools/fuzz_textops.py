@@ -48,7 +48,12 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "text_normalize",
            # CMS heavy hitters: the ~30-word fuzz vocab sits in the
            # same collision regime (W=16) as the fixture
-           "cms_heavy_hitters"]
+           "cms_heavy_hitters",
+           # tf-idf top-k: random tf/df collisions stress the integer
+           # scoring + (score DESC, term) tie order on both engines;
+           # robots/budget are doc_id arithmetic — random doc COUNTS
+           # exercise rule-class membership + remainder ties
+           "tfidf_keywords", "robots_filter", "crawl_budget"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -42,6 +42,7 @@ on grouped rows, not raw links, same as ops/webgraph.py.
 from __future__ import annotations
 
 from ..relational import DUCK, SPARK, REALL, lit
+from .webgraph import CSTR, HOST, IDIV
 
 QUERIES = {}
 
@@ -57,19 +58,10 @@ _N_HOSTS = 40      # h0..h39, the webgraph host universe
 _BUDGET = 97       # global fetch budget (prime → fractional quotas)
 
 
-def CSTR(x: str, d: str) -> str:
-    t = "STRING" if d == SPARK else "VARCHAR"
-    return "CAST(%s AS %s)" % (x, t)
-
-
-def _host(hid: str, d: str) -> str:
-    return "'h' || %s || '.example'" % CSTR(hid, d)
-
-
 # ------------------------------------------------------------- robots
 
 def _urls_cte(d: str) -> str:
-    """documents → ``urls(doc_id, host, path)``: five path families
+    """documents → ``urls(doc_id, host, path)``: six path families
     chosen so every rule interaction below has true positives —
     ``/p<k>`` (hits the broad ``/p`` disallow), ``/private/x<k>``
     (the universal disallow), ``/public/a<k>`` (the Allow carve-out
@@ -89,7 +81,7 @@ def _urls_cte(d: str) -> str:
 urls AS (
   SELECT doc_id, {host} AS host, {path} AS path
   FROM documents
-)""".format(host=_host("doc_id %% %d" % _N_HOSTS, d), path=path).strip()
+)""".format(host=HOST("doc_id %% %d" % _N_HOSTS, d), path=path).strip()
 
 
 def _rules_cte(d: str) -> str:
@@ -100,7 +92,7 @@ def _rules_cte(d: str) -> str:
     carve-out; hosts ``hid%5=4`` carry an equal-length ``/dup/``
     Allow AND Disallow (RFC 9309 §2.2.2: the least restrictive —
     Allow — wins a length tie)."""
-    h = _host("hid", d)
+    h = HOST("hid", d)
     rows = [
         ("0", "'/private/'", "1=1"),
         ("0", "'/p'", "hid % 3 = 0"),
@@ -200,7 +192,7 @@ def q_anchor_text_topk(d: str) -> str:
                     "LATERAL VIEW explode(%s) t AS a" % pairs)
     else:
         exploded = "SELECT unnest(%s) AS a FROM src" % pairs
-    dst = ("lower(regexp_extract(a, %s, 1))"
+    dst = ("regexp_extract(a, %s, 1)"
            % lit(r'href="https://([^/"]+)', d))
     txt = "regexp_extract(a, %s, 1)" % lit(r">([^<]*)</a>", d)
     return """
@@ -232,9 +224,7 @@ def q_crawl_budget(d: str) -> str:
     with the largest remainders ``(B*n_h) % N`` (ties: hid ASC).
     All-integer → allocations sum to EXACTLY {B} (test-pinned), the
     property float proration cannot give."""
-    # exact floor division: B*n_h is a multiple-adjusted BIGINT; both
-    # engines' / is DOUBLE, so divide the exact multiple (< 2^53)
-    base = ("CAST(((b * n_h) - ((b * n_h) % n)) / n AS BIGINT)")
+    base = IDIV("b * n_h", "n")   # exact floor; operands < 2^53
     return """
 WITH per_host AS (
   SELECT doc_id % {nh} AS hid, CAST(COUNT(*) AS BIGINT) AS n_h
@@ -260,7 +250,7 @@ SELECT {hostx} AS host, n_h AS n_pages,
                    THEN 1 ELSE 0 END AS alloc,
        rem AS remainder
 FROM ranked
-""".format(nh=_N_HOSTS, b=_BUDGET, base=base, hostx=_host("hid", d))
+""".format(nh=_N_HOSTS, b=_BUDGET, base=base, hostx=HOST("hid", d))
 
 
 q_crawl_budget.__doc__ = (q_crawl_budget.__doc__ or "").format(B=_BUDGET)

@@ -362,6 +362,19 @@ lab{r} AS (
     return parts
 
 
+def _assigned_cte(d: str, extra_cols: str = "") -> str:
+    """``assigned(doc_id, cluster_id[, extra])`` — every corpus member
+    with its component label; singletons label themselves via the LEFT
+    JOIN coalesce.  ONE definition of the singleton rule, shared by the
+    leakage-safe split and the keeper selection so they can never
+    disagree on cluster membership."""
+    return """
+assigned AS (
+  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS cluster_id{extra}
+  FROM corpus c LEFT JOIN lab{k} l ON l.doc_id = c.doc_id
+)""".format(k=_CC_ROUNDS, extra=extra_cols).strip()
+
+
 @query("split_leakage_safe")
 def q_split_leakage_safe(d: str) -> str:
     """Cluster-aware train/eval split — the anti-leakage rule every
@@ -389,11 +402,7 @@ def q_split_leakage_safe(d: str) -> str:
         "md5('split|' || CAST(cluster_id AS %s))" % cs, d)
     ndie = "%s %% 10" % HEX2INT(
         "md5('split|' || CAST(doc_id AS %s))" % cs, d)
-    parts = _cc_parts(d) + ["""
-assigned AS (
-  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS cluster_id
-  FROM corpus c LEFT JOIN lab{k} l ON l.doc_id = c.doc_id
-)""".format(k=_CC_ROUNDS).strip(), """
+    parts = _cc_parts(d) + [_assigned_cte(d), """
 diced AS (
   SELECT doc_id, cluster_id,
     CASE WHEN {cdie} = 0 THEN 'eval' ELSE 'train' END AS split,
@@ -431,18 +440,14 @@ def q_keep_best(d: str) -> str:
     computed for dedup); selection adds one per-cluster window —
     clusters are near-dup groups (small by construction), singletons
     dominate, so the window partitioning carries no skew."""
-    parts = _cc_parts(d) + ["""
-members AS (
-  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS cluster_id,
-         CAST(length(c.text) AS BIGINT) AS n_chars
-  FROM corpus c LEFT JOIN lab{k} l ON l.doc_id = c.doc_id
-)""".format(k=_CC_ROUNDS).strip(), """
+    parts = _cc_parts(d) + [_assigned_cte(
+        d, ",\n         CAST(length(c.text) AS BIGINT) AS n_chars"), """
 ranked AS (
   SELECT doc_id, cluster_id, n_chars,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY cluster_id
            ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
-  FROM members
+  FROM assigned
 )""".strip()]
     return """
 WITH {ctes}

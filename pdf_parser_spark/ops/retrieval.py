@@ -34,7 +34,7 @@ groups, each already reduced to matching docs).
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK
+from ..relational import TOKS_CTE, DUCK, SPARK
 from .webgraph import IDIV
 
 QUERIES = {}
@@ -75,17 +75,7 @@ def _qterms(d: str) -> str:
 def q_bm25_topk(d: str) -> str:
     """BM25 top-k per query (k=10), integer-exact (module docstring);
     ties broken by doc_id for full determinism."""
-    if d == SPARK:
-        toks = """
-toks AS (
-  SELECT doc_id, w FROM documents
-  LATERAL VIEW explode(split(text, ' ')) t AS w
-)"""
-    else:
-        toks = """
-toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-)"""
+    toks = TOKS_CTE(d)
     idf = IDIV("((SELECT n FROM stats) - f.df) * %d" % _IDF_SCALE,
                "f.df + 1")
     wgt = IDIV(

@@ -8,7 +8,9 @@ IEEE-deterministic, so both engines emit identical values.
 
 from __future__ import annotations
 
-from ..relational import DUCK, SPARK, AMIN, HEX2INT, LEN, REALL, REREPL, lit
+from ..relational import (
+    DUCK, SPARK, AMIN, HEX2INT, LEN, REALL, REREPL, TOKS_CTE, lit,
+)
 
 QUERIES = {}
 
@@ -118,15 +120,9 @@ def q_tfidf_keywords(d: str) -> str:
     map-side), a term-keyed equi-join against the vocabulary-sized df
     table, and a per-doc top-k window — no corpus-squared anything."""
     from .webgraph import IDIV
-    if d == SPARK:
-        toks = ("SELECT doc_id, w FROM documents "
-                "LATERAL VIEW explode(split(text, ' ')) t AS w")
-    else:
-        toks = ("SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-                "FROM documents")
     idf = IDIV("%d * (SELECT n FROM ndocs)" % _TFIDF_SCALE, "f.df")
     return """
-WITH toks0 AS ({toks}),
+WITH {toks0},
 toks AS (SELECT doc_id, w FROM toks0 WHERE w <> ''),
 tf AS (
   SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
@@ -150,7 +146,8 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, score_scaled, rk
 FROM ranked WHERE rk <= {k}
-""".format(toks=toks, idf=idf, k=_TFIDF_TOPK)
+""".format(toks0=TOKS_CTE(d, alias="toks0").strip(),
+           idf=idf, k=_TFIDF_TOPK)
 
 
 q_tfidf_keywords.__doc__ = q_tfidf_keywords.__doc__.format(k=_TFIDF_TOPK)
@@ -493,18 +490,7 @@ def q_ccnet_buckets(d: str) -> str:
     real scale the integer info_sum would overflow past ~2^53 tokens
     per doc — production uses per-shard LMs in log space; the rational
     surrogate is the oracle-exact stand-in."""
-    if d == SPARK:
-        toks = """
-toks AS (
-  SELECT doc_id, lang, w FROM documents
-  LATERAL VIEW explode(split(text, ' ')) t AS w
-)"""
-    else:
-        toks = """
-toks AS (
-  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-  FROM documents
-)"""
+    toks = TOKS_CTE(d, "doc_id, lang")
     info = _IDIV("nt * 1000", "c")
     ppl = _IDIV("info_sum", "n_tokens")
     return """
@@ -658,18 +644,7 @@ def q_dsir_select(d: str) -> str:
     (doc) agg.  The final quartile is an exact global ntile here (the
     oracle form); at scale the cut is an approx-quantile threshold
     broadcast instead of a single-partition window."""
-    if d == SPARK:
-        toks = """
-toks AS (
-  SELECT doc_id, lang, w FROM documents
-  LATERAL VIEW explode(split(text, ' ')) t AS w
-)"""
-    else:
-        toks = """
-toks AS (
-  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-  FROM documents
-)"""
+    toks = TOKS_CTE(d, "doc_id, lang")
     from .webgraph import IDIV
     s_b = IDIV("(COALESCE(t.ct, 0) + 1) * %d" % _DSIR_SCALE,
                "r.cr + 1")

@@ -68,6 +68,13 @@ def IDIV(a: str, b: str) -> str:
             % (a, a, b, b))
 
 
+def HOST(hid_expr: str, d: str) -> str:
+    """The shared synthetic host universe ``h<id>.example`` — ONE
+    definition so every module deriving hosts from doc_ids (webgraph,
+    crawl, …) stays byte-identical and their host keys join."""
+    return "'h' || %s || '.example'" % CSTR(hid_expr, d)
+
+
 def _reall_g1(s: str, pattern: str, d: str) -> str:
     """All group-1 matches (relational.REALL is group-0 only)."""
     return "regexp_extract_all(%s, %s, 1)" % (s, lit(pattern, d))
@@ -84,7 +91,7 @@ def _edges_ctes(d: str) -> str:
     mailto: and a fragment anchor (must be dropped), and every 10th
     doc a link to one of two SINK hosts that publish no pages — the
     dangling-node class PageRank must redistribute."""
-    host = "'h' || %s || '.example'" % CSTR("doc_id %% %d" % _N_HOSTS, d)
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
     snippet = (
         "'<a href=\"https://h' || {m1} || '.example/p' || {did}"
         " || '\">a</a>'"
@@ -286,7 +293,7 @@ def q_boilerplate_lines(d: str) -> str:
     before the shuffle — then a fact-sized equi-join back on the line
     key and a per-doc re-aggregate.  All group-bys hash-partition;
     the host shard bounds every line's blast radius (CCNet's shard)."""
-    host = "'h' || %s || '.example'" % CSTR("doc_id %% %d" % _N_HOSTS, d)
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
     if d == SPARK:
         toks = """
 toks AS (

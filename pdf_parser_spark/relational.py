@@ -107,6 +107,26 @@ def REREPL(sexpr: str, pattern: str, repl: str, d: str) -> str:
     return "regexp_replace(%s, %s, '%s', 'g')" % (sexpr, p, repl)
 
 
+def TOKS_CTE(d: str, cols: str = "doc_id", alias: str = "toks",
+             src: str = "documents") -> str:
+    """The single-space word-explode CTE ``alias(cols…, w)`` — ONE
+    definition of the corpus tokenization shared by the retrieval
+    (BM25), CCNet-LM, DSIR, and tf-idf tiers, so they can never
+    silently tokenize differently.  Spark's split() takes a regex but
+    a lone space has no metacharacters — literal-identical to
+    DuckDB's string_split."""
+    if d == SPARK:
+        return """
+{a} AS (
+  SELECT {c}, w FROM {s}
+  LATERAL VIEW explode(split(text, ' ')) t AS w
+)""".format(a=alias, c=cols, s=src)
+    return """
+{a} AS (
+  SELECT {c}, unnest(string_split(text, ' ')) AS w FROM {s}
+)""".format(a=alias, c=cols, s=src)
+
+
 def PRINTF(d: str) -> str:
     return "format_string" if d == SPARK else "printf"
 

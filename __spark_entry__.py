@@ -247,7 +247,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # apportionment, per-doc tf-idf keywords, and the
                    # keep-longest cluster-canonical dedup decision
                    "robots_filter", "anchor_text_topk", "crawl_budget",
-                   "tfidf_keywords", "dedup_keep_best"}
+                   "tfidf_keywords", "dedup_keep_best",
+                   # the crawl-tier composition: frontier verdicts with
+                   # PageRank fetch priority (edges + robots + index
+                   # state in ONE plan)
+                   "crawl_frontier"}
 
 
 def _specials() -> dict:

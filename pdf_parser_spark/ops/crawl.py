@@ -254,3 +254,59 @@ FROM ranked
 
 
 q_crawl_budget.__doc__ = (q_crawl_budget.__doc__ or "").format(B=_BUDGET)
+
+
+# ---------------------------------------------------- frontier compose
+
+@query("crawl_frontier")
+def q_crawl_frontier(d: str) -> str:
+    """The tier composition — "what does the crawler fetch next": every
+    host the link graph points at gets a verdict,
+
+        blocked_robots   — its robots.txt blanket-disallows '/'
+        already_indexed  — it publishes pages we hold (an edge SOURCE)
+        crawl            — linked-to but never fetched (the frontier:
+                           webgraph's sink hosts by construction),
+
+    with PageRank as the fetch priority: ``fetch_rank`` orders the
+    crawl-verdict rows by rank_ppb DESC (ties: host ASC) and is 0
+    elsewhere.  Reuses webgraph's edge + unrolled-PageRank chain and
+    this module's robots rules — one plan, three tiers composed.
+
+    Shape at 10^12 pages: everything is host-granularity (~10^7 rows)
+    after the first edge aggregate — the in-link mass and verdict
+    joins are dimension-sized, the final window runs over hosts, and
+    the robots side is the same broadcastable rules table
+    ``robots_filter`` uses."""
+    from .webgraph import _PR_ROUNDS, _pr_parts
+    parts = _pr_parts(d) + ["""
+crawled AS (SELECT DISTINCT src_host AS host FROM edges)""".strip(), """
+blocked AS (
+  SELECT DISTINCT host FROM rules WHERE prefix = '/' AND is_allow = 0
+)""".strip(), """
+inmass AS (
+  SELECT dst_host AS host, CAST(SUM(n_links) AS BIGINT) AS n_in
+  FROM edges GROUP BY dst_host
+)""".strip(), """
+verdicts AS (
+  SELECT i.host, i.n_in,
+         CAST(p.rank AS BIGINT) AS rank_ppb,
+         CASE WHEN b.host IS NOT NULL THEN 'blocked_robots'
+              WHEN c.host IS NOT NULL THEN 'already_indexed'
+              ELSE 'crawl' END AS verdict
+  FROM inmass i
+  JOIN pr{k} p ON p.host = i.host
+  LEFT JOIN blocked b ON b.host = i.host
+  LEFT JOIN crawled c ON c.host = i.host
+)""".format(k=_PR_ROUNDS).strip()]
+    return """
+WITH {rules},
+{ctes}
+SELECT host, n_in, rank_ppb, verdict,
+  CASE WHEN verdict = 'crawl'
+       THEN CAST(ROW_NUMBER() OVER (
+              PARTITION BY verdict
+              ORDER BY rank_ppb DESC, host) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS fetch_rank
+FROM verdicts
+""".format(rules=_rules_cte(d), ctes=",\n".join(parts))

@@ -148,9 +148,12 @@ SELECT src_host, dst_host, n_links FROM edges
 """.format(edges=_edges_ctes(d).strip())
 
 
-@query("host_pagerank")
-def q_host_pagerank(d: str) -> str:
-    """Damped PageRank over the host graph, ``_PR_ROUNDS`` unrolled
+def _pr_parts(d: str) -> list:
+    """The unrolled-PageRank CTE chain (edges → nodes/outw → pr0 →
+    … → pr{_PR_ROUNDS}(host, rank)) — shared by ``host_pagerank`` and
+    the crawl tier's frontier composition (ops/crawl.py).
+
+    Damped PageRank over the host graph, ``_PR_ROUNDS`` unrolled
     rounds in exact integer arithmetic (ranks in ppb of total mass):
 
         r0(v)    = S/N
@@ -203,10 +206,17 @@ pr{r} AS (
         parts.append(tpl.format(r=r, p=r - 1, contrib=contrib,
                                 base=base,
                                 dshare=dshare.format(r=r)).strip())
+    return parts
+
+
+@query("host_pagerank")
+def q_host_pagerank(d: str) -> str:
+    """Damped PageRank over the host graph (see _pr_parts for the
+    recurrence, integer-arithmetic rationale, and per-round shape)."""
     return """
 WITH {ctes}
 SELECT host, CAST(rank AS BIGINT) AS rank_ppb FROM pr{k}
-""".format(ctes=",\n".join(parts), k=_PR_ROUNDS)
+""".format(ctes=",\n".join(_pr_parts(d)), k=_PR_ROUNDS)
 
 
 # ------------------------------------------- production iterative form

@@ -36,7 +36,7 @@ _SUBSET = [
     "hll_distinct", "text_normalize", "dedup_incremental",
     "cms_heavy_hitters",
     "robots_filter", "anchor_text_topk", "crawl_budget",
-    "tfidf_keywords", "dedup_keep_best",
+    "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1791,3 +1791,41 @@ def test_dedup_keep_best_diverges_from_min_id_on_longer_member(
     assert by_doc[1][4] == 1 and by_doc[0][4] == 0
     cc_by_doc = {r[0]: r[1] for r in cc}
     assert cc_by_doc[1] == 0                    # min-label rule keeps 0
+
+
+def test_crawl_frontier_semantics(duck, entry_mod):
+    """Cross-query consistency: the frontier's rank_ppb must equal
+    host_pagerank's rank per host, n_in must equal link_graph's
+    per-destination in-link sum, the verdict ladder must match the
+    independently recomputed crawled/blocked sets, and fetch_rank must
+    order exactly the crawl-verdict rows by (rank DESC, host)."""
+    oracles = entry_mod.all_oracles()
+    rows = duck.sql(oracles["crawl_frontier"]).fetchall()
+    ranks = dict(duck.sql(oracles["host_pagerank"]).fetchall())
+    edges = duck.sql(oracles["link_graph"]).fetchall()
+    n_in = {}
+    for src, dst, n in edges:
+        n_in[dst] = n_in.get(dst, 0) + n
+    crawled = {src for src, _, _ in edges}
+    blocked = {"h%d.example" % h for h in range(40) if h % 7 == 0}
+    assert len(rows) == len(n_in)
+    crawl_rows = []
+    for host, nin, rank_ppb, verdict, fetch_rank in rows:
+        assert nin == n_in[host], host
+        assert rank_ppb == ranks[host], host
+        exp = ("blocked_robots" if host in blocked else
+               "already_indexed" if host in crawled else "crawl")
+        assert verdict == exp, host
+        if verdict == "crawl":
+            crawl_rows.append((host, rank_ppb, fetch_rank))
+        else:
+            assert fetch_rank == 0, host
+    # the frontier is exactly the sink hosts, priority-ordered
+    assert sorted(h for h, _, _ in crawl_rows) == \
+        ["sink0.example", "sink1.example"]
+    exp_order = [h for h, _ in sorted(
+        ((h, r) for h, r, _ in crawl_rows), key=lambda t: (-t[1], t[0]))]
+    got_order = [h for h, _, _ in sorted(crawl_rows, key=lambda t: t[2])]
+    assert got_order == exp_order
+    assert {v for _, _, _, v, _ in rows} == \
+        {"crawl", "already_indexed", "blocked_robots"}

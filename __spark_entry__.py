@@ -251,7 +251,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # the crawl-tier composition: frontier verdicts with
                    # PageRank fetch priority (edges + robots + index
                    # state in ONE plan)
-                   "crawl_frontier"}
+                   "crawl_frontier",
+                   # the graph-rank tier: seeded-teleport TrustRank
+                   # spam demotion and unrolled integer HITS
+                   "trustrank_seeds", "hits_scores"}
 
 
 def _specials() -> dict:

@@ -138,7 +138,8 @@ def main() -> None:
                  "semdedup_prune", "dsir_select", "text_normalize",
                  "dedup_incremental", "cms_heavy_hitters",
                  "robots_filter", "anchor_text_topk", "crawl_budget",
-                 "tfidf_keywords", "dedup_keep_best", "crawl_frontier"):
+                 "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
+                 "trustrank_seeds", "hits_scores"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -219,6 +219,194 @@ SELECT host, CAST(rank AS BIGINT) AS rank_ppb FROM pr{k}
 """.format(ctes=",\n".join(_pr_parts(d)), k=_PR_ROUNDS)
 
 
+# ------------------------------------------------------------ trustrank
+
+_TRUST_SEED_MOD = 8    # hosts with hid % 8 == 1 form the seed whitelist
+
+
+def _seed_hosts() -> list:
+    return ["h%d.example" % h for h in range(_N_HOSTS)
+            if h % _TRUST_SEED_MOD == 1]
+
+
+def _trust_parts(d: str) -> list:
+    """The unrolled-TrustRank CTE chain (``seeds``/``ns`` + ``t0`` …
+    ``t{_PR_ROUNDS}``), appended AFTER ``_pr_parts`` (reuses its
+    ``edges``/``nodes``/``outw``).  Same damped recurrence as PageRank
+    with ONE change — teleport mass (the 15% base and the dangling
+    redistribution) goes ONLY to the seed whitelist:
+
+        t0(v)    = S/|seeds| if v∈seeds else 0
+        t_k+1(v) = [v∈seeds] * (15%*S/|seeds| + 85%*dangling_k/|seeds|)
+                   + sum over in-edges of 85% * t_k(u) * w(u,v)/out(u)
+
+    (Gyöngyi et al., "Combating Web Spam with TrustRank", VLDB'04 —
+    inverse-PageRank seed selection replaced by a fixed whitelist,
+    the deployed form.)  Hosts unreachable from any seed end at
+    exactly 0 — integer arithmetic, no epsilon."""
+    seeds = ", ".join("'%s'" % h for h in _seed_hosts())
+    parts = ["""
+seeds AS (SELECT host FROM nodes WHERE host IN ({seeds})),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+t0 AS (
+  SELECT n.host,
+         CASE WHEN s.host IS NOT NULL THEN {r0}
+              ELSE CAST(0 AS BIGINT) END AS rank
+  FROM nodes n LEFT JOIN seeds s ON s.host = n.host
+)""".format(seeds=seeds,
+            r0=IDIV("%d" % _PR_SCALE, "(SELECT n FROM ns)")).strip()]
+    contrib = IDIV("p.rank * e.n_links * %d" % _DAMP_PCT, "o.w * 100")
+    base = IDIV("%d" % (_PR_SCALE * (100 - _DAMP_PCT) // 100),
+                "(SELECT n FROM ns)")
+    dshare = IDIV("(SELECT dm FROM td{r}) * %d" % _DAMP_PCT,
+                  "(SELECT n FROM ns) * 100")
+    tpl = """
+tc{r} AS (
+  SELECT e.dst_host AS host, CAST(SUM({contrib}) AS BIGINT) AS c
+  FROM edges e
+  JOIN t{p} p ON p.host = e.src_host
+  JOIN outw o ON o.src_host = e.src_host
+  GROUP BY e.dst_host
+),
+td{r} AS (
+  SELECT CAST(COALESCE(SUM(p.rank), 0) AS BIGINT) AS dm
+  FROM t{p} p LEFT JOIN outw o ON o.src_host = p.host
+  WHERE o.src_host IS NULL
+),
+t{r} AS (
+  SELECT n.host,
+         CASE WHEN s.host IS NOT NULL THEN {base} + {dshare}
+              ELSE CAST(0 AS BIGINT) END + COALESCE(c.c, 0) AS rank
+  FROM nodes n
+  LEFT JOIN seeds s ON s.host = n.host
+  LEFT JOIN tc{r} c ON c.host = n.host
+)"""
+    for r in range(1, _PR_ROUNDS + 1):
+        parts.append(tpl.format(r=r, p=r - 1, contrib=contrib,
+                                base=base,
+                                dshare=dshare.format(r=r)).strip())
+    return parts
+
+
+@query("trustrank_seeds")
+def q_trustrank_seeds(d: str) -> str:
+    """TrustRank spam demotion (see ``_trust_parts`` for the seeded
+    recurrence): every host gets its PageRank, its TrustRank, and a
+    verdict from the classic rank-vs-trust comparison, SHARE-relative
+    (Gyöngyi et al.'s demotion signal is "high rank, low trust"), by
+    exact integer cross-multiplication — trust_share ≥ rank_share ⟺
+    trust*Σrank ≥ rank*Σtrust (operands ≤ 10^18, inside BIGINT; no
+    division, so no float and no truncation):
+
+        seed      — on the whitelist;
+        trusted   — trust share ≥ rank share (the seed neighborhood
+                    vouches at least proportionally);
+        demoted   — 0 < trust share < rank share (ranks on raw link
+                    mass the seeds don't vouch for — the link-farm
+                    signature TrustRank exists to catch);
+        untrusted — trust exactly 0 (not seed-reachable in
+                    ``_PR_ROUNDS`` hops).
+
+    Shape at 10^12 pages: both chains share ONE edge aggregate; each
+    round of each chain is the same src-host equi-join + dst-host
+    hash-agg as ``host_pagerank`` (the seed table, the two Σ-mass
+    totals, and the per-round scalars are 1-row/dimension
+    broadcasts).  Cost = 2x PageRank, not a new shape."""
+    parts = _pr_parts(d) + _trust_parts(d) + ["""
+tot AS (
+  SELECT CAST(SUM(p.rank) AS BIGINT) AS rsum,
+         CAST(SUM(t.rank) AS BIGINT) AS tsum
+  FROM pr{k} p JOIN t{k} t ON t.host = p.host
+)""".format(k=_PR_ROUNDS).strip()]
+    return """
+WITH {ctes}
+SELECT n.host,
+  CAST(p.rank AS BIGINT) AS rank_ppb,
+  CAST(t.rank AS BIGINT) AS trust_ppb,
+  CASE WHEN s.host IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+  CASE WHEN s.host IS NOT NULL THEN 'seed'
+       WHEN t.rank * (SELECT rsum FROM tot)
+            >= p.rank * (SELECT tsum FROM tot) THEN 'trusted'
+       WHEN t.rank > 0 THEN 'demoted'
+       ELSE 'untrusted' END AS verdict
+FROM nodes n
+JOIN pr{k} p ON p.host = n.host
+JOIN t{k} t ON t.host = n.host
+LEFT JOIN seeds s ON s.host = n.host
+""".format(ctes=",\n".join(parts), k=_PR_ROUNDS)
+
+
+# ----------------------------------------------------------------- HITS
+
+_HITS_SCALE = 10 ** 6   # hub/authority mass in parts-per-million
+_HITS_ROUNDS = 2
+
+
+@query("hits_scores")
+def q_hits_scores(d: str) -> str:
+    """HITS hubs & authorities (Kleinberg, JACM'99) over the DISTINCT
+    host edge set, ``_HITS_ROUNDS`` unrolled rounds in exact integer
+    arithmetic (scores in ppm of total mass):
+
+        a0(v) = S/N
+        hr_k(u) = sum over out-edges (u,v) of a_k-1(v);  h_k = hr*S/Σhr
+        ar_k(v) = sum over in-edges  (u,v) of h_k(u);    a_k = ar*S/Σar
+
+    i.e. the classic alternating I/O steps with L1 normalization —
+    every division an exact integer floor, so the oracle value-hash
+    holds.  Classic HITS is unweighted (adjacency, not multiplicity),
+    hence the DISTINCT edge projection; with S = 10^6 every raw score
+    is ≤ N*S and raw*S ≤ N*S^2 < 2^53 for any N below ~10^3 hosts per
+    shard — at web scale the same chain runs per community shard.
+
+    Shape at 10^12 pages: per half-round ONE equi-join on the edge
+    key + one hash-agg (identical to a PageRank round); the L1
+    normalizers are 1-row scalar-subquery broadcasts.  Hubs here are
+    the content hosts (they link out); authorities concentrate on the
+    hub-linked h0 and the sinks (linked-to, never linking)."""
+    parts = [_edges_ctes(d).strip(), """
+dedges AS (SELECT DISTINCT src_host, dst_host FROM edges),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host AS host FROM edges) u
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+a0 AS (SELECT host, {a0} AS s FROM nodes)""".format(
+        a0=IDIV("%d" % _HITS_SCALE, "(SELECT n FROM nn)")).strip()]
+    tpl = """
+hr{r} AS (
+  SELECT e.src_host AS host, CAST(SUM(a.s) AS BIGINT) AS s
+  FROM dedges e JOIN a{p} a ON a.host = e.dst_host
+  GROUP BY e.src_host
+),
+ht{r} AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM hr{r}),
+h{r} AS (SELECT host, {hn} AS s FROM hr{r}),
+ar{r} AS (
+  SELECT e.dst_host AS host, CAST(SUM(h.s) AS BIGINT) AS s
+  FROM dedges e JOIN h{r} h ON h.host = e.src_host
+  GROUP BY e.dst_host
+),
+at{r} AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM ar{r}),
+a{r} AS (SELECT host, {an} AS s FROM ar{r})"""
+    for r in range(1, _HITS_ROUNDS + 1):
+        parts.append(tpl.format(
+            r=r, p=r - 1,
+            hn=IDIV("s * %d" % _HITS_SCALE, "(SELECT t FROM ht{r})"
+                    .format(r=r)),
+            an=IDIV("s * %d" % _HITS_SCALE, "(SELECT t FROM at{r})"
+                    .format(r=r))).strip())
+    return """
+WITH {ctes}
+SELECT n.host,
+  COALESCE(h.s, CAST(0 AS BIGINT)) AS hub_ppm,
+  COALESCE(a.s, CAST(0 AS BIGINT)) AS auth_ppm
+FROM nodes n
+LEFT JOIN h{k} h ON h.host = n.host
+LEFT JOIN a{k} a ON a.host = n.host
+""".format(ctes=",\n".join(parts), k=_HITS_ROUNDS)
+
+
 # ------------------------------------------- production iterative form
 
 def pagerank_df(edges, rounds: int = _PR_ROUNDS):

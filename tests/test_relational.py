@@ -37,6 +37,7 @@ _SUBSET = [
     "cms_heavy_hitters",
     "robots_filter", "anchor_text_topk", "crawl_budget",
     "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
+    "trustrank_seeds", "hits_scores",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1829,3 +1830,103 @@ def test_crawl_frontier_semantics(duck, entry_mod):
     assert got_order == exp_order
     assert {v for _, _, _, v, _ in rows} == \
         {"crawl", "already_indexed", "blocked_robots"}
+
+
+def _py_pagerank(edges, rounds=3, seeds=None):
+    """The shared integer recurrence: uniform teleport (PageRank) when
+    seeds is None, seed-restricted teleport (TrustRank) otherwise."""
+    nodes = sorted({h for e in edges for h in e})
+    n = len(nodes)
+    outw = {}
+    for (s, t), w in edges.items():
+        outw[s] = outw.get(s, 0) + w
+    if seeds is None:
+        r = {h: 10 ** 9 // n for h in nodes}
+    else:
+        ns = len(seeds)
+        r = {h: (10 ** 9 // ns if h in seeds else 0) for h in nodes}
+    for _ in range(rounds):
+        contrib = {h: 0 for h in nodes}
+        for (s, t), w in edges.items():
+            contrib[t] += r[s] * w * 85 // (outw[s] * 100)
+        dm = sum(r[h] for h in nodes if h not in outw)
+        if seeds is None:
+            base = {h: 150000000 // n + dm * 85 // (n * 100)
+                    for h in nodes}
+        else:
+            ns = len(seeds)
+            tele = 150000000 // ns + dm * 85 // (ns * 100)
+            base = {h: (tele if h in seeds else 0) for h in nodes}
+        r = {h: base[h] + contrib[h] for h in nodes}
+    return r
+
+
+def test_trustrank_semantics(duck, entry_mod):
+    """Independent Python integer TrustRank (seed-restricted teleport)
+    over independently derived edges, plus the share-relative verdict
+    ladder: 'seed', trust_share>=rank_share 'trusted' (exact integer
+    cross-multiplication), positive-but-below 'demoted', trust==0
+    'untrusted'."""
+    rows = duck.sql(entry_mod.all_oracles()["trustrank_seeds"]).fetchall()
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    edges = _py_webgraph_edges(doc_ids)
+    seeds = {"h%d.example" % h for h in range(40) if h % 8 == 1}
+    pr = _py_pagerank(edges)
+    tr = _py_pagerank(edges, seeds=seeds)
+    assert len(rows) == len(pr)
+    rsum, tsum = sum(pr.values()), sum(tr.values())
+    for host, rank_ppb, trust_ppb, is_seed, verdict in rows:
+        assert rank_ppb == pr[host], host
+        assert trust_ppb == tr[host], host
+        assert is_seed == (1 if host in seeds else 0), host
+        exp = ("seed" if host in seeds else
+               "trusted" if trust_ppb * rsum >= rank_ppb * tsum else
+               "demoted" if trust_ppb > 0 else "untrusted")
+        assert verdict == exp, host
+    # the seeded teleport must actually discriminate: some non-seed
+    # host is demoted AND some non-seed host is trusted
+    verds = {v for _, _, _, s, v in rows if s == 0}
+    assert "demoted" in verds and "trusted" in verds
+    # seeds hold disproportionate trust mass vs their rank mass
+    t_seed = sum(t for _, _, t, s, _ in rows if s == 1)
+    r_seed = sum(r for _, r, _, s, _ in rows if s == 1)
+    t_all = sum(t for _, _, t, _, _ in rows)
+    r_all = sum(r for _, r, _, _, _ in rows)
+    assert t_seed * r_all > 2 * r_seed * t_all
+
+
+def test_hits_semantics(duck, entry_mod):
+    """Independent Python integer HITS (distinct edges, alternating
+    I/O steps, exact-floor L1 normalization to ppm) — plus the
+    structural expectations: sinks/hub are pure authorities (hub 0),
+    and h0 holds the top authority score."""
+    rows = duck.sql(entry_mod.all_oracles()["hits_scores"]).fetchall()
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    dedges = sorted(_py_webgraph_edges(doc_ids))
+    nodes = sorted({h for e in dedges for h in e})
+    n = len(nodes)
+    S = 10 ** 6
+    a = {h: S // n for h in nodes}
+    h = {}
+    for _ in range(2):
+        hr = {}
+        for s, t in dedges:
+            hr[s] = hr.get(s, 0) + a[t]
+        ht = sum(hr.values())
+        h = {u: v * S // ht for u, v in hr.items()}
+        ar = {}
+        for s, t in dedges:
+            ar[t] = ar.get(t, 0) + h[s]
+        at = sum(ar.values())
+        a = {u: v * S // at for u, v in ar.items()}
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert set(got) == set(nodes)
+    for host in nodes:
+        assert got[host] == (h.get(host, 0), a.get(host, 0)), host
+    # sinks never link out -> pure authorities; h0 is the top authority
+    for host in nodes:
+        if host.startswith("sink"):
+            assert got[host][0] == 0 and got[host][1] > 0
+    assert max(got, key=lambda k: got[k][1]) == "h0.example"

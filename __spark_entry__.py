@@ -254,7 +254,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "crawl_frontier",
                    # the graph-rank tier: seeded-teleport TrustRank
                    # spam demotion and unrolled integer HITS
-                   "trustrank_seeds", "hits_scores"}
+                   "trustrank_seeds", "hits_scores",
+                   # crawl freshness (two-snapshot diff -> recrawl
+                   # tiers) and HRW minimal-movement shard assignment
+                   "recrawl_schedule", "shard_rendezvous"}
 
 
 def _specials() -> dict:

@@ -139,7 +139,8 @@ def main() -> None:
                  "dedup_incremental", "cms_heavy_hitters",
                  "robots_filter", "anchor_text_topk", "crawl_budget",
                  "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
-                 "trustrank_seeds", "hits_scores"):
+                 "trustrank_seeds", "hits_scores", "recrawl_schedule",
+                 "shard_rendezvous"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -256,6 +256,89 @@ FROM ranked
 q_crawl_budget.__doc__ = (q_crawl_budget.__doc__ or "").format(B=_BUDGET)
 
 
+# ---------------------------------------------------- recrawl schedule
+
+@query("recrawl_schedule")
+def q_recrawl_schedule(d: str) -> str:
+    """Crawl-freshness scheduling from two snapshot generations — the
+    change-rate estimation every recrawl scheduler (Cho & Garcia-Molina
+    '03 refresh policies) runs: diff the per-URL content digests of
+    snapshot t0 vs t1, roll verdicts up per host, and bucket hosts
+    into recrawl tiers.
+
+    Snapshots are synthesized in-plan (the corpus has one generation,
+    so t1 derives deterministically): t0 holds every url except the
+    ``doc_id%13=0`` class (those are NEW in t1), t1 drops the
+    ``doc_id%17=0`` class (GONE), and t1's digest differs when the doc
+    CHANGED — volatile hosts (hid%10=3) change every page, frozen
+    hosts (hid%10=7) never change, everyone else changes the
+    ``doc_id%160<40`` quarter of its pages (a within-host stride, so
+    every host has both changed and unchanged pages).
+
+    Per-URL verdict (FULL OUTER join on url): new / gone / changed /
+    unchanged.  Per-host tier over seen = changed+unchanged:
+
+        hot  (recrawl_days 1)  — seen > 0 and 2*changed ≥ seen
+        warm (recrawl_days 7)  — changed > 0
+        cold (recrawl_days 30) — no observed change
+
+    Shape at 10^12 pages: the diff is ONE full-outer equi-join on url
+    — both snapshot generations live in the same Iceberg layout
+    bucketed by url, so at scale it's a shuffle-free sort-merge per
+    bucket; the rollup partial-aggs map-side down to host granularity
+    (~10^7 rows) before its shuffle.  All integer/string compares —
+    no floats, no regex."""
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
+    url = "{h} || '/p' || {did}".format(h=host, did=CSTR("doc_id", d))
+    changed = ("CASE WHEN (doc_id % {n}) % 10 = 7 THEN 0"
+               " WHEN (doc_id % {n}) % 10 = 3 THEN 1"
+               " WHEN doc_id % 160 < 40 THEN 1"
+               " ELSE 0 END").format(n=_N_HOSTS)
+    return """
+WITH snap0 AS (
+  SELECT {host} AS host, {url} AS url, md5(text) AS digest
+  FROM documents WHERE doc_id % 13 <> 0
+),
+snap1 AS (
+  SELECT {host} AS host, {url} AS url,
+         md5(text || CASE WHEN {changed} = 1 THEN '|v2' ELSE '' END)
+           AS digest
+  FROM documents WHERE doc_id % 17 <> 0
+),
+verdicts AS (
+  SELECT COALESCE(s0.host, s1.host) AS host,
+         CASE WHEN s0.url IS NULL THEN 'new'
+              WHEN s1.url IS NULL THEN 'gone'
+              WHEN s0.digest <> s1.digest THEN 'changed'
+              ELSE 'unchanged' END AS verdict
+  FROM snap0 s0 FULL OUTER JOIN snap1 s1 ON s1.url = s0.url
+),
+perhost AS (
+  SELECT host,
+    CAST(SUM(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unchanged,
+    CAST(SUM(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_changed,
+    CAST(SUM(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_new,
+    CAST(SUM(CASE WHEN verdict = 'gone' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_gone
+  FROM verdicts GROUP BY host
+)
+SELECT host, n_unchanged, n_changed, n_new, n_gone,
+  CASE WHEN n_changed + n_unchanged > 0
+            AND 2 * n_changed >= n_changed + n_unchanged THEN 'hot'
+       WHEN n_changed > 0 THEN 'warm'
+       ELSE 'cold' END AS tier,
+  CASE WHEN n_changed + n_unchanged > 0
+            AND 2 * n_changed >= n_changed + n_unchanged
+              THEN CAST(1 AS BIGINT)
+       WHEN n_changed > 0 THEN CAST(7 AS BIGINT)
+       ELSE CAST(30 AS BIGINT) END AS recrawl_days
+FROM perhost
+""".format(host=host, url=url, changed=changed)
+
+
 # ---------------------------------------------------- frontier compose
 
 @query("crawl_frontier")

@@ -183,3 +183,64 @@ SELECT h.doc_id, h.host, h.url,
 FROM hosts h LEFT JOIN blocked b ON b.doc_id = h.doc_id
 """.format(canon=_canon_select(d).strip(), host_rex=host_rex, hp=hp,
            suffixes=suffixes, block=block, kw=kw)
+
+
+# ------------------------------------------------- rendezvous sharding
+
+_SHARDS_A = 8      # current shard count
+_SHARDS_B = 9      # after adding one shard
+
+
+def _hrw_shard(n: int) -> str:
+    """Rendezvous (highest-random-weight) shard pick over ``url`` for
+    ``n`` shards: the argmin-by-hash shard, as ONE unrolled ``least``
+    fold — each candidate is ``md5('<j>|' || url) || '<j>'`` (md5 hex
+    is fixed 32 chars, so the lexicographic min is the hash min and
+    the winning shard id rides behind it at position 33).  Ties are
+    impossible (distinct md5 inputs).  Identical SQL in both engines;
+    single-digit ids only (n ≤ 10)."""
+    assert n <= 10
+    cands = ", ".join("md5('%d|' || url) || '%d'" % (j, j)
+                      for j in range(n))
+    return "CAST(substring(least(%s), 33) AS BIGINT)" % cands
+
+
+@query("shard_rendezvous")
+def q_shard_rendezvous(d: str) -> str:
+    """Rendezvous-hash shard assignment with the minimal-movement
+    guarantee (Thaler & Ravishankar '98 HRW — what consistent hashing
+    gives a crawler/output-writer WITHOUT a central ring): each url is
+    assigned under {a} shards and under {b}, and the movement matrix
+    (shard_a, shard_b, moved, n_urls) is rolled up.  HRW's defining
+    property — a key moves ONLY INTO the new shard, never between old
+    shards (its per-shard hashes don't change; a new minimum can only
+    come from the new candidate) — is what makes incremental scale-out
+    of a 10^12-row bucketed layout cheap: ~1/{b} of keys move, the
+    rest of the layout is untouched.
+
+    Shape at 10^12 pages: the assignment is a pure per-row projection
+    (an unrolled ``least`` over {b} md5s — no explode, no per-key
+    shuffle, whole-stage codegen fuses it into the scan); the only
+    shuffle is the final {a}x{b}-cell rollup, which partial-aggs
+    map-side to at most {a}*{b} rows per partition."""
+    url = "'https://h' || {h} || '.example/p' || {did}"
+    if d == SPARK:
+        url = url.format(h="CAST(doc_id % 40 AS STRING)",
+                         did="CAST(doc_id AS STRING)")
+    else:
+        url = url.format(h="CAST(doc_id % 40 AS VARCHAR)",
+                         did="CAST(doc_id AS VARCHAR)")
+    return """
+WITH urls AS (SELECT {url} AS url FROM documents),
+assign AS (
+  SELECT url, {sa} AS shard_a, {sb} AS shard_b FROM urls
+)
+SELECT shard_a, shard_b,
+  CASE WHEN shard_a <> shard_b THEN 1 ELSE 0 END AS moved,
+  CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM assign GROUP BY shard_a, shard_b
+""".format(url=url, sa=_hrw_shard(_SHARDS_A), sb=_hrw_shard(_SHARDS_B))
+
+
+q_shard_rendezvous.__doc__ = q_shard_rendezvous.__doc__.format(
+    a=_SHARDS_A, b=_SHARDS_B)

@@ -37,7 +37,8 @@ _SUBSET = [
     "cms_heavy_hitters",
     "robots_filter", "anchor_text_topk", "crawl_budget",
     "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
-    "trustrank_seeds", "hits_scores",
+    "trustrank_seeds", "hits_scores", "recrawl_schedule",
+    "shard_rendezvous",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -1930,3 +1931,75 @@ def test_hits_semantics(duck, entry_mod):
         if host.startswith("sink"):
             assert got[host][0] == 0 and got[host][1] > 0
     assert max(got, key=lambda k: got[k][1]) == "h0.example"
+
+
+def test_recrawl_schedule_semantics(duck, entry_mod):
+    """Independent Python recomputation of the two-snapshot diff:
+    rebuild both snapshots' digests from (doc_id, text), full-outer
+    them, roll up per host, and require exact counters + tiers.  The
+    host classes must realize all three tiers."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["recrawl_schedule"]).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    per = {}
+    for doc_id, text in docs:
+        hid = doc_id % 40
+        host = "h%d.example" % hid
+        c = per.setdefault(host, [0, 0, 0, 0])   # unch, chg, new, gone
+        in0, in1 = doc_id % 13 != 0, doc_id % 17 != 0
+        changed = (0 if hid % 10 == 7 else
+                   1 if hid % 10 == 3 else
+                   1 if doc_id % 160 < 40 else 0)
+        d0 = hashlib.md5(text.encode()).hexdigest()
+        d1 = hashlib.md5(
+            (text + ("|v2" if changed else "")).encode()).hexdigest()
+        if in0 and in1:
+            c[1 if d0 != d1 else 0] += 1
+        elif in1:
+            c[2] += 1
+        elif in0:
+            c[3] += 1
+    assert len(rows) == len(per)
+    tiers = set()
+    for host, n_unch, n_chg, n_new, n_gone, tier, days in rows:
+        assert [n_unch, n_chg, n_new, n_gone] == per[host], host
+        seen = n_chg + n_unch
+        exp = ("hot" if seen > 0 and 2 * n_chg >= seen else
+               "warm" if n_chg > 0 else "cold")
+        assert (tier, days) == (exp, {"hot": 1, "warm": 7,
+                                      "cold": 30}[exp]), host
+        tiers.add(tier)
+    assert tiers == {"hot", "warm", "cold"}
+
+
+def test_shard_rendezvous_semantics(duck, entry_mod):
+    """Independent Python HRW recomputation (hashlib md5 argmin) of
+    the full movement matrix, plus the defining minimal-movement
+    property: every moved key moved INTO the new shard (shard_b = 8),
+    and roughly 1/9 of keys moved."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["shard_rendezvous"]).fetchall()
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+
+    def shard(url, n):
+        return min(range(n), key=lambda j: hashlib.md5(
+            ("%d|%s" % (j, url)).encode()).hexdigest())
+
+    matrix = {}
+    for did in doc_ids:
+        url = "https://h%d.example/p%d" % (did % 40, did)
+        key = (shard(url, 8), shard(url, 9))
+        matrix[key] = matrix.get(key, 0) + 1
+    got = {(a, b): n for a, b, _, n in rows}
+    assert got == matrix
+    moved = 0
+    for a, b, m, n in rows:
+        assert m == (1 if a != b else 0)
+        if m:
+            assert b == 8, (a, b)            # only INTO the new shard
+            moved += n
+    total = sum(matrix.values())
+    assert 0.05 < moved / total < 0.18       # ~1/9 expected movement

@@ -257,7 +257,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "trustrank_seeds", "hits_scores",
                    # crawl freshness (two-snapshot diff -> recrawl
                    # tiers) and HRW minimal-movement shard assignment
-                   "recrawl_schedule", "shard_rendezvous"}
+                   "recrawl_schedule", "shard_rendezvous",
+                   # positional phrase search (bigram lead-window pass)
+                   "phrase_search"}
 
 
 def _specials() -> dict:

@@ -307,3 +307,85 @@ def bm25_index_demo(spark, index_dir: str = None):
     text_index_append(spark, root, spark.table("documents")
                       .select("doc_id", "text"))
     return bm25_serve(spark, root)
+
+
+# ------------------------------------------------------- phrase search
+
+# (pid, "w1 w2") — two-word phrases over the corpus vocabulary; p3 is
+# intentionally absent from the corpus (the no-match path must yield
+# zero rows for that pid, identically in both engines)
+_PHRASES = [
+    (0, "hash join"),
+    (1, "the batch"),
+    (2, "window filter"),
+    (3, "zz qq"),
+]
+_PHRASE_TOP_K = 5
+
+
+def _phrases(d: str) -> str:
+    vals = ", ".join("(%d, '%s')" % p for p in _PHRASES)
+    if d == SPARK:
+        return ("SELECT CAST(pid AS BIGINT) AS pid, phrase "
+                "FROM VALUES %s AS t(pid, phrase)" % vals)
+    return ("SELECT CAST(pid AS BIGINT) AS pid, phrase "
+            "FROM (VALUES %s) AS t(pid, phrase)" % vals)
+
+
+@query("phrase_search")
+def q_phrase_search(d: str) -> str:
+    """Positional phrase search — the query class a tf-only inverted
+    index cannot answer (terms must be ADJACENT, not merely co-present)
+    — as one bigram pass + a broadcast phrase join: per phrase, the
+    top-{k} documents by occurrence count (ties: doc_id ASC).
+
+    Spark shape: posexplode + lead window builds each document's
+    bigram stream ONCE (array-free — the transform-over-sequence
+    form gets split() inlined per element by CollapseProject and
+    goes O(words²), the ops/dedup.py lesson); the phrase list is a
+    broadcast-joined inline relation, so only matching bigrams
+    survive to the (pid, doc) partial-agg.  At 10^12 docs the only
+    data-sized shuffle is that count group-by; the top-k window
+    partitions by pid over already-reduced per-doc rows.  DuckDB
+    oracle builds the same bigrams via a list comprehension."""
+    if d == SPARK:
+        bigrams = """
+bws AS (
+  SELECT doc_id, pos, w FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+),
+bigrams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM bws
+)"""
+    else:
+        from .dedup import _shingles_from_ws, _split_ws
+        bigrams = """
+bws AS (SELECT doc_id, {split} AS ws FROM documents),
+bigrams AS (
+  SELECT doc_id, unnest({sh}) AS bg FROM bws
+)""".format(split=_split_ws(d), sh=_shingles_from_ws(d, 2))
+    return """
+WITH phrases AS ({phrases}),{bigrams},
+hits AS (
+  SELECT p.pid, p.phrase, b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM bigrams b JOIN phrases p ON p.phrase = b.bg
+  GROUP BY p.pid, p.phrase, b.doc_id
+),
+ranked AS (
+  SELECT pid, phrase, doc_id, n_hits,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY pid
+           ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rk
+  FROM hits
+)
+SELECT pid, phrase, doc_id, n_hits, rk
+FROM ranked WHERE rk <= {k}
+""".format(phrases=_phrases(d), bigrams=bigrams.strip(),
+           k=_PHRASE_TOP_K)
+
+
+q_phrase_search.__doc__ = q_phrase_search.__doc__.replace(
+    "{k}", str(_PHRASE_TOP_K))

@@ -38,7 +38,7 @@ _SUBSET = [
     "robots_filter", "anchor_text_topk", "crawl_budget",
     "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
-    "shard_rendezvous",
+    "shard_rendezvous", "phrase_search",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2003,3 +2003,30 @@ def test_shard_rendezvous_semantics(duck, entry_mod):
             moved += n
     total = sum(matrix.values())
     assert 0.05 < moved / total < 0.18       # ~1/9 expected movement
+
+
+def test_phrase_search_semantics(duck, entry_mod):
+    """Independent Python recomputation: build every document's bigram
+    stream from text.split(' '), count phrase occurrences, take top-5
+    per phrase by (count DESC, doc_id ASC) — exact match, the no-match
+    phrase (pid 3) absent, every real phrase matched."""
+    rows = duck.sql(entry_mod.all_oracles()["phrase_search"]).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    phrases = {0: "hash join", 1: "the batch", 2: "window filter",
+               3: "zz qq"}
+    exp = {}
+    for pid, phrase in phrases.items():
+        counts = {}
+        for doc_id, text in docs:
+            ws = text.split(" ")
+            n = sum(1 for i in range(len(ws) - 1)
+                    if ws[i] + " " + ws[i + 1] == phrase)
+            if n:
+                counts[doc_id] = n
+        top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:5]
+        for rk, (doc_id, n) in enumerate(top, 1):
+            exp[(pid, doc_id)] = (phrase, n, rk)
+    got = {(r[0], r[2]): (r[1], r[3], r[4]) for r in rows}
+    assert got == exp
+    assert not any(pid == 3 for pid, _ in got)
+    assert {pid for pid, _ in got} == {0, 1, 2}

@@ -307,11 +307,14 @@ def q_trustrank_seeds(d: str) -> str:
         untrusted — trust exactly 0 (not seed-reachable in
                     ``_PR_ROUNDS`` hops).
 
-    Shape at 10^12 pages: both chains share ONE edge aggregate; each
-    round of each chain is the same src-host equi-join + dst-host
-    hash-agg as ``host_pagerank`` (the seed table, the two Σ-mass
-    totals, and the per-round scalars are 1-row/dimension
-    broadcasts).  Cost = 2x PageRank, not a new shape."""
+    Shape at 10^12 pages: each round of each chain is the same
+    src-host equi-join + dst-host hash-agg as ``host_pagerank`` (the
+    seed table, the two Σ-mass totals, and the per-round scalars are
+    1-row/dimension broadcasts) — cost = 2x PageRank, not a new
+    shape.  As with ``host_pagerank``, the unrolled SQL is the
+    cross-engine oracle twin (Catalyst inlines the shared CTEs); the
+    production form is ``pagerank_df(edges, seeds=...)``, test-pinned
+    row-identical to the ``t{k}`` chain."""
     parts = _pr_parts(d) + _trust_parts(d) + ["""
 tot AS (
   SELECT CAST(SUM(p.rank) AS BIGINT) AS rsum,
@@ -409,13 +412,19 @@ LEFT JOIN a{k} a ON a.host = n.host
 
 # ------------------------------------------- production iterative form
 
-def pagerank_df(edges, rounds: int = _PR_ROUNDS):
+def pagerank_df(edges, rounds: int = _PR_ROUNDS, seeds=None):
     """The PRODUCTION iterative PageRank over an ``edges(src_host,
     dst_host, n_links)`` DataFrame — per-round persisted DataFrames
     (Catalyst inlines CTE references, so the unrolled SQL form
     re-derives the edge list once per round and exists for
     cross-engine verification, not for scale).  Identical integer
     math to ``host_pagerank``; a test pins row-identical output.
+
+    With ``seeds`` (an iterable of hostnames) the teleport mass —
+    initial distribution, 15% base, and dangling redistribution —
+    goes only to the seed set: the TrustRank recurrence of
+    ``trustrank_seeds``, test-pinned row-identical to its ``t{k}``
+    chain.
 
     Per round: one src_host equi-join + one dst_host hash-agg; the
     dangling mass and N ride along as 1-row broadcasts (no driver
@@ -429,13 +438,20 @@ def pagerank_df(edges, rounds: int = _PR_ROUNDS):
     nodes = (edges.select(F.col("src_host").alias("host"))
              .union(edges.select(F.col("dst_host").alias("host")))
              .distinct().persist())
+    if seeds is not None:
+        seeds = sorted(set(seeds))
+        is_seed = F.col("host").isin(seeds)
+        nt = len(seeds)         # teleport-target count |seeds|
+    else:
+        is_seed = F.lit(True)
+        nt = nodes.count()
     n = nodes.count()           # one tiny scalar, outside the loop
     outw = (edges.groupBy("src_host")
             .agg(F.sum("n_links").cast("long").alias("w")).persist())
     base = _PR_SCALE * (100 - _DAMP_PCT) // 100
     ranks = nodes.select(
-        "host", F.lit((_PR_SCALE - _PR_SCALE % n) // n)
-        .cast("long").alias("rank")).persist()
+        "host", F.when(is_seed, F.lit((_PR_SCALE - _PR_SCALE % nt) // nt))
+        .otherwise(F.lit(0)).cast("long").alias("rank")).persist()
     ranks.count()
     for _ in range(rounds):
         contrib = (
@@ -453,8 +469,10 @@ def pagerank_df(edges, rounds: int = _PR_ROUNDS):
             .crossJoin(F.broadcast(dang))
             .select(
                 "host",
-                (F.lit(base - base % n) / n
-                 + idiv("dm * %d" % _DAMP_PCT, "%d * 100" % n)
+                (F.when(is_seed,
+                        F.lit(base - base % nt) / nt
+                        + idiv("dm * %d" % _DAMP_PCT, "%d * 100" % nt))
+                 .otherwise(F.lit(0))
                  + F.coalesce(F.col("c"), F.lit(0))
                  ).cast("long").alias("rank"))
             .persist()

@@ -2030,3 +2030,18 @@ def test_phrase_search_semantics(duck, entry_mod):
     assert got == exp
     assert not any(pid == 3 for pid, _ in got)
     assert {pid for pid, _ in got} == {0, 1, 2}
+
+
+def test_trustrank_df_matches_sql(spark, entry_mod):
+    """The production iterative form with seeded teleport
+    (pagerank_df(edges, seeds=...)) is row-identical to the unrolled
+    trustrank_seeds SQL chain's trust column."""
+    from pdf_parser_spark.ops.webgraph import pagerank_df, _seed_hosts
+
+    edges = entry_mod.all_queries()["link_graph"](spark, SF_DIR)
+    got = sorted((r.host, r.rank_ppb)
+                 for r in pagerank_df(edges, seeds=_seed_hosts())
+                 .collect())
+    exp = sorted((r.host, r.trust_ppb) for r in entry_mod.all_queries()[
+        "trustrank_seeds"](spark, SF_DIR).collect())
+    assert got == exp

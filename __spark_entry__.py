@@ -299,6 +299,19 @@ def _bm25_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_demo(spark)
 
 
+def _bm25_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance lifecycle: two incremental appends, LSM
+    compaction into one generation (atomic marker-swap retirement of
+    the inputs), vacuum of the retired fragments, then a shard-pruned
+    serve from the compacted artifact.  Same DuckDB oracle as
+    bm25_serve_persisted (the in-plan ``bm25_topk`` SQL) — identical
+    integer scoring, so the whole maintenance cycle is hash-checked."""
+    from pdf_parser_spark.ops.retrieval import bm25_compact_demo
+
+    _register(spark, sf_dir)
+    return bm25_compact_demo(spark)
+
+
 def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container ingestion lifecycle: render ``documents`` into
     real per-record-gzip WARC files, read them back through the
@@ -322,6 +335,8 @@ def _retired_specials() -> dict:
     return {
         "bm25_serve_persisted": (
             _bm25_serve_persisted, QUERY_SQL["bm25_topk"]["duckdb"]),
+        "bm25_serve_compacted": (
+            _bm25_serve_compacted, QUERY_SQL["bm25_topk"]["duckdb"]),
         "warc_ingest": (_warc_ingest, warc_oracle_sql()),
     }
 

@@ -140,7 +140,8 @@ def main() -> None:
                  "robots_filter", "anchor_text_topk", "crawl_budget",
                  "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
                  "trustrank_seeds", "hits_scores", "recrawl_schedule",
-                 "shard_rendezvous", "phrase_search"):
+                 "shard_rendezvous", "phrase_search",
+                 "bm25_serve_compacted"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

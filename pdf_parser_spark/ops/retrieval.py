@@ -171,46 +171,82 @@ def _append_data(spark, index_dir: str, docs, aid: str) -> None:
                 .withColumn("shard", _shard_col())
                 .withColumn("append_id", F.lit(aid))).persist()
     postings.count()
+    # append_id is a PARTITION key (not just a column): serve's
+    # committed-only filter becomes partition pruning (uncommitted and
+    # superseded generations are never even opened), and vacuum after
+    # compaction is an O(1) directory delete per retired generation
     (postings.repartition(_N_SHARDS, "shard")
-     .write.mode("append").partitionBy("shard")
+     .write.mode("append").partitionBy("shard", "append_id")
      .parquet(os.path.join(index_dir, "postings")))
     (docstats.withColumn("append_id", F.lit(aid))
-     .write.mode("append").parquet(os.path.join(index_dir, "docstats")))
+     .write.mode("append").partitionBy("append_id")
+     .parquet(os.path.join(index_dir, "docstats")))
     # df delta per term: postings are unique per (term, doc) already
     (postings.groupBy("term")
      .agg(F.count("*").cast("long").alias("df_delta"))
      .withColumn("append_id", F.lit(aid))
-     .write.mode("append")
+     .write.mode("append").partitionBy("append_id")
      .parquet(os.path.join(index_dir, "termstats")))
     (docstats.agg(F.count("*").cast("long").alias("n_delta"),
                   F.sum("dl").cast("long").alias("s_delta"))
      .withColumn("append_id", F.lit(aid))
-     .write.mode("append").parquet(os.path.join(index_dir, "corpusstats")))
+     .write.mode("append").partitionBy("append_id")
+     .parquet(os.path.join(index_dir, "corpusstats")))
     postings.unpersist()
     docstats.unpersist()
 
 
-def _commit(index_dir: str, aid: str) -> None:
-    """Publish an append: tmp-write + rename a marker file (atomic on
-    POSIX) under ``_committed/``.  Serves read only rows whose
-    append_id has a marker."""
+def _commit(index_dir: str, aid: str, replaces=None) -> None:
+    """Publish an append or compaction: tmp-write + rename a marker
+    file (atomic on POSIX) under ``_committed/``.  Serves read only
+    generations whose append_id has a marker AND is not listed as
+    replaced by another committed marker — so a compaction's single
+    rename atomically publishes the merged generation and retires the
+    generations it subsumes (the Iceberg snapshot-swap shape)."""
+    import json
     import os
 
     cdir = os.path.join(index_dir, "_committed")
     os.makedirs(cdir, exist_ok=True)
     tmp = os.path.join(cdir, ".tmp-" + aid)
     with open(tmp, "w") as f:
-        f.write(aid)
+        f.write(json.dumps({"aid": aid,
+                            "replaces": sorted(replaces or [])}))
     os.rename(tmp, os.path.join(cdir, aid))
 
 
-def _committed_ids(index_dir: str) -> list:
+def _marker_ids(index_dir: str) -> list:
     import os
 
     cdir = os.path.join(index_dir, "_committed")
     if not os.path.isdir(cdir):
         return []
     return sorted(a for a in os.listdir(cdir) if not a.startswith("."))
+
+
+def _replaced_ids(index_dir: str) -> set:
+    """Union of the ``replaces`` lists of all committed markers (a
+    pre-compaction plain-text marker replaces nothing)."""
+    import json
+    import os
+
+    out = set()
+    cdir = os.path.join(index_dir, "_committed")
+    for aid in _marker_ids(index_dir):
+        with open(os.path.join(cdir, aid)) as f:
+            body = f.read()
+        try:
+            out.update(json.loads(body).get("replaces", []))
+        except ValueError:
+            pass          # legacy plain-aid marker
+    return out
+
+
+def _committed_ids(index_dir: str) -> list:
+    """The ACTIVE generations: committed markers minus generations a
+    committed compaction has replaced."""
+    replaced = _replaced_ids(index_dir)
+    return [a for a in _marker_ids(index_dir) if a not in replaced]
 
 
 def text_index_append(spark, index_dir: str, docs) -> None:
@@ -306,6 +342,118 @@ def bm25_index_demo(spark, index_dir: str = None):
     bm25_index_demo.last_root = root
     text_index_append(spark, root, spark.table("documents")
                       .select("doc_id", "text"))
+    return bm25_serve(spark, root)
+
+
+# --------------------------------------------- compaction (LSM merge)
+
+def text_index_compact(spark, index_dir: str) -> str:
+    """Merge every active generation into ONE compacted generation —
+    the LSM compaction the append-only contract needs to stay
+    readable: after k appends a serve opens k fragment sets; compact
+    folds them back to one.
+
+    The rewrite is PHYSICAL, not logical: postings rows are retagged
+    verbatim (never tf-merged — serve scores each posting row and
+    sums WEIGHTS, so merging tf across fragments would change scores:
+    w(tf1)+w(tf2) ≠ w(tf1+tf2)); termstats fold to one df_delta per
+    term and corpusstats to one row (their serve-side use is a plain
+    SUM, exactly additive); docstats are retagged.  Serve output is
+    therefore identical before and after BY CONSTRUCTION — and
+    test-pinned.
+
+    Crash-safe like an append: the merged generation lands under its
+    own ``append_id=`` partitions (invisible — no marker), then one
+    marker rename publishes it AND retires the inputs atomically (the
+    marker carries ``replaces``).  A crash before the rename leaves
+    an orphan generation; a rerun compacts the same actives under a
+    fresh id.  Returns the new generation id ('' if nothing to do)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    active = _committed_ids(index_dir)
+    if len(active) <= 1:
+        return ""
+    cid = "c" + uuid.uuid4().hex[:11]
+
+    def rewrite(name, df, parts):
+        (df.drop("append_id").withColumn("append_id", F.lit(cid))
+         .write.mode("append").partitionBy(*parts)
+         .parquet(os.path.join(index_dir, name)))
+
+    postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
+                .filter(F.col("append_id").isin(active)))
+    rewrite("postings", postings.repartition(_N_SHARDS, "shard"),
+            ["shard", "append_id"])
+    docstats = (spark.read.parquet(os.path.join(index_dir, "docstats"))
+                .filter(F.col("append_id").isin(active)))
+    rewrite("docstats", docstats, ["append_id"])
+    termstats = (spark.read.parquet(os.path.join(index_dir, "termstats"))
+                 .filter(F.col("append_id").isin(active))
+                 .groupBy("term")
+                 .agg(F.sum("df_delta").cast("long").alias("df_delta")))
+    rewrite("termstats", termstats, ["append_id"])
+    corpus = (spark.read.parquet(os.path.join(index_dir, "corpusstats"))
+              .filter(F.col("append_id").isin(active))
+              .agg(F.sum("n_delta").cast("long").alias("n_delta"),
+                   F.sum("s_delta").cast("long").alias("s_delta")))
+    rewrite("corpusstats", corpus, ["append_id"])
+    _commit(index_dir, cid, replaces=active)
+    return cid
+
+
+def text_index_vacuum(index_dir: str) -> list:
+    """Physically delete generations a committed compaction replaced
+    — an O(1) directory delete per (dataset, retired generation),
+    possible because append_id is a partition key.  Serve-invisible
+    by definition (replaced generations are already unreadable);
+    idempotent and crash-safe in either order because resolution
+    derives from the surviving compaction marker's ``replaces`` list,
+    never from which files still exist.  Markers of vacuumed
+    generations are removed AFTER their data (a crash between the two
+    leaves a dangling marker that the next vacuum re-retires).
+    Uncommitted orphans (a crashed append's data) are out of scope —
+    they are the io_tables remove-orphan class.  Returns the deleted
+    generation ids."""
+    import glob
+    import os
+    import shutil
+
+    superseded = sorted(_replaced_ids(index_dir)
+                        & set(_marker_ids(index_dir)))
+    for aid in superseded:
+        for name in ("postings", "docstats", "termstats", "corpusstats"):
+            pat = os.path.join(index_dir, name, "**",
+                               "append_id=%s" % aid)
+            for p in glob.glob(pat, recursive=True):
+                shutil.rmtree(p)
+        os.remove(os.path.join(index_dir, "_committed", aid))
+    return superseded
+
+
+def bm25_compact_demo(spark, index_dir: str = None):
+    """The registered full index-maintenance lifecycle: two
+    incremental appends (halves of the ``documents`` view), compact
+    them into one generation, vacuum the retired fragments, then
+    serve the standard query batch from the compacted artifact.
+    Row-identical to the in-plan ``bm25_topk`` SQL (the DuckDB oracle
+    twin), so build→append→compact→vacuum→prune→serve is hash-checked
+    end-to-end.  Fresh ``mkdtemp`` per call (recorded as
+    ``bm25_compact_demo.last_root``)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = index_dir or tempfile.mkdtemp(prefix="pdf_parser_spark_bm25c_")
+    bm25_compact_demo.last_root = root
+    docs = spark.table("documents").select("doc_id", "text")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    text_index_append(spark, root, docs.filter(F.col("doc_id") <= mid))
+    text_index_append(spark, root, docs.filter(F.col("doc_id") > mid))
+    text_index_compact(spark, root)
+    text_index_vacuum(root)
     return bm25_serve(spark, root)
 
 

@@ -38,7 +38,7 @@ _SUBSET = [
     "robots_filter", "anchor_text_topk", "crawl_budget",
     "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
-    "shard_rendezvous", "phrase_search",
+    "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2045,3 +2045,81 @@ def test_trustrank_df_matches_sql(spark, entry_mod):
     exp = sorted((r.host, r.trust_ppb) for r in entry_mod.all_queries()[
         "trustrank_seeds"](spark, SF_DIR).collect())
     assert got == exp
+
+
+def test_bm25_compact_serve_identical(spark, tmp_path):
+    """LSM compaction is a physical rewrite with identical serve
+    output: append two halves, compact, vacuum — the served top-k is
+    byte-identical at every step, the retired generations' partition
+    directories are physically gone after vacuum, and exactly one
+    active generation remains."""
+    import glob
+    import os
+
+    from pdf_parser_spark.ops.retrieval import (
+        _committed_ids, _marker_ids, bm25_serve, text_index_append,
+        text_index_compact, text_index_vacuum,
+    )
+
+    root = str(tmp_path / "bm25_compact")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+    text_index_append(spark, root, docs.filter("doc_id < 400"))
+    text_index_append(spark, root, docs.filter("doc_id >= 400"))
+    olds = _committed_ids(root)
+    assert len(olds) == 2
+    before = sorted(tuple(r) for r in bm25_serve(spark, root).collect())
+
+    cid = text_index_compact(spark, root)
+    assert cid and _committed_ids(root) == [cid]
+    assert set(_marker_ids(root)) == set(olds) | {cid}
+    mid = sorted(tuple(r) for r in bm25_serve(spark, root).collect())
+    assert mid == before
+
+    removed = text_index_vacuum(root)
+    assert sorted(removed) == sorted(olds)
+    for aid in olds:
+        assert not glob.glob(os.path.join(
+            root, "*", "**", "append_id=%s" % aid), recursive=True)
+    assert _marker_ids(root) == [cid]
+    after = sorted(tuple(r) for r in bm25_serve(spark, root).collect())
+    assert after == before
+    # vacuum is idempotent; a second compact is a no-op
+    assert text_index_vacuum(root) == []
+    assert text_index_compact(spark, root) == ""
+
+
+def test_bm25_compact_crash_invisible(spark, tmp_path, monkeypatch):
+    """A compaction that writes its merged generation but dies before
+    the marker rename changes NOTHING a serve sees; a rerun compacts
+    the same actives under a fresh id and the serve stays identical."""
+    import pdf_parser_spark.ops.retrieval as R
+
+    root = str(tmp_path / "bm25_compact_crash")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+    R.text_index_append(spark, root, docs.filter("doc_id < 400"))
+    R.text_index_append(spark, root, docs.filter("doc_id >= 400"))
+    before = sorted(tuple(r) for r in R.bm25_serve(spark, root).collect())
+    olds = R._committed_ids(root)
+
+    real_commit = R._commit
+
+    def dying_commit(index_dir, aid, replaces=None):
+        raise RuntimeError("simulated crash before marker rename")
+
+    monkeypatch.setattr(R, "_commit", dying_commit)
+    try:
+        R.text_index_compact(spark, root)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(R, "_commit", real_commit)
+    # orphan generation written, nothing published
+    assert R._committed_ids(root) == olds
+    assert sorted(tuple(r)
+                  for r in R.bm25_serve(spark, root).collect()) == before
+
+    cid = R.text_index_compact(spark, root)
+    assert cid and R._committed_ids(root) == [cid]
+    assert sorted(tuple(r)
+                  for r in R.bm25_serve(spark, root).collect()) == before

@@ -53,7 +53,17 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # scoring + (score DESC, term) tie order on both engines;
            # robots/budget are doc_id arithmetic — random doc COUNTS
            # exercise rule-class membership + remainder ties
-           "tfidf_keywords", "robots_filter", "crawl_budget"]
+           "tfidf_keywords", "robots_filter", "crawl_budget",
+           # phrase adjacency over the random bigram stream (noise
+           # tokens create unseen bigrams; repetition bursts create
+           # high-count ties for the (n DESC, doc_id) order);
+           # recrawl digests the random TEXT (md5 seam) under the
+           # doc_id-derived change/gone/new classes; frontier/trust/
+           # hits/rendezvous are doc_id arithmetic — random doc
+           # COUNTS exercise class membership, graph shape, and the
+           # movement matrix
+           "phrase_search", "recrawl_schedule", "crawl_frontier",
+           "trustrank_seeds", "hits_scores", "shard_rendezvous"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -312,6 +312,20 @@ def _bm25_serve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_compact_demo(spark)
 
 
+def _phrase_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase serving: build the persisted index
+    (positions are written by every append), then answer the standard
+    phrase set from the position arrays alone — shard-pruned fetch,
+    doc_id equi-join, adjacency = array_intersect(p1+1, p2).  The
+    DuckDB oracle is the in-plan ``phrase_search`` SQL — identical
+    output, so the positional tokenize→persist→serve path is
+    hash-checked end-to-end."""
+    from pdf_parser_spark.ops.retrieval import phrase_serve_demo
+
+    _register(spark, sf_dir)
+    return phrase_serve_demo(spark)
+
+
 def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container ingestion lifecycle: render ``documents`` into
     real per-record-gzip WARC files, read them back through the
@@ -337,6 +351,8 @@ def _retired_specials() -> dict:
             _bm25_serve_persisted, QUERY_SQL["bm25_topk"]["duckdb"]),
         "bm25_serve_compacted": (
             _bm25_serve_compacted, QUERY_SQL["bm25_topk"]["duckdb"]),
+        "phrase_serve_persisted": (
+            _phrase_serve_persisted, QUERY_SQL["phrase_search"]["duckdb"]),
         "warc_ingest": (_warc_ingest, warc_oracle_sql()),
     }
 

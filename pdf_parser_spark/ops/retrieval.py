@@ -158,7 +158,8 @@ def _append_data(spark, index_dir: str, docs, aid: str) -> None:
     from pyspark.sql import functions as F
 
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+        "doc_id", F.posexplode(F.split("text", " "))
+        .alias("pos", "term"))
     docstats = (toks.groupBy("doc_id")
                 .agg(F.count("*").cast("long").alias("dl"))).persist()
     docstats.count()
@@ -178,6 +179,18 @@ def _append_data(spark, index_dir: str, docs, aid: str) -> None:
     (postings.repartition(_N_SHARDS, "shard")
      .write.mode("append").partitionBy("shard", "append_id")
      .parquet(os.path.join(index_dir, "postings")))
+    # positional postings: the sorted in-document positions of each
+    # (term, doc) as ONE array row — what phrase adjacency needs.  A
+    # document is ingested whole by exactly one append, so a (term,
+    # doc) position array can never straddle generations (compaction
+    # may therefore retag these rows verbatim, like postings)
+    (toks.groupBy("term", "doc_id")
+     .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+     .withColumn("shard", _shard_col())
+     .withColumn("append_id", F.lit(aid))
+     .repartition(_N_SHARDS, "shard")
+     .write.mode("append").partitionBy("shard", "append_id")
+     .parquet(os.path.join(index_dir, "positions")))
     (docstats.withColumn("append_id", F.lit(aid))
      .write.mode("append").partitionBy("append_id")
      .parquet(os.path.join(index_dir, "docstats")))
@@ -387,6 +400,10 @@ def text_index_compact(spark, index_dir: str) -> str:
                 .filter(F.col("append_id").isin(active)))
     rewrite("postings", postings.repartition(_N_SHARDS, "shard"),
             ["shard", "append_id"])
+    positions = (spark.read.parquet(os.path.join(index_dir, "positions"))
+                 .filter(F.col("append_id").isin(active)))
+    rewrite("positions", positions.repartition(_N_SHARDS, "shard"),
+            ["shard", "append_id"])
     docstats = (spark.read.parquet(os.path.join(index_dir, "docstats"))
                 .filter(F.col("append_id").isin(active)))
     rewrite("docstats", docstats, ["append_id"])
@@ -424,7 +441,8 @@ def text_index_vacuum(index_dir: str) -> list:
     superseded = sorted(_replaced_ids(index_dir)
                         & set(_marker_ids(index_dir)))
     for aid in superseded:
-        for name in ("postings", "docstats", "termstats", "corpusstats"):
+        for name in ("postings", "positions", "docstats", "termstats",
+                     "corpusstats"):
             pat = os.path.join(index_dir, name, "**",
                                "append_id=%s" % aid)
             for p in glob.glob(pat, recursive=True):
@@ -537,3 +555,76 @@ FROM ranked WHERE rk <= {k}
 
 q_phrase_search.__doc__ = q_phrase_search.__doc__.replace(
     "{k}", str(_PHRASE_TOP_K))
+
+
+# ------------------------------------------- phrase serve (positional)
+
+def phrase_serve(spark, index_dir: str, phrases=None,
+                 top_k=_PHRASE_TOP_K):
+    """Serve phrase queries from the PERSISTED positional index —
+    the index-side twin of the in-plan ``phrase_search`` (identical
+    output, test- and oracle-pinned): for each two-word phrase, fetch
+    both terms' position arrays (shard partition-pruning on the union
+    of the terms' shards — the posting fetch), equi-join them on
+    doc_id, and count adjacencies as
+    ``size(array_intersect(transform(p1, x -> x+1), p2))`` — exact
+    because in-document positions are unique, so the intersection
+    size IS the number of i with ws[i]=w1 ∧ ws[i+1]=w2.
+
+    At 10^12 docs the join touches |postings(w1)| + |postings(w2)|
+    rows only (never the corpus); the phrase table broadcasts to both
+    sides; the adjacency count is a per-row array expression inside
+    codegen; the top-k window partitions by pid over per-doc rows
+    already reduced to docs containing BOTH terms."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ph = phrases if phrases is not None else _PHRASES
+    pdf = spark.createDataFrame(
+        [(pid, p, p.split(" ")[0], p.split(" ")[1]) for pid, p in ph],
+        "pid long, phrase string, w1 string, w2 string")
+    committed = _committed_ids(index_dir)
+    if not committed:
+        raise ValueError("no committed appends under %s" % index_dir)
+    terms = (pdf.select(F.col("w1").alias("term"))
+             .union(pdf.select("w2")).distinct())
+    shards = [r[0] for r in
+              terms.select(_shard_col().alias("s")).distinct().collect()]
+    positions = (spark.read.parquet(os.path.join(index_dir, "positions"))
+                 .filter(F.col("shard").isin(shards))
+                 .filter(F.col("append_id").isin(committed)))
+    p1 = positions.select(F.col("term").alias("w1"), "doc_id",
+                          F.col("positions").alias("pos1"))
+    p2 = positions.select(F.col("term").alias("w2"), "doc_id",
+                          F.col("positions").alias("pos2"))
+    hits = (p1.join(F.broadcast(pdf), "w1")
+            .join(p2, ["w2", "doc_id"])
+            .withColumn("n_hits", F.size(F.array_intersect(
+                F.transform("pos1", lambda x: x + 1), F.col("pos2")))
+                .cast("long"))
+            .filter(F.col("n_hits") > 0))
+    win = Window.partitionBy("pid").orderBy(F.desc("n_hits"), "doc_id")
+    return (hits
+            .withColumn("rk", F.row_number().over(win).cast("long"))
+            .filter(F.col("rk") <= top_k)
+            .select("pid", "phrase", "doc_id", "n_hits", "rk"))
+
+
+def phrase_serve_demo(spark, index_dir: str = None):
+    """The registered lifecycle row: build the positional index from
+    the ``documents`` view (one append — positions are written by
+    every append), then serve the standard phrase set from the
+    persisted artifact.  Row-identical to the in-plan
+    ``phrase_search`` SQL (the DuckDB oracle twin), so the
+    tokenize→persist→prune→adjacency-join path is hash-checked.
+    Fresh ``mkdtemp`` per call (recorded as
+    ``phrase_serve_demo.last_root``)."""
+    import tempfile
+
+    root = index_dir or tempfile.mkdtemp(prefix="pdf_parser_spark_pos_")
+    phrase_serve_demo.last_root = root
+    text_index_append(spark, root, spark.table("documents")
+                      .select("doc_id", "text"))
+    return phrase_serve(spark, root)

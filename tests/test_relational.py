@@ -39,6 +39,7 @@ _SUBSET = [
     "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
+    "phrase_serve_persisted",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2123,3 +2124,38 @@ def test_bm25_compact_crash_invisible(spark, tmp_path, monkeypatch):
     assert cid and R._committed_ids(root) == [cid]
     assert sorted(tuple(r)
                   for r in R.bm25_serve(spark, root).collect()) == before
+
+
+def test_phrase_serve_matches_inplan_and_survives_compaction(
+        spark, tmp_path):
+    """The positional-index phrase serve is row-identical to the
+    in-plan phrase_search at every lifecycle point: after two
+    incremental appends, after compaction, and after vacuum — and its
+    plan never rescans the corpus."""
+    from pdf_parser_spark.ops.retrieval import (
+        phrase_serve, text_index_append, text_index_compact,
+        text_index_vacuum,
+    )
+
+    root = str(tmp_path / "pos_index")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    import query_registry
+    exp = sorted(tuple(r) for r in spark.sql(
+        query_registry.QUERY_SQL["phrase_search"]["spark"]).collect())
+
+    text_index_append(spark, root, docs.filter("doc_id < 400"))
+    text_index_append(spark, root, docs.filter("doc_id >= 400"))
+    serve = phrase_serve(spark, root)
+    assert sorted(tuple(r) for r in serve.collect()) == exp
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+    assert "PartitionFilters" in plan and "shard" in plan
+
+    text_index_compact(spark, root)
+    assert sorted(tuple(r)
+                  for r in phrase_serve(spark, root).collect()) == exp
+    text_index_vacuum(root)
+    assert sorted(tuple(r)
+                  for r in phrase_serve(spark, root).collect()) == exp

@@ -259,7 +259,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # tiers) and HRW minimal-movement shard assignment
                    "recrawl_schedule", "shard_rendezvous",
                    # positional phrase search (bigram lead-window pass)
-                   "phrase_search"}
+                   "phrase_search",
+                   # co-citation related-host pairs (Dean & Henzinger)
+                   "cocitation_pairs"}
 
 
 def _specials() -> dict:

@@ -141,7 +141,8 @@ def main() -> None:
                  "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
                  "trustrank_seeds", "hits_scores", "recrawl_schedule",
                  "shard_rendezvous", "phrase_search",
-                 "bm25_serve_compacted", "phrase_serve_persisted"):
+                 "bm25_serve_compacted", "phrase_serve_persisted",
+                 "cocitation_pairs"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

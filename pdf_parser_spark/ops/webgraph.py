@@ -410,6 +410,54 @@ LEFT JOIN a{k} a ON a.host = n.host
 """.format(ctes=",\n".join(parts), k=_HITS_ROUNDS)
 
 
+# ------------------------------------------------------- co-citation
+
+_COCIT_TOP_K = 20
+
+
+@query("cocitation_pairs")
+def q_cocitation_pairs(d: str) -> str:
+    """Co-citation related-host discovery (Dean & Henzinger WWW'99:
+    two pages/hosts are related when many sources link BOTH): the
+    distinct edge set self-joined on the source, per unordered pair
+    the number of common linkers, global top-{k} by (n_common DESC,
+    host_a, host_b).
+
+    Shape at 10^12 pages: the self-join fans out per source as
+    out-degree² — bounded because it runs on the per-source DISTINCT
+    destination set at HOST granularity (and a production crawl caps
+    per-page outlinks at ~100-200 before this stage, the standard
+    Common-Crawl practice); the pair count partial-aggs map-side
+    before its (host_a, host_b) shuffle, and the global top-k is an
+    ORDER-BY/LIMIT (TakeOrderedAndProject — per-partition heaps, no
+    single-partition window over the pair universe) with the rank
+    number assigned over the surviving {k} rows only."""
+    return """
+WITH {edges},
+dd AS (SELECT DISTINCT src_host, dst_host FROM edges),
+pairs AS (
+  SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM dd a
+  JOIN dd b ON b.src_host = a.src_host AND a.dst_host < b.dst_host
+  GROUP BY a.dst_host, b.dst_host
+),
+top AS (
+  SELECT host_a, host_b, n_common FROM pairs
+  ORDER BY n_common DESC, host_a, host_b
+  LIMIT {k}
+)
+SELECT host_a, host_b, n_common,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY n_common DESC, host_a, host_b) AS BIGINT) AS rk
+FROM top
+""".format(edges=_edges_ctes(d).strip(), k=_COCIT_TOP_K)
+
+
+q_cocitation_pairs.__doc__ = q_cocitation_pairs.__doc__.replace(
+    "{k}", str(_COCIT_TOP_K))
+
+
 # ------------------------------------------- production iterative form
 
 def pagerank_df(edges, rounds: int = _PR_ROUNDS, seeds=None):

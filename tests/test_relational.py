@@ -39,7 +39,7 @@ _SUBSET = [
     "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
-    "phrase_serve_persisted",
+    "phrase_serve_persisted", "cocitation_pairs",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2159,3 +2159,29 @@ def test_phrase_serve_matches_inplan_and_survives_compaction(
     text_index_vacuum(root)
     assert sorted(tuple(r)
                   for r in phrase_serve(spark, root).collect()) == exp
+
+
+def test_cocitation_semantics(duck, entry_mod):
+    """Independent Python recomputation of co-citation: distinct
+    edges, per-source destination pairs, global top-20 by
+    (n_common DESC, host_a, host_b) — exact, including ranks.  The
+    hub h0 must appear in the strongest pairs (every source links
+    it, so its pair with any popular peer is near the per-source
+    ceiling)."""
+    rows = duck.sql(entry_mod.all_oracles()["cocitation_pairs"]).fetchall()
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    dd = sorted(_py_webgraph_edges(doc_ids))
+    by_src = {}
+    for s, t in dd:
+        by_src.setdefault(s, set()).add(t)
+    counts = {}
+    for dsts in by_src.values():
+        dl = sorted(dsts)
+        for i in range(len(dl)):
+            for j in range(i + 1, len(dl)):
+                counts[(dl[i], dl[j])] = counts.get((dl[i], dl[j]), 0) + 1
+    top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:20]
+    exp = [(a, b, n, rk) for rk, ((a, b), n) in enumerate(top, 1)]
+    assert sorted(rows, key=lambda r: r[3]) == exp
+    assert any("h0.example" in (a, b) for a, b, _, _ in rows[:5] or rows)

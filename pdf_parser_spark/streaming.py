@@ -407,3 +407,74 @@ def stream_hourly_rollup(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+# ------------------------------------------------------------------
+# Stateful per-URL change detection: the streaming twin of the batch
+# ``recrawl_schedule`` diff (ops/crawl.py) — verdicts at ARRIVAL time
+# instead of a two-snapshot batch join.
+# ------------------------------------------------------------------
+
+SNAP_SCHEMA = "url string, snap_no bigint, digest string"
+CHANGE_OUT_SCHEMA = "url string, snap_no bigint, verdict string"
+CHANGE_STATE_SCHEMA = "digest string"
+
+
+def change_detect_state_func(key, pdf_iter, state):
+    """Per-url verdict ladder against the remembered content digest:
+    no state → 'new'; digest differs → 'changed'; equal →
+    'unchanged'.  'gone' is deliberately NOT a streaming verdict —
+    absence has no arrival event; liveness sweeps are the batch
+    ``recrawl_schedule`` join's job (documented asymmetry).  Rows are
+    processed in snap_no order so a url appearing in several queued
+    snapshots resolves deterministically."""
+    import pandas as pd
+
+    (url,) = key
+    last = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        for row in pdf.sort_values("snap_no",
+                                   kind="mergesort").itertuples(False):
+            verdict = ("new" if last is None else
+                       "changed" if row.digest != last else "unchanged")
+            out.append((url, int(row.snap_no), verdict))
+            last = row.digest
+    state.update((last,))
+    if out:
+        yield pd.DataFrame(out, columns=["url", "snap_no", "verdict"])
+
+
+def stream_change_detect(spark: SparkSession, input_dir: str,
+                         checkpoint_dir: str, out_dir: str):
+    """readStream over snapshot files (one crawl generation per file
+    → one micro-batch via maxFilesPerTrigger) → per-url stateful
+    change detection → parquet sink (exactly-once, restartable from
+    the checkpoint: state carries each url's last digest across
+    micro-batches AND across restarts — a snapshot arriving days
+    later still diffs against the remembered digest).
+
+    At 10^12 urls the state store is one row per url, RocksDB-backed
+    and sharded by url hash (the same partitioning the snapshots
+    already carry); each micro-batch shuffles only its own
+    generation's rows to their state partitions.  No watermark: url
+    state has no retention bound in the batch tier either (eviction
+    of dead urls is the batch liveness sweep's output applied as a
+    state drop)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (spark.readStream.schema(SNAP_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+    verdicts = stream.groupBy("url").applyInPandasWithState(
+        change_detect_state_func, CHANGE_OUT_SCHEMA, CHANGE_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+    q = (verdicts.writeStream.format("parquet")
+         .option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

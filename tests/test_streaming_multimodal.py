@@ -530,3 +530,81 @@ def test_stream_hourly_rollup_drops_beyond_watermark(spark, tmp_path):
     # the dropped late row; both open windows accepted their rows
     assert got == [("a", h0, 1, 1.5), ("a", h0 + 3, 2, 6.0),
                    ("a", h0 + 4, 1, 8.0)]
+
+
+def test_stream_change_detect_matches_batch_recrawl(spark, tmp_path):
+    """Streaming per-url change detection must classify snapshot t1's
+    arrivals exactly like the batch recrawl_schedule diff: build the
+    SAME two synthesized generations, drain snap0 (everything 'new'),
+    STOP, then restart from the checkpoint with snap1 newly arrived —
+    the per-host changed/unchanged/new counts of the second run must
+    equal the batch op's counters (gone is batch-only by design:
+    absence has no arrival event)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import stream_change_detect
+    from query_registry import QUERY_SQL
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+
+    def url(doc_id):
+        return "h%d.example/p%d" % (doc_id % 40, doc_id)
+
+    def changed(doc_id):
+        hid = doc_id % 40
+        return (0 if hid % 10 == 7 else 1 if hid % 10 == 3 else
+                1 if doc_id % 160 < 40 else 0)
+
+    snap0 = [(url(r.doc_id), 0,
+              hashlib.md5(r.text.encode()).hexdigest())
+             for r in rows if r.doc_id % 13 != 0]
+    snap1 = [(url(r.doc_id), 1, hashlib.md5(
+        (r.text + ("|v2" if changed(r.doc_id) else "")).encode())
+        .hexdigest()) for r in rows if r.doc_id % 17 != 0]
+
+    input_dir = tmp_path / "snaps"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+
+    def write_snap(snap, k):
+        path = str(input_dir / ("snap-%02d.parquet" % k))
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+            snap, columns=["url", "snap_no", "digest"])), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+    out_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt_cd")
+    write_snap(snap0, 0)
+    stream_change_detect(spark, str(input_dir), ckpt, out_dir)
+    first = spark.read.parquet(out_dir).collect()
+    assert len(first) == len(snap0)
+    assert {r.verdict for r in first} == {"new"}
+
+    write_snap(snap1, 1)                      # restart: state recovered
+    stream_change_detect(spark, str(input_dir), ckpt, out_dir)
+    second = [r for r in spark.read.parquet(out_dir).collect()
+              if r.snap_no == 1]
+    assert len(second) == len(snap1)
+
+    got = {}
+    for r in second:
+        host = r.url.split("/")[0]
+        key = {"changed": "n_changed", "unchanged": "n_unchanged",
+               "new": "n_new"}[r.verdict]
+        got.setdefault(host, {"n_changed": 0, "n_unchanged": 0,
+                              "n_new": 0})[key] += 1
+    docs.createOrReplaceTempView("documents")
+    batch = spark.sql(QUERY_SQL["recrawl_schedule"]["spark"]).collect()
+    for b in batch:
+        exp = got.get(b.host, {"n_changed": 0, "n_unchanged": 0,
+                               "n_new": 0})
+        assert (b.n_changed, b.n_unchanged, b.n_new) == \
+            (exp["n_changed"], exp["n_unchanged"], exp["n_new"]), b.host
+    assert sum(g["n_changed"] for g in got.values()) > 0
+    assert sum(g["n_unchanged"] for g in got.values()) > 0

@@ -261,7 +261,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # positional phrase search (bigram lead-window pass)
                    "phrase_search",
                    # co-citation related-host pairs (Dean & Henzinger)
-                   "cocitation_pairs"}
+                   "cocitation_pairs",
+                   # sign-random-projection LSH (Charikar 2002): the
+                   # label-free banded candidate path for embedding
+                   # near-dup — same all_queries verification path
+                   "embed_srp_neardup"}
 
 
 def _specials() -> dict:

@@ -890,3 +890,123 @@ def ivf_persisted_topk(spark, index_dir: str, n_queries: int = 8,
             .filter(F.col("rank") <= topn)
             .select("query_id", F.col("cand_id").alias("neighbor_id"),
                     "rank", "cosine"))
+
+
+# --------------------------------------- sign-random-projection LSH
+
+_SRP_BITS = 24       # hyperplanes (signature bits)
+_SRP_BANDS = 3       # bands of _SRP_BITS/_SRP_BANDS bits each
+_SRP_EPS = "0.9"     # same verification bar as the other dedup tiers
+
+
+def _srp_sig(qv: str, d: str) -> str:
+    """24-bit SRP signature of a quantized vector, exact-integer.
+
+    Hyperplane j's component i is a deterministic pseudo-random signed
+    integer in [-1000, 1000]: (HEX2INT(md5('srp|j|i')) % 2001) - 1000
+    — the md5 hash is the shared cross-engine randomness source of the
+    sketch tier.  Bit j = [<qv, h_j> >= 0]; each product is <=
+    1e6*1000 = 1e9 and the 64-term sum <= 6.4e10, comfortably BIGINT.
+    The signature is the bit-packed BIGINT sum of 2^j.
+    """
+    from ..relational import HEX2INT
+    if d == SPARK:
+        comp = HEX2INT(
+            "md5(concat('srp|', CAST(j AS STRING), '|', "
+            "CAST(i AS STRING)))", d)
+        return (
+            "aggregate(transform(sequence(0, {B1}), j -> CASE WHEN "
+            "aggregate(zip_with({qv}, transform(sequence(0, 63), i -> "
+            "{comp} % 2001 - 1000), (x, w) -> x * w), "
+            "CAST(0 AS BIGINT), (a2, v2) -> a2 + v2) >= 0 "
+            "THEN shiftleft(CAST(1 AS BIGINT), j) "
+            "ELSE CAST(0 AS BIGINT) END), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).format(B1=_SRP_BITS - 1, qv=qv, comp=comp)
+    comp = HEX2INT(
+        "md5('srp|' || CAST(j AS VARCHAR) || '|' || "
+        "CAST((i - 1) AS VARCHAR))", d)
+    return (
+        "CAST(list_sum([CASE WHEN CAST(list_sum([{qv}[i] * "
+        "({comp} % 2001 - 1000) for i in range(1, 65)]) AS BIGINT) "
+        ">= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) "
+        "END for j in range(0, {B})]) AS BIGINT)"
+    ).format(qv=qv, comp=comp, B=_SRP_BITS)
+
+
+@query("embed_srp_neardup")
+def q_srp_neardup(d: str) -> str:
+    """Embedding near-dup via sign-random-projection LSH (Charikar,
+    STOC 2002): hash each vector to a 24-bit hyperplane-sign
+    signature, band it 3x8 bits, candidate pairs share a band value,
+    verify candidates at exact cosine >= 0.9.
+
+    This is the label-free scale path of the embedding dedup tier:
+    ``dedup_embedding_cosine`` prunes candidates to a PRE-EXISTING
+    coarse cell (the fixture's label column); real corpora have no
+    such column.  SRP needs nothing but the vectors — the signature
+    is a narrow per-row projection (24 x 64 integer multiplies, no
+    explode, no fit), banding is a 3x unpivot, and candidates come
+    from ONE band-key equi-join — the identical surviving shape as
+    the MinHash/LSH text tier (ops/dedup.py), with the candidate
+    volume dialed by bits-per-band (8 bits => ~1/256 collision rate
+    for unrelated vectors vs P(bit agree) = 1 - theta/pi per bit for
+    near-dups; at cosine 0.999, P(all 24 bits agree) ~ 0.71 and
+    P(>=1 of 3 bands) > 0.9999).
+
+    Same in-plan twin tier as ``dedup_embedding_cosine`` (every 10th
+    vector re-enters nudged, cosine ~ 0.999) so genuine near-dups
+    exist; the test pins that SRP recovers ALL of them at fixture
+    scale plus the measured candidate-reduction factor vs the n^2/2
+    cross join.  Output: verified pairs with the integer Hamming
+    distance of the full signatures and the exact cosine (the same
+    IEEE-double sequence as the rest of this module).
+    """
+    if d == SPARK:
+        twin = ("concat(array(element_at(qv0, 1) + 50000), "
+                "slice(qv0, 2, size(qv0) - 1))")
+        bandrows = "SELECT explode(sequence(0, %d)) AS b" % (
+            _SRP_BANDS - 1)
+        bandval = "(shiftright(s.sig, r.b * 8) & 255)"
+        hamming = "bit_count(sa.sig ^ sb.sig)"
+    else:
+        twin = "[qv0[1] + 50000] || qv0[2:len(qv0)]"
+        bandrows = "SELECT unnest(range(0, %d)) AS b" % _SRP_BANDS
+        bandval = "((s.sig >> (r.b * 8)) & 255)"
+        hamming = "bit_count(xor(sa.sig, sb.sig))"
+    cos = ("CAST({dot} AS DOUBLE) / (sqrt(CAST({assq} AS DOUBLE)) "
+           "* sqrt(CAST({bssq} AS DOUBLE)))").format(
+               dot=_dot("sa.qv", "sb.qv", d), assq=_ssq("sa.qv", d),
+               bssq=_ssq("sb.qv", d))
+    return """
+WITH base0 AS (
+  SELECT vec_id, {quant} AS qv0 FROM embeddings
+),
+base AS (
+  SELECT vec_id, qv0 AS qv FROM base0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {twin} AS qv
+  FROM base0 WHERE vec_id % 10 = 0
+),
+sig AS (
+  SELECT vec_id, qv, {sig} AS sig FROM base
+),
+bands AS (
+  SELECT s.vec_id, r.b, {bandval} AS bv
+  FROM sig s CROSS JOIN ({bandrows}) r
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
+)
+SELECT c.left_id, c.right_id,
+  CAST({hamming} AS INT) AS hamming,
+  {cos} AS cosine
+FROM cand c
+JOIN sig sa ON sa.vec_id = c.left_id
+JOIN sig sb ON sb.vec_id = c.right_id
+WHERE {cos} >= {eps}
+""".format(quant=_quantized(d), twin=twin, sig=_srp_sig("qv", d),
+           bandval=bandval, bandrows=bandrows, hamming=hamming,
+           cos=cos, eps=_SRP_EPS)

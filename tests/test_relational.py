@@ -39,7 +39,7 @@ _SUBSET = [
     "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
-    "phrase_serve_persisted", "cocitation_pairs",
+    "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2185,3 +2185,67 @@ def test_cocitation_semantics(duck, entry_mod):
     exp = [(a, b, n, rk) for rk, ((a, b), n) in enumerate(top, 1)]
     assert sorted(rows, key=lambda r: r[3]) == exp
     assert any("h0.example" in (a, b) for a, b, _, _ in rows[:5] or rows)
+
+
+def test_embed_srp_neardup_semantics(duck, entry_mod):
+    """Independent Python recomputation of SRP-LSH (own hashlib-md5
+    hyperplanes, own bit packing, own banding/candidates/cosine):
+    the oracle SQL's verified pairs must match exactly, EVERY twin
+    pair (vec_id, vec_id+1000000) must be recovered (fixture-scale
+    recall = 100%), and the banded candidate set must be >= 10x
+    smaller than the n^2/2 cross join (the pruning the operator
+    exists for)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["embed_srp_neardup"]
+                    ).fetchall()
+    vecs = duck.sql("SELECT vec_id, embedding FROM embeddings"
+                    ).fetchall()
+    qv = {vid: [math.floor(float(x) * 1e6) for x in emb]
+          for vid, emb in vecs}
+    for vid in sorted(qv):
+        if vid % 10 == 0:
+            v = qv[vid]
+            qv[vid + 1000000] = [v[0] + 50000] + v[1:]
+    planes = [[int(hashlib.md5(("srp|%d|%d" % (j, i)).encode()
+                               ).hexdigest()[:15], 16) % 2001 - 1000
+               for i in range(64)] for j in range(24)]
+    sig = {}
+    for vid, v in qv.items():
+        s = 0
+        for j in range(24):
+            if sum(x * w for x, w in zip(v, planes[j])) >= 0:
+                s |= 1 << j
+        sig[vid] = s
+    buckets = defaultdict(list)
+    for vid, s in sig.items():
+        for b in range(3):
+            buckets[(b, (s >> (8 * b)) & 255)].append(vid)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[k]))
+    n_tot = len(qv)
+    assert len(cand) * 10 <= n_tot * (n_tot - 1) // 2, (
+        len(cand), n_tot)
+
+    def cosine(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return float(dot) / (math.sqrt(float(sum(x * x for x in a)))
+                             * math.sqrt(float(sum(y * y for y in b))))
+
+    exp = set()
+    for lft, rgt in cand:
+        c = cosine(qv[lft], qv[rgt])
+        if c >= 0.9:
+            ham = bin(sig[lft] ^ sig[rgt]).count("1")
+            exp.add((lft, rgt, ham, repr(c)))
+    got = {(l, r, h, repr(c)) for l, r, h, c in rows}
+    assert got == exp
+    twins = {(vid, vid + 1000000) for vid in qv
+             if vid < 1000000 and vid % 10 == 0}
+    assert twins <= {(l, r) for l, r, _, _ in got}

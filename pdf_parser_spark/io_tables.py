@@ -499,3 +499,75 @@ class TableIO:
             for d in orphans:
                 shutil.rmtree(d, ignore_errors=True)
         return {"orphan_dirs": orphans, "dry_run": dry_run}
+
+    def read_incremental(self, spark: SparkSession, table: str,
+                         from_snapshot: int,
+                         to_snapshot: Optional[int] = None
+                         ) -> Optional[DataFrame]:
+        """Iceberg-style incremental append scan: ONLY the rows
+        committed to ``table`` by append snapshots with
+        ``from_snapshot < sequence <= to_snapshot`` — the API a
+        downstream consumer uses to process each micro-batch of a
+        10^12-row table exactly once without ever rescanning history
+        (store the last-consumed sequence, pass it back as
+        ``from_snapshot``).
+
+        Semantics match Iceberg's ``incremental read`` contract:
+
+        * append-only — a ``rewrite`` (compaction) inside the range
+          raises, because a rewrite's files MERGE history and the rows
+          "added" by it are not new data (Iceberg: "cannot read
+          incrementally across an overwrite/rewrite");  rewrites at or
+          before ``from_snapshot`` or after ``to_snapshot`` are fine —
+          the range's own append files are still the exact delta;
+        * the range's files must still exist — a later
+          ``expire_snapshots`` may have vacuumed files a later rewrite
+          replaced; that is detected and raised, never silently
+          under-read;
+        * schema = the as-of-``to_snapshot`` table schema (older files
+          scan added columns as NULL, same rule as :meth:`read`);
+        * empty range -> empty DataFrame with that schema (None only
+          when the table has never been committed at all).
+        """
+        if self.fmt == "iceberg":
+            raise NotImplementedError(
+                "iceberg fmt delegates to spark.read.option("
+                "'start-snapshot-id', ...) — use the catalog reader")
+        files: List[str] = []
+        seen_any = False
+        for m in self._manifests():
+            snap = self._load_manifest(m)
+            seq = snap["sequence"]
+            if to_snapshot is not None and seq > to_snapshot:
+                break
+            if table not in snap["tables"]:
+                continue
+            seen_any = True
+            if seq <= from_snapshot:
+                continue
+            if snap.get("op") == "rewrite":
+                raise RuntimeError(
+                    "incremental read (%d, %s] of table %r crosses a "
+                    "rewrite commit at sequence %d: rewrites merge "
+                    "history and have no append delta — consume up to "
+                    "sequence %d, then restart from it"
+                    % (from_snapshot, to_snapshot, table, seq, seq - 1))
+            files.extend(snap["tables"][table])
+        if not seen_any:
+            return None
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise RuntimeError(
+                "incremental read (%d, %s] of table %r needs %d data "
+                "file(s) that expire_snapshots has deleted (first: %s) "
+                "— the range is below the vacuum horizon"
+                % (from_snapshot, to_snapshot, table, len(missing),
+                   missing[0]))
+        schema = self.table_schema(table, as_of=to_snapshot)
+        if not files:
+            if schema is None:
+                return None
+            return spark.createDataFrame([], schema)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*files)
+        return spark.read.parquet(*files)

@@ -489,3 +489,86 @@ def test_remove_orphans_path_spelling_is_canonicalized(
     res = cleaner.remove_orphan_files(older_than_seconds=0)
     assert res["orphan_dirs"] == []
     assert TableIO(str(tmp_path / "tables")).read(spark, "t").count() == 1
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_incremental_read_exact_deltas(spark, tmp_path):
+    """(from, to] append deltas: each committed batch is read exactly
+    once, the union of consecutive deltas equals the full table, and
+    an empty range is an empty DataFrame with the table schema."""
+    io = TableIO(str(tmp_path))
+    mk = lambda *ids: spark.createDataFrame(
+        [(i, "v%d" % i) for i in ids], "id int, v string")
+    s1 = io.append(mk(1, 2), "t")["sequence"]
+    s2 = io.append(mk(3), "t")["sequence"]
+    s3 = io.append(mk(4, 5), "t")["sequence"]
+    assert _ids(io.read_incremental(spark, "t", s1)) == [3, 4, 5]
+    assert _ids(io.read_incremental(spark, "t", s1, s2)) == [3]
+    assert _ids(io.read_incremental(spark, "t", s2, s3)) == [4, 5]
+    # from before the first sequence (sequences start at 0) == full read
+    assert _ids(io.read_incremental(spark, "t", s1 - 1)) == \
+        _ids(io.read(spark, "t"))
+    # nothing new: empty DF, schema intact
+    inc = io.read_incremental(spark, "t", s3)
+    assert inc.count() == 0 and inc.columns == ["id", "v"]
+    # unknown table: None (matches read())
+    assert io.read_incremental(spark, "nope", 0) is None
+
+
+def test_incremental_read_refuses_rewrite_in_range(spark, tmp_path):
+    """A compaction inside the range has no append delta — the read
+    must raise (Iceberg's incremental contract), while ranges fully
+    before or after the rewrite still work."""
+    io = TableIO(str(tmp_path))
+    mk = lambda *ids: spark.createDataFrame(
+        [(i, "v%d" % i) for i in ids], "id int, v string")
+    s1 = io.append(mk(1), "t")["sequence"]
+    s2 = io.append(mk(2), "t")["sequence"]
+    io.compact(spark, "t")
+    s4 = io.append(mk(3), "t")["sequence"]
+    with pytest.raises(RuntimeError, match="rewrite"):
+        io.read_incremental(spark, "t", s1)
+    with pytest.raises(RuntimeError, match="rewrite"):
+        io.read_incremental(spark, "t", s2, s4)
+    # pre-rewrite range: still the exact delta
+    assert _ids(io.read_incremental(spark, "t", s1, s2)) == [2]
+    # post-rewrite ranges never see the rewrite
+    assert _ids(io.read_incremental(spark, "t", s4 - 1, s4)) == [3]
+    assert _ids(io.read_incremental(spark, "t", s4 - 1)) == [3]
+
+
+def test_incremental_read_detects_vacuumed_range(spark, tmp_path):
+    """expire_snapshots after a rewrite deletes the replaced files; an
+    incremental range that needs them must raise, never under-read."""
+    io = TableIO(str(tmp_path))
+    mk = lambda *ids: spark.createDataFrame(
+        [(i, "v%d" % i) for i in ids], "id int, v string")
+    s1 = io.append(mk(1), "t")["sequence"]
+    s2 = io.append(mk(2), "t")["sequence"]
+    io.compact(spark, "t")
+    io.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="expire_snapshots"):
+        io.read_incremental(spark, "t", s1, s2)
+
+
+def test_incremental_read_applies_as_of_schema(spark, tmp_path):
+    """Additive evolution: a delta of pre-evolution files read with a
+    post-evolution to_snapshot scans the added column as NULL; read
+    with a pre-evolution to_snapshot it doesn't exist."""
+    io = TableIO(str(tmp_path))
+    s1 = io.append(spark.createDataFrame([(1,)], "id int"),
+                   "t")["sequence"]
+    s2 = io.append(spark.createDataFrame([(2,)], "id int"),
+                   "t")["sequence"]
+    s3 = io.append(spark.createDataFrame([(3, "en")],
+                                         "id int, lang string"),
+                   "t")["sequence"]
+    old = io.read_incremental(spark, "t", s1, s2)
+    assert old.columns == ["id"]
+    new = io.read_incremental(spark, "t", s1, s3)
+    assert new.columns == ["id", "lang"]
+    rows = {r.id: r.lang for r in new.collect()}
+    assert rows == {2: None, 3: "en"}

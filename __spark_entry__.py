@@ -265,7 +265,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # sign-random-projection LSH (Charikar 2002): the
                    # label-free banded candidate path for embedding
                    # near-dup — same all_queries verification path
-                   "embed_srp_neardup"}
+                   "embed_srp_neardup",
+                   # Heritrix-style crawler-trap URL filtering
+                   "url_trap_filter"}
 
 
 def _specials() -> dict:

@@ -393,3 +393,139 @@ SELECT host, n_in, rank_ppb, verdict,
        ELSE CAST(0 AS BIGINT) END AS fetch_rank
 FROM verdicts
 """.format(rules=_rules_cte(d), ctes=",\n".join(parts))
+
+
+# ------------------------------------------------- crawler-trap filter
+
+_TRAP_MAX_LEN = 256    # fixture-scaled from the de-facto 2083 limit
+_TRAP_MAX_SEG = 8      # Heritrix tooManyPathSegments default is 20
+_TRAP_MAX_PARAMS = 5
+
+
+def _segs(d: str) -> str:
+    """Path split on '/' (element 1 is the leading empty string)."""
+    if d == SPARK:
+        return "split(path, '/')"
+    return "string_split(path, '/')"
+
+
+@query("url_trap_filter")
+def q_url_trap_filter(d: str) -> str:
+    """Crawler-trap URL filtering — the frontier guard every crawler
+    runs before enqueueing (Heritrix's pathologicalPath /
+    tooManyPathSegments decide rules + the session-id and calendar
+    heuristics from the crawler literature).  First-match-ordered
+    verdict per url:
+
+    1. ``too_long``          — len(url) > 256 (fixture-scaled 2083);
+    2. ``repeated_segment``  — the same non-empty path segment >= 3
+       times CONSECUTIVELY (``/cat/cat/cat``), computed by an
+       adjacent-equality scan over the split path (RE2 has no
+       backreferences, so the regex form is non-portable — the array
+       form is also cheaper: no backtracking);
+    3. ``too_deep``          — > 8 path segments (Heritrix default 20);
+    4. ``session_id``        — phpsessid/jsessionid/sessionid/sid=
+       query markers (infinite-URL-space generators);
+    5. ``too_many_params``   — > 5 query parameters;
+    6. ``calendar_trap``     — >= 2 four-digit-year path segments (a
+       single /2024/05/post blog prefix is fine; calendar pagers
+       nest them);
+    else ``keep``.
+
+    The driver corpus has no URLs (module-docstring pattern): each doc
+    synthesizes one of 11 deterministic shapes — every trap class, a
+    near-miss for the two structural rules (2 consecutive repeats, 1
+    year segment), a double-trap url pinning the first-match order,
+    and clean control urls.  Pure string/array expressions, no UDF,
+    no join: at 10^12 urls this is a narrow per-row projection fused
+    into the frontier scan (the same plan class as url_canonicalize).
+    """
+    rep = "repeat('x', 260)"
+    sid = "'/p?jsessionid=' || " + ("repeat('y', 260)" if d == DUCK
+                                    else "repeat('y', 260)")
+    path_cases = """CASE CAST(doc_id % 11 AS INT)
+    WHEN 0 THEN '/cat/cat/cat/p' || {id}
+    WHEN 1 THEN '/a1/b2/c3/d4/e5/f6/g7/h8/i9'
+    WHEN 2 THEN '/page?phpsessid=deadbeef' || {id}
+    WHEN 3 THEN '/q?a=1&b=2&c=3&d=4&e=5&f=6'
+    WHEN 4 THEN '/2023/11/2024/01/post-' || {id}
+    WHEN 5 THEN '/long/' || {rep}
+    WHEN 6 THEN {sid}
+    WHEN 7 THEN '/cat/cat/p' || {id}
+    WHEN 8 THEN '/2024/05/post-' || {id}
+    WHEN 9 THEN '/w' || {m100} || '/page-' || {id}
+    ELSE '/p?q=' || {id} || '&lang=en'
+  END""".format(id=CSTR("doc_id", d), rep=rep, sid=sid,
+                m100=CSTR("doc_id % 100", d))
+    segs = _segs(d)
+    if d == SPARK:
+        has_rep = ("CASE WHEN size(segs) >= 3 THEN "
+                   "exists(sequence(1, size(segs) - 2), i -> "
+                   "element_at(segs, i) != '' AND "
+                   "element_at(segs, i) = element_at(segs, i + 1) AND "
+                   "element_at(segs, i + 1) = element_at(segs, i + 2)) "
+                   "ELSE false END")
+        n_seg = "size(filter(segs, s -> s != ''))"
+        n_years = ("size(filter(segs, s -> s rlike "
+                   "'^(19|20)[0-9]{2}$'))")
+        n_params = ("CASE WHEN query = '' THEN 0 "
+                    "ELSE size(split(query, '&')) END")
+    else:
+        has_rep = ("len([i for i in range(1, len(segs) - 1) "
+                   "if segs[i] != '' AND segs[i] = segs[i + 1] "
+                   "AND segs[i + 1] = segs[i + 2]]) > 0")
+        n_seg = "len([s for s in segs if s != ''])"
+        n_years = ("len([s for s in segs if "
+                    "regexp_matches(s, '^(19|20)[0-9]{2}$')])")
+        n_params = ("CASE WHEN query = '' THEN 0 "
+                    "ELSE len(string_split(query, '&')) END")
+    return """
+WITH urls AS (
+  SELECT doc_id,
+    'https://' || {host} || {pcases} AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    {path_rex} AS path,
+    {query_rex} AS query
+  FROM urls
+),
+feats AS (
+  SELECT doc_id, url,
+    CAST(length(url) AS INT) AS url_len,
+    CAST({n_seg} AS INT) AS n_seg,
+    CAST({n_params} AS INT) AS n_params,
+    CAST({n_years} AS INT) AS n_years,
+    {has_rep} AS has_repeat
+  FROM (SELECT doc_id, url, {segs} AS segs, query FROM parts) t
+)
+SELECT doc_id, url_len, n_seg, n_params,
+  CASE WHEN url_len > {maxlen} THEN 'too_long'
+       WHEN has_repeat THEN 'repeated_segment'
+       WHEN n_seg > {maxseg} THEN 'too_deep'
+       WHEN lower(url) LIKE '%phpsessid=%'
+         OR lower(url) LIKE '%jsessionid=%'
+         OR lower(url) LIKE '%sessionid=%'
+         OR lower(url) LIKE '%?sid=%'
+         OR lower(url) LIKE '%&sid=%' THEN 'session_id'
+       WHEN n_params > {maxpar} THEN 'too_many_params'
+       WHEN n_years >= 2 THEN 'calendar_trap'
+       ELSE 'keep' END AS verdict
+FROM feats
+""".format(host=HOST("doc_id %% %d" % _N_HOSTS, d), pcases=path_cases,
+           path_rex=_rex_path(d), query_rex=_rex_query(d), segs=segs,
+           n_seg=n_seg, n_params=n_params, n_years=n_years,
+           has_rep=has_rep, maxlen=_TRAP_MAX_LEN, maxseg=_TRAP_MAX_SEG,
+           maxpar=_TRAP_MAX_PARAMS)
+
+
+def _rex_path(d: str) -> str:
+    from ..relational import lit as _lit
+    return "regexp_extract(url, %s, 1)" % _lit(
+        r"^[a-z]+://[^/?#]+([^?#]*)", d)
+
+
+def _rex_query(d: str) -> str:
+    from ..relational import lit as _lit
+    return "regexp_extract(url, %s, 1)" % _lit(r"\?(.*)$", d)

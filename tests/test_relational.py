@@ -40,6 +40,7 @@ _SUBSET = [
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
     "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
+    "url_trap_filter",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2249,3 +2250,64 @@ def test_embed_srp_neardup_semantics(duck, entry_mod):
     twins = {(vid, vid + 1000000) for vid in qv
              if vid < 1000000 and vid % 10 == 0}
     assert twins <= {(l, r) for l, r, _, _ in got}
+
+
+def test_url_trap_filter_semantics(duck, entry_mod):
+    """Independent Python recomputation with urllib.parse: re-derive
+    every feature (length, segment count, param count, consecutive
+    repeats, year segments, session markers) from the synthesized URL
+    itself and re-apply the first-match ladder; every trap class must
+    be realized, the near-miss classes (2 consecutive repeats, 1 year
+    segment) must KEEP, and the double-trap class must resolve to the
+    FIRST matching rule (too_long over session_id)."""
+    import re
+    from urllib.parse import urlsplit
+
+    sql = entry_mod.all_oracles()["url_trap_filter"]
+    # recompute from the url itself: project it alongside the output
+    rows = duck.sql(
+        "SELECT f.*, u.url FROM (%s) f JOIN (%s) u USING (doc_id)"
+        % (sql, sql.replace(
+            "SELECT doc_id, url_len, n_seg, n_params,",
+            "SELECT doc_id, url,").split("FROM feats")[0]
+            + "FROM feats")).fetchall()
+    assert len(rows) == 500
+    seen = set()
+    for doc_id, url_len, n_seg, n_params, verdict, url in rows:
+        sp = urlsplit(url)
+        segs = sp.path.split("/")
+        exp_nseg = len([s for s in segs if s])
+        exp_npar = len(sp.query.split("&")) if sp.query else 0
+        rep = any(segs[i] and segs[i] == segs[i + 1] == segs[i + 2]
+                  for i in range(len(segs) - 2))
+        years = len([s for s in segs
+                     if re.fullmatch(r"(19|20)\d{2}", s)])
+        sess = any(m in url.lower() for m in
+                   ("phpsessid=", "jsessionid=", "sessionid=",
+                    "?sid=", "&sid="))
+        if len(url) > 256:
+            exp = "too_long"
+        elif rep:
+            exp = "repeated_segment"
+        elif exp_nseg > 8:
+            exp = "too_deep"
+        elif sess:
+            exp = "session_id"
+        elif exp_npar > 5:
+            exp = "too_many_params"
+        elif years >= 2:
+            exp = "calendar_trap"
+        else:
+            exp = "keep"
+        assert (url_len, n_seg, n_params) == \
+            (len(url), exp_nseg, exp_npar), doc_id
+        assert verdict == exp, (doc_id, url, verdict, exp)
+        seen.add((doc_id % 11, verdict))
+    # every trap class realized; near-misses and controls keep;
+    # the double-trap class (6: overlong AND session-id) -> too_long
+    cls = dict((c, v) for c, v in seen)
+    assert cls[0] == "repeated_segment" and cls[1] == "too_deep"
+    assert cls[2] == "session_id" and cls[3] == "too_many_params"
+    assert cls[4] == "calendar_trap" and cls[5] == "too_long"
+    assert cls[6] == "too_long"
+    assert cls[7] == cls[8] == cls[9] == cls[10] == "keep"

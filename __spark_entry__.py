@@ -267,7 +267,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # near-dup — same all_queries verification path
                    "embed_srp_neardup",
                    # Heritrix-style crawler-trap URL filtering
-                   "url_trap_filter"}
+                   "url_trap_filter",
+                   # MaxScore-pruned BM25 top-k (lossless, test-pinned
+                   # identical to full evaluation)
+                   "bm25_maxscore"}
 
 
 def _specials() -> dict:

@@ -628,3 +628,205 @@ def phrase_serve_demo(spark, index_dir: str = None):
     text_index_append(spark, root, spark.table("documents")
                       .select("doc_id", "text"))
     return phrase_serve(spark, root)
+
+
+# --------------------------------------------- MaxScore-pruned top-k
+
+# MaxScore (Turtle & Flood, IPM 1995) query set: the optimization
+# pays when one rare high-weight term anchors the threshold and the
+# common terms become non-essential — so each shape is represented:
+# rare+common (prunes hard), common-only (prunes little or not at
+# all — exactness must still hold), absent-top-term, absent-only.
+_MS_QUERY_TERMS = [
+    (0, "dup"), (0, "the"), (0, "spark"),
+    (1, "window"), (1, "stream"), (1, "filter"),
+    (2, "dup"), (2, "merge"),
+    (3, "zzzabsent"), (3, "the"),
+    (4, "zzzabsent"),
+]
+
+
+def _ms_qterms(d: str) -> str:
+    vals = ", ".join("(%d, '%s')" % qt for qt in _MS_QUERY_TERMS)
+    if d == SPARK:
+        return ("SELECT CAST(query_id AS BIGINT) AS query_id, term "
+                "FROM VALUES %s AS t(query_id, term)" % vals)
+    return ("SELECT CAST(query_id AS BIGINT) AS query_id, term "
+            "FROM (VALUES %s) AS t(query_id, term)" % vals)
+
+
+def _ms_ctes(d: str) -> str:
+    """The shared CTE chain: corpus stats -> per-(query,term,doc)
+    exact-integer BM25 weights -> term upper bounds -> MaxScore
+    essential-term selection -> candidate docs.  Used by
+    ``bm25_maxscore`` and (for the pruning gate + the full-evaluation
+    twin) the tests."""
+    toks = TOKS_CTE(d)
+    idf = IDIV("((SELECT n FROM stats) - f.df) * %d" % _IDF_SCALE,
+               "f.df + 1")
+    wgt = IDIV(
+        "(%s) * m.tf * 22 * (SELECT s FROM stats)" % idf,
+        "10 * (SELECT s FROM stats) * m.tf"
+        " + 3 * (SELECT s FROM stats)"
+        " + 9 * d.dl * (SELECT n FROM stats)")
+    return """
+qterms AS ({qterms}),{toks},
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+  GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+  FROM dl
+),
+matched AS (
+  SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON q.term = t.w
+  GROUP BY q.query_id, q.term, t.doc_id
+),
+docfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM matched GROUP BY term
+),
+wgts AS (
+  SELECT m.query_id, m.term, m.doc_id, {wgt} AS w
+  FROM matched m
+  JOIN docfreq f ON f.term = m.term
+  JOIN dl d ON d.doc_id = m.doc_id
+),
+ub AS (
+  SELECT query_id, term, CAST(MAX(w) AS BIGINT) AS ub
+  FROM wgts GROUP BY query_id, term
+),
+ubord AS (
+  SELECT query_id, term, ub,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ub DESC, term) AS BIGINT) AS pos,
+    CAST(SUM(ub) OVER (PARTITION BY query_id
+                       ORDER BY ub DESC, term
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+                       FOLLOWING) AS BIGINT) AS sufsum
+  FROM ub
+),
+c1 AS (
+  SELECT DISTINCT w.query_id, w.doc_id
+  FROM wgts w
+  JOIN ubord tt ON tt.query_id = w.query_id AND tt.term = w.term
+  WHERE tt.pos = 1
+),
+full1 AS (
+  SELECT w.query_id, w.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+  FROM wgts w
+  JOIN c1 ON c1.query_id = w.query_id AND c1.doc_id = w.doc_id
+  GROUP BY w.query_id, w.doc_id
+),
+theta AS (
+  SELECT query_id, score AS theta FROM (
+    SELECT query_id, score,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS rk
+    FROM full1) t
+  WHERE rk = {k}
+),
+pstar AS (
+  SELECT u.query_id, CAST(MIN(u.pos) AS BIGINT) AS pstar
+  FROM ubord u JOIN theta th ON th.query_id = u.query_id
+  WHERE u.sufsum < th.theta
+  GROUP BY u.query_id
+),
+essential AS (
+  SELECT u.query_id, u.term
+  FROM ubord u LEFT JOIN pstar p ON p.query_id = u.query_id
+  WHERE p.pstar IS NULL OR u.pos < p.pstar
+),
+cand AS (
+  SELECT DISTINCT w.query_id, w.doc_id
+  FROM wgts w
+  JOIN essential e ON e.query_id = w.query_id AND e.term = w.term
+)""".format(qterms=_ms_qterms(d), toks=toks.strip(), wgt=wgt,
+            k=_TOP_K).strip()
+
+
+@query("bm25_maxscore")
+def q_bm25_maxscore(d: str) -> str:
+    """BM25 top-k with MaxScore pruning (Turtle & Flood 1995) —
+    EXACTLY the same results as full evaluation, provably:
+
+    1. per-(query,term) upper bounds ub = MAX doc weight (a real
+       index stores these next to the postings; here one agg over the
+       matched postings);
+    2. pass 1 fully scores only the top-ub term's posting list; the
+       k-th best of those scores is the entry threshold theta;
+    3. terms are ordered ub DESC with suffix sums; p* = first
+       position whose suffix sum < theta.  A document containing NO
+       term before p* scores at most that suffix sum < theta, and
+       theta is already achieved by k pass-1 docs that DO contain the
+       top term — so only docs matching an "essential" term
+       (pos < p*) can enter the top-k, ties included (the pruning
+       bound is strict, so score-equal docs all survive to the final
+       window);
+    4. full scoring + the top-k window run over the candidate set
+       only.
+
+    theta missing (top list shorter than k) or no position with
+    suffix sum < theta degrade to essential = ALL terms — full
+    evaluation, still exact.  All arithmetic is the module's
+    exact-integer BM25 surrogate; the test pins row-identity against
+    the unpruned twin and the measured candidate reduction.
+
+    Shape at 10^12 docs: the expensive stage of the full plan is
+    scoring every matching doc (rare+common queries match ~every doc
+    containing 'the').  MaxScore cuts that to the rare terms' posting
+    lists at the cost of two tiny aggs (ub, suffix sums) and one
+    k-row window — the same candidates-then-verify economics as the
+    IVF and LSH tiers."""
+    return """
+WITH {ctes},
+final AS (
+  SELECT w.query_id, w.doc_id, CAST(SUM(w.w) AS BIGINT) AS score_scaled
+  FROM wgts w
+  JOIN cand c ON c.query_id = w.query_id AND c.doc_id = w.doc_id
+  GROUP BY w.query_id, w.doc_id
+)
+SELECT query_id, doc_id, score_scaled, rk FROM (
+  SELECT query_id, doc_id, score_scaled,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_scaled DESC, doc_id)
+         AS BIGINT) AS rk
+  FROM final) t
+WHERE rk <= {k}
+""".format(ctes=_ms_ctes(d), k=_TOP_K)
+
+
+def bm25_maxscore_full_twin_sql(d: str) -> str:
+    """The UNPRUNED evaluation of the same MaxScore query set — the
+    ground truth the exactness test compares against (not registered:
+    it exists to prove bm25_maxscore's pruning is lossless)."""
+    return """
+WITH {ctes},
+final AS (
+  SELECT query_id, doc_id, CAST(SUM(w) AS BIGINT) AS score_scaled
+  FROM wgts GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_scaled, rk FROM (
+  SELECT query_id, doc_id, score_scaled,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_scaled DESC, doc_id)
+         AS BIGINT) AS rk
+  FROM final) t
+WHERE rk <= {k}
+""".format(ctes=_ms_ctes(d), k=_TOP_K)
+
+
+def bm25_maxscore_gate_sql(d: str) -> str:
+    """Candidate-reduction measurement: (candidate docs, matched docs)
+    per query — the test's pruning gate."""
+    return """
+WITH {ctes},
+m AS (SELECT query_id, COUNT(DISTINCT doc_id) AS n_matched
+      FROM matched GROUP BY query_id),
+c AS (SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY query_id)
+SELECT m.query_id, CAST(c.n_cand AS BIGINT) AS n_cand,
+       CAST(m.n_matched AS BIGINT) AS n_matched
+FROM m JOIN c ON c.query_id = m.query_id
+""".format(ctes=_ms_ctes(d))

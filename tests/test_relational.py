@@ -40,7 +40,7 @@ _SUBSET = [
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
     "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
-    "url_trap_filter",
+    "url_trap_filter", "bm25_maxscore",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2311,3 +2311,36 @@ def test_url_trap_filter_semantics(duck, entry_mod):
     assert cls[4] == "calendar_trap" and cls[5] == "too_long"
     assert cls[6] == "too_long"
     assert cls[7] == cls[8] == cls[9] == cls[10] == "keep"
+
+
+def test_bm25_maxscore_lossless_and_prunes(spark, duck, entry_mod):
+    """MaxScore's defining contract, pinned on BOTH engines: the
+    pruned top-k is ROW-IDENTICAL to unpruned evaluation of the same
+    query set (ranks, scores, ties), while the candidate gate shows
+    the rare-term queries scoring >=10x fewer docs and the
+    absent-top-term query degrading to full evaluation (no silent
+    under-read)."""
+    from pdf_parser_spark.ops.retrieval import (
+        bm25_maxscore_full_twin_sql, bm25_maxscore_gate_sql)
+
+    ms_d = sorted(duck.sql(entry_mod.all_oracles()["bm25_maxscore"]
+                           ).fetchall())
+    full_d = sorted(duck.sql(bm25_maxscore_full_twin_sql("duckdb")
+                             ).fetchall())
+    assert ms_d == full_d and len(ms_d) == 40  # 4 real queries x k=10
+
+    ms_s = sorted(tuple(r) for r in entry_mod.all_queries()
+                  ["bm25_maxscore"](spark, SF_DIR).collect())
+    full_s = sorted(tuple(r) for r in spark.sql(
+        bm25_maxscore_full_twin_sql("spark")).collect())
+    assert ms_s == full_s == ms_d
+
+    gate = {q: (c, m) for q, c, m in
+            duck.sql(bm25_maxscore_gate_sql("duckdb")).fetchall()}
+    # rare+common queries: candidates collapse to the rare posting list
+    assert gate[0][0] * 10 <= gate[0][1], gate
+    assert gate[2][0] * 10 <= gate[2][1], gate
+    # absent-top-term query: pruning degrades to full eval, exactly
+    assert gate[3][0] == gate[3][1]
+    # every candidate set is still >= k (the window has enough rows)
+    assert all(c >= 10 for c, _ in gate.values())

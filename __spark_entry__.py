@@ -270,7 +270,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "url_trap_filter",
                    # MaxScore-pruned BM25 top-k (lossless, test-pinned
                    # identical to full evaluation)
-                   "bm25_maxscore"}
+                   "bm25_maxscore",
+                   # Broder asymmetric containment (quote/subset
+                   # detection the symmetric Jaccard tier can't make)
+                   "dedup_containment"}
 
 
 def _specials() -> dict:

@@ -831,3 +831,119 @@ SELECT doc_id,
 FROM marked GROUP BY doc_id
 """.format(corpus=_substring_corpus(d).strip(), toks=toks.strip(),
            leads=leads, km1=_SUB_K - 1, clean=clean)
+
+
+# --------------------------------------------- asymmetric containment
+
+_CONT_EPS = "0.95"   # containment bar; _JACCARD >= 0.5 is the
+                     # near-dup bar shared with the verified tier
+
+
+def _containment_corpus(d: str) -> str:
+    """documents + three deterministic twins realizing the verdict
+    classes symmetric Jaccard cannot tell apart:
+
+    * doc_id+2000000 (every 7th): the FIRST-HALF PREFIX — contained
+      in its source (c_right = 1.0 exactly: every 4-shingle of a
+      prefix is a 4-shingle of the full word sequence) while Jaccard
+      sits near 0.5;
+    * doc_id+3000000 (every 9th): first half + equal-length qq-noise
+      — genuine partial overlap, no containment either way;
+    * doc_id+4000000 (every 11th): the full text + 6 rr-noise words —
+      a SUPERSET, so the original is contained in it (c_left = 1.0);
+    * doc_id+5000000 (every 13th): every 12th word replaced with
+      zz-noise — ~2/3 of the shingle windows survive intact, so both
+      containments sit near 0.6 and Jaccard near 0.5: the mutual
+      near-dup class with NO containment either way.
+    """
+    ws = _split_ws(d)
+    half = "GREATEST(CAST(floor(%s / 2) AS INT), 5)" % LEN("ws", d)
+    prefix = JOINA(SLICE("ws", "1", half, d), " ", d)
+    if d == SPARK:
+        qq = JOINA(
+            "transform(sequence(0, %s - 1), i -> "
+            "concat('qq', CAST(doc_id * 31 + i AS STRING)))" % half,
+            " ", d)
+        rr = JOINA(
+            "transform(sequence(0, 5), i -> "
+            "concat('rr', CAST(doc_id * 31 + i AS STRING)))", " ", d)
+        mut = JOINA(
+            "transform(ws, (w, i) -> CASE WHEN i % 12 = 0 THEN "
+            "concat('zz', CAST(doc_id * 31 + i AS STRING)) "
+            "ELSE w END)", " ", d)
+    else:
+        qq = JOINA(
+            "['qq' || CAST(doc_id * 31 + i AS VARCHAR) "
+            "for i in range(0, %s)]" % half, " ", d)
+        rr = JOINA(
+            "['rr' || CAST(doc_id * 31 + i AS VARCHAR) "
+            "for i in range(0, 6)]", " ", d)
+        mut = JOINA(
+            "[CASE WHEN (i - 1) %% 12 = 0 THEN "
+            "'zz' || CAST(doc_id * 31 + (i - 1) AS VARCHAR) "
+            "ELSE ws[i] END for i in range(1, %s + 1)]"
+            % LEN("ws", d), " ", d)
+    return """
+corpus0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, {prefix} AS text
+  FROM (SELECT doc_id, {ws} AS ws FROM documents) t1
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, {prefix} || ' ' || {qq} AS text
+  FROM (SELECT doc_id, {ws} AS ws FROM documents) t2
+  WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, text || ' ' || {rr} AS text
+  FROM (SELECT doc_id, text, {ws} AS ws FROM documents) t3
+  WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, {mut} AS text
+  FROM (SELECT doc_id, {ws} AS ws FROM documents) t4
+  WHERE doc_id % 13 = 0
+)""".format(prefix=prefix, ws=ws, qq=qq, rr=rr, mut=mut).strip()
+
+
+@query("dedup_containment")
+def q_containment(d: str) -> str:
+    """Asymmetric shingle containment (Broder, SEQUENCES'97 — the
+    *containment* measure from the resemblance paper): for LSH
+    candidate pairs, c(A in B) = |S(A) n S(B)| / |S(A)| over distinct
+    4-shingles, both directions, with the verdict ladder
+
+        duplicate      — both containments >= 0.95
+        left_in_right  — c_left >= 0.95 (left is a quote/subset)
+        right_in_left  — c_right >= 0.95
+        near_dup       — Jaccard >= 0.5, no containment
+        overlap        — everything else above the 0.2 output floor.
+
+    This is the dedup-policy signal Jaccard alone loses: a document
+    QUOTING another (prefix/subset, j ~ 0.5) and two documents
+    sharing half their content (j ~ 0.5) demand different keeper
+    decisions — drop the contained copy vs keep both.  Candidates
+    come from the same banded-LSH join as the verified tier (bounded
+    fan-in, never n^2; band recall at j ~ 0.5 is the documented
+    LSH-for-containment limitation — the pairs it does surface get
+    EXACT set arithmetic).  Counts are exact integers; each ratio is
+    one IEEE division — identical across engines."""
+    cl = "CAST(i.inter AS DOUBLE) / CAST(sa.n AS DOUBLE)"
+    cr = "CAST(i.inter AS DOUBLE) / CAST(sb.n AS DOUBLE)"
+    return """
+WITH {lsh},
+{jac}
+SELECT i.left_id, i.right_id,
+  sa.n AS n_left, sb.n AS n_right, i.inter AS n_common,
+  {jacexpr} AS jaccard, {cl} AS c_left, {cr} AS c_right,
+  CASE WHEN {cl} >= {eps} AND {cr} >= {eps} THEN 'duplicate'
+       WHEN {cl} >= {eps} THEN 'left_in_right'
+       WHEN {cr} >= {eps} THEN 'right_in_left'
+       WHEN {jacexpr} >= 0.5 THEN 'near_dup'
+       ELSE 'overlap' END AS verdict
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.left_id
+JOIN sizes sb ON sb.doc_id = i.right_id
+WHERE {jacexpr} >= 0.2
+""".format(lsh=_lsh_ctes(d, corpus0_sql=_containment_corpus(d)),
+           jac=_jaccard_ctes("cand"), jacexpr=_JACCARD,
+           cl=cl, cr=cr, eps=_CONT_EPS)

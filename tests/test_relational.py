@@ -40,7 +40,7 @@ _SUBSET = [
     "trustrank_seeds", "hits_scores", "recrawl_schedule",
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
     "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
-    "url_trap_filter", "bm25_maxscore",
+    "url_trap_filter", "bm25_maxscore", "dedup_containment",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2344,3 +2344,104 @@ def test_bm25_maxscore_lossless_and_prunes(spark, duck, entry_mod):
     assert gate[3][0] == gate[3][1]
     # every candidate set is still >= k (the window has enough rows)
     assert all(c >= 10 for c, _ in gate.values())
+
+
+def test_dedup_containment_semantics(duck, entry_mod):
+    """Full independent Python recomputation of the containment
+    pipeline — corpus twins, 4-shingles, md5 minhash signatures, LSH
+    bands, candidate pairs, exact distinct-set arithmetic, verdict
+    ladder — compared value-for-value with the oracle; plus the
+    class-structure pins: prefix twins are right_in_left with
+    c_right EXACTLY 1.0, superset twins are left_in_right with
+    c_left EXACTLY 1.0, mutation twins are near_dup/overlap with
+    NO containment, and all five verdicts are realized."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["dedup_containment"]
+                    ).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents"
+                         ).fetchall())
+    corpus = dict(docs)
+    for did, text in docs.items():
+        ws = text.split(" ")
+        half = max(len(ws) // 2, 5)
+        if did % 7 == 0:
+            corpus[did + 2000000] = " ".join(ws[:half])
+        if did % 9 == 0:
+            corpus[did + 3000000] = " ".join(
+                ws[:half] + ["qq%d" % (did * 31 + i)
+                             for i in range(half)])
+        if did % 11 == 0:
+            corpus[did + 4000000] = text + " " + " ".join(
+                "rr%d" % (did * 31 + i) for i in range(6))
+        if did % 13 == 0:
+            corpus[did + 5000000] = " ".join(
+                "zz%d" % (did * 31 + i) if i % 12 == 0 else w
+                for i, w in enumerate(ws))
+
+    def shingles(text):
+        ws = text.split(" ")
+        return ["" .join([]) or " ".join(ws[i:i + 4])
+                for i in range(max(len(ws) - 3, 1))]
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    sigs, sets = {}, {}
+    for did, text in corpus.items():
+        sh = shingles(text)
+        sets[did] = set(sh)
+        sigs[did] = [min(md5("%d:%s" % (k, s)) for s in sh)
+                     for k in range(8)]
+    buckets = defaultdict(list)
+    for did, m in sigs.items():
+        for b in range(4):
+            buckets[(b, md5(m[2 * b] + m[2 * b + 1]))].append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[k]))
+
+    exp = set()
+    for lft, rgt in cand:
+        inter = len(sets[lft] & sets[rgt])
+        if inter == 0:
+            continue
+        na, nb = len(sets[lft]), len(sets[rgt])
+        jac = float(inter) / float(na + nb - inter)
+        if jac < 0.2:
+            continue
+        cl, cr = float(inter) / float(na), float(inter) / float(nb)
+        if cl >= 0.95 and cr >= 0.95:
+            v = "duplicate"
+        elif cl >= 0.95:
+            v = "left_in_right"
+        elif cr >= 0.95:
+            v = "right_in_left"
+        elif jac >= 0.5:
+            v = "near_dup"
+        else:
+            v = "overlap"
+        exp.add((lft, rgt, na, nb, inter,
+                 repr(jac), repr(cl), repr(cr), v))
+    got = {(l, r, na, nb, i, repr(j), repr(cl), repr(cr), v)
+           for l, r, na, nb, i, j, cl, cr, v in rows}
+    assert got == exp
+
+    verdicts = {r[-1] for r in rows}
+    assert verdicts == {"duplicate", "left_in_right", "right_in_left",
+                        "near_dup", "overlap"}
+    # pins apply to (original, its OWN twin) pairs — twins of the
+    # same source doc also pair with each other (e.g. half+noise vs
+    # superset), legitimately landing in the overlap/near_dup tiers
+    for l, r, na, nb, i, j, cl, cr, v in rows:
+        if l >= 1000000:
+            continue
+        if r == l + 2000000:
+            assert v == "right_in_left" and cr == 1.0, (l, r)
+        if r == l + 4000000:
+            assert v == "left_in_right" and cl == 1.0, (l, r)
+        if r == l + 5000000:
+            assert v in ("near_dup", "overlap") \
+                and cl < 0.95 and cr < 0.95, (l, r)

@@ -368,7 +368,36 @@ def _retired_specials() -> dict:
         "phrase_serve_persisted": (
             _phrase_serve_persisted, QUERY_SQL["phrase_search"]["duckdb"]),
         "warc_ingest": (_warc_ingest, warc_oracle_sql()),
+        # the iterative production twins ARE the Spark side of these
+        # rows (per-round persisted joins); the unrolled SQL stays as
+        # the DuckDB oracle — Catalyst's CTE inlining re-derives the
+        # edge pipeline once per reference (measured 3191 Exchanges vs
+        # 713 for plain PageRank), so the unrolled form is oracle
+        # machinery, not the at-scale operator
+        "trustrank_seeds": (
+            _trustrank_production, QUERY_SQL["trustrank_seeds"]["duckdb"]),
+        "hits_scores": (
+            _hits_production, QUERY_SQL["hits_scores"]["duckdb"]),
     }
+
+
+def _trustrank_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative TrustRank (two pagerank_df chains over one persisted
+    edge list + exact cross-multiplication verdict) — row-identical to
+    the unrolled SQL (test-pinned)."""
+    from pdf_parser_spark.ops.webgraph import trustrank_df
+
+    _register(spark, sf_dir)
+    return trustrank_df(spark)
+
+
+def _hits_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative integer HITS over the persisted distinct edge set —
+    row-identical to the unrolled SQL (test-pinned)."""
+    from pdf_parser_spark.ops.webgraph import hits_production_df
+
+    _register(spark, sf_dir)
+    return hits_production_df(spark)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

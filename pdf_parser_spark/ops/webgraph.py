@@ -623,3 +623,134 @@ GROUP BY doc_id, host
 """.format(host=host, toks=toks.strip(),
            seg_line=ORD_CONCAT("w", " ", "pos", d),
            kept_cat=ORD_CONCAT(kept_md5, "", "line_no", d))
+
+
+def link_graph_df(spark):
+    """The edge list as ONE linear plan (the production input to the
+    iterative graph algorithms below — materialize/persist it instead
+    of letting Catalyst re-derive the anchor-extraction pipeline per
+    unrolled round)."""
+    return spark.sql(QUERIES["link_graph"](SPARK))
+
+
+def trustrank_df(spark, edges=None):
+    """PRODUCTION TrustRank — the iterative form of the
+    ``trustrank_seeds`` oracle SQL, row-identical (test-pinned): two
+    ``pagerank_df`` chains over one persisted edge list (uniform
+    teleport for rank, seed-whitelist teleport for trust) + the exact
+    cross-multiplication verdict.  The unrolled SQL re-derives the
+    edge pipeline once per CTE reference (Catalyst inlining doubles
+    work per round — measured 3191 Exchanges vs 713 for plain
+    PageRank); here each round is ONE equi-join + ONE hash-agg over
+    the persisted previous round, the shape that runs at 10^12
+    pages."""
+    from pyspark.sql import functions as F
+
+    own_edges = edges is None
+    if own_edges:
+        edges = link_graph_df(spark).persist()
+        edges.count()
+    nodes = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    node_set = {r.host for r in nodes.collect()}  # |hosts| rows: the
+    # host-granularity vertex set (~10^7 at web scale, still a driver
+    # list only for the tiny seed intersection below — on a real
+    # cluster intersect DataFrames instead; seeds are O(100) either way
+    seeds = sorted(h for h in _seed_hosts() if h in node_set)
+    pr = pagerank_df(edges).withColumnRenamed("rank_ppb", "r")
+    tr = (pagerank_df(edges, seeds=seeds)
+          .withColumnRenamed("rank_ppb", "t")
+          .withColumnRenamed("host", "thost"))
+    both = (pr.join(tr, pr.host == tr.thost).select("host", "r", "t")
+            .persist())
+    tot = both.agg(F.sum("r").cast("long").alias("rsum"),
+                   F.sum("t").cast("long").alias("tsum"))
+    out = (both.crossJoin(F.broadcast(tot)).select(
+        "host",
+        F.col("r").alias("rank_ppb"),
+        F.col("t").alias("trust_ppb"),
+        F.when(F.col("host").isin(seeds), 1).otherwise(0)
+        .cast("int").alias("is_seed"),
+        F.when(F.col("host").isin(seeds), "seed")
+        .when(F.col("t") * F.col("rsum") >= F.col("r") * F.col("tsum"),
+              "trusted")
+        .when(F.col("t") > 0, "demoted")
+        .otherwise("untrusted").alias("verdict")))
+    if own_edges:
+        out = out.localCheckpoint()
+        edges.unpersist()
+        both.unpersist()
+    return out
+
+
+def hits_df(edges, rounds: int = _HITS_ROUNDS):
+    """PRODUCTION HITS — the iterative form of the ``hits_scores``
+    oracle SQL, row-identical (test-pinned).  Identical exact-integer
+    alternating I/O recurrence with floor L1 normalization; per
+    half-round ONE equi-join + ONE hash-agg over the persisted
+    previous vector, normalizers as 1-row broadcasts (the unrolled
+    SQL doubles plan size per half-round under CTE inlining)."""
+    from pyspark.sql import functions as F
+
+    def idiv(a, b):
+        return F.expr(IDIV(a, b))
+
+    dedges = edges.select("src_host", "dst_host").distinct().persist()
+    nodes = (dedges.select(F.col("src_host").alias("host"))
+             .union(dedges.select(F.col("dst_host").alias("host")))
+             .distinct().persist())
+    n = nodes.count()
+    a = nodes.select(
+        "host",
+        F.lit((_HITS_SCALE - _HITS_SCALE % n) // n)
+        .cast("long").alias("s")).persist()
+    a.count()
+    h = None
+    for _ in range(rounds):
+        hr = (dedges.join(a, dedges.dst_host == a.host)
+              .groupBy("src_host")
+              .agg(F.sum("s").cast("long").alias("s"))
+              .withColumnRenamed("src_host", "host"))
+        ht = hr.agg(F.sum("s").cast("long").alias("t"))
+        h_new = (hr.crossJoin(F.broadcast(ht))
+                 .select("host", idiv("s * %d" % _HITS_SCALE, "t")
+                         .cast("long").alias("s")).persist())
+        h_new.count()
+        ar = (dedges.join(h_new, dedges.src_host == h_new.host)
+              .groupBy("dst_host")
+              .agg(F.sum("s").cast("long").alias("s"))
+              .withColumnRenamed("dst_host", "host"))
+        at = ar.agg(F.sum("s").cast("long").alias("t"))
+        a_new = (ar.crossJoin(F.broadcast(at))
+                 .select("host", idiv("s * %d" % _HITS_SCALE, "t")
+                         .cast("long").alias("s")).persist())
+        a_new.count()
+        a.unpersist()
+        if h is not None:
+            h.unpersist()
+        a, h = a_new, h_new
+    out = (nodes
+           .join(h.withColumnRenamed("host", "hh")
+                  .withColumnRenamed("s", "hub"),
+                 nodes.host == F.col("hh"), "left")
+           .join(a.withColumnRenamed("host", "ah")
+                  .withColumnRenamed("s", "auth"),
+                 nodes.host == F.col("ah"), "left")
+           .select("host",
+                   F.coalesce("hub", F.lit(0)).cast("long")
+                   .alias("hub_ppm"),
+                   F.coalesce("auth", F.lit(0)).cast("long")
+                   .alias("auth_ppm")))
+    return out
+
+
+def hits_production_df(spark):
+    """hits_df over a persisted one-plan edge list — the retired-
+    special Spark side of the ``hits_scores`` row (the SQL stays as
+    the DuckDB oracle)."""
+    edges = link_graph_df(spark).persist()
+    edges.count()
+    out = hits_df(edges).localCheckpoint()
+    edges.unpersist()
+    return out

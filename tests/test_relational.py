@@ -2035,17 +2035,27 @@ def test_phrase_search_semantics(duck, entry_mod):
 
 
 def test_trustrank_df_matches_sql(spark, entry_mod):
-    """The production iterative form with seeded teleport
-    (pagerank_df(edges, seeds=...)) is row-identical to the unrolled
-    trustrank_seeds SQL chain's trust column."""
-    from pdf_parser_spark.ops.webgraph import pagerank_df, _seed_hosts
+    """The production iterative forms are row-identical to their
+    unrolled SQL oracle chains run ON SPARK (the registered Spark
+    callables now ARE the production forms, so the pin compares
+    against the raw SQL explicitly — not circularly)."""
+    from query_registry import QUERY_SQL
 
-    edges = entry_mod.all_queries()["link_graph"](spark, SF_DIR)
-    got = sorted((r.host, r.rank_ppb)
-                 for r in pagerank_df(edges, seeds=_seed_hosts())
-                 .collect())
-    exp = sorted((r.host, r.trust_ppb) for r in entry_mod.all_queries()[
+    got = sorted(tuple(r) for r in entry_mod.all_queries()[
         "trustrank_seeds"](spark, SF_DIR).collect())
+    exp = sorted(tuple(r) for r in spark.sql(
+        QUERY_SQL["trustrank_seeds"]["spark"]).collect())
+    assert got == exp
+
+
+def test_hits_df_matches_sql(spark, entry_mod):
+    """Iterative integer HITS ≡ the unrolled SQL chain on Spark."""
+    from query_registry import QUERY_SQL
+
+    got = sorted(tuple(r) for r in entry_mod.all_queries()[
+        "hits_scores"](spark, SF_DIR).collect())
+    exp = sorted(tuple(r) for r in spark.sql(
+        QUERY_SQL["hits_scores"]["spark"]).collect())
     assert got == exp
 
 

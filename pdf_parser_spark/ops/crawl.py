@@ -362,29 +362,16 @@ def q_crawl_frontier(d: str) -> str:
     the robots side is the same broadcastable rules table
     ``robots_filter`` uses."""
     from .webgraph import _PR_ROUNDS, _pr_parts
-    parts = _pr_parts(d) + ["""
-crawled AS (SELECT DISTINCT src_host AS host FROM edges)""".strip(), """
-blocked AS (
-  SELECT DISTINCT host FROM rules WHERE prefix = '/' AND is_allow = 0
-)""".strip(), """
-inmass AS (
-  SELECT dst_host AS host, CAST(SUM(n_links) AS BIGINT) AS n_in
-  FROM edges GROUP BY dst_host
-)""".strip(), """
-verdicts AS (
-  SELECT i.host, i.n_in,
-         CAST(p.rank AS BIGINT) AS rank_ppb,
-         CASE WHEN b.host IS NOT NULL THEN 'blocked_robots'
-              WHEN c.host IS NOT NULL THEN 'already_indexed'
-              ELSE 'crawl' END AS verdict
-  FROM inmass i
-  JOIN pr{k} p ON p.host = i.host
-  LEFT JOIN blocked b ON b.host = i.host
-  LEFT JOIN crawled c ON c.host = i.host
-)""".format(k=_PR_ROUNDS).strip()]
+    parts = _pr_parts(d) + _frontier_tail_parts(
+        "edges", "pr%d" % _PR_ROUNDS, "rank")
     return """
 WITH {rules},
 {ctes}
+{final}""".format(rules=_rules_cte(d), ctes=",\n".join(parts),
+                  final=_FRONTIER_FINAL)
+
+
+_FRONTIER_FINAL = """
 SELECT host, n_in, rank_ppb, verdict,
   CASE WHEN verdict = 'crawl'
        THEN CAST(ROW_NUMBER() OVER (
@@ -392,7 +379,61 @@ SELECT host, n_in, rank_ppb, verdict,
               ORDER BY rank_ppb DESC, host) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS fetch_rank
 FROM verdicts
-""".format(rules=_rules_cte(d), ctes=",\n".join(parts))
+""".lstrip()
+
+
+def _frontier_tail_parts(edges_rel: str, pr_rel: str,
+                         rank_col: str) -> list:
+    """The verdict CTEs, shared verbatim by the unrolled oracle SQL
+    and the production form (which swaps in a materialized edge list
+    and an iteratively-computed PageRank relation)."""
+    return ["""
+crawled AS (SELECT DISTINCT src_host AS host FROM {e})""".format(
+        e=edges_rel).strip(), """
+blocked AS (
+  SELECT DISTINCT host FROM rules WHERE prefix = '/' AND is_allow = 0
+)""".strip(), """
+inmass AS (
+  SELECT dst_host AS host, CAST(SUM(n_links) AS BIGINT) AS n_in
+  FROM {e} GROUP BY dst_host
+)""".format(e=edges_rel).strip(), """
+verdicts AS (
+  SELECT i.host, i.n_in,
+         CAST(p.{rc} AS BIGINT) AS rank_ppb,
+         CASE WHEN b.host IS NOT NULL THEN 'blocked_robots'
+              WHEN c.host IS NOT NULL THEN 'already_indexed'
+              ELSE 'crawl' END AS verdict
+  FROM inmass i
+  JOIN {pr} p ON p.host = i.host
+  LEFT JOIN blocked b ON b.host = i.host
+  LEFT JOIN crawled c ON c.host = i.host
+)""".format(pr=pr_rel, rc=rank_col).strip()]
+
+
+def crawl_frontier_production_df(spark):
+    """PRODUCTION crawl_frontier: the edge list materialized ONCE and
+    PageRank computed by the iterative ``pagerank_df`` (per-round
+    persisted joins) instead of the unrolled CTE chain the oracle SQL
+    carries — same verdict CTEs verbatim, row-identical output
+    (test-pinned).  The composition stays one declarative plan over
+    two registered host-granularity relations."""
+    from .webgraph import link_graph_df, pagerank_df
+
+    edges = link_graph_df(spark).persist()
+    edges.count()
+    pr = pagerank_df(edges).localCheckpoint()
+    edges.createOrReplaceTempView("_cf_edges")
+    pr.createOrReplaceTempView("_cf_pr")
+    sql = """
+WITH {rules},
+{ctes}
+{final}""".format(rules=_rules_cte(SPARK),
+                  ctes=",\n".join(_frontier_tail_parts(
+                      "_cf_edges", "_cf_pr", "rank_ppb")),
+                  final=_FRONTIER_FINAL)
+    out = spark.sql(sql).localCheckpoint()
+    edges.unpersist()
+    return out
 
 
 # ------------------------------------------------- crawler-trap filter

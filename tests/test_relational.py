@@ -2455,3 +2455,17 @@ def test_dedup_containment_semantics(duck, entry_mod):
         if r == l + 5000000:
             assert v in ("near_dup", "overlap") \
                 and cl < 0.95 and cr < 0.95, (l, r)
+
+
+def test_crawl_frontier_production_matches_sql(spark, entry_mod):
+    """The production composition (materialized edges + iterative
+    pagerank_df, shared verdict CTEs) is row-identical to the
+    registered one-plan SQL."""
+    from pdf_parser_spark.ops.crawl import crawl_frontier_production_df
+
+    entry_mod.all_queries()["link_graph"](spark, SF_DIR).count()
+    got = sorted(tuple(r)
+                 for r in crawl_frontier_production_df(spark).collect())
+    exp = sorted(tuple(r) for r in entry_mod.all_queries()[
+        "crawl_frontier"](spark, SF_DIR).collect())
+    assert got == exp

@@ -273,7 +273,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "bm25_maxscore",
                    # Broder asymmetric containment (quote/subset
                    # detection the symmetric Jaccard tier can't make)
-                   "dedup_containment"}
+                   "dedup_containment",
+                   # Bharat-Broder host-pair mirror detection
+                   "mirror_hosts",
+                   # exact type-1 per-language length quantiles
+                   "length_quantiles"}
 
 
 def _specials() -> dict:

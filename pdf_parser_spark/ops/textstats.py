@@ -692,3 +692,52 @@ FROM tiled
 """.format(toks=toks.strip(),
            bucket="%s %% %d" % (HEX2INT("md5(w)", d), _DSIR_B),
            s_b=s_b, score_tok=score_tok)
+
+
+# --------------------------------------------------- exact quantiles
+
+_QUANTILES = (50, 90, 99)
+
+
+@query("length_quantiles")
+def q_length_quantiles(d: str) -> str:
+    """EXACT per-language token-length quantiles (p50/p90/p99) — the
+    distribution sanity-check every curation pipeline runs before and
+    after filtering.  Type-1 (inverted-CDF) quantiles: the value at
+    rank ceil(q*n/100) of the (n_tok, doc_id)-ordered sequence — all
+    integer arithmetic (ceil via (a+b-1)/b floor division), no
+    interpolation, so the oracle value-hash holds where
+    approx_percentile / float interpolation schemes cannot.
+
+    Shape at 10^12 docs: one narrow projection + ONE window over the
+    lang partitions (dozens of groups; each group's rows already hash
+    to one reducer) + a lang hash-agg.  For cardinality-explosive
+    group keys the same statement runs per shard and the type-1 ranks
+    recompose via the sizes — but per-LANG groups at any corpus size
+    are the window-friendly case."""
+    if d == SPARK:
+        ntok = "CAST(size(split(text, ' ')) AS BIGINT)"
+    else:
+        ntok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    picks = ", ".join(
+        "CAST(MAX(CASE WHEN rn = ((cnt * {q} + 99) - "
+        "((cnt * {q} + 99) % 100)) / 100 THEN n_tok END) AS BIGINT) "
+        "AS p{q}_tok".format(q=q) for q in _QUANTILES)
+    return """
+WITH tl AS (
+  SELECT doc_id, lang, {ntok} AS n_tok FROM documents
+),
+ranked AS (
+  SELECT lang, n_tok,
+    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_tok, doc_id) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+  FROM tl
+)
+SELECT lang, CAST(MAX(cnt) AS BIGINT) AS n_docs,
+  CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+  {picks},
+  CAST(MAX(n_tok) AS BIGINT) AS max_tok
+FROM ranked
+GROUP BY lang
+""".format(ntok=ntok, picks=picks)

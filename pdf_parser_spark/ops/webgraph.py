@@ -754,3 +754,86 @@ def hits_production_df(spark):
     out = hits_df(edges).localCheckpoint()
     edges.unpersist()
     return out
+
+
+# ------------------------------------------------- mirror detection
+
+_MIRROR_FULL = "0.9"     # |common| / min(|A|,|B|) bars
+_MIRROR_PARTIAL = "0.4"
+
+
+@query("mirror_hosts")
+def q_mirror_hosts(d: str) -> str:
+    """Host-pair mirror detection (Bharat & Broder, WWW'99 "A study
+    of host pairs with replicated content"): two hosts are mirrors
+    when they serve (near-)identical page sets.  Per host, the set of
+    distinct page content digests; per host pair sharing at least one
+    digest, the overlap ratio |common| / min(|A|, |B|) — the
+    containment-style normalization that catches a small mirror of a
+    big host — with the verdict ladder mirror (>= 0.9) /
+    partial_mirror (>= 0.4) / related.
+
+    The corpus maps each doc to its webgraph host (doc_id mod N); a
+    twin tier realizes every class: hosts m0/m1 fully replicate
+    h0/h1's pages (every digest — m-side page count equals h-side, so
+    the min-normalization reads 1.0); m2 carries HALF of h2's pages
+    plus its own unique fillers (overlap ~0.5 → partial_mirror); m3
+    carries every 7th page of h3 plus fillers (overlap ~0.15 →
+    related).  A pure-subset host (no fillers) would read 1.0 — the
+    min-normalization deliberately calls a small complete mirror a
+    mirror.
+
+    Shape at 10^12 pages: the expensive step is the digest self-join,
+    whose fan-in is bounded by digest multiplicity (unique pages pair
+    with nothing; boilerplate-heavy digests are exactly what the
+    upstream exact-dedup tier collapses) — then everything is host
+    granularity (~10^7 rows): one hash-agg per pair, a broadcastable
+    sizes join, a narrow verdict projection.  No all-pairs join over
+    hosts, no shuffle of page bodies (digests only)."""
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
+    return """
+WITH pages AS (
+  SELECT {host} AS host, md5(text) AS digest FROM documents
+  UNION ALL
+  SELECT 'm' || {mid} || '.example' AS host, md5(text) AS digest
+  FROM documents WHERE doc_id % {n} IN (0, 1)
+  UNION ALL
+  SELECT 'm2.example' AS host,
+         CASE WHEN doc_id % 80 = 2 THEN md5(text)
+              ELSE md5(text || '|m2-only') END AS digest
+  FROM documents WHERE doc_id % {n} = 2
+  UNION ALL
+  SELECT 'm3.example' AS host,
+         CASE WHEN doc_id % 280 = 3 THEN md5(text)
+              ELSE md5(text || '|m3-only') END AS digest
+  FROM documents WHERE doc_id % {n} = 3
+),
+profile AS (
+  SELECT DISTINCT host, digest FROM pages
+),
+sizes AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM profile
+  GROUP BY host
+),
+common AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM profile a
+  JOIN profile b ON b.digest = a.digest AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT c.host_a, c.host_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+  CAST(c.n_common AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+    AS overlap,
+  CASE WHEN CAST(c.n_common AS DOUBLE)
+            / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= {full}
+       THEN 'mirror'
+       WHEN CAST(c.n_common AS DOUBLE)
+            / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= {part}
+       THEN 'partial_mirror'
+       ELSE 'related' END AS verdict
+FROM common c
+JOIN sizes sa ON sa.host = c.host_a
+JOIN sizes sb ON sb.host = c.host_b
+""".format(host=host, mid=CSTR("doc_id %% %d" % _N_HOSTS, d),
+           n=_N_HOSTS, full=_MIRROR_FULL, part=_MIRROR_PARTIAL)

@@ -41,6 +41,7 @@ _SUBSET = [
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
     "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
     "url_trap_filter", "bm25_maxscore", "dedup_containment",
+    "mirror_hosts", "length_quantiles",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2469,3 +2470,73 @@ def test_crawl_frontier_production_matches_sql(spark, entry_mod):
     exp = sorted(tuple(r) for r in entry_mod.all_queries()[
         "crawl_frontier"](spark, SF_DIR).collect())
     assert got == exp
+
+
+def test_mirror_hosts_semantics(duck, entry_mod):
+    """Independent Python recomputation (own md5 digest sets, own
+    min-normalized overlap) of every host pair; the class pins:
+    m0/m1 are full mirrors at exactly 1.0, m2 is a partial mirror,
+    m3 is related, and no unrelated host pair appears (documents are
+    unique texts, so cross-host digest collisions cannot occur in
+    this corpus)."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["mirror_hosts"]).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    prof = defaultdict(set)
+    for did, text in docs:
+        prof["h%d.example" % (did % 40)].add(md5(text))
+        if did % 40 in (0, 1):
+            prof["m%d.example" % (did % 40)].add(md5(text))
+        if did % 40 == 2:
+            prof["m2.example"].add(
+                md5(text) if did % 80 == 2 else md5(text + "|m2-only"))
+        if did % 40 == 3:
+            prof["m3.example"].add(
+                md5(text) if did % 280 == 3 else md5(text + "|m3-only"))
+    hosts = sorted(prof)
+    exp = set()
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            common = len(prof[a] & prof[b])
+            if not common:
+                continue
+            ov = float(common) / float(min(len(prof[a]), len(prof[b])))
+            v = ("mirror" if ov >= 0.9 else
+                 "partial_mirror" if ov >= 0.4 else "related")
+            exp.add((a, b, len(prof[a]), len(prof[b]), common,
+                     repr(ov), v))
+    got = {(a, b, na, nb, c, repr(ov), v)
+           for a, b, na, nb, c, ov, v in rows}
+    assert got == exp
+    verd = {(a, b): v for a, b, *_, v in rows}
+    assert verd[("h0.example", "m0.example")] == "mirror"
+    assert verd[("h1.example", "m1.example")] == "mirror"
+    assert verd[("h2.example", "m2.example")] == "partial_mirror"
+    assert verd[("h3.example", "m3.example")] == "related"
+    assert len(rows) == 4
+
+
+def test_length_quantiles_semantics(duck, entry_mod):
+    """Independent Python recomputation: exact type-1 quantiles from
+    the raw texts (sorted token counts, rank ceil(q*n/100)) for every
+    language, plus min/max and doc counts."""
+    import math
+
+    rows = duck.sql(entry_mod.all_oracles()["length_quantiles"]
+                    ).fetchall()
+    docs = duck.sql("SELECT doc_id, lang, text FROM documents"
+                    ).fetchall()
+    by_lang = {}
+    for did, lang, text in docs:
+        by_lang.setdefault(lang, []).append((len(text.split(" ")), did))
+    exp = set()
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        toks = [n for n, _ in pairs]
+        n = len(toks)
+        qs = [toks[math.ceil(q * n / 100) - 1] for q in (50, 90, 99)]
+        exp.add((lang, n, min(toks), qs[0], qs[1], qs[2], max(toks)))
+    assert set(map(tuple, rows)) == exp

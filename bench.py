@@ -142,7 +142,13 @@ def main() -> None:
                  "trustrank_seeds", "hits_scores", "recrawl_schedule",
                  "shard_rendezvous", "phrase_search",
                  "bm25_serve_compacted", "phrase_serve_persisted",
-                 "cocitation_pairs"):
+                 "cocitation_pairs",
+                 # session-7 additions (trustrank_seeds/hits_scores
+                 # above now time the iterative production twins —
+                 # all_queries() serves those as the Spark side)
+                 "embed_srp_neardup", "url_trap_filter",
+                 "bm25_maxscore", "dedup_containment", "mirror_hosts",
+                 "length_quantiles"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -277,7 +277,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # Bharat-Broder host-pair mirror detection
                    "mirror_hosts",
                    # exact type-1 per-language length quantiles
-                   "length_quantiles"}
+                   "length_quantiles",
+                   # RFC 9309 wildcard robots dialect ('*'/'$')
+                   "robots_wildcard_filter",
+                   # fastText-style linear quality-classifier apply
+                   "quality_classifier"}
 
 
 def _specials() -> dict:

@@ -148,7 +148,8 @@ def main() -> None:
                  # all_queries() serves those as the Spark side)
                  "embed_srp_neardup", "url_trap_filter",
                  "bm25_maxscore", "dedup_containment", "mirror_hosts",
-                 "length_quantiles"):
+                 "length_quantiles", "robots_wildcard_filter",
+                 "quality_classifier"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -570,3 +570,100 @@ def _rex_path(d: str) -> str:
 def _rex_query(d: str) -> str:
     from ..relational import lit as _lit
     return "regexp_extract(url, %s, 1)" % _lit(r"\?(.*)$", d)
+
+
+# --------------------------------------- robots wildcard expansion
+
+# (rule, is_allow) — the Google/RFC 9309 wildcard dialect: '*' matches
+# any span, a trailing '$' anchors the end; precedence is the LONGEST
+# RULE (octets of the rule itself, '*'/'$' included), Allow beating
+# Disallow on a length tie.  The '/private/open*' Allow (14) vs
+# '/*.pdf$' Disallow (7) conflict class pins the length ladder on a
+# genuinely overlapping pair.
+_WILD_RULES = [
+    ("/private/*", 0),
+    ("/private/open*", 1),
+    ("/*.pdf$", 0),
+    ("/public*", 1),
+    ("/tmp", 0),
+]
+
+
+def _wild_regex(rule: str) -> str:
+    """RFC 9309 wildcard rule → RE2-safe anchored regex (translation
+    happens at query-build time; the SQL carries plain literals)."""
+    out = ["^"]
+    body = rule
+    anchored = body.endswith("$")
+    if anchored:
+        body = body[:-1]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.^$+?()[]{}|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if anchored:
+        out.append("$")
+    return "".join(out)
+
+
+@query("robots_wildcard_filter")
+def q_robots_wildcard(d: str) -> str:
+    """RFC 9309 §2.2.3 wildcard matching — the dialect real robots.txt
+    files use (``robots_filter`` covers the literal-prefix core): '*'
+    spans, '$' end-anchors, longest-RULE precedence with Allow
+    winning ties.  Rules are translated to anchored RE2-safe regexes
+    at plan-build time (no backreferences, no runtime translation);
+    the match is one regexp per (url, rule) pair after a broadcast
+    cross of the tiny ruleset — a real crawl holds ~10 rules/host, so
+    the candidate fan-out is a constant factor on the URL scan, with
+    everything downstream a per-url argmax window.
+
+    Eight synthesized path shapes exercise every rule, the
+    $-anchor negative (.pdfx must NOT match /*.pdf$), the
+    allow-overrides-disallow length ladder, and the no-match default
+    (fetchable)."""
+    paths = """CASE CAST(doc_id % 8 AS INT)
+    WHEN 0 THEN '/private/a' || {id}
+    WHEN 1 THEN '/private/open' || {id}
+    WHEN 2 THEN '/docs/file' || {id} || '.pdf'
+    WHEN 3 THEN '/docs/file' || {id} || '.pdfx'
+    WHEN 4 THEN '/public/p' || {id}
+    WHEN 5 THEN '/tmp/x' || {id}
+    WHEN 6 THEN '/home' || {id}
+    ELSE '/private/open' || {id} || '.pdf'
+  END""".format(id=CSTR("doc_id", d))
+    rule_rows = ", ".join(
+        "('%s', '%s', %d, %d)" % (r, _wild_regex(r), a, len(r))
+        for r, a in _WILD_RULES)
+    if d == SPARK:
+        rules = ("SELECT rule, rex, is_allow, rule_len FROM VALUES %s "
+                 "AS t(rule, rex, is_allow, rule_len)" % rule_rows)
+        match = "p.path rlike r.rex"
+    else:
+        rules = ("SELECT rule, rex, is_allow, rule_len FROM (VALUES %s)"
+                 " AS t(rule, rex, is_allow, rule_len)" % rule_rows)
+        match = "regexp_matches(p.path, r.rex)"
+    return """
+WITH rules AS ({rules}),
+pages AS (
+  SELECT doc_id, {paths} AS path FROM documents
+),
+matched AS (
+  SELECT p.doc_id, p.path, r.rule, r.is_allow, r.rule_len,
+    ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                       ORDER BY r.rule_len DESC, r.is_allow DESC,
+                                r.rule) AS pick
+  FROM pages p JOIN rules r ON {match}
+)
+SELECT p.doc_id, p.path,
+  m.rule AS matched_rule,
+  CAST(COALESCE(m.is_allow, 1) AS INT) AS is_allow,
+  CASE WHEN m.doc_id IS NULL THEN 'no_rule_fetch'
+       WHEN m.is_allow = 1 THEN 'allow'
+       ELSE 'disallow' END AS verdict
+FROM pages p
+LEFT JOIN matched m ON m.doc_id = p.doc_id AND m.pick = 1
+""".format(rules=rules, paths=paths, match=match)

@@ -741,3 +741,60 @@ SELECT lang, CAST(MAX(cnt) AS BIGINT) AS n_docs,
 FROM ranked
 GROUP BY lang
 """.format(ntok=ntok, picks=picks)
+
+
+# --------------------------------------- linear classifier inference
+
+# The "trained model": a (token -> integer weight) table + bias, the
+# artifact a fastText-style quality classifier exports.  Weights are
+# integers (real deployments quantize exactly like this); tokens
+# absent from the table contribute 0.
+_QC_WEIGHTS = [
+    ("data", 35), ("query", 30), ("vector", 25), ("table", 20),
+    ("window", 15), ("stream", 10), ("column", 10), ("filter", 5),
+    ("slow", -25), ("dup", -40), ("big", -10), ("a", -15),
+    ("the", -15),
+]
+_QC_BIAS = -40
+_QC_THRESHOLD = 0   # logit >= 0 -> keep
+
+
+@query("quality_classifier")
+def q_quality_classifier(d: str) -> str:
+    """Linear text-classifier INFERENCE (the fastText / FineWeb-Edu
+    quality-model apply step): logit(doc) = bias + sum over tokens of
+    w(token)*tf, label = [logit >= threshold].  The model is a tiny
+    broadcastable (token, weight) dim table; scoring is explode →
+    broadcast equi-join (only in-vocabulary tokens survive — the
+    sparse dot product) → per-doc sum — at 10^12 docs the same shape
+    as the BM25 posting fetch: no shuffle beyond the per-doc partial
+    agg, model distributed once.
+
+    All integer arithmetic (quantized weights — exactly how exported
+    linear models ship), so the oracle value-hash is exact.  Docs
+    with zero vocabulary hits still emit a row (bias-only logit) via
+    the left join back to the corpus."""
+    rows = ", ".join("('%s', %d)" % (t, w) for t, w in _QC_WEIGHTS)
+    if d == SPARK:
+        model = ("SELECT token, CAST(w AS BIGINT) AS w FROM VALUES %s "
+                 "AS t(token, w)" % rows)
+    else:
+        model = ("SELECT token, CAST(w AS BIGINT) AS w FROM (VALUES %s)"
+                 " AS t(token, w)" % rows)
+    return """
+WITH model AS ({model}),{toks},
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM(m.w) AS BIGINT) AS w_sum
+  FROM toks t JOIN model m ON m.token = t.w
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST({bias} + COALESCE(h.w_sum, 0) AS BIGINT) AS logit,
+  CASE WHEN {bias} + COALESCE(h.w_sum, 0) >= {thr}
+       THEN 'keep' ELSE 'drop' END AS label
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+""".format(model=model, toks=TOKS_CTE(d).strip(), bias=_QC_BIAS,
+           thr=_QC_THRESHOLD)

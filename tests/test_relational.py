@@ -41,7 +41,8 @@ _SUBSET = [
     "shard_rendezvous", "phrase_search", "bm25_serve_compacted",
     "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
     "url_trap_filter", "bm25_maxscore", "dedup_containment",
-    "mirror_hosts", "length_quantiles",
+    "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
+    "quality_classifier",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2540,3 +2541,68 @@ def test_length_quantiles_semantics(duck, entry_mod):
         qs = [toks[math.ceil(q * n / 100) - 1] for q in (50, 90, 99)]
         exp.add((lang, n, min(toks), qs[0], qs[1], qs[2], max(toks)))
     assert set(map(tuple, rows)) == exp
+
+
+def test_robots_wildcard_semantics(duck, entry_mod):
+    """Independent Python recomputation with re.fullmatch-free
+    translation of our own (fnmatch-style) — every URL's verdict is
+    re-derived from the RAW rule list (own '*'/'$' translation via
+    regex built independently), and the class pins: the $-anchor
+    negative (.pdfx) is fetchable, the Allow-over-Disallow length
+    ladder resolves /private/open*.pdf to allow, no-match defaults
+    to fetch."""
+    import re
+
+    rules = [("/private/*", 0), ("/private/open*", 1),
+             ("/*.pdf$", 0), ("/public*", 1), ("/tmp", 0)]
+
+    def matches(rule, path):
+        # own translation: split on '*', escape segments, anchor
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        rex = "^" + ".*".join(re.escape(seg)
+                              for seg in body.split("*"))
+        rex += "$" if anchored else ""
+        return re.search(rex, path) is not None
+
+    rows = duck.sql(entry_mod.all_oracles()["robots_wildcard_filter"]
+                    ).fetchall()
+    assert len(rows) == 500
+    for doc_id, path, mrule, is_allow, verdict in rows:
+        cand = [(len(r), a, r) for r, a in rules if matches(r, path)]
+        if not cand:
+            assert (mrule, is_allow, verdict) == (None, 1,
+                                                  "no_rule_fetch")
+            continue
+        cand.sort(key=lambda t: (-t[0], -t[1], t[2]))
+        wl, wa, wr = cand[0]
+        assert mrule == wr and is_allow == wa, (doc_id, path)
+        assert verdict == ("allow" if wa else "disallow")
+    by_cls = {r[0] % 8: r[4] for r in rows}
+    assert by_cls[3] == "no_rule_fetch"       # $-anchor negative
+    assert by_cls[7] == "allow"               # 14-char Allow > 7-char
+    assert by_cls[2] == "disallow" and by_cls[0] == "disallow"
+
+
+def test_quality_classifier_semantics(duck, entry_mod):
+    """Independent Python recomputation: logit = bias + sparse dot of
+    token counts with the weight table, label by threshold — for
+    every document."""
+    from collections import Counter
+
+    from pdf_parser_spark.ops.textstats import _QC_BIAS, _QC_WEIGHTS
+
+    w = dict(_QC_WEIGHTS)
+    rows = duck.sql(entry_mod.all_oracles()["quality_classifier"]
+                    ).fetchall()
+    docs = dict(duck.sql(
+        "SELECT doc_id, lower(text) FROM documents").fetchall())
+    assert len(rows) == 500
+    for doc_id, n_hits, logit, label in rows:
+        tc = Counter(docs[doc_id].split(" "))
+        exp_hits = sum(c for t, c in tc.items() if t in w)
+        exp_logit = _QC_BIAS + sum(w[t] * c for t, c in tc.items()
+                                   if t in w)
+        assert (n_hits, logit) == (exp_hits, exp_logit), doc_id
+        assert label == ("keep" if exp_logit >= 0 else "drop")
+    assert {r[3] for r in rows} == {"keep", "drop"}

@@ -63,7 +63,15 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # COUNTS exercise class membership, graph shape, and the
            # movement matrix
            "phrase_search", "recrawl_schedule", "crawl_frontier",
-           "trustrank_seeds", "hits_scores", "shard_rendezvous"]
+           "trustrank_seeds", "hits_scores", "shard_rendezvous",
+           # session-7 additions: MaxScore pruning exactness under
+           # random tf/df; containment's shingle/minhash/md5 chain
+           # over random text; mirror digests; trap-filter and
+           # wildcard-robots regex seams (Java vs RE2); classifier
+           # sparse dot; exact quantile ranks under duplicate counts
+           "bm25_maxscore", "dedup_containment", "mirror_hosts",
+           "url_trap_filter", "robots_wildcard_filter",
+           "quality_classifier", "length_quantiles"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -198,3 +198,31 @@ def test_bm25_query_terms_broadcast(spark):
         query_registry.QUERY_SQL["bm25_topk"]["spark"]))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_model_broadcast(spark):
+    """Classifier inference must broadcast the tiny weight table —
+    the sparse dot product is a posting-fetch shape, never a shuffle
+    of the token stream to meet a 13-row model."""
+    import query_registry
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    plan = _explain(spark.sql(
+        query_registry.QUERY_SQL["quality_classifier"]["spark"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robots_wildcard_rules_broadcast(spark):
+    """The wildcard-rule match is a regex theta-join against a 5-row
+    ruleset: it must plan as BroadcastNestedLoopJoin (rules shipped),
+    never a cartesian of two big sides."""
+    import query_registry
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    plan = _explain(spark.sql(
+        query_registry.QUERY_SQL["robots_wildcard_filter"]["spark"]))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -171,7 +171,11 @@ class TableIO:
         landed between the rewrite's read point and its publish are
         MERGED in, never erased — so compaction racing a micro-batch
         append loses neither."""
-        if as_of is not None and as_of < self._expiry_watermark():
+        if (as_of is not None and as_of < self._expiry_watermark()
+                and as_of not in self._tag_sequences()):
+            # tagged sequences stay travelable below the watermark:
+            # expire_snapshots keeps every file a tag references
+            # (Iceberg's ref-retention rule)
             raise RuntimeError(
                 "snapshot %d is expired (min live sequence is %d): "
                 "expire_snapshots removed the data files this time "
@@ -427,7 +431,10 @@ class TableIO:
             for fl in snap["tables"].values():
                 all_files.update(fl)
         live: set = set()
-        for s in range(boundary, len(manifests)):
+        retained = set(range(boundary, len(manifests)))
+        retained |= {s for s in self._tag_sequences()
+                     if 0 <= s < len(manifests)}
+        for s in retained:
             for t in tables:
                 live.update(self.committed_files(t, as_of=s))
         dead = sorted(f for f in all_files - live if os.path.exists(f))
@@ -571,3 +578,82 @@ class TableIO:
         if schema is not None:
             return spark.read.schema(schema).parquet(*files)
         return spark.read.parquet(*files)
+
+    # ---------------- tags (Iceberg refs)
+    def _tags_dir(self) -> str:
+        return os.path.join(self._snap_dir(), "tags")
+
+    def _tag_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError("invalid tag name %r" % name)
+        return os.path.join(self._tags_dir(), name + ".json")
+
+    def create_tag(self, name: str, sequence: Optional[int] = None,
+                   replace: bool = False) -> dict:
+        """Iceberg-style TAG: a named immutable pointer to a snapshot
+        sequence (default: the current head).  Tags pin history —
+        ``expire_snapshots`` keeps every file a tagged snapshot
+        references and time travel to a tagged sequence works below
+        the expiry watermark (exactly Iceberg's ref-retention rule).
+        Create-once by default (``os.link`` claim, same atomicity as
+        the commit log); ``replace=True`` republishes atomically."""
+        seqs = [self._load_manifest(m)["sequence"]
+                for m in self._manifests()]
+        if sequence is None:
+            if not seqs:
+                raise RuntimeError("no snapshots to tag")
+            sequence = max(seqs)
+        if sequence not in seqs:
+            raise ValueError("sequence %d does not exist" % sequence)
+        if sequence < self._expiry_watermark():
+            raise RuntimeError(
+                "cannot tag sequence %d: already below the expiry "
+                "watermark %d (its files may be vacuumed) — tags must "
+                "be created while the snapshot is still retained"
+                % (sequence, self._expiry_watermark()))
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        path = self._tag_path(name)
+        tmp = path + ".tmp-%s" % uuid.uuid4().hex[:8]
+        with open(tmp, "w") as fh:
+            json.dump({"sequence": sequence, "name": name}, fh)
+        try:
+            if replace:
+                os.replace(tmp, path)
+            else:
+                try:
+                    os.link(tmp, path)
+                except FileExistsError:
+                    raise RuntimeError(
+                        "tag %r already exists (use replace=True)"
+                        % name) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return {"name": name, "sequence": sequence}
+
+    def resolve_tag(self, name: str) -> int:
+        try:
+            with open(self._tag_path(name)) as fh:
+                return json.load(fh)["sequence"]
+        except FileNotFoundError:
+            raise KeyError("unknown tag %r" % name) from None
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._tag_path(name))
+        except FileNotFoundError:
+            raise KeyError("unknown tag %r" % name) from None
+
+    def list_tags(self) -> Dict[str, int]:
+        if not os.path.isdir(self._tags_dir()):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(self._tags_dir())):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(self._tags_dir(), f)) as fh:
+                    snap = json.load(fh)
+                out[snap["name"]] = snap["sequence"]
+        return out
+
+    def _tag_sequences(self) -> set:
+        return set(self.list_tags().values())

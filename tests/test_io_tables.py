@@ -671,3 +671,59 @@ def test_consume_independent_consumers(spark, tmp_path):
     consume(spark, io, "src", "out_a", double, consumer="a")
     assert sorted(r.y for r in io.read(spark, "out_a").collect()) \
         == [20, 40]
+
+
+# ----------------------------------------------- tags (Iceberg refs)
+
+def test_tags_pin_history_through_expiry(spark, tmp_path):
+    """A tag keeps its snapshot travelable and its files alive through
+    expire_snapshots, while untagged history below the boundary
+    expires normally (Iceberg's ref-retention rule)."""
+    io = TableIO(str(tmp_path))
+    for i in range(3):
+        io.append(spark.createDataFrame([(i,)], "id int"), "t")
+    io.create_tag("v1", sequence=0)
+    io.compact(spark, "t")          # rewrite at seq 3
+    io.append(spark.createDataFrame([(9,)], "id int"), "t")
+    res = io.expire_snapshots(keep_last=2)
+    assert res["min_live_sequence"] >= 2
+    # tagged snapshot: travelable below the watermark, files alive
+    assert sorted(r.id for r in io.read(
+        spark, "t", as_of=io.resolve_tag("v1")).collect()) == [0]
+    # untagged below-boundary travel still raises
+    with pytest.raises(RuntimeError, match="expired"):
+        io.read(spark, "t", as_of=1)
+    # head unaffected
+    assert io.read(spark, "t").count() == 4
+
+
+def test_tag_create_once_replace_drop(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,)], "id int"), "t")
+    io.append(spark.createDataFrame([(2,)], "id int"), "t")
+    io.create_tag("rel")            # default: head
+    assert io.resolve_tag("rel") == 1
+    with pytest.raises(RuntimeError, match="already exists"):
+        io.create_tag("rel", sequence=0)
+    io.create_tag("rel", sequence=0, replace=True)
+    assert io.resolve_tag("rel") == 0
+    assert io.list_tags() == {"rel": 0}
+    io.drop_tag("rel")
+    with pytest.raises(KeyError):
+        io.resolve_tag("rel")
+    with pytest.raises(ValueError):
+        io.create_tag("rel", sequence=99)
+    with pytest.raises(ValueError):
+        io.create_tag("../evil")
+
+
+def test_tag_below_watermark_refused(spark, tmp_path):
+    """Tagging an already-expired sequence must fail loudly — its
+    files may already be vacuumed."""
+    io = TableIO(str(tmp_path))
+    for i in range(4):
+        io.append(spark.createDataFrame([(i,)], "id int"), "t")
+    io.compact(spark, "t")
+    io.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="watermark"):
+        io.create_tag("late", sequence=0)

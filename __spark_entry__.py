@@ -281,7 +281,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # RFC 9309 wildcard robots dialect ('*'/'$')
                    "robots_wildcard_filter",
                    # fastText-style linear quality-classifier apply
-                   "quality_classifier"}
+                   "quality_classifier",
+                   # content-defined chunking (LBFS/FastCDC resync)
+                   "cdc_chunks"}
 
 
 def _specials() -> dict:

@@ -19,7 +19,7 @@ simhash is a narrow per-doc computation; every pairwise Jaccard join
 from __future__ import annotations
 
 from ..relational import (
-    DUCK, SPARK, HEX2INT, LEN, LINE_PARTITIONS, SLICE, JOINA,
+    DUCK, SPARK, HEX2INT, LEN, LINE_PARTITIONS, ORD_ARRAY, SLICE, JOINA,
 )
 
 QUERIES = {}
@@ -947,3 +947,121 @@ WHERE {jacexpr} >= 0.2
 """.format(lsh=_lsh_ctes(d, corpus0_sql=_containment_corpus(d)),
            jac=_jaccard_ctes("cand"), jacexpr=_JACCARD,
            cl=cl, cr=cr, eps=_CONT_EPS)
+
+
+# --------------------------------------- content-defined chunking
+
+_CDC_MOD = 8   # expected chunk length in words (boundary prob 1/8)
+
+
+@query("cdc_chunks")
+def q_cdc_chunks(d: str) -> str:
+    """Content-defined chunking dedup (the LBFS/rsync/FastCDC idea,
+    Muthitacharoen et al. SOSP'01): chunk boundaries come from a
+    rolling hash of the CONTENT (here: the word-bigram digest,
+    boundary when hash % 8 == 0), so after an insertion the
+    boundaries RE-SYNCHRONIZE and all downstream chunks keep their
+    digests — where fixed-size chunking shifts every later chunk and
+    shares nothing.  The operator emits, per (original, edited-twin)
+    pair, the shared-chunk counts under BOTH policies — the
+    measurable resync property, plus the per-doc chunk inventories
+    the dedup store would key on.
+
+    Twin tier: every 6th doc re-enters (+6000000) with two words
+    inserted at position 3 — the classic head-edit that defeats
+    fixed chunking.
+
+    Shape at 10^12 docs: posexplode → two window functions partitioned
+    by doc (boundary flag via lead, chunk id via running sum — the
+    same per-doc window family as G1 block segmentation) → ordered
+    per-chunk concat + md5 → ONE digest equi-join bounded by digest
+    multiplicity.  No cross-doc all-pairs anywhere."""
+    ins = ("['zz' || CAST(doc_id AS VARCHAR), 'qq' || "
+           "CAST(doc_id AS VARCHAR)]" if d == DUCK else
+           "array(concat('zz', CAST(doc_id AS STRING)), "
+           "concat('qq', CAST(doc_id AS STRING)))")
+    if d == SPARK:
+        twin_text = ("array_join(concat(slice(ws, 1, 3), {ins}, "
+                     "slice(ws, 4, size(ws))), ' ')").format(ins=ins)
+        wsplit = """
+wpos AS (
+  SELECT doc_id, pos, w FROM corpus
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+)""".strip()
+        bigram = "concat(w, '|', lead(w, 1, '') OVER (PARTITION BY doc_id ORDER BY pos))"
+    else:
+        twin_text = ("array_to_string(ws[1:3] || {ins} || "
+                     "ws[4:len(ws)], ' ')").format(ins=ins)
+        wsplit = """
+wpos AS (
+  SELECT doc_id, u.pos - 1 AS pos, u.w
+  FROM (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w,
+          generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM corpus) u(doc_id, w, pos)
+)""".strip()
+        bigram = "w || '|' || COALESCE(lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos), '')"
+    from ..relational import HEX2INT
+    bhash = HEX2INT("md5(%s)" % bigram, d)
+    chunk_text = JOINA(ORD_ARRAY("w", "pos", d), " ", d)
+    return """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 6000000 AS doc_id, {twin} AS text
+  FROM (SELECT doc_id, {ws} AS ws FROM documents) t
+  WHERE doc_id % 6 = 0
+),
+{wsplit},
+flagged AS (
+  SELECT doc_id, pos, w,
+    CASE WHEN {bhash} % {m} = 0 THEN 1 ELSE 0 END AS boundary
+  FROM wpos
+),
+chunked AS (
+  SELECT doc_id, pos, w,
+    CAST(COALESCE(SUM(boundary) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS chunk_id,
+    CAST(CAST(pos AS BIGINT) - (CAST(pos AS BIGINT) % {m})
+      AS BIGINT) / {m} AS fixed_id
+  FROM flagged
+),
+cdc AS (
+  SELECT doc_id, chunk_id, md5({ctext}) AS digest
+  FROM chunked GROUP BY doc_id, chunk_id
+),
+fixed AS (
+  SELECT doc_id, fixed_id, md5({ftext}) AS digest
+  FROM chunked GROUP BY doc_id, fixed_id
+),
+cdcd AS (SELECT DISTINCT doc_id, digest FROM cdc),
+fixedd AS (SELECT DISTINCT doc_id, digest FROM fixed),
+cdc_shared AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cdcd a JOIN cdcd b
+    ON b.doc_id = a.doc_id + 6000000 AND b.digest = a.digest
+  GROUP BY a.doc_id
+),
+fixed_shared AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM fixedd a JOIN fixedd b
+    ON b.doc_id = a.doc_id + 6000000 AND b.digest = a.digest
+  GROUP BY a.doc_id
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM cdc GROUP BY doc_id
+)
+SELECT c.doc_id,
+  c.n_chunks AS n_cdc_chunks,
+  CAST(COALESCE(cs.n, 0) AS BIGINT) AS n_cdc_shared,
+  CAST(COALESCE(fs.n, 0) AS BIGINT) AS n_fixed_shared
+FROM counts c
+LEFT JOIN cdc_shared cs ON cs.doc_id = c.doc_id
+LEFT JOIN fixed_shared fs ON fs.doc_id = c.doc_id
+WHERE c.doc_id < 1000000 AND c.doc_id % 6 = 0
+""".format(twin=twin_text, ws=_split_ws(d), wsplit=wsplit,
+           bhash=bhash, m=_CDC_MOD, ctext=chunk_text,
+           ftext=chunk_text)

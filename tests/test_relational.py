@@ -42,7 +42,7 @@ _SUBSET = [
     "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
     "url_trap_filter", "bm25_maxscore", "dedup_containment",
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
-    "quality_classifier",
+    "quality_classifier", "cdc_chunks",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2606,3 +2606,54 @@ def test_quality_classifier_semantics(duck, entry_mod):
         assert (n_hits, logit) == (exp_hits, exp_logit), doc_id
         assert label == ("keep" if exp_logit >= 0 else "drop")
     assert {r[3] for r in rows} == {"keep", "drop"}
+
+
+def test_cdc_chunks_semantics(duck, entry_mod):
+    """Independent Python recomputation of content-defined chunking:
+    own bigram rolling-hash boundaries, own chunk assembly, own
+    digest-set intersections for BOTH policies — plus the resync
+    pins: fixed-size chunking shares ZERO chunks across the head-edit
+    twins while CDC re-synchronizes (>=90% of pairs share a chunk,
+    aggregate shared count in the hundreds)."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["cdc_chunks"]).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents"
+                         ).fetchall())
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    def chunks(words):
+        bounds = []
+        for i, w in enumerate(words):
+            nxt = words[i + 1] if i + 1 < len(words) else ""
+            h = int(md5(w + "|" + nxt)[:15], 16)
+            bounds.append(1 if h % 8 == 0 else 0)
+        cdc, fixed, cid = {}, {}, 0
+        run = 0
+        for i, w in enumerate(words):
+            cid = run
+            cdc.setdefault(cid, []).append(w)
+            fixed.setdefault(i // 8, []).append(w)
+            run += bounds[i]
+        c_digests = [md5(" ".join(v)) for v in cdc.values()]
+        f_digests = [md5(" ".join(v)) for v in fixed.values()]
+        return c_digests, f_digests
+
+    exp = {}
+    for did, text in docs.items():
+        if did % 6:
+            continue
+        ws = text.split(" ")
+        tws = ws[:3] + ["zz%d" % did, "qq%d" % did] + ws[3:]
+        c0, f0 = chunks(ws)
+        c1, f1 = chunks(tws)
+        exp[did] = (len(c0), len(set(c0) & set(c1)),
+                    len(set(f0) & set(f1)))
+    got = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    assert got == exp
+    tot_cdc = sum(v[1] for v in exp.values())
+    tot_fix = sum(v[2] for v in exp.values())
+    assert tot_fix == 0                       # fixed chunking: nothing
+    assert tot_cdc >= 100                     # CDC: hundreds resync
+    share = sum(1 for v in exp.values() if v[1] >= 1)
+    assert share * 10 >= len(exp) * 9         # >=90% of pairs resync

@@ -71,7 +71,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # sparse dot; exact quantile ranks under duplicate counts
            "bm25_maxscore", "dedup_containment", "mirror_hosts",
            "url_trap_filter", "robots_wildcard_filter",
-           "quality_classifier", "length_quantiles"]
+           "quality_classifier", "length_quantiles",
+           # CDC resync under random word streams (boundary density,
+           # duplicate-chunk digests, twin intersections)
+           "cdc_chunks"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -283,7 +283,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # fastText-style linear quality-classifier apply
                    "quality_classifier",
                    # content-defined chunking (LBFS/FastCDC resync)
-                   "cdc_chunks"}
+                   "cdc_chunks",
+                   # degree-ordered triangle counting (Suri &
+                   # Vassilvitskii's last-reducer skew fix)
+                   "triangle_counts"}
 
 
 def _specials() -> dict:

@@ -837,3 +837,84 @@ JOIN sizes sa ON sa.host = c.host_a
 JOIN sizes sb ON sb.host = c.host_b
 """.format(host=host, mid=CSTR("doc_id %% %d" % _N_HOSTS, d),
            n=_N_HOSTS, full=_MIRROR_FULL, part=_MIRROR_PARTIAL)
+
+
+# ------------------------------------------------- triangle counting
+
+_CC_SCALE = 10 ** 6   # clustering coefficient in ppm (exact integer)
+
+
+@query("triangle_counts")
+def q_triangle_counts(d: str) -> str:
+    """Degree-ordered triangle counting (Suri & Vassilvitskii,
+    WWW'11 — "the curse of the last reducer"): orient every
+    undirected edge from the (degree, id)-SMALLER endpoint to the
+    larger, build wedges only at each edge's oriented source, and
+    close them with one semi-join against the oriented edge set.
+    Each triangle is counted EXACTLY once, and — the point of the
+    paper — the wedge fan-out at a hub is bounded by its ORIENTED
+    out-degree O(sqrt(m)) instead of its raw degree: the h0-style
+    hub that would otherwise send deg² wedges to one reducer (the
+    skew class this corpus deliberately builds) stays bounded.
+
+    Output per host: degree, triangle count, and the local
+    clustering coefficient as exact-integer ppm
+    (2T*1e6 / (deg*(deg-1)), floor) — plus every host with deg >= 2
+    emits a row even at T=0.  The global triangle count rides along
+    on every row (one scalar broadcast).
+
+    Shape at 10^12 pages: host-granularity after the first edge
+    aggregate (~10^7 nodes); wedge generation is one self-join on the
+    oriented source + the closing semi-join on the (lo, hi) edge key
+    — both hash joins on bounded fan-out keys."""
+    lo = "LEAST(src_host, dst_host)"
+    hi = "GREATEST(src_host, dst_host)"
+    return """
+WITH {edges},
+und AS (
+  SELECT DISTINCT {lo} AS u, {hi} AS v FROM edges
+  WHERE src_host <> dst_host
+),
+deg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+    SELECT u AS host FROM und UNION ALL SELECT v AS host FROM und) t
+  GROUP BY host
+),
+oriented AS (
+  SELECT CASE WHEN (da.dg, e.u) < (db.dg, e.v) THEN e.u ELSE e.v END
+           AS src,
+         CASE WHEN (da.dg, e.u) < (db.dg, e.v) THEN e.v ELSE e.u END
+           AS dst
+  FROM und e
+  JOIN deg da ON da.host = e.u
+  JOIN deg db ON db.host = e.v
+),
+wedges AS (
+  SELECT a.src AS apex, a.dst AS b, c.dst AS c
+  FROM oriented a
+  JOIN oriented c ON c.src = a.src AND a.dst < c.dst
+),
+tris AS (
+  SELECT w.apex, w.b, w.c
+  FROM wedges w
+  JOIN und e ON e.u = LEAST(w.b, w.c) AND e.v = GREATEST(w.b, w.c)
+),
+pertri AS (
+  SELECT apex AS host FROM tris
+  UNION ALL SELECT b AS host FROM tris
+  UNION ALL SELECT c AS host FROM tris
+),
+percnt AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS t FROM pertri
+  GROUP BY host
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tris)
+SELECT dg.host, dg.dg AS degree,
+  CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+  CAST({cc} AS BIGINT) AS clustering_ppm,
+  (SELECT n FROM total) AS total_triangles
+FROM deg dg LEFT JOIN percnt p ON p.host = dg.host
+WHERE dg.dg >= 2
+""".format(edges=_edges_ctes(d).strip(), lo=lo, hi=hi,
+           cc=IDIV("2 * COALESCE(p.t, 0) * %d" % _CC_SCALE,
+                   "dg.dg * (dg.dg - 1)"))

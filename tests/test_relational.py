@@ -42,7 +42,7 @@ _SUBSET = [
     "phrase_serve_persisted", "cocitation_pairs", "embed_srp_neardup",
     "url_trap_filter", "bm25_maxscore", "dedup_containment",
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
-    "quality_classifier", "cdc_chunks",
+    "quality_classifier", "cdc_chunks", "triangle_counts",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2657,3 +2657,46 @@ def test_cdc_chunks_semantics(duck, entry_mod):
     assert tot_cdc >= 100                     # CDC: hundreds resync
     share = sum(1 for v in exp.values() if v[1] >= 1)
     assert share * 10 >= len(exp) * 9         # >=90% of pairs resync
+
+
+def test_triangle_counts_semantics(duck, entry_mod):
+    """Independent Python recomputation: brute-force triangle
+    enumeration over the undirected host graph (itertools over
+    adjacency sets — NOT the degree-ordered algorithm, so the
+    orientation trick is verified against naive ground truth),
+    plus per-host participation, exact-ppm clustering, and the
+    hub pin (h0 neighbors everyone, so it touches every triangle)."""
+    from itertools import combinations
+
+    rows = duck.sql(entry_mod.all_oracles()["triangle_counts"]
+                    ).fetchall()
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    und = set()
+    for (s, t) in _py_webgraph_edges(doc_ids):
+        if s != t:
+            und.add((min(s, t), max(s, t)))
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tris = set()
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            tris.add(tuple(sorted((u, v, w))))
+    part = {}
+    for t3 in tris:
+        for h in t3:
+            part[h] = part.get(h, 0) + 1
+    exp = set()
+    for h, nbrs in adj.items():
+        dg = len(nbrs)
+        if dg < 2:
+            continue
+        t = part.get(h, 0)
+        ppm = (2 * t * 10 ** 6) // (dg * (dg - 1))
+        exp.add((h, dg, t, ppm, len(tris)))
+    assert set(map(tuple, rows)) == exp
+    byhost = {r[0]: r for r in rows}
+    assert byhost["h0.example"][2] == len(tris)  # hub touches all
+    assert len(tris) > 0

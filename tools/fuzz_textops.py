@@ -74,7 +74,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "quality_classifier", "length_quantiles",
            # CDC resync under random word streams (boundary density,
            # duplicate-chunk digests, twin intersections)
-           "cdc_chunks"]
+           "cdc_chunks",
+           # triangle orientation vs random doc_id graphs (degree ties,
+           # hub fan-out, empty-triangle hosts)
+           "triangle_counts"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

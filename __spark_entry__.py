@@ -286,7 +286,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "cdc_chunks",
                    # degree-ordered triangle counting (Suri &
                    # Vassilvitskii's last-reducer skew fix)
-                   "triangle_counts"}
+                   "triangle_counts",
+                   # NEAR/k proximity search over positional postings
+                   "proximity_search"}
 
 
 def _specials() -> dict:

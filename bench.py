@@ -149,7 +149,8 @@ def main() -> None:
                  "embed_srp_neardup", "url_trap_filter",
                  "bm25_maxscore", "dedup_containment", "mirror_hosts",
                  "length_quantiles", "robots_wildcard_filter",
-                 "quality_classifier", "cdc_chunks", "triangle_counts"):
+                 "quality_classifier", "cdc_chunks", "triangle_counts",
+                 "proximity_search"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

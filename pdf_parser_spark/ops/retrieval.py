@@ -830,3 +830,84 @@ SELECT m.query_id, CAST(c.n_cand AS BIGINT) AS n_cand,
        CAST(m.n_matched AS BIGINT) AS n_matched
 FROM m JOIN c ON c.query_id = m.query_id
 """.format(ctes=_ms_ctes(d))
+
+
+# ------------------------------------------------ proximity (NEAR/k)
+
+# (query_id, term_a, term_b, window) — the NEAR/k operator class.
+# q2 pairs the rare term with a common one; q3's second term is
+# absent (must yield no rows identically in both engines).
+_PROX_QUERIES = [
+    (0, "spark", "join", 3),
+    (1, "window", "filter", 5),
+    (2, "dup", "merge", 8),
+    (3, "spark", "zzzabsent", 4),
+]
+
+
+def _prox_q(d: str) -> str:
+    vals = ", ".join("(%d, '%s', '%s', %d)" % q for q in _PROX_QUERIES)
+    if d == SPARK:
+        return ("SELECT CAST(query_id AS BIGINT) AS query_id, ta, tb, "
+                "CAST(win AS BIGINT) AS win "
+                "FROM VALUES %s AS t(query_id, ta, tb, win)" % vals)
+    return ("SELECT CAST(query_id AS BIGINT) AS query_id, ta, tb, "
+            "CAST(win AS BIGINT) AS win "
+            "FROM (VALUES %s) AS t(query_id, ta, tb, win)" % vals)
+
+
+@query("proximity_search")
+def q_proximity_search(d: str) -> str:
+    """Proximity search (the NEAR/k operator): documents where both
+    query terms occur within k token positions, ranked by the MINIMUM
+    gap (ties: doc_id), top-10 per query — the retrieval class
+    between bag-of-words BM25 (co-presence only) and phrase search
+    (adjacency only).  Positions come from the same positional
+    tokenization the phrase index persists.
+
+    Shape at 10^12 docs: two broadcast term probes (only postings of
+    the two query terms survive the scan — the same posting-fetch
+    economics as bm25_topk), then a per-(query, doc) gap join whose
+    fan-in is tf_a x tf_b WITHIN one document (single digits), never
+    cross-document; one top-k window per query closes it."""
+    if d == SPARK:
+        wpos = """
+wpos AS (
+  SELECT doc_id, pos, w FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+)""".strip()
+    else:
+        wpos = """
+wpos AS (
+  SELECT doc_id, u.pos - 1 AS pos, u.w
+  FROM (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w,
+          generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents) u(doc_id, w, pos)
+)""".strip()
+    return """
+WITH q AS ({q}),
+{wpos},
+ma AS (
+  SELECT q.query_id, q.win, t.doc_id, t.pos
+  FROM wpos t JOIN q ON t.w = q.ta
+),
+mb AS (
+  SELECT q.query_id, t.doc_id, t.pos
+  FROM wpos t JOIN q ON t.w = q.tb
+),
+gaps AS (
+  SELECT a.query_id, a.doc_id,
+    CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS min_gap,
+    CAST(MAX(a.win) AS BIGINT) AS win
+  FROM ma a
+  JOIN mb b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+  GROUP BY a.query_id, a.doc_id
+)
+SELECT query_id, doc_id, min_gap, rk FROM (
+  SELECT query_id, doc_id, min_gap,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY min_gap, doc_id) AS BIGINT) AS rk
+  FROM gaps WHERE min_gap <= win) t
+WHERE rk <= 10
+""".format(q=_prox_q(d), wpos=wpos)

@@ -43,6 +43,7 @@ _SUBSET = [
     "url_trap_filter", "bm25_maxscore", "dedup_containment",
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
     "quality_classifier", "cdc_chunks", "triangle_counts",
+    "proximity_search",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2700,3 +2701,34 @@ def test_triangle_counts_semantics(duck, entry_mod):
     byhost = {r[0]: r for r in rows}
     assert byhost["h0.example"][2] == len(tris)  # hub touches all
     assert len(tris) > 0
+
+
+def test_proximity_search_semantics(duck, entry_mod):
+    """Independent Python recomputation: per (query, doc), the exact
+    minimum position gap between the two terms, window cut, (min_gap,
+    doc_id) rank — for all four query shapes including the
+    absent-term query (zero rows)."""
+    rows = duck.sql(entry_mod.all_oracles()["proximity_search"]
+                    ).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, lower(text) FROM documents"
+                         ).fetchall())
+    queries = [(0, "spark", "join", 3), (1, "window", "filter", 5),
+               (2, "dup", "merge", 8), (3, "spark", "zzzabsent", 4)]
+    exp = []
+    for qid, ta, tb, win in queries:
+        cands = []
+        for did, text in docs.items():
+            ws = text.split(" ")
+            pa = [i for i, w in enumerate(ws) if w == ta]
+            pb = [i for i, w in enumerate(ws) if w == tb]
+            if not pa or not pb:
+                continue
+            gap = min(abs(a - b) for a in pa for b in pb)
+            if gap <= win:
+                cands.append((gap, did))
+        cands.sort()
+        exp.extend((qid, did, gap, rk)
+                   for rk, (gap, did) in enumerate(cands[:10], 1))
+    assert sorted(rows) == sorted(exp)
+    assert not any(r[0] == 3 for r in rows)   # absent term: no rows
+    assert {r[0] for r in rows} >= {0, 1, 2}  # every real query hits

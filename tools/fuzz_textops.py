@@ -77,7 +77,9 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "cdc_chunks",
            # triangle orientation vs random doc_id graphs (degree ties,
            # hub fan-out, empty-triangle hosts)
-           "triangle_counts"]
+           "triangle_counts",
+           # NEAR/k gaps under random co-occurrence + tf ties
+           "proximity_search"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

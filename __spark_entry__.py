@@ -288,7 +288,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # Vassilvitskii's last-reducer skew fix)
                    "triangle_counts",
                    # NEAR/k proximity search over positional postings
-                   "proximity_search"}
+                   "proximity_search",
+                   # Manku WWW'07 banded simhash Hamming near-dup
+                   # (pigeonhole-exhaustive at radius 3)
+                   "simhash_hamming"}
 
 
 def _specials() -> dict:

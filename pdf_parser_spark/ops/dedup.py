@@ -521,15 +521,19 @@ WHERE {jexpr} >= 0.5
            jac=_jaccard_ctes(), jexpr=_JACCARD)
 
 
-@query("dedup_simhash")
-def q_simhash(d: str) -> str:
-    """SimHash (16-bit): per-token 60-bit digests vote bitwise; the
-    fingerprint packs the majority bits."""
+def _simhash_parts(d: str, n_bits: int = 16) -> str:
+    """The SimHash CTE chain (``tok`` → ``bits`` → ``sh(doc_id,
+    simhash)``), appended after a ``corpus(doc_id, text)`` CTE — shared
+    by ``dedup_simhash`` (16-bit fingerprints, the original row) and
+    the Manku banded near-dup join (``simhash_hamming``, 48-bit: wide
+    enough that unrelated docs essentially never land within the
+    radius — C(48,≤3)/2^48 ≈ 6e-11 — so the verified-pair volume is
+    the true near-dup count, not fingerprint saturation noise)."""
     ws = "split(text, ' ')" if d == SPARK else "string_split(text, ' ')"
     h = HEX2INT("md5(w)", d)
     votes = []
     packed = []
-    for b in range(16):
+    for b in range(n_bits):
         votes.append(
             "CAST(SUM(CASE WHEN (hv >> %d) & 1 = 1 THEN 1 ELSE -1 END) "
             "AS BIGINT) AS v%d" % (b, b))
@@ -543,12 +547,83 @@ def q_simhash(d: str) -> str:
                 "(SELECT doc_id, unnest(ws) AS w FROM "
                 "(SELECT doc_id, %s AS ws FROM corpus) t0) t" % (h, ws))
     return """
-WITH {corpus},
 tok AS ({expl}),
-bits AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
-SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
-""".format(corpus=_dup_corpus(d), expl=expl, votes=", ".join(votes),
-           packed=" + ".join(packed))
+bits AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits)
+""".format(expl=expl, votes=", ".join(votes),
+           packed=" + ".join(packed)).strip()
+
+
+@query("dedup_simhash")
+def q_simhash(d: str) -> str:
+    """SimHash (16-bit): per-token 60-bit digests vote bitwise; the
+    fingerprint packs the majority bits."""
+    return """
+WITH {corpus},
+{sh}
+SELECT doc_id, simhash FROM sh
+""".format(corpus=_dup_corpus(d), sh=_simhash_parts(d))
+
+
+_SIMHAM_BITS = 48    # fingerprint width for the near-dup join
+_SIMHAM_BLOCKS = 4   # split into 4 disjoint 12-bit blocks
+_SIMHAM_MAXHAM = 3   # pigeonhole-exhaustive Hamming radius (see below)
+
+
+@query("simhash_hamming")
+def q_simhash_hamming(d: str) -> str:
+    """SimHash near-duplicate detection (Manku, Jain & Das Sarma,
+    WWW 2007): band the 48-bit fingerprint into 4 disjoint 12-bit
+    blocks; candidate pairs share at least one whole block (one
+    (block_no, block_value) equi-join — never all-pairs); verify
+    candidates at integer Hamming distance ≤ 3.
+
+    The block join is EXHAUSTIVE for this radius by pigeonhole: a pair
+    at Hamming distance ≤ 3 has its ≤ 3 differing bits in at most 3 of
+    the 4 blocks, so at least one block is bit-identical and the pair
+    collides there — zero recall loss vs the O(n²) scan (the test pins
+    this equivalence by brute force).  Corpus: the shared near-dup
+    tier (every 4th doc re-enters with its first word dropped), so the
+    one-token edit class SimHash is designed for actually occurs.
+
+    Shape at 10^12 docs: fingerprints are one explode + hash-agg per
+    doc (the dedup_simhash plan), banding is a 4× unpivot of a 64-bit
+    column, candidates come from ONE band-key equi-join whose fan-in
+    per bucket is |docs| / 4096 expected per block under uniform
+    hashing — the same bounded-bucket contract as the MinHash/LSH
+    tier, with the radius/recall/volume trade dialed by bits-per-block
+    (Manku's d/(k+1)-bit split for radius k)."""
+    bpb = _SIMHAM_BITS // _SIMHAM_BLOCKS
+    mask = (1 << bpb) - 1
+    if d == SPARK:
+        bandrows = ("SELECT explode(sequence(0, %d)) AS b"
+                    % (_SIMHAM_BLOCKS - 1))
+        bandval = "(shiftright(s.simhash, r.b * %d) & %d)" % (bpb, mask)
+        hamming = "bit_count(sa.simhash ^ sb.simhash)"
+    else:
+        bandrows = "SELECT unnest(range(0, %d)) AS b" % _SIMHAM_BLOCKS
+        bandval = "((s.simhash >> (r.b * %d)) & %d)" % (bpb, mask)
+        hamming = "bit_count(xor(sa.simhash, sb.simhash))"
+    return """
+WITH {corpus},
+{sh},
+bands AS (
+  SELECT s.doc_id, r.b, {bandval} AS bv
+  FROM sh s CROSS JOIN ({bandrows}) r
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.left_id, c.right_id, CAST({hamming} AS INT) AS hamming
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.left_id
+JOIN sh sb ON sb.doc_id = c.right_id
+WHERE {hamming} <= {maxham}
+""".format(corpus=_near_corpus(d), sh=_simhash_parts(d, _SIMHAM_BITS),
+           bandval=bandval, bandrows=bandrows, hamming=hamming,
+           maxham=_SIMHAM_MAXHAM)
 
 
 @query("dedup_ngram_jaccard")

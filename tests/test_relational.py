@@ -43,7 +43,7 @@ _SUBSET = [
     "url_trap_filter", "bm25_maxscore", "dedup_containment",
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
     "quality_classifier", "cdc_chunks", "triangle_counts",
-    "proximity_search",
+    "proximity_search", "simhash_hamming",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2732,3 +2732,46 @@ def test_proximity_search_semantics(duck, entry_mod):
     assert sorted(rows) == sorted(exp)
     assert not any(r[0] == 3 for r in rows)   # absent term: no rows
     assert {r[0] for r in rows} >= {0, 1, 2}  # every real query hits
+
+
+def test_simhash_hamming_semantics(duck, entry_mod):
+    """Independent Python recomputation of the full Manku pipeline —
+    48-bit simhash per doc (near-dup corpus), then the O(n²) scan at
+    Hamming radius 3 — asserting the banded 4×12-bit block join loses
+    ZERO pairs (the pigeonhole exhaustiveness guarantee) and invents
+    none."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["simhash_hamming"]
+                    ).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents"
+                         ).fetchall())
+    corpus = dict(docs)
+    for did, text in docs.items():
+        if did % 4 == 0:
+            corpus[did + 1000000] = text[text.find(" ") + 1:]
+
+    def simhash(text, nb=48):
+        votes = [0] * nb
+        for w in text.split(" "):
+            hv = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for b in range(nb):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        return sum(1 << b for b in range(nb) if votes[b] > 0)
+
+    sigs = {did: simhash(t) for did, t in corpus.items()}
+    ids = sorted(sigs)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                truth.add((a, b, h))
+    assert set(map(tuple, rows)) == truth
+    # the engineered one-word-dropped twins are found, including
+    # exact-fingerprint hits (the corpus also contains genuinely
+    # similar distinct docs — templated text — so twins need not be
+    # the whole verified set)
+    twins = [(a, b, h) for a, b, h in rows if b - a == 1000000]
+    assert len(twins) > 50
+    assert any(h == 0 for _, _, h in twins)

@@ -79,7 +79,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # hub fan-out, empty-triangle hosts)
            "triangle_counts",
            # NEAR/k gaps under random co-occurrence + tf ties
-           "proximity_search"]
+           "proximity_search",
+           # Manku banded simhash: random token vote sums stress the
+           # 48-bit majority pack + bit_count/xor seam on both engines
+           "simhash_hamming"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -291,7 +291,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "proximity_search",
                    # Manku WWW'07 banded simhash Hamming near-dup
                    # (pigeonhole-exhaustive at radius 3)
-                   "simhash_hamming"}
+                   "simhash_hamming",
+                   # weighted label-propagation communities (RAK 2007;
+                   # Spark side = iterative production twin lpa_df)
+                   "label_propagation"}
 
 
 def _specials() -> dict:
@@ -396,6 +399,8 @@ def _retired_specials() -> dict:
             _trustrank_production, QUERY_SQL["trustrank_seeds"]["duckdb"]),
         "hits_scores": (
             _hits_production, QUERY_SQL["hits_scores"]["duckdb"]),
+        "label_propagation": (
+            _lpa_production, QUERY_SQL["label_propagation"]["duckdb"]),
     }
 
 
@@ -407,6 +412,15 @@ def _trustrank_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     return trustrank_df(spark)
+
+
+def _lpa_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative weighted label propagation over the persisted edge
+    list — row-identical to the unrolled SQL (test-pinned)."""
+    from pdf_parser_spark.ops.webgraph import lpa_df
+
+    _register(spark, sf_dir)
+    return lpa_df(spark)
 
 
 def _hits_production(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -918,3 +918,116 @@ WHERE dg.dg >= 2
 """.format(edges=_edges_ctes(d).strip(), lo=lo, hi=hi,
            cc=IDIV("2 * COALESCE(p.t, 0) * %d" % _CC_SCALE,
                    "dg.dg * (dg.dg - 1)"))
+
+
+# ------------------------------------- label-propagation communities
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_parts(d: str) -> list:
+    """The unrolled label-propagation CTE chain (``adj`` → ``lbl0`` →
+    ``lbl{_LPA_ROUNDS}``), appended after ``_edges_ctes``.
+
+    Synchronous weighted LPA (Raghavan, Albert & Kumara 2007): every
+    host starts in its own community (label = its own name); each
+    round it adopts the label carrying the MAXIMUM total edge weight
+    among its neighbors, ties broken by lexicographic label (the
+    deterministic stand-in for the paper's random tie-break — both
+    engines and the Python recomputation agree exactly).  The graph is
+    the symmetrized host graph (weights summed over both directions).
+
+    Per round: ONE equi-join (neighbor labels) + ONE (host, label)
+    hash-agg + ONE per-host window cut — the Pregel message/combine
+    shape; nothing in the loop is wider than host granularity."""
+    parts = [_edges_ctes(d).strip(), """
+und2 AS (
+  SELECT src_host AS u, dst_host AS v, n_links FROM edges
+  WHERE src_host <> dst_host
+  UNION ALL
+  SELECT dst_host AS u, src_host AS v, n_links FROM edges
+  WHERE src_host <> dst_host
+),
+adj AS (
+  SELECT u, v, CAST(SUM(n_links) AS BIGINT) AS w FROM und2 GROUP BY u, v
+),
+lnodes AS (SELECT DISTINCT u AS host FROM adj),
+lbl0 AS (SELECT host, host AS label FROM lnodes)""".strip()]
+    tpl = """
+sc{r} AS (
+  SELECT a.u AS host, l.label, CAST(SUM(a.w) AS BIGINT) AS s
+  FROM adj a JOIN lbl{p} l ON l.host = a.v
+  GROUP BY a.u, l.label
+),
+rk{r} AS (
+  SELECT host, label,
+    ROW_NUMBER() OVER (PARTITION BY host
+                       ORDER BY s DESC, label ASC) AS rn
+  FROM sc{r}
+),
+lbl{r} AS (SELECT host, label FROM rk{r} WHERE rn = 1)"""
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(tpl.format(r=r, p=r - 1).strip())
+    return parts
+
+
+@query("label_propagation")
+def q_label_propagation(d: str) -> str:
+    """Community detection by weighted label propagation (see
+    _lpa_parts for the recurrence and per-round shape).  Output: every
+    host with its final community label and the community's size."""
+    return """
+WITH {ctes}
+SELECT host, label AS community,
+  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM lbl{k}
+""".format(ctes=",\n".join(_lpa_parts(d)), k=_LPA_ROUNDS)
+
+
+def lpa_df(spark, edges=None, rounds: int = _LPA_ROUNDS):
+    """PRODUCTION iterative label propagation — the per-round-persisted
+    twin of ``label_propagation`` (same rationale as ``pagerank_df``:
+    Catalyst inlines CTE references, so the unrolled SQL re-derives
+    the anchor-extraction pipeline once per round and exists for
+    cross-engine verification, not for scale).  Row-identical output
+    (test-pinned).
+
+    Per round: one v-side equi-join against the persisted previous
+    labels + one (host, label) hash-agg + one per-host window cut; the
+    lineage stays one round deep."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    own_edges = edges is None
+    if own_edges:
+        edges = link_graph_df(spark).persist()
+        edges.count()
+    e = edges.filter("src_host <> dst_host")
+    und = (e.selectExpr("src_host AS u", "dst_host AS v", "n_links")
+           .union(e.selectExpr("dst_host AS u", "src_host AS v",
+                               "n_links")))
+    adj = (und.groupBy("u", "v")
+           .agg(F.sum("n_links").cast("long").alias("w")).persist())
+    labels = (adj.select(F.col("u").alias("host")).distinct()
+              .withColumn("label", F.col("host")).persist())
+    labels.count()
+    cut = Window.partitionBy("host").orderBy(
+        F.col("s").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        neigh = labels.select(F.col("host").alias("v"), "label")
+        scores = (adj.join(neigh, "v")
+                  .groupBy(F.col("u").alias("host"), "label")
+                  .agg(F.sum("w").cast("long").alias("s")))
+        new = (scores.withColumn("rn", F.row_number().over(cut))
+               .filter("rn = 1").select("host", "label").persist())
+        new.count()
+        labels.unpersist()
+        labels = new
+    out = labels.select(
+        "host", F.col("label").alias("community"),
+        F.count("*").over(Window.partitionBy("label"))
+        .cast("long").alias("community_size"))
+    adj.unpersist()
+    if own_edges:
+        edges.unpersist()
+    return out

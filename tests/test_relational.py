@@ -43,7 +43,7 @@ _SUBSET = [
     "url_trap_filter", "bm25_maxscore", "dedup_containment",
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
     "quality_classifier", "cdc_chunks", "triangle_counts",
-    "proximity_search", "simhash_hamming",
+    "proximity_search", "simhash_hamming", "label_propagation",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2775,3 +2775,43 @@ def test_simhash_hamming_semantics(duck, entry_mod):
     twins = [(a, b, h) for a, b, h in rows if b - a == 1000000]
     assert len(twins) > 50
     assert any(h == 0 for _, _, h in twins)
+
+
+def test_label_propagation_semantics(duck, entry_mod):
+    """Independent Python recomputation of 3-round synchronous
+    weighted LPA over the symmetrized link graph (max-weight neighbor
+    label, lexicographic tie-break) — labels AND community sizes."""
+    from collections import Counter, defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["label_propagation"]
+                    ).fetchall()
+    lg = duck.sql(entry_mod.all_oracles()["link_graph"]).fetchall()
+    adj = defaultdict(int)
+    for s, t, w in lg:
+        if s != t:
+            adj[(s, t)] += w
+            adj[(t, s)] += w
+    hosts = sorted({u for u, _ in adj})
+    lbl = {h: h for h in hosts}
+    for _ in range(3):
+        sc = defaultdict(lambda: defaultdict(int))
+        for (u, v), w in adj.items():
+            sc[u][lbl[v]] += w
+        lbl = {h: sorted(sc[h].items(), key=lambda kv: (-kv[1], kv[0]))
+               [0][0] for h in hosts}
+    cnt = Counter(lbl.values())
+    truth = {(h, lbl[h], cnt[lbl[h]]) for h in hosts}
+    assert set(map(tuple, rows)) == truth
+    n_comm = len(cnt)
+    assert 1 < n_comm < len(hosts)  # non-degenerate clustering
+
+
+def test_lpa_df_matches_sql(spark, entry_mod):
+    """Iterative weighted LPA ≡ the unrolled SQL chain on Spark."""
+    from query_registry import QUERY_SQL
+
+    got = sorted(tuple(r) for r in entry_mod.all_queries()[
+        "label_propagation"](spark, SF_DIR).collect())
+    exp = sorted(tuple(r) for r in spark.sql(
+        QUERY_SQL["label_propagation"]["spark"]).collect())
+    assert got == exp

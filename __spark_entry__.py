@@ -294,7 +294,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "simhash_hamming",
                    # weighted label-propagation communities (RAK 2007;
                    # Spark side = iterative production twin lpa_df)
-                   "label_propagation"}
+                   "label_propagation",
+                   # per-host politeness fetch scheduling (crawl-delay
+                   # slot queues, one window per host)
+                   "politeness_schedule"}
 
 
 def _specials() -> dict:

@@ -667,3 +667,57 @@ SELECT p.doc_id, p.path,
 FROM pages p
 LEFT JOIN matched m ON m.doc_id = p.doc_id AND m.pick = 1
 """.format(rules=rules, paths=paths, match=match)
+
+
+# ------------------------------------------------ politeness schedule
+
+_POL_DELAY_BASE_MS = 500   # per-host delay = 500 * (1 + hid % 4)
+_POL_HORIZON_MS = 10000    # one fetch cycle
+
+
+@query("politeness_schedule")
+def q_politeness_schedule(d: str) -> str:
+    """Per-host politeness fetch scheduling — the queue math between
+    the frontier and the fetcher in Nutch/Heritrix: every host's queue
+    is serialized with a minimum inter-fetch delay (robots crawl-delay
+    or a default), so the scheduler assigns each URL a slot in its
+    host's queue (priority DESC, path ASC, doc_id ASC — a total order:
+    the shared "/" root path recurs per host, so the id must break the
+    final tie) and a fetch timestamp ``slot * delay_ms``; only URLs
+    with ``fetch_at_ms < horizon`` are fetched this cycle, the rest
+    carry over.
+
+    Priority is a deterministic frontier score ``(doc_id*37) % 1000``
+    (collisions exercise the tie-break); per-host delay derives from
+    the host id (500/1000/1500/2000 ms — the crawl-delay spread a real
+    robots corpus shows).  Everything is integer arithmetic.
+
+    Shape at 10^12 pages: ONE window partitioned by host — the
+    frontier's natural key, already the fetch queue's partitioning; no
+    global sort, no cross-host coordination.  Per-host fan-in is the
+    queue depth, which politeness itself bounds upstream (the budget
+    operator caps enqueued URLs per host per cycle)."""
+    delay = ("CAST(%d * (1 + (doc_id %% %d) %% 4) AS BIGINT)"
+             % (_POL_DELAY_BASE_MS, _N_HOSTS))
+    return """
+WITH {urls},
+scored AS (
+  SELECT doc_id, host, path,
+         CAST((doc_id * 37) % 1000 AS BIGINT) AS priority,
+         {delay} AS delay_ms
+  FROM urls
+),
+slotted AS (
+  SELECT host, path, priority, delay_ms,
+    CAST(ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY priority DESC, path ASC,
+                                     doc_id ASC) - 1
+         AS BIGINT) AS slot
+  FROM scored
+)
+SELECT host, path, priority, slot,
+  CAST(slot * delay_ms AS BIGINT) AS fetch_at_ms,
+  CAST(CASE WHEN slot * delay_ms < {horizon} THEN 1 ELSE 0 END AS INT)
+    AS in_cycle
+FROM slotted
+""".format(urls=_urls_cte(d), delay=delay, horizon=_POL_HORIZON_MS)

@@ -44,6 +44,7 @@ _SUBSET = [
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
     "quality_classifier", "cdc_chunks", "triangle_counts",
     "proximity_search", "simhash_hamming", "label_propagation",
+    "politeness_schedule",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2815,3 +2816,53 @@ def test_lpa_df_matches_sql(spark, entry_mod):
     exp = sorted(tuple(r) for r in spark.sql(
         QUERY_SQL["label_propagation"]["spark"]).collect())
     assert got == exp
+
+
+def test_politeness_schedule_semantics(duck, entry_mod):
+    """Independent Python recomputation of the per-host politeness
+    queue: slot order (priority DESC, path ASC, doc_id ASC — the
+    shared '/' root forces the id tie-break), fetch_at = slot * the
+    host's crawl-delay, in_cycle horizon cut; plus the structural
+    politeness invariants (inter-fetch gap exactly delay_ms, per-host
+    in-cycle count = ceil(horizon / delay))."""
+    from collections import defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["politeness_schedule"]
+                    ).fetchall()
+    docs = [r[0] for r in duck.sql("SELECT doc_id FROM documents"
+                                   ).fetchall()]
+    per = defaultdict(list)
+    for did in docs:
+        hid = did % 40
+        m5 = did % 5
+        if m5 == 0:
+            path = "/p%d" % did
+        elif m5 == 1:
+            path = "/private/x%d" % did
+        elif m5 == 2:
+            path = "/public/a%d" % did
+        elif m5 == 3:
+            path = "/p/ok/%d" % did
+        else:
+            path = "/dup/z%d" % did if did % 10 == 4 else "/"
+        per["h%d.example" % hid].append(
+            (path, (did * 37) % 1000, 500 * (1 + hid % 4), did))
+    truth = []
+    for host, lst in per.items():
+        lst.sort(key=lambda x: (-x[1], x[0], x[3]))
+        for slot, (path, pri, delay, _) in enumerate(lst):
+            t = slot * delay
+            truth.append((host, path, pri, slot, t,
+                          1 if t < 10000 else 0))
+    assert sorted(map(tuple, rows)) == sorted(truth)
+    # politeness invariants per host
+    byhost = defaultdict(list)
+    for host, _, _, slot, t, inc in rows:
+        byhost[host].append((slot, t, inc))
+    for host, lst in byhost.items():
+        lst.sort()
+        delay = 500 * (1 + int(host[1:].split(".")[0]) % 4)
+        gaps = [b[1] - a[1] for a, b in zip(lst, lst[1:])]
+        assert all(g == delay for g in gaps)
+        n_in = sum(inc for _, _, inc in lst)
+        assert n_in == min(len(lst), -(-10000 // delay))

@@ -54,6 +54,9 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # robots/budget are doc_id arithmetic — random doc COUNTS
            # exercise rule-class membership + remainder ties
            "tfidf_keywords", "robots_filter", "crawl_budget",
+           # politeness slots: random doc COUNTS exercise queue depth,
+           # priority ties, and the horizon cut
+           "politeness_schedule",
            # phrase adjacency over the random bigram stream (noise
            # tokens create unseen bigrams; repetition bursts create
            # high-count ties for the (n DESC, doc_id) order);

@@ -325,6 +325,67 @@ _BFRANGE_RE = re.compile(
 )
 
 
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
+
+def parse_xref_stream(data: bytes) -> Dict[int, tuple]:
+    """Parse the PDF 1.5 cross-reference STREAM (ISO 32000-1 §7.5.8)
+    the last ``startxref`` points at: decode the /Filter'd payload,
+    slice it by the /W field widths over the /Index subsections, and
+    return ``{obj_num: ("f",) | ("n", offset, gen) | ("o", objstm_num,
+    idx)}``.
+
+    The extraction path deliberately does NOT depend on this (the
+    object-span scan survives broken xrefs — tokenizer.py's poison-
+    document contract); this is the conformance surface: it lets tests
+    assert our 1.5 writer emits offsets that agree byte-exactly with
+    the scanned object spans and type-2 entries that agree with
+    /ObjStm membership, and it reads third-party 1.5 files whose
+    objects exist only behind type-2 entries."""
+    last = None
+    for last in _STARTXREF_RE.finditer(data):
+        pass
+    if last is None:
+        raise ValueError("no startxref")
+    off = int(last.group(1))
+    head = _OBJ_RE.match(data, off)
+    if head is None:
+        raise ValueError("startxref does not point at an object")
+    obj = _Lexer(data, head.end()).value()
+    if not isinstance(obj, Stream) or obj.info.get("Type") != "XRef":
+        raise ValueError("object at startxref is not an XRef stream")
+    payload = _decode_stream(obj)
+    w = obj.info["W"]
+    size = obj.info["Size"]
+    index = obj.info.get("Index", [0, size])
+    rowlen = sum(w)
+    entries: Dict[int, tuple] = {}
+    k = 0
+    for j in range(0, len(index), 2):
+        start, count = index[j], index[j + 1]
+        for num in range(start, start + count):
+            row = payload[k:k + rowlen]
+            k += rowlen
+            vals = []
+            p = 0
+            for fi, width in enumerate(w):
+                if width == 0:
+                    # §7.5.8.2: a zero-width field takes its default —
+                    # type defaults to 1, the others to 0
+                    vals.append(1 if fi == 0 else 0)
+                else:
+                    vals.append(int.from_bytes(row[p:p + width], "big"))
+                    p += width
+            t, f2, f3 = vals
+            if t == 0:
+                entries[num] = ("f",)
+            elif t == 1:
+                entries[num] = ("n", f2, f3)
+            elif t == 2:
+                entries[num] = ("o", f2, f3)
+    return entries
+
+
 def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
     """bfchar + bfrange sections → {code: unicode string}."""
     mapping: Dict[int, str] = {}

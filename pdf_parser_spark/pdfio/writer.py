@@ -147,25 +147,64 @@ class _Builder:
     def set(self, num: int, body: bytes) -> None:
         self.objects[num - 1] = body
 
-    def render(self) -> bytes:
-        out = [b"%PDF-1.4\n%\xc7\xec\x8f\xa2\n"]
-        offsets = [0] * (len(self.objects) + 1)
+    def render(self, xref_stream: bool = False, compress: bool = True,
+               packed: Dict[int, Tuple[int, int]] = None) -> bytes:
+        """Serialize.  Classic mode (default) writes a PDF 1.4 xref
+        TABLE + trailer.  With ``xref_stream=True`` writes a PDF 1.5
+        cross-reference STREAM (ISO 32000-1 §7.5.8): binary entries
+        with /W field widths, the stream dict doubling as the trailer,
+        ``startxref`` pointing at the stream object.  ``packed`` maps
+        object numbers that live inside an /ObjStm to (objstm_num,
+        index) — they are NOT written as top-level objects and get
+        type-2 xref entries, the conforming PDF 1.5 layout."""
+        packed = packed or {}
+        if xref_stream:
+            out = [b"%PDF-1.5\n%\xc7\xec\x8f\xa2\n"]
+        else:
+            out = [b"%PDF-1.4\n%\xc7\xec\x8f\xa2\n"]
+        offsets: Dict[int, int] = {}
         pos = sum(len(p) for p in out)
         for i, body in enumerate(self.objects, start=1):
+            if i in packed:
+                continue
             offsets[i] = pos
             chunk = b"%d 0 obj\n" % i + body + b"\nendobj\n"
             out.append(chunk)
             pos += len(chunk)
-        xref_pos = pos
-        n = len(self.objects) + 1
-        xref = [b"xref\n0 %d\n" % n, b"0000000000 65535 f \n"]
-        for i in range(1, n):
-            xref.append(b"%010d 00000 n \n" % offsets[i])
-        out.append(b"".join(xref))
-        out.append(
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (n, xref_pos)
-        )
+        if not xref_stream:
+            xref_pos = pos
+            n = len(self.objects) + 1
+            xref = [b"xref\n0 %d\n" % n, b"0000000000 65535 f \n"]
+            for i in range(1, n):
+                xref.append(b"%010d 00000 n \n" % offsets[i])
+            out.append(b"".join(xref))
+            out.append(
+                b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+                b"%%%%EOF\n" % (n, xref_pos)
+            )
+            return b"".join(out)
+        # --- cross-reference stream: /W [1 3 2] = (type, offset-or-
+        # objstm-num in 3 bytes, gen-or-index in 2 bytes), big-endian
+        xnum = len(self.objects) + 1
+        size = xnum + 1
+
+        def ent(t: int, f2: int, f3: int) -> bytes:
+            return bytes([t]) + f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+
+        rows = [ent(0, 0, 65535)]
+        for i in range(1, xnum):
+            if i in packed:
+                sn, idx = packed[i]
+                rows.append(ent(2, sn, idx))
+            else:
+                rows.append(ent(1, offsets[i], 0))
+        rows.append(ent(1, pos, 0))  # the xref stream object itself
+        body = _stream_obj(
+            b"".join(rows), compress,
+            extra=b" /Type /XRef /Size %d /Root 1 0 R /W [1 3 2]"
+                  b" /Index [0 %d]" % (size, size))
+        out.append(b"%d 0 obj\n" % xnum + body + b"\nendobj\n")
+        out.append(b"startxref\n%d\n%%%%EOF\n" % pos)
         return b"".join(out)
 
 
@@ -181,8 +220,15 @@ def _stream_obj(data: bytes, compress: bool, extra: bytes = b"") -> bytes:
     )
 
 
-def text_to_pdf(text: str, compress: bool = True, objstm: bool = False) -> bytes:
-    """Render ``text`` (pages split on ``\\f``) to PDF bytes."""
+def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
+                xref_stream: bool = False) -> bytes:
+    """Render ``text`` (pages split on ``\\f``) to PDF bytes.
+
+    ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
+    STREAM instead of the classic table, and — combined with
+    ``objstm`` — true type-2 entries for the packed objects (which
+    then do not appear as top-level ``N 0 obj`` spans at all, the
+    shape real PDF 1.5+ producers write)."""
     pages_text = text.split("\f")
     codes = _build_charmap(text)
 
@@ -224,6 +270,7 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False) -> bytes
     )
     root_body = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
 
+    packed: Dict[int, Tuple[int, int]] = {}
     if objstm:
         # Pack catalog/pages/fonts/page dicts into one object stream.
         members = [(root, root_body), (pages, pages_body),
@@ -234,14 +281,20 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False) -> bytes
             header += b"%d %d " % (num, len(payload))
             payload += body + b" "
         data = header + payload
-        b.add(_stream_obj(
+        objstm_num = b.add(_stream_obj(
             data, compress,
             extra=b" /Type /ObjStm /N %d /First %d" % (len(members), len(header)),
         ))
-        # top-level copies are left as placeholders referencing nothing;
-        # readers that scan object streams (ours) find the members there.
-        for num, _ in members:
-            b.set(num, b"null")
+        if xref_stream:
+            # conforming 1.5: members exist ONLY in the object stream,
+            # located through type-2 xref entries
+            packed = {num: (objstm_num, idx)
+                      for idx, (num, _) in enumerate(members)}
+        else:
+            # classic-table build: top-level null placeholders (readers
+            # that scan object streams — ours — find the members there)
+            for num, _ in members:
+                b.set(num, b"null")
     else:
         b.set(root, root_body)
         b.set(pages, pages_body)
@@ -250,4 +303,5 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False) -> bytes
         for num, body in page_bodies:
             b.set(num, body)
 
-    return b.render()
+    return b.render(xref_stream=xref_stream, compress=compress,
+                    packed=packed)

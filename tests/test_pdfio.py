@@ -32,6 +32,8 @@ def _pdf_expected(t: str) -> str:
     {"compress": False},
     {"compress": True},
     {"compress": True, "objstm": True},
+    {"compress": True, "xref_stream": True},
+    {"compress": True, "objstm": True, "xref_stream": True},
 ])
 def test_pdf_roundtrip_small(mode):
     for doc in SMALL:
@@ -115,3 +117,54 @@ def test_corrupt_and_truncated_pdfs_flag_errors_never_raise():
     # losing only the xref tail still recovers everything (no error)
     tail = extract_document(real[:-5])
     assert tail.text == clean.text and tail.error is None
+
+
+def test_xref_stream_entries_agree_with_scan():
+    """The PDF 1.5 writer's cross-reference stream is conformant: the
+    parsed type-1 offsets equal the byte positions of the scanned
+    ``N 0 obj`` spans (including the XRef stream object itself),
+    object 0 is the free head, and — with objstm — the packed objects
+    appear ONLY as type-2 (objstm, index) entries, never as top-level
+    spans (the real PDF 1.5 producer layout)."""
+    import re
+
+    from pdf_parser_spark.pdfio.tokenizer import (
+        _OBJ_RE, parse_xref_stream,
+    )
+
+    text = DOCS[0]["text"]
+    for objstm in (False, True):
+        pdf = text_to_pdf(text, objstm=objstm, xref_stream=True)
+        entries = parse_xref_stream(pdf)
+        scanned = {int(m.group(1)): m.start()
+                   for m in _OBJ_RE.finditer(pdf)}
+        assert entries[0] == ("f",)
+        t1 = {n: e for n, e in entries.items() if e[0] == "n"}
+        t2 = {n: e for n, e in entries.items() if e[0] == "o"}
+        assert t1 and all(e[1] == scanned[n] for n, e in t1.items())
+        # startxref points at the XRef stream object, whose own entry
+        # is present and type-1 (Size covers it)
+        sx = int(re.findall(rb"startxref\s+(\d+)", pdf)[-1])
+        xnum = int(_OBJ_RE.match(pdf, sx).group(1))
+        assert entries[xnum] == ("n", sx, 0)
+        if objstm:
+            assert len(t2) >= 5   # catalog/pages/fonts/page dicts
+            assert all(n not in scanned for n in t2)
+            # every type-2 (objstm, idx) resolves: the member index is
+            # within the /ObjStm's /N and the target IS the objstm
+            objstm_nums = {e[1] for e in t2.values()}
+            assert len(objstm_nums) == 1
+            assert next(iter(objstm_nums)) in scanned
+        else:
+            assert not t2
+
+
+def test_xref_stream_third_party_type2_only_members():
+    """A 1.5 file whose members exist only behind type-2 entries (no
+    top-level spans at all for them) still extracts byte-identically —
+    the ObjStm expansion path, not the xref, is what locates them."""
+    text = "alpha beta\ngamma $12.34\f" + "x\n" * 80
+    classic = extract_pdf_text(text_to_pdf(text)).text
+    pdf = text_to_pdf(text, objstm=True, xref_stream=True)
+    res = extract_pdf_text(pdf)
+    assert res.error is None and res.text == classic

@@ -297,7 +297,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "label_propagation",
                    # per-host politeness fetch scheduling (crawl-delay
                    # slot queues, one window per host)
-                   "politeness_schedule"}
+                   "politeness_schedule",
+                   # mergeable log-bucket quantile sketch (DDSketch
+                   # family), factor-2 bound pinned vs the exact row
+                   "quantile_sketch"}
 
 
 def _specials() -> dict:

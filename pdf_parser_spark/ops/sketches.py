@@ -414,3 +414,82 @@ FROM w0, wsum
 """.format(hid=CSTR("doc_id %% %d" % _N_HOSTS, d),
            decsum=DECSUM("wt", d),
            n=LEN(ws, d), budget=_MIX_BUDGET)
+
+
+# ---------------------------------------------- log-bucket quantiles
+
+_QSK_MAXBIT = 40     # values clamp at 2^40 (fixture domain << this)
+_QSK_QUANTILES = (50, 90, 99)
+
+
+def _bitlen(x: str) -> str:
+    """``bit_length(x)`` for x >= 1 as pure integer arithmetic —
+    ``1 + Σ_k [x >= 2^k]`` — identical in both engines (no
+    ``ln(x)/ln(2)`` float, which mis-floors at exact powers of two;
+    no dialect-only binary printf).  A wide but branch-free CASE sum:
+    one whole-stage-codegen projection, no join, no UDF."""
+    terms = " + ".join(
+        "(CASE WHEN %s >= %d THEN 1 ELSE 0 END)" % (x, 1 << k)
+        for k in range(1, _QSK_MAXBIT))
+    return "CAST(1 + %s AS BIGINT)" % terms
+
+
+@query("quantile_sketch")
+def q_quantile_sketch(d: str) -> str:
+    """Mergeable log-bucket quantile sketch (the DDSketch/HDR-
+    histogram family, base-2 buckets) over per-language token counts
+    — the at-scale companion of the EXACT ``length_quantiles``: the
+    sketch is a per-(lang, bucket) count table, so shards build
+    partial histograms map-side and merging is just summing bucket
+    counts (the additive-SUM mergeability every distributed quantile
+    needs; exact type-1 ranks need a full sort or a per-group window
+    instead).
+
+    bucket(v) = bit_length(v) (v clamped to ≥1), i.e. v ∈
+    [2^(b-1), 2^b).  The estimate for quantile q is the INCLUSIVE
+    upper bound 2^b - 1 of the first bucket whose cumulative count
+    reaches the type-1 rank ceil(q·n/100) — guaranteeing
+    est/2 < true ≤ est (relative error ≤ 2×, test-pinned against the
+    exact quantiles; tighter error = more buckets per octave, same
+    shape).  All integer arithmetic.
+
+    Shape at 10^12 docs: one narrow branch-free projection → ONE
+    (lang, bucket) hash-agg (partial map-side) → a per-lang window
+    over ≤ {mb} bucket rows per language — the reduce side touches
+    sketch-sized data only, never the corpus."""
+    if d == SPARK:
+        ntok = "CAST(size(split(text, ' ')) AS BIGINT)"
+    else:
+        ntok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    picks = ", ".join(
+        "CAST(MIN(CASE WHEN cum >= ((n * {q} + 99) - "
+        "((n * {q} + 99) % 100)) / 100 THEN ub END) AS BIGINT) "
+        "AS p{q}_est".format(q=q) for q in _QSK_QUANTILES)
+    return """
+WITH tl AS (
+  SELECT lang, {bitlen} AS b
+  FROM (SELECT lang, GREATEST({ntok}, 1) AS v FROM documents) t0
+),
+hist AS (
+  SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tl GROUP BY lang, b
+),
+cdf AS (
+  SELECT lang, b, c,
+    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+    CAST({ub} AS BIGINT) AS ub
+  FROM hist
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  {picks}
+FROM cdf
+GROUP BY lang
+""".format(bitlen=_bitlen("v"), ntok=ntok,
+           ub="%s - 1" % SHL1("b", d), picks=picks)
+
+
+q_quantile_sketch.__doc__ = (q_quantile_sketch.__doc__ or "").format(
+    mb=_QSK_MAXBIT)

@@ -44,7 +44,7 @@ _SUBSET = [
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
     "quality_classifier", "cdc_chunks", "triangle_counts",
     "proximity_search", "simhash_hamming", "label_propagation",
-    "politeness_schedule",
+    "politeness_schedule", "quantile_sketch",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2866,3 +2866,64 @@ def test_politeness_schedule_semantics(duck, entry_mod):
         assert all(g == delay for g in gaps)
         n_in = sum(inc for _, _, inc in lst)
         assert n_in == min(len(lst), -(-10000 // delay))
+
+
+def test_quantile_sketch_semantics(duck, entry_mod):
+    """Independent Python recomputation of the log-bucket sketch —
+    AND the two properties that make it the at-scale quantile path:
+    (1) the factor-2 bound est/2 < exact ≤ est against the exact
+    type-1 quantiles of length_quantiles, (2) MERGEABILITY: building
+    two half-corpus histograms and summing bucket counts reproduces
+    the full-corpus estimates exactly."""
+    from collections import defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["quantile_sketch"]
+                    ).fetchall()
+    exact = {r[0]: r for r in duck.sql(
+        entry_mod.all_oracles()["length_quantiles"]).fetchall()}
+    docs = duck.sql("SELECT doc_id, lang, text FROM documents"
+                    ).fetchall()
+
+    def estimates(hist, n):
+        out = []
+        cum = 0
+        ranks = [-(-n * q // 100) for q in (50, 90, 99)]
+        est = {}
+        for b in sorted(hist):
+            cum += hist[b]
+            for q, r in zip((50, 90, 99), ranks):
+                if q not in est and cum >= r:
+                    est[q] = (1 << b) - 1
+        return [est[q] for q in (50, 90, 99)]
+
+    # full-corpus recomputation
+    hists = defaultdict(lambda: defaultdict(int))
+    for _, lang, text in docs:
+        v = max(len(text.split(" ")), 1)
+        hists[lang][v.bit_length()] += 1
+    truth = {}
+    for lang, h in hists.items():
+        n = sum(h.values())
+        truth[lang] = (n, len(h), *estimates(h, n))
+    assert {(r[0], *r[1:]) for r in map(tuple, rows)} == \
+        {(lang, *v) for lang, v in truth.items()}
+    # factor-2 bound vs the exact quantiles
+    for lang, n, nb, p50, p90, p99 in rows:
+        for est, true in zip((p50, p90, p99),
+                             (exact[lang][3], exact[lang][4],
+                              exact[lang][5])):
+            assert est / 2 < true <= est, (lang, est, true)
+    # mergeability: two shard histograms sum to the full sketch
+    for lang in hists:
+        h1, h2 = defaultdict(int), defaultdict(int)
+        for did, dl, text in docs:
+            if dl != lang:
+                continue
+            v = max(len(text.split(" ")), 1)
+            (h1 if did % 2 == 0 else h2)[v.bit_length()] += 1
+        merged = defaultdict(int)
+        for h in (h1, h2):
+            for b, c in h.items():
+                merged[b] += c
+        n = sum(merged.values())
+        assert estimates(merged, n) == list(truth[lang][2:])

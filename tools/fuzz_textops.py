@@ -75,6 +75,9 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "bm25_maxscore", "dedup_containment", "mirror_hosts",
            "url_trap_filter", "robots_wildcard_filter",
            "quality_classifier", "length_quantiles",
+           # log-bucket sketch vs random length spectra (bucket-edge
+           # values, rank ties, single-doc languages)
+           "quantile_sketch",
            # CDC resync under random word streams (boundary density,
            # duplicate-chunk digests, twin intersections)
            "cdc_chunks",

@@ -300,7 +300,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "politeness_schedule",
                    # mergeable log-bucket quantile sketch (DDSketch
                    # family), factor-2 bound pinned vs the exact row
-                   "quantile_sketch"}
+                   "quantile_sketch",
+                   # BPE encode: learned merges applied back to the
+                   # corpus via the shared training CTE chain
+                   "bpe_encode"}
 
 
 def _specials() -> dict:

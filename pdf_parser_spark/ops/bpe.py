@@ -79,25 +79,31 @@ top{r} AS (
 def _merge_cte(r: int) -> str:
     """Apply round r's winning merge to every word's symbol string:
     single-space padding + plain replace = canonical left-to-right
-    non-overlapping merge (dialect-free)."""
+    non-overlapping merge (dialect-free).  The padding spaces survive
+    every replacement (the pattern and its replacement both begin and
+    end with a space), so they are stripped POSITIONALLY — trim()
+    would also eat non-ASCII whitespace symbols at the edges in
+    DuckDB but not Spark (same fuzz-caught seam as syms0)."""
     return """
 syms{r1} AS (
-  SELECT w, c,
-    trim(replace(' ' || sym || ' ',
-                 ' ' || (SELECT a FROM top{r}) || '  '
-                     || (SELECT b FROM top{r}) || ' ',
-                 ' ' || (SELECT a FROM top{r})
-                     || (SELECT b FROM top{r}) || ' ')) AS sym
-  FROM syms{r}
+  SELECT w, c, substr(p0, 2, length(p0) - 2) AS sym
+  FROM (
+    SELECT w, c,
+      replace(' ' || sym || ' ',
+              ' ' || (SELECT a FROM top{r}) || '  '
+                  || (SELECT b FROM top{r}) || ' ',
+              ' ' || (SELECT a FROM top{r})
+                  || (SELECT b FROM top{r}) || ' ') AS p0
+    FROM syms{r}
+  ) t{r1}
 )""".format(r=r, r1=r + 1)
 
 
-@query("bpe_train_merges")
-def q_bpe_train(d: str) -> str:
-    """The learned merge table: one row per round (rnd, left_sym,
-    right_sym, merged, pair_count), _ROUNDS rounds unrolled as a CTE
-    chain (the cross-engine oracle twin of the iterative
-    ``bpe_train_df``)."""
+def _train_chunks(d: str, final_merge: bool = False) -> list:
+    """The shared training CTE chain (toks → vocab → syms0 →
+    pairs/top/merge per round).  With ``final_merge`` the last round's
+    winning merge is also APPLIED, so ``syms{_ROUNDS}`` is the vocab
+    encoded with the full learned merge table — the encode artifact."""
     repl = "$1  " if d == SPARK else "\\1  "
     chunks = ["""
 toks AS (
@@ -109,18 +115,91 @@ toks AS (
 )""", """
 vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks
           WHERE w <> '' GROUP BY w),
-syms0 AS (SELECT w, c, trim({chars}) AS sym FROM vocab)""".format(
-        chars=REREPL("w", "(.)", repl, d))]
+syms0 AS (
+  -- the char-split leaves EXACTLY two trailing spaces; strip them
+  -- positionally, NOT with trim(): DuckDB's trim eats non-ASCII
+  -- whitespace (NBSP-initial words) where Spark's does not — a real
+  -- fuzz-caught dialect seam
+  SELECT w, c, substr(s0, 1, length(s0) - 2) AS sym
+  FROM (SELECT w, c, {chars} AS s0 FROM vocab) v0
+)""".format(chars=REREPL("w", "(.)", repl, d))]
     for r in range(_ROUNDS):
         chunks.append(_pairs_cte(r, d))
-        if r + 1 < _ROUNDS:
+        if final_merge or r + 1 < _ROUNDS:
             chunks.append(_merge_cte(r))
+    return chunks
+
+
+@query("bpe_train_merges")
+def q_bpe_train(d: str) -> str:
+    """The learned merge table: one row per round (rnd, left_sym,
+    right_sym, merged, pair_count), _ROUNDS rounds unrolled as a CTE
+    chain (the cross-engine oracle twin of the iterative
+    ``bpe_train_df``)."""
+    chunks = _train_chunks(d)
     unions = "\nUNION ALL\n".join(
         "SELECT CAST(%d AS BIGINT) AS rnd, a AS left_sym, b AS right_sym,"
         " a || b AS merged, cnt AS pair_count FROM top%d" % (r + 1, r)
         for r in range(_ROUNDS))
     return ("WITH " + ",".join(c.strip() for c in chunks) + "\n"
             + unions + "\nORDER BY rnd")
+
+
+@query("bpe_encode")
+def q_bpe_encode(d: str) -> str:
+    """BPE ENCODE — the apply half of the tokenizer lifecycle: the
+    learned merges are applied to the vocabulary (``syms{k}`` after
+    round k IS the vocab encoded with the first k merges — the
+    training trajectory, so train and encode share one CTE chain and
+    cannot drift), then every document joins its tokens against the
+    encoded vocab and aggregates per-doc token statistics:
+
+        n_words       corpus tokens in the doc (post-split)
+        n_chars       their total character count
+        n_bpe_tokens  BPE symbols after all merges
+        saved         n_chars - n_bpe_tokens (the compression the
+                      merge table buys, in exact integers)
+
+    Semantics note: merges apply EXHAUSTIVELY IN RANK ORDER (the
+    trajectory the trainer itself walked), which equals the canonical
+    lowest-rank-first encoder unless a later merge resurrects an
+    earlier pair — impossible here by construction since each round's
+    vocab is re-derived from the previous round's output.
+
+    Shape at 10^12 docs: encoding happens on the VOCAB (Heaps-law
+    sublinear), never the corpus; the corpus is touched by one
+    explode + one broadcast-sized equi-join against the encoded vocab
+    + one per-doc hash-agg — the classifier/BM25 posting-fetch
+    shape."""
+    if d == SPARK:
+        dtoks = """
+dtoks AS (
+  SELECT doc_id, w FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS w
+)"""
+        ntok = "CAST(size(split(sym, '  ')) AS BIGINT)"
+    else:
+        dtoks = """
+dtoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)"""
+        ntok = "CAST(len(string_split(sym, '  ')) AS BIGINT)"
+    chunks = _train_chunks(d, final_merge=True)
+    chunks.append("""
+enc AS (
+  SELECT w, {ntok} AS ntok, CAST(length(w) AS BIGINT) AS nchr
+  FROM syms{k}
+)""".format(ntok=ntok, k=_ROUNDS))
+    chunks.append(dtoks)
+    return ("WITH " + ",".join(c.strip() for c in chunks) + """
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(e.nchr) AS BIGINT) AS n_chars,
+  CAST(SUM(e.ntok) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(e.nchr) - SUM(e.ntok) AS BIGINT) AS saved
+FROM dtoks t JOIN enc e ON e.w = t.w
+GROUP BY t.doc_id
+""")
 
 
 def bpe_train_df(spark, rounds: int = _ROUNDS, docs=None):
@@ -137,7 +216,8 @@ def bpe_train_df(spark, rounds: int = _ROUNDS, docs=None):
         .filter(F.col("w") != "")
     vocab = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
     syms = vocab.withColumn(
-        "sym", F.trim(F.regexp_replace("w", "(.)", "$1  ")))
+        "s0", F.regexp_replace("w", "(.)", "$1  ")).withColumn(
+        "sym", F.expr("substr(s0, 1, length(s0) - 2)")).drop("s0")
     out = []
     for r in range(rounds):
         syms = syms.persist()
@@ -156,9 +236,11 @@ def bpe_train_df(spark, rounds: int = _ROUNDS, docs=None):
         a, b, cnt = top[0]
         out.append((r + 1, a, b, a + b, cnt))
         nxt = syms.withColumn(
-            "sym", F.trim(F.expr(
+            "p0", F.expr(
                 "replace(' ' || sym || ' ', %s, %s)"
-                % (_slit(" %s  %s " % (a, b)), _slit(" %s%s " % (a, b))))))
+                % (_slit(" %s  %s " % (a, b)), _slit(" %s%s " % (a, b))))
+        ).withColumn(
+            "sym", F.expr("substr(p0, 2, length(p0) - 2)")).drop("p0")
         syms.unpersist()
         syms = nxt
     return spark.createDataFrame(

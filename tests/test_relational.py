@@ -44,7 +44,7 @@ _SUBSET = [
     "mirror_hosts", "length_quantiles", "robots_wildcard_filter",
     "quality_classifier", "cdc_chunks", "triangle_counts",
     "proximity_search", "simhash_hamming", "label_propagation",
-    "politeness_schedule", "quantile_sketch",
+    "politeness_schedule", "quantile_sketch", "bpe_encode",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2927,3 +2927,52 @@ def test_quantile_sketch_semantics(duck, entry_mod):
                 merged[b] += c
         n = sum(merged.values())
         assert estimates(merged, n) == list(truth[lang][2:])
+
+
+def test_bpe_encode_semantics(duck, entry_mod):
+    """Independent Python recomputation of the FULL lifecycle: train 4
+    merges canonically (greedy max-count, (count DESC, pair ASC)
+    ties), apply them with the canonical left-to-right non-overlapping
+    scan, and require the in-plan per-doc (n_words, n_chars,
+    n_bpe_tokens, saved) to match exactly — plus the invariants
+    n_bpe_tokens ≤ n_chars and saved = n_chars - n_bpe_tokens > 0
+    corpus-wide (the merge table actually compresses)."""
+    from collections import Counter
+
+    rows = duck.sql(entry_mod.all_oracles()["bpe_encode"]).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    vocab = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    for _ in range(4):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        (a, b), _cnt = sorted(pc.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[0]
+        for w in syms:
+            s = syms[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    truth = []
+    for did, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        nc = sum(len(w) for w in ws)
+        nt = sum(len(syms[w]) for w in ws)
+        truth.append((did, len(ws), nc, nt, nc - nt))
+    assert sorted(map(tuple, rows)) == sorted(truth)
+    assert all(nt <= nc for _, _, nc, nt, _ in rows)
+    assert sum(s for *_, s in rows) > 0

@@ -38,6 +38,9 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # duplicated runs; PII/noise tokens stress tokenization)
            "dedup_substring", "ccnet_ppl_buckets",
            "c4_clean", "url_host_filter", "bpe_train_merges",
+           # encode rides the same merge chain; random vocabs stress
+           # tie order and the replace-padding scan on both engines
+           "bpe_encode",
            # DSIR selection: all-'en' fuzz docs make target==raw
            # (every bucket weight exactly 1000) — degenerate scores,
            # but the md5 bucketing + tokenization seam is exercised

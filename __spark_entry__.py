@@ -303,7 +303,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "quantile_sketch",
                    # BPE encode: learned merges applied back to the
                    # corpus via the shared training CTE chain
-                   "bpe_encode"}
+                   "bpe_encode",
+                   # redirect-chain resolution by pointer doubling
+                   # (log-rounds alias resolve + loop detection)
+                   "redirect_resolve"}
 
 
 def _specials() -> dict:

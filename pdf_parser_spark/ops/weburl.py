@@ -244,3 +244,80 @@ FROM assign GROUP BY shard_a, shard_b
 
 q_shard_rendezvous.__doc__ = q_shard_rendezvous.__doc__.format(
     a=_SHARDS_A, b=_SHARDS_B)
+
+
+# -------------------------------------------- redirect chain resolve
+
+_RR_ROUNDS = 3   # pointer-doubling rounds: resolves chains <= 2^3 hops
+
+
+@query("redirect_resolve")
+def q_redirect_resolve(d: str) -> str:
+    """Redirect-chain resolution by POINTER DOUBLING (Wyllie's
+    list-ranking technique — the O(log L) alias-resolution pass a
+    crawler runs so every fetched URL keys its CANONICAL terminal,
+    not an intermediate 301): round k maps f(u) ← f(f(u)) with one
+    self-equi-join, so after r rounds every chain of ≤ 2^r hops is
+    fully resolved.  Sequential chasing needs L joins for an L-hop
+    chain; doubling needs ⌈log2 L⌉ — the difference between 60 and 6
+    shuffles on the 60-hop chains real link farms build.
+
+    The synthetic redirect corpus (doc_id blocks of 8: position p
+    redirects one step down, block heads are terminal) has chains up
+    to 7 hops — exercising ALL {r} rounds — plus mutual 301 pairs
+    (doc_id % 97 ∈ {{95, 96}}), the redirect-LOOP class a resolver
+    must flag rather than chase: a 2-cycle is pointer-doubling's
+    fixed point, so loops are detected by the canonical STILL having
+    an outgoing redirect (terminals never do).
+
+    Output per url: canonical url, exact accumulated hop count, and
+    the resolved/loop verdict.  Shape at 10^12 urls: r self-joins on
+    the id key, hop counts ride the same rows; no window, no driver
+    state."""
+    from .webgraph import CSTR
+
+    nxt = ("CASE WHEN doc_id % 97 = 95 THEN doc_id + 1 "
+           "WHEN doc_id % 97 = 96 THEN doc_id - 1 "
+           "WHEN doc_id % 8 <> 0 THEN doc_id - 1 "
+           "ELSE NULL END")
+
+    def url_of(col: str) -> str:
+        return "'https://h' || %s || '.example/r' || %s" % (
+            CSTR("%s %% 40" % col, d), CSTR(col, d))
+    parts = ["""
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS id, CAST({nxt} AS BIGINT) AS nxt
+  FROM documents WHERE {nxt} IS NOT NULL
+),
+f0 AS (
+  SELECT n.id, COALESCE(e.nxt, n.id) AS ptr,
+         CAST(CASE WHEN e.nxt IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS hops
+  FROM nodes n LEFT JOIN edges e ON e.id = n.id
+)""".format(nxt=nxt).strip()]
+    # LEFT join: a redirect target absent from the corpus (a dangling
+    # 301 at the corpus boundary) resolves to itself instead of
+    # silently dropping the source row
+    tpl = """
+f{r1} AS (
+  SELECT a.id, COALESCE(b.ptr, a.ptr) AS ptr,
+         a.hops + COALESCE(b.hops, 0) AS hops
+  FROM f{r} a LEFT JOIN f{r} b ON b.id = a.ptr
+)"""
+    for r in range(_RR_ROUNDS):
+        parts.append(tpl.format(r=r, r1=r + 1).strip())
+    return """
+WITH {parts}
+SELECT {u} AS url,
+  {cu} AS canonical_url,
+  f.hops AS n_hops,
+  CASE WHEN e2.id IS NULL THEN 'resolved' ELSE 'loop' END AS verdict
+FROM f{k} f
+LEFT JOIN edges e2 ON e2.id = f.ptr
+""".format(parts=",\n".join(parts), u=url_of("f.id"),
+           cu=url_of("f.ptr"), k=_RR_ROUNDS)
+
+
+q_redirect_resolve.__doc__ = (q_redirect_resolve.__doc__ or "").format(
+    r=_RR_ROUNDS)

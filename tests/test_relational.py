@@ -45,6 +45,7 @@ _SUBSET = [
     "quality_classifier", "cdc_chunks", "triangle_counts",
     "proximity_search", "simhash_hamming", "label_propagation",
     "politeness_schedule", "quantile_sketch", "bpe_encode",
+    "redirect_resolve",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2976,3 +2977,51 @@ def test_bpe_encode_semantics(duck, entry_mod):
     assert sorted(map(tuple, rows)) == sorted(truth)
     assert all(nt <= nc for _, _, nc, nt, _ in rows)
     assert sum(s for *_, s in rows) > 0
+
+
+def test_redirect_resolve_semantics(duck, entry_mod):
+    """Independent Python recomputation of the pointer-doubling pass
+    (3 rounds, hop accumulation) — PLUS the ground-truth check that
+    matters: for every 'resolved' row, a plain SEQUENTIAL chase of the
+    redirect chain reaches the same canonical in the same hop count
+    (doubling ≡ chasing), chains up to 7 hops actually occur (all
+    three rounds exercised), and every mutual-301 pair is flagged
+    'loop', never chased to a bogus terminal."""
+    rows = duck.sql(entry_mod.all_oracles()["redirect_resolve"]
+                    ).fetchall()
+    ids = {r[0] for r in duck.sql("SELECT doc_id FROM documents"
+                                  ).fetchall()}
+
+    def nxt(i):
+        if i % 97 == 95:
+            return i + 1
+        if i % 97 == 96:
+            return i - 1
+        if i % 8 != 0:
+            return i - 1
+        return None
+
+    ptr, hops = {}, {}
+    for i in ids:
+        n = nxt(i)
+        ptr[i] = i if n is None else n
+        hops[i] = 0 if n is None else 1
+    for _ in range(3):
+        ptr, hops = ({i: ptr[ptr[i]] for i in ids},
+                     {i: hops[i] + hops[ptr[i]] for i in ids})
+    truth = set()
+    for i in ids:
+        verdict = "loop" if nxt(ptr[i]) is not None else "resolved"
+        truth.add(("https://h%d.example/r%d" % (i % 40, i),
+                   "https://h%d.example/r%d" % (ptr[i] % 40, ptr[i]),
+                   hops[i], verdict))
+    assert set(map(tuple, rows)) == truth
+    for i in ids:
+        if nxt(ptr[i]) is None:
+            j, h = i, 0
+            while nxt(j) is not None:
+                j = nxt(j)
+                h += 1
+            assert j == ptr[i] and h == hops[i]
+    assert max(h for _, _, h, v in rows if v == "resolved") == 7
+    assert sum(1 for r in rows if r[3] == "loop") > 0

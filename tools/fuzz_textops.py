@@ -81,6 +81,9 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # log-bucket sketch vs random length spectra (bucket-edge
            # values, rank ties, single-doc languages)
            "quantile_sketch",
+           # pointer doubling vs random doc_id sets (missing chain
+           # targets exercise the dangling-301 LEFT-join class)
+           "redirect_resolve",
            # CDC resync under random word streams (boundary density,
            # duplicate-chunk digests, twin intersections)
            "cdc_chunks",

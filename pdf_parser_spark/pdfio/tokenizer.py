@@ -414,14 +414,27 @@ def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
 class _Font:
     to_unicode: Optional[Dict[int, str]] = None
     char_em: float = 0.6  # monospace advance (Courier)
+    code_bytes: int = 1   # 2 for Type0 (Identity-H CID) fonts
 
     def decode(self, raw: bytes) -> str:
+        if self.code_bytes == 2:
+            # composite font: show strings are big-endian 2-byte CIDs
+            tu = self.to_unicode or {}
+            return "".join(
+                tu.get((raw[i] << 8) | raw[i + 1], "�")
+                for i in range(0, len(raw) - 1, 2)
+            )
         if self.to_unicode is None:
             return raw.decode("latin-1")
         return "".join(
             self.to_unicode.get(b, chr(b) if b < 128 else "�")
             for b in raw
         )
+
+    def nglyphs(self, nbytes: int) -> int:
+        if self.code_bytes == 2:
+            return (nbytes + 1) // 2
+        return nbytes
 
 
 def _load_fonts(doc: PdfDocument, page: dict) -> Dict[str, _Font]:
@@ -439,7 +452,8 @@ def _load_fonts(doc: PdfDocument, page: dict) -> Dict[str, _Font]:
                 cmap = _parse_tounicode(_decode_stream(tu))
             except Exception:
                 cmap = None
-        out[name] = _Font(to_unicode=cmap)
+        cb = 2 if fd.get("Subtype") == "Type0" else 1
+        out[name] = _Font(to_unicode=cmap, code_bytes=cb)
     return out
 
 
@@ -477,7 +491,7 @@ def _interpret(content: bytes, fonts: Dict[str, _Font]) -> List[Tuple[float, flo
         text = st.font.decode(raw)
         if text:
             runs.append((st.y, st.x, text))
-        st.x += st.advance(len(raw))
+        st.x += st.advance(st.font.nglyphs(len(raw)))
 
     def newline() -> None:
         st.line_y -= st.leading

@@ -59,19 +59,24 @@ def _build_charmap(text: str) -> Dict[str, int]:
     return codes
 
 
-def _tounicode_cmap(codes: Dict[str, int]) -> bytes:
-    """Minimal ToUnicode CMap with one bfchar block."""
+def _tounicode_cmap(codes: Dict[str, int], wide: bool = False) -> bytes:
+    """Minimal ToUnicode CMap with one bfchar block.  ``wide`` writes
+    the 2-byte (Type0/Identity-H) form: <0000>–<ffff> codespace and
+    4-hex-digit source codes."""
+    key = "<%04x>" if wide else "<%02x>"
+    space = "<0000> <ffff>" if wide else "<00> <ff>"
     entries = "".join(
-        "<%02x> <%04x>\n" % (code, ord(ch)) for ch, code in sorted(codes.items())
+        (key + " <%04x>\n") % (code, ord(ch))
+        for ch, code in sorted(codes.items())
     )
     body = (
         "/CIDInit /ProcSet findresource begin\n"
         "12 dict begin\nbegincmap\n"
         "/CMapName /Custom-UC def\n/CMapType 2 def\n"
-        "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+        "1 begincodespacerange\n%s\nendcodespacerange\n"
         "%d beginbfchar\n%s endbfchar\n"
         "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
-        % (len(codes), entries)
+        % (space, len(codes), entries)
     )
     return body.encode("latin-1")
 
@@ -88,13 +93,26 @@ def _op_kind(line: str, idx: int) -> str:
     return "tj"
 
 
-def _line_ops(line: str, idx: int, codes: Dict[str, int]) -> bytes:
-    """Content-stream operators for one text line."""
+def _line_ops(line: str, idx: int, codes: Dict[str, int],
+              cid: bool = False) -> bytes:
+    """Content-stream operators for one text line.  In ``cid`` mode
+    non-ASCII lines show through the Type0 font as hex strings of
+    big-endian 2-byte codes (code = the char's BMP codepoint,
+    Identity-style)."""
     is_ascii = all(ord(c) <= 126 for c in line)
     ops: List[bytes] = []
     if is_ascii:
         ops.append(b"/F1 10 Tf\n")
         payload = line
+    elif cid:
+        ops.append(b"/F2 10 Tf\n")
+        hexs = "".join("%04x" % ord(c) for c in line).encode("ascii")
+        kind = _op_kind(line, idx)
+        if kind == "quote":
+            ops.append(b"<" + hexs + b"> '\n")
+        else:
+            ops.append(b"<" + hexs + b"> Tj\n")
+        return b"".join(ops)
     else:
         ops.append(b"/F2 10 Tf\n")
         payload = "".join(
@@ -114,7 +132,8 @@ def _line_ops(line: str, idx: int, codes: Dict[str, int]) -> bytes:
     return b"".join(ops)
 
 
-def _page_stream(lines: List[str], codes: Dict[str, int]) -> bytes:
+def _page_stream(lines: List[str], codes: Dict[str, int],
+                 cid: bool = False) -> bytes:
     parts: List[bytes] = [b"BT\n12 TL\n"]
     parts.append(b"1 0 0 1 %.1f %.1f Tm\n" % (LEFT_X, TOP_Y))
     for k, line in enumerate(lines):
@@ -127,7 +146,7 @@ def _page_stream(lines: List[str], codes: Dict[str, int]) -> bytes:
                 parts.append(b"0 -12 TD\n")
             else:
                 parts.append(b"T*\n")
-        parts.append(_line_ops(line, k, codes))
+        parts.append(_line_ops(line, k, codes, cid))
     parts.append(b"ET\n")
     return b"".join(parts)
 
@@ -221,32 +240,64 @@ def _stream_obj(data: bytes, compress: bool, extra: bytes = b"") -> bytes:
 
 
 def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
-                xref_stream: bool = False) -> bytes:
+                xref_stream: bool = False,
+                cid_font: bool = False) -> bytes:
     """Render ``text`` (pages split on ``\\f``) to PDF bytes.
 
     ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
     STREAM instead of the classic table, and — combined with
     ``objstm`` — true type-2 entries for the packed objects (which
     then do not appear as top-level ``N 0 obj`` spans at all, the
-    shape real PDF 1.5+ producers write)."""
+    shape real PDF 1.5+ producers write).
+
+    ``cid_font=True`` renders non-ASCII lines through a COMPOSITE
+    (Type0 / Identity-H style) font: show strings become big-endian
+    2-byte hex codes mapped by a wide ToUnicode CMap — the layout
+    every CJK/complex-script producer emits, and the only one that
+    escapes the 1-byte font's 127-distinct-char ceiling."""
     pages_text = text.split("\f")
-    codes = _build_charmap(text)
+    if cid_font:
+        # identity codes over every char shown through F2 (non-ASCII
+        # lines show WHOLE lines through the composite font)
+        codes = {}
+        for seg in text.replace("\f", "\n").split("\n"):
+            if any(ord(c) > 126 for c in seg):
+                for c in seg:
+                    if ord(c) > 0xFFFF:
+                        raise ValueError("astral char needs a "
+                                         "surrogate-pair CMap entry")
+                    codes[c] = ord(c)
+    else:
+        codes = _build_charmap(text)
 
     b = _Builder()
     root = b.reserve()    # 1: catalog
     pages = b.reserve()   # 2: pages
     f1 = b.reserve()      # 3: /F1
     f2 = b.reserve()      # 4: /F2
-    cmap_obj = b.add(_stream_obj(_tounicode_cmap(codes), compress))
+    cmap_obj = b.add(_stream_obj(
+        _tounicode_cmap(codes, wide=cid_font), compress))
 
     f1_body = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
         b"/Encoding /WinAnsiEncoding >>"
     )
-    f2_body = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
-        b"/ToUnicode %d 0 R >>" % cmap_obj
-    )
+    if cid_font:
+        desc = b.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Courier "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        f2_body = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Courier "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc, cmap_obj)
+        )
+    else:
+        f2_body = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+            b"/ToUnicode %d 0 R >>" % cmap_obj
+        )
 
     page_ids: List[int] = []
     page_bodies: List[Tuple[int, bytes]] = []
@@ -255,7 +306,8 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
         chunks = [ptext.split("\n")[i:i + PAGE_LINES]
                   for i in range(0, max(1, len(ptext.split("\n"))), PAGE_LINES)]
         for chunk in chunks:
-            content = b.add(_stream_obj(_page_stream(chunk, codes), compress))
+            content = b.add(_stream_obj(
+                _page_stream(chunk, codes, cid_font), compress))
             pid = b.reserve()
             page_ids.append(pid)
             page_bodies.append((pid, (

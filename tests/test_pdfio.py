@@ -168,3 +168,51 @@ def test_xref_stream_third_party_type2_only_members():
     pdf = text_to_pdf(text, objstm=True, xref_stream=True)
     res = extract_pdf_text(pdf)
     assert res.error is None and res.text == classic
+
+
+@pytest.mark.parametrize("mode", [
+    {},
+    {"objstm": True},
+    {"xref_stream": True},
+    {"objstm": True, "xref_stream": True},
+    {"compress": False},
+])
+def test_cid_font_roundtrip(mode):
+    """Composite (Type0/Identity-H) fonts: non-ASCII lines as 2-byte
+    hex show strings through a wide ToUnicode CMap — byte-identical
+    extraction across every container layout, including CJK text and
+    a charset WIDER than the 1-byte font's 127-custom-char ceiling
+    (the case composite fonts exist for)."""
+    texts = [
+        "Depósitos y adiciones\n01/03 Depósito en línea 4,100.00",
+        "中文测试 银行对账单\n01/03 存款 4,100.00\nascii line too",
+        "wide: " + "".join(chr(0x100 + i) for i in range(200)),
+    ]
+    for t in texts:
+        exp = "\n".join(
+            l for l in t.replace("\f", "\n").split("\n") if l)
+        res = extract_pdf_text(text_to_pdf(t, cid_font=True, **mode))
+        assert res.error is None
+        assert res.text == exp
+
+
+def test_cid_font_escapes_one_byte_ceiling():
+    """The 200-distinct-char text is REJECTED by the 1-byte custom
+    font (>127 codes) and handled by the composite font — pinning why
+    the Type0 path exists."""
+    wide = "wide: " + "".join(chr(0x100 + i) for i in range(200))
+    with pytest.raises(ValueError):
+        text_to_pdf(wide)
+    res = extract_pdf_text(text_to_pdf(wide, cid_font=True))
+    assert res.error is None and res.text == wide
+
+
+def test_cid_font_small_docs_all_ops():
+    """The fixture corpus through the CID writer: every show operator
+    (Tj / ' / TJ-kern for ASCII lines, hex-Tj and hex-' for composite
+    lines) and the 2-byte advance geometry survive."""
+    for doc in SMALL:
+        pdf = text_to_pdf(doc["text"], cid_font=True)
+        res = extract_pdf_text(pdf)
+        assert res.error is None, (doc["url"], res.error)
+        assert res.text == _pdf_expected(doc["text"]), doc["url"]

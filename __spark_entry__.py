@@ -306,7 +306,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "bpe_encode",
                    # redirect-chain resolution by pointer doubling
                    # (log-rounds alias resolve + loop detection)
-                   "redirect_resolve"}
+                   "redirect_resolve",
+                   # SymSpell deletion-neighborhood spell correction
+                   # (position-tagged variants, exact ed<=1 via joins)
+                   "spell_suggest"}
 
 
 def _specials() -> dict:

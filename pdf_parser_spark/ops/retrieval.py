@@ -911,3 +911,110 @@ SELECT query_id, doc_id, min_gap, rk FROM (
   FROM gaps WHERE min_gap <= win) t
 WHERE rk <= 10
 """.format(q=_prox_q(d), wpos=wpos)
+
+
+# ------------------------------------------------- spell suggestions
+
+_SPELL_TOPV = 8   # dictionary probes derive from the top-8 vocab words
+
+
+@query("spell_suggest")
+def q_spell_suggest(d: str) -> str:
+    """SymSpell-style spelling correction (Garbe's deletion-
+    neighborhood indexing — the industry-standard O(1)-per-term
+    dictionary lookup): every dictionary word and every query term
+    expands to its position-tagged 1-deletion neighborhood (variant,
+    deleted_pos; pos 0 = the term itself), candidates come from ONE
+    equi-join on the variant string, and the position tags CLASSIFY
+    the match exactly — no string-distance function anywhere:
+
+        q.pos = 0 ∧ w.pos = 0   → exact   (q = w)
+        q.pos = 0 ∧ w.pos > 0   → q is w minus one char  (deletion)
+        q.pos > 0 ∧ w.pos = 0   → q is w plus one char   (insertion)
+        q.pos = w.pos > 0 ∧ |q| = |w| → substitution at that position
+
+    (equal-length pairs sharing a variant at DIFFERENT positions are
+    edit distance 2 — transposition-shaped — and are correctly
+    excluded, which a naive untagged deletion join gets wrong).
+    Together these are EXACTLY the Levenshtein ≤ 1 pairs — the test
+    recomputes full edit distance in Python and pins both soundness
+    and SymSpell's completeness guarantee.
+
+    Query terms derive from the top-{tv} vocabulary words (count DESC,
+    word ASC): one substitution ('x' at position 2), one deletion
+    (char 2 dropped), one insertion ('q' after position 1), the exact
+    word, and an out-of-vocabulary miss.
+
+    Shape at 10^12 docs: the dictionary is the Heaps-law-sublinear
+    VOCAB with counts (one corpus hash-agg); its deletion
+    neighborhood is a ~|w|× explode of vocab-sized data; queries are
+    a broadcast-sized side; the candidate join is a single variant-
+    key equi-join — the same banded-candidate contract as the LSH
+    tiers, with per-bucket fan-in bounded by how many words share a
+    deletion variant."""
+    if d == SPARK:
+        postab = "LATERAL VIEW explode(sequence(0, length(w))) t AS i"
+        qpostab = ("LATERAL VIEW explode(sequence(0, length(q))) t "
+                   "AS i")
+    else:
+        postab = ", unnest(range(0, len(w) + 1)) AS t(i)"
+        qpostab = ", unnest(range(0, len(q) + 1)) AS t(i)"
+    delv = ("CASE WHEN {i} = 0 THEN {w} ELSE "
+            "substr({w}, 1, {i} - 1) || substr({w}, {i} + 1) END")
+    return """
+WITH {toks},
+vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+  WHERE w <> '' AND length(w) >= 3 GROUP BY w
+),
+topv AS (
+  SELECT w, c, rk FROM (
+    SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+    FROM vocab) t WHERE rk <= {tv}
+),
+queries AS (
+  SELECT 'sub' AS qclass,
+         substr(w, 1, 1) || 'x' || substr(w, 3) AS q FROM topv
+  UNION ALL
+  SELECT 'del', substr(w, 1, 1) || substr(w, 3) FROM topv
+  UNION ALL
+  SELECT 'ins', substr(w, 1, 1) || 'q' || substr(w, 2) FROM topv
+  UNION ALL
+  SELECT 'exact', w FROM topv
+  UNION ALL
+  SELECT 'miss', 'zzz' || CAST(rk AS {st}) || 'zzz' FROM topv
+),
+dvar AS (
+  SELECT w, c, i, {dv} AS variant
+  FROM vocab {postab}
+),
+qvar AS (
+  SELECT DISTINCT qclass, q, i, {qv} AS variant
+  FROM queries {qpostab}
+),
+matched AS (
+  SELECT qv.qclass, qv.q, dv.w, dv.c,
+    CASE WHEN qv.i = 0 AND dv.i = 0 THEN 'exact'
+         WHEN qv.i = 0 AND dv.i > 0 THEN 'deletion'
+         WHEN qv.i > 0 AND dv.i = 0 THEN 'insertion'
+         WHEN qv.i = dv.i AND length(qv.q) = length(dv.w)
+           THEN 'substitution'
+         ELSE NULL END AS match_class,
+    CASE WHEN qv.i = 0 AND dv.i = 0 THEN 0 ELSE 1 END AS dist
+  FROM qvar qv JOIN dvar dv ON dv.variant = qv.variant
+),
+best AS (
+  SELECT qclass, q, w, c,
+         MIN(dist) AS dist,
+         MIN(match_class) AS match_class
+  FROM matched WHERE match_class IS NOT NULL
+  GROUP BY qclass, q, w, c
+)
+SELECT qclass, q AS query_term, w AS suggestion, c AS n_occurrences,
+  CAST(dist AS INT) AS edit_distance, match_class
+FROM best
+""".format(toks=TOKS_CTE(d, cols="doc_id").strip().lstrip(","),
+           tv=_SPELL_TOPV, dv=delv.format(i="t.i", w="w"),
+           qv=delv.format(i="t.i", w="q"),
+           postab=postab, qpostab=qpostab,
+           st="STRING" if d == SPARK else "VARCHAR")

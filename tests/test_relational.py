@@ -45,7 +45,7 @@ _SUBSET = [
     "quality_classifier", "cdc_chunks", "triangle_counts",
     "proximity_search", "simhash_hamming", "label_propagation",
     "politeness_schedule", "quantile_sketch", "bpe_encode",
-    "redirect_resolve",
+    "redirect_resolve", "spell_suggest",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3025,3 +3025,63 @@ def test_redirect_resolve_semantics(duck, entry_mod):
             assert j == ptr[i] and h == hops[i]
     assert max(h for _, _, h, v in rows if v == "resolved") == 7
     assert sum(1 for r in rows if r[3] == "loop") > 0
+
+
+def test_spell_suggest_semantics(duck, entry_mod):
+    """Ground truth by brute force: enumerate EVERY (query, vocab
+    word) pair, compute real Levenshtein-style ed ≤ 1 membership in
+    Python, and require exact set equality — pinning both soundness
+    (every suggestion is truly within distance 1, correctly classed)
+    and SymSpell's completeness guarantee (the deletion-neighborhood
+    join misses nothing, including the transposition-shaped equal-
+    length ed-2 pairs it must EXCLUDE); the miss class returns no
+    rows."""
+    from collections import Counter
+
+    rows = duck.sql(entry_mod.all_oracles()["spell_suggest"]
+                    ).fetchall()
+    docs = duck.sql("SELECT text FROM documents").fetchall()
+    vocab = Counter()
+    for (t,) in docs:
+        for w in t.split(" "):
+            if w and len(w) >= 3:
+                vocab[w] += 1
+    topv = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    queries = set()
+    for rk, (w, _c) in enumerate(topv, 1):
+        queries |= {("sub", w[:1] + "x" + w[2:]),
+                    ("del", w[:1] + w[2:]),
+                    ("ins", w[:1] + "q" + w[1:]),
+                    ("exact", w), ("miss", "zzz%dzzz" % rk)}
+
+    def ed_le1(a, b):
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return 2
+        if la == lb:
+            return 1 if sum(1 for x, y in zip(a, b) if x != y) == 1 \
+                else 2
+        s, l = (a, b) if la < lb else (b, a)
+        return 1 if any(l[:i] + l[i + 1:] == s for i in range(len(l))) \
+            else 2
+
+    truth = set()
+    for qc, q in queries:
+        for w, c in vocab.items():
+            dd = ed_le1(q, w)
+            if dd <= 1:
+                if dd == 0:
+                    mc = "exact"
+                elif len(q) == len(w):
+                    mc = "substitution"
+                elif len(q) < len(w):
+                    mc = "deletion"
+                else:
+                    mc = "insertion"
+                truth.add((qc, q, w, c, dd, mc))
+    assert set(map(tuple, rows)) == truth
+    assert not any(r[0] == "miss" for r in rows)
+    assert {r[5] for r in rows} == {"exact", "substitution",
+                                    "deletion", "insertion"}

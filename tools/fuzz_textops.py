@@ -84,6 +84,9 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # pointer doubling vs random doc_id sets (missing chain
            # targets exercise the dangling-301 LEFT-join class)
            "redirect_resolve",
+           # SymSpell joins vs the random vocab (PII/noise tokens make
+           # odd-shaped words; count ties hit the topv rank order)
+           "spell_suggest",
            # CDC resync under random word streams (boundary density,
            # duplicate-chunk digests, twin intersections)
            "cdc_chunks",

@@ -478,3 +478,94 @@ def stream_change_detect(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+# ------------------------------------------------------------------
+# per-host token-bucket rate limiting — the STREAMING twin of the
+# batch politeness_schedule operator (ops/crawl.py)
+# ------------------------------------------------------------------
+
+REQ_SCHEMA = "host string, req_no bigint, ts_ms bigint, url string"
+RATE_OUT_SCHEMA = ("host string, req_no bigint, url string, "
+                   "verdict string, tokens_after bigint")
+RATE_STATE_SCHEMA = "tokens bigint, refill_ms bigint"
+
+RATE_CAPACITY = 4       # bucket size = allowed burst
+RATE_REFILL_MS = 1000   # one token per second per host
+
+
+def rate_limit_state_func(key, pdf_iter, state):
+    """Per-host token bucket in exact integer arithmetic: a bucket
+    starts FULL (capacity {cap}); elapsed time refills whole tokens
+    ((ts - last_refill) // {ms} of them, capped at capacity) and the
+    refill clock advances by exactly the tokens granted — remainder
+    milliseconds are never lost, the standard token-bucket contract.
+    A request with ≥ 1 token is 'fetch' (and spends one); otherwise
+    'defer'.  Rows are processed in (ts_ms, req_no) order so queued
+    micro-batches resolve deterministically; state carries (tokens,
+    refill_clock) across micro-batches and restarts."""
+    import pandas as pd
+
+    (host,) = key
+    if state.exists:
+        tokens, refill = state.get
+    else:
+        tokens, refill = RATE_CAPACITY, None
+    out = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        for row in pdf.sort_values(["ts_ms", "req_no"],
+                                   kind="mergesort").itertuples(False):
+            ts = int(row.ts_ms)
+            if refill is None:
+                refill = ts
+            elif ts > refill:
+                grant = (ts - refill) // RATE_REFILL_MS
+                if tokens + grant >= RATE_CAPACITY:
+                    tokens = RATE_CAPACITY
+                    refill = ts
+                else:
+                    tokens += grant
+                    refill += grant * RATE_REFILL_MS
+            if tokens >= 1:
+                tokens -= 1
+                verdict = "fetch"
+            else:
+                verdict = "defer"
+            out.append((host, int(row.req_no), row.url, verdict,
+                        int(tokens)))
+    state.update((int(tokens), int(refill if refill is not None else 0)))
+    if out:
+        yield pd.DataFrame(out, columns=["host", "req_no", "url",
+                                         "verdict", "tokens_after"])
+
+
+rate_limit_state_func.__doc__ = rate_limit_state_func.__doc__.format(
+    cap=RATE_CAPACITY, ms=RATE_REFILL_MS)
+
+
+def stream_rate_limit(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, out_dir: str):
+    """readStream over request-log files (one frontier cycle per file
+    → one micro-batch) → per-host stateful token bucket → parquet
+    sink.  At 10^12 urls the state store is two integers per HOST
+    (~10^7 rows), sharded by the host hash — the same key the fetch
+    queues already partition on; each micro-batch shuffles only its
+    own cycle's requests.  No watermark: a host's bucket has no
+    retention bound (idle hosts refill to capacity and stay)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (spark.readStream.schema(REQ_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+    verdicts = stream.groupBy("host").applyInPandasWithState(
+        rate_limit_state_func, RATE_OUT_SCHEMA, RATE_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+    q = (verdicts.writeStream.format("parquet")
+         .option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -608,3 +608,103 @@ def test_stream_change_detect_matches_batch_recrawl(spark, tmp_path):
             (exp["n_changed"], exp["n_unchanged"], exp["n_new"]), b.host
     assert sum(g["n_changed"] for g in got.values()) > 0
     assert sum(g["n_unchanged"] for g in got.values()) > 0
+
+
+def test_stream_rate_limit_token_bucket(spark, tmp_path):
+    """Per-host token bucket: two frontier cycles drained as separate
+    micro-batches WITH a checkpoint restart in between.  Pins (1) an
+    independent Python recomputation of every verdict and remaining-
+    token count (burst spend, whole-token refill, remainder-clock
+    carry), (2) cross-batch state: cycle 2's first verdicts depend on
+    the tokens cycle 1 spent, (3) the politeness invariant — within
+    any (host, refill-window) at most capacity + elapsed//refill
+    fetches are granted."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import (
+        RATE_CAPACITY, RATE_REFILL_MS, stream_rate_limit,
+    )
+
+    hosts = ["a.example", "b.example", "c.example"]
+    # cycle 0: a burst of 6 at t=0 (capacity 4 → 2 defers), then two
+    # spends at t=2500/2600 consuming BOTH refilled tokens (refill
+    # clock advances to 2000; the 500ms remainder carries)
+    cyc0, cyc1 = [], []
+    rn = 0
+    for h in hosts:
+        for k in range(6):
+            cyc0.append((h, rn, 0, "https://%s/u%d" % (h, rn)))
+            rn += 1
+        for ts in (2500, 2600):
+            cyc0.append((h, rn, ts, "https://%s/u%d" % (h, rn)))
+            rn += 1
+    # cycle 1 (after restart): t=2900 — only 900ms since the refill
+    # clock (2000) → zero whole tokens, DEFER proves the spent bucket
+    # crossed the restart; t=4100 refills two
+    for h in hosts:
+        for ts in (2900, 4100, 4150, 9999):
+            cyc1.append((h, rn, ts, "https://%s/u%d" % (h, rn)))
+            rn += 1
+
+    input_dir = tmp_path / "reqs"
+    input_dir.mkdir()
+    t0 = 1_700_000_000
+
+    def write_cycle(rows, k):
+        path = str(input_dir / ("cycle-%02d.parquet" % k))
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+            rows, columns=["host", "req_no", "ts_ms", "url"])), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+    out_dir = str(tmp_path / "grants")
+    ckpt = str(tmp_path / "ckpt_rl")
+    write_cycle(cyc0, 0)
+    stream_rate_limit(spark, str(input_dir), ckpt, out_dir)
+    write_cycle(cyc1, 1)                     # restart: state recovered
+    stream_rate_limit(spark, str(input_dir), ckpt, out_dir)
+    got = {r.req_no: (r.verdict, r.tokens_after)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == len(cyc0) + len(cyc1)
+
+    # independent bucket recomputation over the SAME ordered stream
+    exp = {}
+    for rows in (cyc0, cyc1):
+        state = {}
+        for h, req_no, ts, _u in sorted(rows,
+                                        key=lambda r: (r[0], r[2], r[1])):
+            tokens, refill = state.get(
+                h, exp.get(("carry", h), (RATE_CAPACITY, None)))
+            if refill is None:
+                refill = ts
+            elif ts > refill:
+                g = (ts - refill) // RATE_REFILL_MS
+                if tokens + g >= RATE_CAPACITY:
+                    tokens, refill = RATE_CAPACITY, ts
+                else:
+                    tokens += g
+                    refill += g * RATE_REFILL_MS
+            if tokens >= 1:
+                tokens -= 1
+                exp[req_no] = ("fetch", tokens)
+            else:
+                exp[req_no] = ("defer", tokens)
+            state[h] = (tokens, refill)
+        for h, st in state.items():
+            exp[("carry", h)] = st
+    exp = {k: v for k, v in exp.items() if not isinstance(k, tuple)}
+    assert got == exp
+    # burst semantics: exactly capacity fetches then defers at t=0
+    for h in hosts:
+        burst = [got[r[1]][0] for r in cyc0 if r[0] == h and r[2] == 0]
+        assert burst.count("fetch") == RATE_CAPACITY
+        assert burst[-2:] == ["defer", "defer"]
+    # cross-batch carry: at t=2900 only 400ms passed since the refill
+    # clock → still deferred; t=4100 grants again
+    by_ts = {(r[0], r[2]): got[r[1]][0] for r in cyc1}
+    for h in hosts:
+        assert by_ts[(h, 2900)] == "defer"
+        assert by_ts[(h, 4100)] == "fetch"

@@ -416,6 +416,8 @@ def _retired_specials() -> dict:
             _hits_production, QUERY_SQL["hits_scores"]["duckdb"]),
         "label_propagation": (
             _lpa_production, QUERY_SQL["label_propagation"]["duckdb"]),
+        "bpe_encode": (
+            _bpe_encode_production, QUERY_SQL["bpe_encode"]["duckdb"]),
     }
 
 
@@ -436,6 +438,16 @@ def _lpa_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     return lpa_df(spark)
+
+
+def _bpe_encode_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative train (persisted per round) + one vocab join — the
+    at-scale encode; row-identical to the unrolled SQL (test-pinned,
+    which re-derives the corpus tokenization per CTE reference)."""
+    from pdf_parser_spark.ops.bpe import bpe_encode_df
+
+    _register(spark, sf_dir)
+    return bpe_encode_df(spark)
 
 
 def _hits_production(spark: SparkSession, sf_dir: str) -> DataFrame:

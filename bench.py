@@ -150,7 +150,11 @@ def main() -> None:
                  "bm25_maxscore", "dedup_containment", "mirror_hosts",
                  "length_quantiles", "robots_wildcard_filter",
                  "quality_classifier", "cdc_chunks", "triangle_counts",
-                 "proximity_search"):
+                 "proximity_search",
+                 # final-session additions
+                 "simhash_hamming", "label_propagation",
+                 "politeness_schedule", "quantile_sketch",
+                 "bpe_encode", "redirect_resolve", "spell_suggest"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

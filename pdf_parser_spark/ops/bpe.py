@@ -208,6 +208,15 @@ def bpe_train_df(spark, rounds: int = _ROUNDS, docs=None):
     persisted; the 1-row argmax collected and bound as literals — the
     same k-row driver-side legitimacy class as IVF's centroid
     collect).  A test pins row-identity with the unrolled SQL."""
+    merges, syms = _bpe_train_core(spark, rounds, docs)
+    syms.unpersist()
+    return merges
+
+
+def _bpe_train_core(spark, rounds: int = _ROUNDS, docs=None):
+    """Shared trainer: returns (merge-table DataFrame, the PERSISTED
+    final symbol table) — encode needs the latter, train the former.
+    Caller owns unpersisting the symbol table."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -243,9 +252,43 @@ def bpe_train_df(spark, rounds: int = _ROUNDS, docs=None):
             "sym", F.expr("substr(p0, 2, length(p0) - 2)")).drop("p0")
         syms.unpersist()
         syms = nxt
-    return spark.createDataFrame(
+    syms = syms.persist()
+    merges = spark.createDataFrame(
         out, "rnd long, left_sym string, right_sym string, "
              "merged string, pair_count long")
+    return merges, syms
+
+
+def bpe_encode_df(spark, rounds: int = _ROUNDS, docs=None):
+    """The PRODUCTION encode twin of ``bpe_encode``: train via the
+    per-round-persisted loop (the unrolled SQL re-derives the corpus
+    tokenization once per CTE reference — measured 15.1 s vs ~1 s at
+    sf0.1 — so the SQL form exists for cross-engine verification, not
+    for scale), then ONE broadcast-sized join of the encoded vocab
+    against the doc token stream + a per-doc hash-agg.  Row-identical
+    to the unrolled SQL (test-pinned)."""
+    from pyspark.sql import functions as F
+
+    src = docs if docs is not None else spark.table("documents")
+    _, syms = _bpe_train_core(spark, rounds, docs)
+    enc = syms.select(
+        "w",
+        F.expr("CAST(size(split(sym, '  ')) AS LONG)").alias("ntok"),
+        F.expr("CAST(length(w) AS LONG)").alias("nchr"))
+    dtoks = src.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    out = (dtoks.join(enc, "w")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_words"),
+                F.sum("nchr").cast("long").alias("n_chars"),
+                F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+                (F.sum("nchr") - F.sum("ntok")).cast("long")
+                .alias("saved")))
+    # materialize before releasing the symbol table the plan reads
+    out = out.persist()
+    out.count()
+    syms.unpersist()
+    return out
 
 
 def _slit(s: str) -> str:

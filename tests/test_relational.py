@@ -3085,3 +3085,14 @@ def test_spell_suggest_semantics(duck, entry_mod):
     assert not any(r[0] == "miss" for r in rows)
     assert {r[5] for r in rows} == {"exact", "substitution",
                                     "deletion", "insertion"}
+
+
+def test_bpe_encode_df_matches_sql(spark, entry_mod):
+    """Iterative encode twin ≡ the unrolled SQL chain on Spark."""
+    from query_registry import QUERY_SQL
+
+    got = sorted(tuple(r) for r in entry_mod.all_queries()[
+        "bpe_encode"](spark, SF_DIR).collect())
+    exp = sorted(tuple(r) for r in spark.sql(
+        QUERY_SQL["bpe_encode"]["spark"]).collect())
+    assert got == exp

@@ -309,7 +309,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "redirect_resolve",
                    # SymSpell deletion-neighborhood spell correction
                    # (position-tagged variants, exact ed<=1 via joins)
-                   "spell_suggest"}
+                   "spell_suggest",
+                   # repartitionByRange split-point planning from the
+                   # sub-bucketed mergeable histogram
+                   "range_partition_plan"}
 
 
 def _specials() -> dict:

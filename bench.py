@@ -154,7 +154,8 @@ def main() -> None:
                  # final-session additions
                  "simhash_hamming", "label_propagation",
                  "politeness_schedule", "quantile_sketch",
-                 "bpe_encode", "redirect_resolve", "spell_suggest"):
+                 "bpe_encode", "redirect_resolve", "spell_suggest",
+                 "range_partition_plan"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -493,3 +493,104 @@ GROUP BY lang
 
 q_quantile_sketch.__doc__ = (q_quantile_sketch.__doc__ or "").format(
     mb=_QSK_MAXBIT)
+
+
+# ------------------------------------------- range-partition planning
+
+_RP_PARTS = 8    # target partition count
+
+
+@query("range_partition_plan")
+def q_range_partition_plan(d: str) -> str:
+    """Range-partitioner split-point planning from the MERGEABLE
+    log-bucket histogram — the math behind ``repartitionByRange`` /
+    Iceberg sort-order binpacking at 100 TB: a full sort to find
+    balanced boundaries is exactly what you cannot afford, so split
+    points come from the sketch (one map-side-mergeable pass), and
+    only the final assignment touches the data (a broadcast compare
+    against ≤ {p}-1 boundary values — no shuffle at all until the
+    repartition the plan feeds).
+
+    Split point k (k = 1..{p}-1) is the histogram's estimate at the
+    type-1 rank ceil(k·n/{p}): the inclusive upper bound of the first
+    bucket whose cumulative count reaches the rank.  A document with
+    value v goes to partition = #(split points < v) — so equal-valued
+    rows can never straddle a boundary, and the per-partition
+    imbalance is bounded by the widest bucket the boundary lands in
+    (the factor-2 resolution knob; the test pins the bound from the
+    actual histogram, not a constant).
+
+    The histogram here is the quantile sketch's base-2 octaves REFINED
+    with 4 linear sub-buckets per octave (sub = (v - lo)·4 // lo, all
+    integer — the DDSketch finer-γ knob without a single float), so
+    narrow real-world domains (this corpus spans 3 octaves) still
+    yield ~{p} balanced ranges instead of collapsing to octave
+    granularity.  Still additive-SUM mergeable: the key is just
+    (octave, sub-bucket).
+
+    Output: one row per non-empty partition (n_docs, value range)
+    plus the global skew ratio max_part·{p}·10^6 / n in exact ppm.
+    """
+    if d == SPARK:
+        ntok = "CAST(size(split(text, ' ')) AS BIGINT)"
+    else:
+        ntok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    ranks = ", ".join(
+        "CAST(MIN(CASE WHEN cum >= ((n * {k} + {p1}) - "
+        "((n * {k} + {p1}) % {p})) / {p} THEN ub END) AS BIGINT) "
+        "AS s{k}".format(k=k, p=_RP_PARTS, p1=_RP_PARTS - 1)
+        for k in range(1, _RP_PARTS))
+    assign = " + ".join(
+        "(CASE WHEN (SELECT s%d FROM splits) < v THEN 1 ELSE 0 END)"
+        % k for k in range(1, _RP_PARTS))
+    lo = SHL1("b - 1", d)
+    return """
+WITH vals AS (
+  SELECT GREATEST({ntok}, 1) AS v FROM documents
+),
+tl0 AS (SELECT v, {bitlen} AS b FROM vals),
+tl AS (
+  SELECT v, b, {sub} AS sub, {lo} AS lo FROM tl0
+),
+hist AS (
+  SELECT b, sub, CAST(COUNT(*) AS BIGINT) AS c,
+    CAST(MAX(lo + {subw} - 1) AS BIGINT) AS ub
+  FROM tl GROUP BY b, sub
+),
+cdf AS (
+  SELECT b, sub, c, ub,
+    CAST(SUM(c) OVER (ORDER BY b, sub ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum,
+    CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+splits AS (SELECT {ranks} FROM cdf),
+assigned AS (
+  SELECT v, CAST({assign} AS BIGINT) AS part FROM vals
+),
+parts AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(MIN(v) AS BIGINT) AS min_tok,
+    CAST(MAX(v) AS BIGINT) AS max_tok
+  FROM assigned GROUP BY part
+),
+skew AS (
+  SELECT CAST({skew} AS BIGINT) AS skew_ppm FROM (
+    SELECT MAX(n_docs) AS m, CAST(SUM(n_docs) AS BIGINT) AS n
+    FROM parts) t
+)
+SELECT p.part AS partition_no, p.n_docs, p.min_tok, p.max_tok,
+  (SELECT skew_ppm FROM skew) AS skew_ppm
+FROM parts p
+""".format(ntok=ntok, bitlen=_bitlen("v"), lo=lo,
+           sub=IDIV("(v - %s) * 4" % lo, lo),
+           # CEILING division: the bucket's true inclusive max is
+           # lo + ceil((sub+1)*lo/4) - 1 (floor under-bounds small
+           # octaves, e.g. lo=2 sub=0 would get ub < lo)
+           subw=IDIV("(sub + 1) * lo + 3", "4"),
+           ranks=ranks, assign=assign,
+           skew=IDIV("m * %d * 1000000" % _RP_PARTS, "n"))
+
+
+q_range_partition_plan.__doc__ = (q_range_partition_plan.__doc__ or "")\
+    .format(p=_RP_PARTS)

@@ -45,7 +45,7 @@ _SUBSET = [
     "quality_classifier", "cdc_chunks", "triangle_counts",
     "proximity_search", "simhash_hamming", "label_propagation",
     "politeness_schedule", "quantile_sketch", "bpe_encode",
-    "redirect_resolve", "spell_suggest",
+    "redirect_resolve", "spell_suggest", "range_partition_plan",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3096,3 +3096,52 @@ def test_bpe_encode_df_matches_sql(spark, entry_mod):
     exp = sorted(tuple(r) for r in spark.sql(
         QUERY_SQL["bpe_encode"]["spark"]).collect())
     assert got == exp
+
+
+def test_range_partition_plan_semantics(duck, entry_mod):
+    """Independent Python recomputation of the whole plan — sub-
+    bucketed histogram (4 linear sub-buckets per octave, ceiling-
+    division upper bounds), type-1-rank split points, boundary-count
+    assignment, exact-ppm skew — PLUS the properties that make it a
+    partitioner: partitions tile the value axis in order (max of
+    partition k < min of partition k+1), every doc lands in exactly
+    one partition, and the measured max-partition size respects the
+    histogram-balance bound ceil(n/P) + (widest bucket crossed)."""
+    rows = duck.sql(entry_mod.all_oracles()["range_partition_plan"]
+                    ).fetchall()
+    docs = [max(len(t.split(" ")), 1) for (t,) in duck.sql(
+        "SELECT text FROM documents").fetchall()]
+    from collections import Counter
+    P = 8
+    hist = Counter()
+    for v in docs:
+        b = v.bit_length()
+        lo = 1 << (b - 1)
+        hist[(b, (v - lo) * 4 // lo)] += 1
+    n = len(docs)
+    ranks = {k: -(-n * k // P) for k in range(1, P)}
+    cum, est = 0, {}
+    for (b, sub) in sorted(hist):
+        cum += hist[(b, sub)]
+        lo = 1 << (b - 1)
+        ub = lo + -(-((sub + 1) * lo) // 4) - 1
+        for k, r in ranks.items():
+            if k not in est and cum >= r:
+                est[k] = ub
+    splits = [est[k] for k in range(1, P)]
+    parts = {}
+    for v in docs:
+        parts.setdefault(sum(1 for s in splits if s < v), []).append(v)
+    m = max(len(vs) for vs in parts.values())
+    skew = m * P * 1000000 // n
+    truth = sorted((p, len(vs), min(vs), max(vs), skew)
+                   for p, vs in parts.items())
+    assert sorted(map(tuple, rows)) == truth
+    # ordered tiling + completeness
+    ordered = sorted(rows)
+    assert sum(r[1] for r in rows) == n
+    for a, b2 in zip(ordered, ordered[1:]):
+        assert a[3] < b2[2]
+    # histogram-balance bound
+    widest = max(hist.values())
+    assert m <= -(-n // P) + widest

@@ -79,8 +79,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "url_trap_filter", "robots_wildcard_filter",
            "quality_classifier", "length_quantiles",
            # log-bucket sketch vs random length spectra (bucket-edge
-           # values, rank ties, single-doc languages)
-           "quantile_sketch",
+           # values, rank ties, single-doc languages); the range
+           # partitioner rides the same histogram with sub-buckets
+           # (3-token fuzz docs hit the small-octave ceiling math)
+           "quantile_sketch", "range_partition_plan",
            # pointer doubling vs random doc_id sets (missing chain
            # targets exercise the dangling-301 LEFT-join class)
            "redirect_resolve",

@@ -312,7 +312,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "spell_suggest",
                    # repartitionByRange split-point planning from the
                    # sub-bucketed mergeable histogram
-                   "range_partition_plan"}
+                   "range_partition_plan",
+                   # Church & Hanks PMI collocation mining (exact
+                   # staged integer ranking, top-k)
+                   "pmi_collocations"}
 
 
 def _specials() -> dict:

@@ -155,7 +155,7 @@ def main() -> None:
                  "simhash_hamming", "label_propagation",
                  "politeness_schedule", "quantile_sketch",
                  "bpe_encode", "redirect_resolve", "spell_suggest",
-                 "range_partition_plan"):
+                 "range_partition_plan", "pmi_collocations"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

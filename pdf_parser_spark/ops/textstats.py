@@ -798,3 +798,88 @@ FROM documents d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 """.format(model=model, toks=TOKS_CTE(d).strip(), bias=_QC_BIAS,
            thr=_QC_THRESHOLD)
+
+
+# ------------------------------------------------- PMI collocations
+
+_PMI_MIN_COUNT = 5   # bigram support threshold (Church & Hanks' rule)
+_PMI_TOPK = 20
+
+
+@query("pmi_collocations")
+def q_pmi_collocations(d: str) -> str:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990) — the corpus-statistics pass that finds multiword
+    units ("New York", "machine learning") for tokenizer vocabularies
+    and phrase dictionaries.  PMI = P(xy) / (P(x)·P(y)) with
+    P(xy) = n_xy/B over bigrams and P(x) = n_x/T over tokens, ranked
+    in EXACT integer arithmetic: score_ppm = ⌊⌊n_xy·10^6·T / (n_x·
+    n_y)⌋ · T / B⌋ — two exact floor divisions, operands bounded
+    < 2^53 by construction (the single-expression form n_xy·T²·10^6
+    can overflow a 64-bit lane at corpus scale; the staged form
+    cannot, and both engines floor identically).  Support threshold
+    n_xy ≥ {mc} (PMI's known low-count pathology), top-{k} by
+    (score DESC, bigram ASC).
+
+    Shape at 10^12 docs: ONE lead-window bigram pass per doc (the
+    phrase_search stream), two hash-aggs (bigram counts, token
+    counts), two broadcast-sized scalar totals, two equi-joins of the
+    surviving ≥{mc} bigrams against the unigram table, and a top-k
+    ORDER BY LIMIT (TakeOrdered — no global sort materialized)."""
+    from .webgraph import IDIV
+
+    if d == SPARK:
+        toks = """
+tw AS (
+  SELECT doc_id, pos, w FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+),
+bg AS (
+  SELECT w AS x, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+  FROM tw
+)"""
+    else:
+        toks = """
+tw AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+         unnest(ws) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents) t0
+),
+bg AS (
+  SELECT w AS x, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+  FROM tw
+)"""
+    s1 = IDIV("c.n_xy * 1000000 * (SELECT t FROM tot)",
+              "ux.n_x * uy.n_y")
+    return """
+WITH {toks},
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tw
+  WHERE w <> '' GROUP BY w
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM uni),
+bgc AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg
+  WHERE y IS NOT NULL AND x <> '' AND y <> ''
+  GROUP BY x, y
+),
+btot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS b FROM bgc),
+scored AS (
+  SELECT c.x, c.y, c.n_xy, ux.n_x, uy.n_y,
+    CAST({score} AS BIGINT) AS pmi_ppm
+  FROM (SELECT x, y, n_xy FROM bgc WHERE n_xy >= {mc}) c
+  JOIN (SELECT w, n AS n_x FROM uni) ux ON ux.w = c.x
+  JOIN (SELECT w, n AS n_y FROM uni) uy ON uy.w = c.y
+)
+SELECT x, y, n_xy, n_x, n_y, pmi_ppm
+FROM scored
+ORDER BY pmi_ppm DESC, x, y
+LIMIT {k}
+""".format(toks=toks.strip(), mc=_PMI_MIN_COUNT, k=_PMI_TOPK,
+           score=IDIV("(%s) * (SELECT t FROM tot)" % s1,
+                      "(SELECT b FROM btot)"))
+
+
+q_pmi_collocations.__doc__ = (q_pmi_collocations.__doc__ or "").format(
+    mc=_PMI_MIN_COUNT, k=_PMI_TOPK)

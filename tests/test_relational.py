@@ -46,6 +46,7 @@ _SUBSET = [
     "proximity_search", "simhash_hamming", "label_propagation",
     "politeness_schedule", "quantile_sketch", "bpe_encode",
     "redirect_resolve", "spell_suggest", "range_partition_plan",
+    "pmi_collocations",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3145,3 +3146,40 @@ def test_range_partition_plan_semantics(duck, entry_mod):
     # histogram-balance bound
     widest = max(hist.values())
     assert m <= -(-n // P) + widest
+
+
+def test_pmi_collocations_semantics(duck, entry_mod):
+    """Independent Python recomputation of the full PMI ranking —
+    unigram/bigram counts, the staged exact integer score
+    ⌊⌊n_xy·10^6·T/(n_x·n_y)⌋·T/B⌋, the ≥5 support cut, and the exact
+    top-20 (score DESC, x, y) — plus the semantic sanity that every
+    reported pair is a genuinely positive association (score above
+    the independence baseline 10^6·T/B... i.e. observed > expected)."""
+    from collections import Counter
+
+    rows = [tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["pmi_collocations"]).fetchall()]
+    texts = [t for (t,) in duck.sql("SELECT text FROM documents"
+                                    ).fetchall()]
+    uni, bgc = Counter(), Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for w in ws:
+            if w:
+                uni[w] += 1
+        for a, b in zip(ws, ws[1:]):
+            if a and b:
+                bgc[(a, b)] += 1
+    T, B = sum(uni.values()), sum(bgc.values())
+    truth = []
+    for (x, y), nxy in bgc.items():
+        if nxy < 5:
+            continue
+        s = ((nxy * 1000000 * T) // (uni[x] * uni[y])) * T // B
+        truth.append((x, y, nxy, uni[x], uni[y], s))
+    truth.sort(key=lambda r: (-r[5], r[0], r[1]))
+    assert rows == truth[:20]
+    # positive association: observed n_xy exceeds the independence
+    # expectation n_x*n_y*B/T² for every reported collocation
+    for x, y, nxy, nx, ny, s in rows:
+        assert nxy * T * T > nx * ny * B

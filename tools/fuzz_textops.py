@@ -83,6 +83,9 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # partitioner rides the same histogram with sub-buckets
            # (3-token fuzz docs hit the small-octave ceiling math)
            "quantile_sketch", "range_partition_plan",
+           # PMI over random bigrams: repetition bursts create real
+           # high-support collocations; count ties stress the top-k
+           "pmi_collocations",
            # pointer doubling vs random doc_id sets (missing chain
            # targets exercise the dangling-301 LEFT-join class)
            "redirect_resolve",

@@ -24,6 +24,7 @@ the tokenizer must re-insert the space from glyph-gap geometry.
 
 from __future__ import annotations
 
+import re
 import zlib
 from typing import Dict, List, Tuple
 
@@ -357,3 +358,50 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
 
     return b.render(xref_stream=xref_stream, compress=compress,
                     packed=packed)
+
+
+def append_text_update(pdf: bytes, new_text: str) -> bytes:
+    """Incremental update (ISO 32000-1 §7.5.6): append a REVISED
+    content stream for the first page plus an update xref section
+    whose trailer /Prev links the previous table — the append-only
+    save every PDF editor performs (form fills, annotations,
+    signatures).  The original bytes are untouched; a conforming
+    reader resolves the newest revision of the object, and our
+    scan-based tokenizer gets the same answer because later
+    ``N 0 obj`` spans overwrite earlier ones in byte order.
+
+    ``new_text`` is rendered through /F1 (ASCII only — an update
+    cannot extend a prior revision's embedded font tables)."""
+    if any(ord(c) > 126 for c in new_text):
+        raise ValueError("incremental updates render via /F1: ASCII only")
+    from .tokenizer import PdfDocument, Ref, _OBJ_RE
+
+    doc = PdfDocument(pdf)
+    pages = doc.pages()
+    if not pages:
+        raise ValueError("no pages to update")
+    contents = pages[0].get("Contents")
+    if not isinstance(contents, Ref):
+        raise ValueError("first page has an inline/absent /Contents")
+    target = contents[0]
+    root_num = next(
+        (int(m.group(1)) for m in _OBJ_RE.finditer(pdf)
+         if isinstance(doc.objects.get(int(m.group(1))), dict)
+         and doc.objects[int(m.group(1))].get("Type") == "Catalog"),
+        1)
+    stream = _page_stream(new_text.split("\n"), {})
+    body = _stream_obj(stream, compress=True)
+    base = pdf if pdf.endswith(b"\n") else pdf + b"\n"
+    offset = len(base)
+    chunk = b"%d 0 obj\n" % target + body + b"\nendobj\n"
+    prev = int(re.findall(rb"startxref\s+(\d+)", pdf)[-1])
+    xref_pos = offset + len(chunk)
+    update = (
+        chunk
+        + b"xref\n0 1\n0000000000 65535 f \n"
+        + b"%d 1\n%010d 00000 n \n" % (target, offset)
+        + b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\n"
+          b"startxref\n%d\n%%%%EOF\n"
+        % (target + 1, root_num, prev, xref_pos)
+    )
+    return base + update

@@ -216,3 +216,42 @@ def test_cid_font_small_docs_all_ops():
         res = extract_pdf_text(pdf)
         assert res.error is None, (doc["url"], res.error)
         assert res.text == _pdf_expected(doc["text"]), doc["url"]
+
+
+def test_incremental_update_revision_wins():
+    """Incremental updates (ISO 32000-1 §7.5.6): appending a revised
+    first-page content stream + an update xref with /Prev must leave
+    the original bytes untouched as a prefix, resolve to the NEWEST
+    revision (our scan's later-span-wins order ≡ a conforming
+    reader's xref-chain walk), stack across multiple revisions, and
+    leave untouched pages intact."""
+    import re as _re
+
+    from pdf_parser_spark.pdfio.writer import append_text_update
+
+    orig = "original line\n01/02 CHECK 100.00\nnaïve café"
+    pdf = text_to_pdf(orig)
+    up1 = append_text_update(pdf, "REVISED v2\n02/03 DEPOSIT 55.00")
+    assert up1.startswith(pdf if pdf.endswith(b"\n") else pdf + b"\n")
+    r = extract_pdf_text(up1)
+    assert r.error is None
+    assert r.text == extract_pdf_text(
+        text_to_pdf("REVISED v2\n02/03 DEPOSIT 55.00")).text
+    assert _re.findall(rb"/Prev (\d+)", up1)  # the revision chain
+    up2 = append_text_update(up1, "THIRD revision")
+    assert extract_pdf_text(up2).text == extract_pdf_text(
+        text_to_pdf("THIRD revision")).text
+
+    # multi-page original: only page 1 is revised, page 2 survives
+    two = text_to_pdf("page one text\fpage two text")
+    upd = append_text_update(two, "new first page")
+    got = extract_pdf_text(upd)
+    assert got.error is None
+    assert "new first page" in got.text
+    assert "page two text" in got.text
+    assert "page one text" not in got.text
+
+    # ASCII-only contract (updates cannot extend embedded fonts)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        append_text_update(pdf, "café")

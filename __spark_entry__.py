@@ -315,7 +315,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "range_partition_plan",
                    # Church & Hanks PMI collocation mining (exact
                    # staged integer ranking, top-k)
-                   "pmi_collocations"}
+                   "pmi_collocations",
+                   # SALSA random-walk hubs/authorities (degree-
+                   # normalized half-steps, exact integer floors)
+                   "salsa_scores"}
 
 
 def _specials() -> dict:

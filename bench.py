@@ -155,7 +155,8 @@ def main() -> None:
                  "simhash_hamming", "label_propagation",
                  "politeness_schedule", "quantile_sketch",
                  "bpe_encode", "redirect_resolve", "spell_suggest",
-                 "range_partition_plan", "pmi_collocations"):
+                 "range_partition_plan", "pmi_collocations",
+                 "salsa_scores"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

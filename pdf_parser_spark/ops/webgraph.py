@@ -1031,3 +1031,102 @@ def lpa_df(spark, edges=None, rounds: int = _LPA_ROUNDS):
     if own_edges:
         edges.unpersist()
     return out
+
+
+# ------------------------------------------------------------- SALSA
+
+_SALSA_ROUNDS = 3
+_SALSA_SCALE = 10 ** 6
+
+
+@query("salsa_scores")
+def q_salsa_scores(d: str) -> str:
+    """SALSA (Lempel & Moran, WWW9 2000) — the stochastic sibling of
+    HITS: scores are a RANDOM WALK's distribution, so each half-step
+    divides by the local degree (back along a uniform in-edge, then
+    forward along a uniform out-edge) instead of HITS' raw sums —
+    SALSA is what large search engines actually deployed (TKDE
+    reports it beating HITS on spam resistance because a dense
+    community no longer absorbs all mass; the degree division caps
+    any single node's influence at 1/deg).
+
+        a_{{k+1}}(w) = Σ_{{(u,w)}} ⌊ m_k(u) / outdeg(u) ⌋,
+        m_k(u)       = Σ_{{(u,v)}} ⌊ a_k(v) / indeg(v) ⌋
+
+    (the hub chain is the mirror image), {r} rounds unrolled, scores
+    in exact integer millionths of the walk's mass — every division
+    a per-term floor, identical in both engines; floor leakage only
+    ever SHRINKS totals (pinned), never reorders ties.
+
+    Shape at 10^12 pages: per half-step ONE equi-join on the edge key
+    against the previous distribution + the tiny degree dims + one
+    hash-agg — PageRank-round shape; degree tables are host-sized
+    broadcasts."""
+    parts = [_edges_ctes(d).strip(), """
+dedges AS (SELECT DISTINCT src_host, dst_host FROM edges),
+indeg AS (
+  SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM dedges GROUP BY dst_host
+),
+outdeg AS (
+  SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM dedges GROUP BY src_host
+),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM indeg),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM outdeg),
+sa0 AS (SELECT host, {a0} AS s FROM indeg),
+sh0 AS (SELECT host, {h0} AS s FROM outdeg)""".format(
+        a0=IDIV("%d" % _SALSA_SCALE, "(SELECT n FROM na)"),
+        h0=IDIV("%d" % _SALSA_SCALE, "(SELECT n FROM nh)")).strip()]
+    tpl = """
+sm{r} AS (
+  SELECT e.src_host AS host, CAST(SUM({back}) AS BIGINT) AS s
+  FROM dedges e
+  JOIN sa{p} a ON a.host = e.dst_host
+  JOIN indeg i ON i.host = e.dst_host
+  GROUP BY e.src_host
+),
+sa{r} AS (
+  SELECT e.dst_host AS host, CAST(SUM({fwd}) AS BIGINT) AS s
+  FROM dedges e
+  JOIN sm{r} m ON m.host = e.src_host
+  JOIN outdeg o ON o.host = e.src_host
+  GROUP BY e.dst_host
+),
+wm{r} AS (
+  SELECT e.dst_host AS host, CAST(SUM({hfwd}) AS BIGINT) AS s
+  FROM dedges e
+  JOIN sh{p} h ON h.host = e.src_host
+  JOIN outdeg o ON o.host = e.src_host
+  GROUP BY e.dst_host
+),
+sh{r} AS (
+  SELECT e.src_host AS host, CAST(SUM({hback}) AS BIGINT) AS s
+  FROM dedges e
+  JOIN wm{r} w ON w.host = e.dst_host
+  JOIN indeg i ON i.host = e.dst_host
+  GROUP BY e.src_host
+)"""
+    for r in range(1, _SALSA_ROUNDS + 1):
+        parts.append(tpl.format(
+            r=r, p=r - 1,
+            back=IDIV("a.s", "i.deg"), fwd=IDIV("m.s", "o.deg"),
+            hfwd=IDIV("h.s", "o.deg"), hback=IDIV("w.s", "i.deg"),
+        ).strip())
+    return """
+WITH {ctes}
+SELECT n.host,
+  COALESCE(a.s, CAST(0 AS BIGINT)) AS auth_salsa,
+  COALESCE(h.s, CAST(0 AS BIGINT)) AS hub_salsa
+FROM (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM dedges
+    UNION ALL SELECT dst_host AS host FROM dedges) u
+) n
+LEFT JOIN sa{k} a ON a.host = n.host
+LEFT JOIN sh{k} h ON h.host = n.host
+""".format(ctes=",\n".join(parts), k=_SALSA_ROUNDS)
+
+
+q_salsa_scores.__doc__ = (q_salsa_scores.__doc__ or "").format(
+    r=_SALSA_ROUNDS)

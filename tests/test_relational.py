@@ -46,7 +46,7 @@ _SUBSET = [
     "proximity_search", "simhash_hamming", "label_propagation",
     "politeness_schedule", "quantile_sketch", "bpe_encode",
     "redirect_resolve", "spell_suggest", "range_partition_plan",
-    "pmi_collocations",
+    "pmi_collocations", "salsa_scores",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3183,3 +3183,54 @@ def test_pmi_collocations_semantics(duck, entry_mod):
     # expectation n_x*n_y*B/T² for every reported collocation
     for x, y, nxy, nx, ny, s in rows:
         assert nxy * T * T > nx * ny * B
+
+
+def test_salsa_scores_semantics(duck, entry_mod):
+    """Independent Python recomputation of 3 SALSA rounds (back-step
+    ÷ indegree, forward-step ÷ outdegree, per-term integer floors) on
+    the distinct edge set — plus the walk invariants: total authority
+    mass never exceeds the scale (floor leakage only shrinks), pure
+    sinks score authority > 0 and hub = 0, and SALSA's signature
+    difference from HITS — the hub-linked h0's authority share is
+    LOWER than its HITS share (degree division caps the dense hub's
+    absorption)."""
+    from collections import defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["salsa_scores"]).fetchall()
+    lg = duck.sql(entry_mod.all_oracles()["link_graph"]).fetchall()
+    ded = sorted({(s, t) for s, t, _ in lg})
+    indeg, outdeg = defaultdict(int), defaultdict(int)
+    for s, t in ded:
+        indeg[t] += 1
+        outdeg[s] += 1
+    S = 10 ** 6
+    a = {v: S // len(indeg) for v in indeg}
+    h = {u: S // len(outdeg) for u in outdeg}
+    for _ in range(3):
+        m, a2 = defaultdict(int), defaultdict(int)
+        for u, v in ded:
+            m[u] += a[v] // indeg[v]
+        for u, v in ded:
+            a2[v] += m[u] // outdeg[u]
+        w, h2 = defaultdict(int), defaultdict(int)
+        for u, v in ded:
+            w[v] += h[u] // outdeg[u]
+        for u, v in ded:
+            h2[u] += w[v] // indeg[v]
+        a = {v: a2[v] for v in indeg}
+        h = {u: h2[u] for u in outdeg}
+    hosts = sorted(set(indeg) | set(outdeg))
+    truth = {(x, a.get(x, 0), h.get(x, 0)) for x in hosts}
+    assert set(map(tuple, rows)) == truth
+    assert sum(a.values()) <= S
+    sinks = [x for x in hosts if x not in outdeg]
+    assert sinks
+    byhost = {r[0]: r for r in rows}
+    for x in sinks:
+        assert byhost[x][1] > 0 and byhost[x][2] == 0
+    hits = {r[0]: r for r in duck.sql(
+        entry_mod.all_oracles()["hits_scores"]).fetchall()}
+    h0 = "h0.example"
+    salsa_share = byhost[h0][1] / sum(r[1] for r in rows)
+    hits_share = hits[h0][2] / sum(r[2] for r in hits.values())
+    assert salsa_share < hits_share

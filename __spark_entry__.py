@@ -189,10 +189,32 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scoreboards recorded exactly the first 50 dict entries (in insertion
 # order) and silently dropped the rest, so the never-adjudicated
 # multimodal queries lead and the contract is now trimmed to EXACTLY 50
-# distinct components (round-4 ask #3).  Retired rows are strict
-# sub-stages or verbatim twins of surviving rows — each stays
-# registered in QUERY_SQL (tests + fuzz still exercise them), just not
-# driver-adjudicated:
+# distinct components (round-4 ask #3).
+#
+# ROTATION POLICY (round-4 verdict ask #6): the registry holds ~130
+# verified components but the driver adjudicates only 50, so each
+# round ~10 long-stable §2 showcase rows (green since round ≤3, each
+# a strict sub-stage of a surviving composite query) rotate OUT to the
+# retired tier and ~10 never-driver-adjudicated post-cap rows rotate
+# IN.  Rotated-out rows keep full verification (oracle-parity pytest +
+# tools/check_oracles.py sweep both walk all_queries()); rotated-in
+# rows get the stronger driver rows+schema+hash adjudication for the
+# first time.  Round-5 rotation:
+#   OUT: d1_amount_lexer d2_slash_dates d3_d4_d5_dates d6_first_amount
+#        d8_clean_description f_noise_battery g4_block_text
+#        c9_section_window set_union_except dedup_minhash_sigs
+#        (every one is re-exercised implicitly by the surviving parser
+#        composites: the lexers/cleaners feed every *_relational row)
+#   IN:  embed_srp_neardup dedup_substring c4_clean simhash_hamming
+#        bm25_maxscore quantile_sketch redirect_resolve
+#        trustrank_seeds label_propagation bpe_encode
+#        (the last three are served as their ITERATIVE production
+#        twins — pagerank_df/lpa_df/bpe_encode_df — with the unrolled
+#        SQL as the DuckDB oracle, same pairing the sweep checks)
+#
+# Retired rows are strict sub-stages or verbatim twins of surviving
+# rows — each stays registered in QUERY_SQL (tests + fuzz still
+# exercise them), just not driver-adjudicated:
 #   s3_lines        ⊂ every downstream stmt_lines consumer
 #   g1_block_ids    ⊂ g4_block_text (same window, minus the concat)
 #   dedup_lsh_pairs ⊂ dedup_lsh_verified (same cand CTE, projection)
@@ -223,12 +245,18 @@ _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "extraction_spans", "span_dedup"]
 _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "ifb_relational", "pnb_relational", "ann_brute_big",
+                   # round-5 rotation OUT (see ROTATION POLICY above)
+                   "d1_amount_lexer", "d2_slash_dates", "d3_d4_d5_dates",
+                   "d6_first_amount", "d8_clean_description",
+                   "f_noise_battery", "g4_block_text",
+                   "c9_section_window", "set_union_except",
+                   "dedup_minhash_sigs",
                    "dedup_components", "quality_repetition", "pii_scrub",
                    "decontam_13gram", "quality_sampling", "curation_pipeline",
                    "doc_chunking", "sequence_packing",
                    "link_graph", "host_pagerank", "boilerplate_lines",
-                   "bm25_topk", "dedup_substring", "ccnet_ppl_buckets",
-                   "c4_clean", "url_host_filter", "bpe_train_merges",
+                   "bm25_topk", "ccnet_ppl_buckets",
+                   "url_host_filter", "bpe_train_merges",
                    # post-cap session-5 additions (sketch/mixing tier:
                    # KMV cardinality sketch, Bloom frontier dedup,
                    # temperature domain mixing, cluster-aware
@@ -252,9 +280,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # PageRank fetch priority (edges + robots + index
                    # state in ONE plan)
                    "crawl_frontier",
-                   # the graph-rank tier: seeded-teleport TrustRank
-                   # spam demotion and unrolled integer HITS
-                   "trustrank_seeds", "hits_scores",
+                   # the graph-rank tier: unrolled integer HITS
+                   # (trustrank_seeds rotated IN round 5)
+                   "hits_scores",
                    # crawl freshness (two-snapshot diff -> recrawl
                    # tiers) and HRW minimal-movement shard assignment
                    "recrawl_schedule", "shard_rendezvous",
@@ -262,15 +290,8 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "phrase_search",
                    # co-citation related-host pairs (Dean & Henzinger)
                    "cocitation_pairs",
-                   # sign-random-projection LSH (Charikar 2002): the
-                   # label-free banded candidate path for embedding
-                   # near-dup — same all_queries verification path
-                   "embed_srp_neardup",
                    # Heritrix-style crawler-trap URL filtering
                    "url_trap_filter",
-                   # MaxScore-pruned BM25 top-k (lossless, test-pinned
-                   # identical to full evaluation)
-                   "bm25_maxscore",
                    # Broder asymmetric containment (quote/subset
                    # detection the symmetric Jaccard tier can't make)
                    "dedup_containment",
@@ -289,24 +310,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "triangle_counts",
                    # NEAR/k proximity search over positional postings
                    "proximity_search",
-                   # Manku WWW'07 banded simhash Hamming near-dup
-                   # (pigeonhole-exhaustive at radius 3)
-                   "simhash_hamming",
-                   # weighted label-propagation communities (RAK 2007;
-                   # Spark side = iterative production twin lpa_df)
-                   "label_propagation",
                    # per-host politeness fetch scheduling (crawl-delay
                    # slot queues, one window per host)
                    "politeness_schedule",
-                   # mergeable log-bucket quantile sketch (DDSketch
-                   # family), factor-2 bound pinned vs the exact row
-                   "quantile_sketch",
-                   # BPE encode: learned merges applied back to the
-                   # corpus via the shared training CTE chain
-                   "bpe_encode",
-                   # redirect-chain resolution by pointer doubling
-                   # (log-rounds alias resolve + loop detection)
-                   "redirect_resolve",
                    # SymSpell deletion-neighborhood spell correction
                    # (position-tagged variants, exact ed<=1 via joins)
                    "spell_suggest",
@@ -333,6 +339,14 @@ def _specials() -> dict:
     }
 
 
+# rotated-in rows whose Spark side is the ITERATIVE production twin
+# (persisted per-round joins), not the unrolled oracle SQL — Catalyst
+# inlines CTE references, so the unrolled form re-derives the edge
+# pipeline once per reference and is oracle machinery only
+_PROMOTED_CALLABLES = ("trustrank_seeds", "label_propagation",
+                       "bpe_encode")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     specials = _specials()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -342,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name not in _DRIVER_RETIRED:
             out[name] = _sql_query(name)
     out["ann_ivf_amortized"] = _ann_ivf_amortized
+    callables = _retired_specials()
+    for name in _PROMOTED_CALLABLES:
+        out[name] = callables[name][0]
     return out
 
 
@@ -399,9 +416,11 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_ingest_demo(spark)
 
 
-# retired rows that are Python callables, not QUERY_SQL entries; each
-# maps to (callable, oracle-SQL twin) and rides all_queries()/
-# all_oracles() like the SQL-backed retired rows
+# rows whose Spark side is a Python callable, not the QUERY_SQL
+# string; each maps to (callable, oracle-SQL twin) and rides
+# all_queries()/all_oracles().  Names in _PROMOTED_CALLABLES are
+# additionally served by queries() (driver-adjudicated this round);
+# the rest are retired-tier only.
 def _retired_specials() -> dict:
     from pdf_parser_spark.warc import warc_oracle_sql
 

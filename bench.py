@@ -141,7 +141,7 @@ def main() -> None:
                  "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
                  "trustrank_seeds", "hits_scores", "recrawl_schedule",
                  "shard_rendezvous", "phrase_search",
-                 "bm25_serve_compacted", "phrase_serve_persisted",
+                 "phrase_serve_persisted",
                  "cocitation_pairs",
                  # session-7 additions (trustrank_seeds/hits_scores
                  # above now time the iterative production twins —
@@ -189,6 +189,41 @@ def main() -> None:
     textops["bm25_serve_persisted"] = serve
     shutil.rmtree(idx, ignore_errors=True)
 
+    # compaction lifecycle, ITEMIZED (round-4 ask #5): the old
+    # bm25_serve_compacted row re-ran append+append+compact+vacuum+
+    # serve per invocation, so a ~10 s of one-time commit machinery
+    # read as a slow query.  Each maintenance stage is a one-shot
+    # fixed cost (timed once); the steady-state op — serving from the
+    # compacted artifact — is what repeats, so IT gets the best-of-3
+    # row under the old name.
+    from pyspark.sql import functions as F
+    from pdf_parser_spark.ops.retrieval import (
+        text_index_compact, text_index_vacuum,
+    )
+    croot = os.path.join(tempfile.gettempdir(), "bench_bm25_compact")
+    shutil.rmtree(croot, ignore_errors=True)
+    docs = spark.table("documents").select("doc_id", "text")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+
+    def once(fn):
+        t0 = time.time()
+        fn()
+        s = round(time.time() - t0, 3)
+        return {"best": s, "median": s, "spread": 0.0}
+
+    textops["bm25_lifecycle_append"] = once(lambda: (
+        text_index_append(spark, croot,
+                          docs.filter(F.col("doc_id") <= mid)),
+        text_index_append(spark, croot,
+                          docs.filter(F.col("doc_id") > mid))))
+    textops["bm25_lifecycle_compact"] = once(
+        lambda: text_index_compact(spark, croot))
+    textops["bm25_lifecycle_vacuum"] = once(
+        lambda: text_index_vacuum(croot))
+    textops["bm25_serve_compacted"] = timed3(
+        lambda: bm25_serve(spark, croot).count())
+    shutil.rmtree(croot, ignore_errors=True)
+
     # WARC source ingestion: real gzip-member container files → framed
     # records (binaryFile scan + mapInPandas; 32 files = 32 tasks)
     from pdf_parser_spark.warc import read_warc, write_warc_files
@@ -204,30 +239,51 @@ def main() -> None:
     total = round(sum(t["best"] for t in timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     ivf, brute = (timings[n] for n in ANN_PAIR)
+    extraction = {
+        "docs": n_docs,
+        "payload_mb": round(payload_bytes / 1e6, 2),
+        "output_rows": n_rows,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+        "mb_per_sec": round(payload_bytes / 1e6 / extract_sec, 2),
+    }
+    ivf_pair = {
+        "ivf_fit_index_4_batches_sec": ivf["best"],
+        "brute_same_128_queries_sec": brute["best"],
+        "speedup": round(brute["best"] / ivf["best"], 2)
+        if ivf["best"] else None,
+    }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The full dispersion payload (best/median/spread per query, the
+    # whole text-ops tier) goes to a sidecar file: round 4's single
+    # stdout JSON line outgrew the driver's tail-capture window and
+    # the perf headline was lost ("parsed": null in BENCH_r04.json).
+    detail_path = os.path.join(
+        REPO, "BENCH",
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "bench_detail_r05.json"))
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as fh:
+        json.dump({
+            "queries_detail": timings,
+            "textops": {k: v["best"] for k, v in textops.items()},
+            "textops_detail": textops,
+            "extraction": extraction,
+            "ivf_amortized_vs_brute": ivf_pair,
+            "sf": sf_val,
+            "cpus": CPUS,
+        }, fh, indent=1)
+
+    # stdout: ONE compact line only (driver contract) — value,
+    # queries name→sec, extraction throughput, ivf head-to-head
     print(json.dumps({
         "metric": "extraction+relational headline suite wall seconds",
         "value": total,
         "unit": "sec",
-        # driver contract keeps {name: seconds}; the dispersion the
-        # round-4 verdict asked for rides in queries_detail
         "queries": {k: v["best"] for k, v in timings.items()},
-        "queries_detail": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "extraction": {
-            "docs": n_docs,
-            "payload_mb": round(payload_bytes / 1e6, 2),
-            "output_rows": n_rows,
-            "docs_per_sec": round(n_docs / extract_sec, 1),
-            "mb_per_sec": round(payload_bytes / 1e6 / extract_sec, 2),
-        },
-        "ivf_amortized_vs_brute": {
-            "ivf_fit_index_4_batches_sec": ivf["best"],
-            "brute_same_128_queries_sec": brute["best"],
-            "speedup": round(brute["best"] / ivf["best"], 2)
-            if ivf["best"] else None,
-        },
-        "textops": {k: v["best"] for k, v in textops.items()},
-        "textops_detail": textops,
+        "sf": sf_val,
+        "extraction": extraction,
+        "ivf_amortized_vs_brute": ivf_pair,
+        "detail_file": os.path.relpath(detail_path, REPO),
         "cpus": CPUS,
     }))
 

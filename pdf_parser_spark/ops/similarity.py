@@ -897,41 +897,89 @@ def ivf_persisted_topk(spark, index_dir: str, n_queries: int = 8,
 _SRP_BITS = 24       # hyperplanes (signature bits)
 _SRP_BANDS = 3       # bands of _SRP_BITS/_SRP_BANDS bits each
 _SRP_EPS = "0.9"     # same verification bar as the other dedup tiers
+# SUPER-BUCKET guard, same rationale as the text LSH tier
+# (ops/dedup.py _lsh_ctes): 8-bit band values give only 256 buckets,
+# so any degenerate embedding cluster (near-identical vectors — all
+# land in ONE bucket) collapses banding toward the n²/2 all-pairs it
+# exists to avoid.  Buckets above the cap are dropped from candidate
+# generation, bounding the join at ANY corpus size; members of such
+# buckets are exact/near-identical clusters the upstream exact-dedup
+# tier already collapses.  64 = the span tier's cap; measured max
+# fixture bucket is 28 at sf0.1 (10 at sf0.01), so the cap drops
+# NOTHING on real data — recall pin stays 100% at both SFs.
+_SRP_BUCKET_CAP = 64
 
 
-def _srp_sig(qv: str, d: str) -> str:
-    """24-bit SRP signature of a quantized vector, exact-integer.
+def _srp_planes() -> list:
+    """The 24×64 hyperplane matrix, materialized ONCE in Python.
 
     Hyperplane j's component i is a deterministic pseudo-random signed
     integer in [-1000, 1000]: (HEX2INT(md5('srp|j|i')) % 2001) - 1000
     — the md5 hash is the shared cross-engine randomness source of the
-    sketch tier.  Bit j = [<qv, h_j> >= 0]; each product is <=
-    1e6*1000 = 1e9 and the 64-term sum <= 6.4e10, comfortably BIGINT.
-    The signature is the bit-packed BIGINT sum of 2^j.
+    sketch tier.  Derivation is byte-for-byte the HEX2INT contract
+    (first 15 hex chars → nonnegative BIGINT, so Python's and SQL's %
+    agree); both dialects embed the SAME literal matrix, so the oracle
+    shifts identically.  Hoisted to plan-build time because Catalyst
+    cannot constant-fold the md5 calls out of a lambda: the in-plan
+    form re-evaluated 24×64 = 1,536 md5() per ROW (measured 2× the
+    whole query's runtime at sf0.1)."""
+    import hashlib
+    return [[int(hashlib.md5(("srp|%d|%d" % (j, i)).encode())
+                 .hexdigest()[:15], 16) % 2001 - 1000
+             for i in range(64)] for j in range(_SRP_BITS)]
+
+
+def _srp_sig_cte(d: str) -> str:
+    """The ``sig(vec_id, qv, sig)`` CTE chain over ``base(vec_id,
+    qv)``: the 24-bit SRP signature, exact-integer.
+
+    Bit j = [<qv, h_j> >= 0] against the hoisted hyperplane matrix of
+    :func:`_srp_planes`; each product is <= 1e6*1000 = 1e9 and the
+    64-term sum <= 6.4e10, comfortably BIGINT.  The signature is the
+    bit-packed BIGINT sum of 2^j.
+
+    The two dialects need DIFFERENT shapes for the same hoisting win
+    (measured at sf0.01, 550 rows):
+
+    * Spark: one inline higher-order expression over a literal
+      array<array<int>> — ConstantFolding collapses CreateArray-of-
+      literals to a single Literal, and element_at(literal, j+1)
+      inside the lambda is an O(1) runtime access.
+    * DuckDB: the literal-indexing form re-materializes the indexed
+      list literal PER ELEMENT EVALUATION (the whole matrix: minutes;
+      even per-row 64-literals: 5.5 s) — so the matrix becomes a
+      24-row ``planes(j, w)`` VALUES relation and the signature a
+      CROSS JOIN + SUM group-by, where ``w`` is a plain column
+      reference (0.03 s vs 0.36 s for the old per-row md5 form).
     """
-    from ..relational import HEX2INT
+    planes = _srp_planes()
     if d == SPARK:
-        comp = HEX2INT(
-            "md5(concat('srp|', CAST(j AS STRING), '|', "
-            "CAST(i AS STRING)))", d)
-        return (
+        hp = "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(str(w) for w in row)
+            for row in planes)
+        expr = (
             "aggregate(transform(sequence(0, {B1}), j -> CASE WHEN "
-            "aggregate(zip_with({qv}, transform(sequence(0, 63), i -> "
-            "{comp} % 2001 - 1000), (x, w) -> x * w), "
+            "aggregate(zip_with(qv, element_at({hp}, j + 1), "
+            "(x, w) -> x * w), "
             "CAST(0 AS BIGINT), (a2, v2) -> a2 + v2) >= 0 "
             "THEN shiftleft(CAST(1 AS BIGINT), j) "
             "ELSE CAST(0 AS BIGINT) END), "
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ).format(B1=_SRP_BITS - 1, qv=qv, comp=comp)
-    comp = HEX2INT(
-        "md5('srp|' || CAST(j AS VARCHAR) || '|' || "
-        "CAST((i - 1) AS VARCHAR))", d)
+        ).format(B1=_SRP_BITS - 1, hp=hp)
+        return "sig AS (\n  SELECT vec_id, qv, %s AS sig FROM base\n)" % expr
+    vals = ", ".join(
+        "(%d, [%s])" % (j, ",".join(str(w) for w in row))
+        for j, row in enumerate(planes))
     return (
-        "CAST(list_sum([CASE WHEN CAST(list_sum([{qv}[i] * "
-        "({comp} % 2001 - 1000) for i in range(1, 65)]) AS BIGINT) "
-        ">= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) "
-        "END for j in range(0, {B})]) AS BIGINT)"
-    ).format(qv=qv, comp=comp, B=_SRP_BITS)
+        "planes AS (SELECT j, w FROM (VALUES {vals}) AS t(j, w)),\n"
+        "sig AS (\n"
+        "  SELECT vec_id, qv, CAST(SUM(CASE WHEN "
+        "CAST(list_sum([qv[i] * w[i] for i in range(1, 65)]) AS BIGINT)"
+        " >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) "
+        "END) AS BIGINT) AS sig\n"
+        "  FROM base CROSS JOIN planes GROUP BY vec_id, qv\n"
+        ")"
+    ).format(vals=vals)
 
 
 @query("embed_srp_neardup")
@@ -945,14 +993,17 @@ def q_srp_neardup(d: str) -> str:
     ``dedup_embedding_cosine`` prunes candidates to a PRE-EXISTING
     coarse cell (the fixture's label column); real corpora have no
     such column.  SRP needs nothing but the vectors — the signature
-    is a narrow per-row projection (24 x 64 integer multiplies, no
-    explode, no fit), banding is a 3x unpivot, and candidates come
-    from ONE band-key equi-join — the identical surviving shape as
-    the MinHash/LSH text tier (ops/dedup.py), with the candidate
-    volume dialed by bits-per-band (8 bits => ~1/256 collision rate
-    for unrelated vectors vs P(bit agree) = 1 - theta/pi per bit for
-    near-dups; at cosine 0.999, P(all 24 bits agree) ~ 0.71 and
-    P(>=1 of 3 bands) > 0.9999).
+    is a narrow per-row projection (24 x 64 integer multiplies
+    against a plan-build-time literal hyperplane matrix — see
+    ``_srp_planes``; no per-row hashing, no explode, no fit), banding
+    is a 3x unpivot, and candidates come from ONE band-key equi-join
+    guarded by the standard super-bucket cap (``_SRP_BUCKET_CAP``) —
+    the identical surviving shape as the MinHash/LSH text tier
+    (ops/dedup.py), with the candidate volume dialed by bits-per-band
+    (8 bits => ~1/256 collision rate for unrelated vectors vs
+    P(bit agree) = 1 - theta/pi per bit for near-dups; at cosine
+    0.999, P(all 24 bits agree) ~ 0.71 and P(>=1 of 3 bands) >
+    0.9999).
 
     Same in-plan twin tier as ``dedup_embedding_cosine`` (every 10th
     vector re-enters nudged, cosine ~ 0.999) so genuine near-dups
@@ -988,16 +1039,20 @@ base AS (
   SELECT vec_id + 1000000 AS vec_id, {twin} AS qv
   FROM base0 WHERE vec_id % 10 = 0
 ),
-sig AS (
-  SELECT vec_id, qv, {sig} AS sig FROM base
-),
+{sig},
 bands AS (
   SELECT s.vec_id, r.b, {bandval} AS bv
   FROM sig s CROSS JOIN ({bandrows}) r
 ),
+bucket_ok AS (
+  SELECT b, bv FROM bands
+  GROUP BY b, bv HAVING COUNT(*) <= {cap}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
-  FROM bands a JOIN bands b
+  FROM bands a
+  JOIN bucket_ok s ON s.b = a.b AND s.bv = a.bv
+  JOIN bands b
     ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
 )
 SELECT c.left_id, c.right_id,
@@ -1007,6 +1062,6 @@ FROM cand c
 JOIN sig sa ON sa.vec_id = c.left_id
 JOIN sig sb ON sb.vec_id = c.right_id
 WHERE {cos} >= {eps}
-""".format(quant=_quantized(d), twin=twin, sig=_srp_sig("qv", d),
+""".format(quant=_quantized(d), twin=twin, sig=_srp_sig_cte(d),
            bandval=bandval, bandrows=bandrows, hamming=hamming,
-           cos=cos, eps=_SRP_EPS)
+           cos=cos, eps=_SRP_EPS, cap=_SRP_BUCKET_CAP)

@@ -653,16 +653,27 @@ def trustrank_df(spark, edges=None):
     nodes = (edges.select(F.col("src_host").alias("host"))
              .union(edges.select(F.col("dst_host").alias("host")))
              .distinct())
-    node_set = {r.host for r in nodes.collect()}  # |hosts| rows: the
-    # host-granularity vertex set (~10^7 at web scale, still a driver
-    # list only for the tiny seed intersection below — on a real
-    # cluster intersect DataFrames instead; seeds are O(100) either way
-    seeds = sorted(h for h in _seed_hosts() if h in node_set)
+    # Intersect the O(100) whitelist with the vertex set via a
+    # broadcast SEMI-join — the ~10^7-host vertex set never leaves
+    # the executors; only the ≤|whitelist| surviving seed rows are
+    # collected (a bounded k-row collect, like the IVF centroids).
+    seeds_df = spark.createDataFrame(
+        [(h,) for h in sorted(set(_seed_hosts()))], "host string")
+    present = nodes.join(F.broadcast(seeds_df), "host", "semi")
+    seeds = sorted(r.host for r in present.collect())
     pr = pagerank_df(edges).withColumnRenamed("rank_ppb", "r")
     tr = (pagerank_df(edges, seeds=seeds)
           .withColumnRenamed("rank_ppb", "t")
           .withColumnRenamed("host", "thost"))
-    both = (pr.join(tr, pr.host == tr.thost).select("host", "r", "t")
+    # seed membership as a broadcast left join on the same tiny
+    # DataFrame (not a driver-built isin literal over vertex rows)
+    seed_mark = (present.withColumn("m", F.lit(1))
+                 .withColumnRenamed("host", "shost"))
+    both = (pr.join(tr, pr.host == tr.thost)
+            .join(F.broadcast(seed_mark),
+                  pr.host == F.col("shost"), "left")
+            .select("host", "r", "t",
+                    F.coalesce("m", F.lit(0)).cast("int").alias("sm"))
             .persist())
     tot = both.agg(F.sum("r").cast("long").alias("rsum"),
                    F.sum("t").cast("long").alias("tsum"))
@@ -670,9 +681,8 @@ def trustrank_df(spark, edges=None):
         "host",
         F.col("r").alias("rank_ppb"),
         F.col("t").alias("trust_ppb"),
-        F.when(F.col("host").isin(seeds), 1).otherwise(0)
-        .cast("int").alias("is_seed"),
-        F.when(F.col("host").isin(seeds), "seed")
+        F.col("sm").alias("is_seed"),
+        F.when(F.col("sm") == 1, "seed")
         .when(F.col("t") * F.col("rsum") >= F.col("r") * F.col("tsum"),
               "trusted")
         .when(F.col("t") > 0, "demoted")

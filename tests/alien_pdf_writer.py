@@ -1,0 +1,287 @@
+"""A second, deliberately-alien minimal PDF writer (round-4 verdict
+ask #7): the tokenizer (pdf_parser_spark/pdfio/tokenizer.py) must not
+merely round-trip its sibling writer's five layouts — it has to read
+PDFs it did NOT write.  Every builder here makes structural choices
+the in-package writer (pdfio/writer.py) never makes:
+
+=====================  ======================  =======================
+convention             pdfio/writer.py         this module
+=====================  ======================  =======================
+object order           ascending, catalog      reverse / interleaved,
+                       first                   catalog last or first
+EOLs                   \\n                      \\r\\n (classic), \\r
+                                               inside content (quote)
+show operator          one Tj per line         hex-string Tj / TJ
+                                               kern arrays / TL + '
+line positioning       Td per line             Tm per line, TL + '
+/Length                direct int              INDIRECT reference
+ToUnicode              bfchar entries          bfrange runs, or NO
+                                               ToUnicode (latin-1)
+stream filter          /Filter /FlateDecode    none (classic), ARRAY
+                                               [/FlateDecode] (tj)
+page tree              flat Kids               nested Pages node (tj)
+xref                   one subsection          two subsections
+spaces in text         literal 0x20 in the     geometric kern gap (tj:
+                       show string             no 0x20 byte anywhere)
+comments               none                    % comments between
+                                               objects / after dicts
+string escapes         minimal                 octal escapes + line
+                                               continuations (quote)
+generation numbers     always 0                gen 3 objects (quote)
+=====================  ======================  =======================
+
+All three builders emit spec-conforming PDF 1.4 (ISO 32000-1) for the
+repertoire they target; extracted text must equal the input text
+byte-for-byte (pages split on \\f, re-joined with \\n by the
+extractor).  Glyph geometry uses the same Courier metrics the
+extractor assumes (char_em 0.6 x size 10 = 6pt advance, 12pt leading
+> Y_TOLERANCE).  Texts must be latin-1-encodable with no empty lines
+(an empty line paints no glyph run, so no extractor can see it).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Tuple
+
+SIZE = 10       # Tf size
+LEAD = 12       # > tokenizer Y_TOLERANCE (3pt)
+TOP = 700
+
+
+def _pages_of(text: str) -> List[List[str]]:
+    return [p.split("\n") for p in text.split("\f")]
+
+
+def _bfrange_cmap(text: str) -> bytes:
+    """ToUnicode CMap written ONLY with bfrange runs (identity code →
+    codepoint), the section shape the sibling writer never emits."""
+    chars = set(text.replace("\n", "").replace("\f", ""))
+    codes = sorted(ord(c) for c in chars)
+    runs: List[Tuple[int, int]] = []
+    for c in codes:
+        if runs and c == runs[-1][1] + 1:
+            runs[-1] = (runs[-1][0], c)
+        else:
+            runs.append((c, c))
+    body = "\n".join("<%04X> <%04X> <%04X>" % (lo, hi, lo)
+                     for lo, hi in runs)
+    return ("""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+/CMapName /Alien-UCS def /CMapType 2 def
+1 begincodespacerange <00> <FF> endcodespacerange
+%d beginbfrange
+%s
+endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end
+""" % (len(runs), body)).encode("ascii")
+
+
+class _AlienDoc:
+    """Assembles numbered objects, emits them in an ARBITRARY caller-
+    chosen order, and writes a correct two-subsection xref for
+    wherever they landed."""
+
+    def __init__(self, eol: bytes = b"\r\n"):
+        self.eol = eol
+        self.bodies = {}       # num -> bytes (object body, no wrapper)
+        self.gens = {}         # num -> generation
+        self._next = 1
+
+    def reserve(self, gen: int = 0) -> int:
+        n = self._next
+        self._next += 1
+        self.gens[n] = gen
+        return n
+
+    def put(self, num: int, body: bytes) -> int:
+        self.bodies[num] = body
+        return num
+
+    def add(self, body: bytes, gen: int = 0) -> int:
+        return self.put(self.reserve(gen), body)
+
+    def render(self, emission_order: List[int],
+               comments: bool = False) -> bytes:
+        eol = self.eol
+        out = bytearray(b"%PDF-1.4" + eol +
+                        b"%\xc2\xa9 alien writer" + eol)
+        offsets = {}
+        for num in emission_order:
+            if comments:
+                out += b"% object follows" + eol
+            offsets[num] = len(out)
+            out += (b"%d %d obj" % (num, self.gens[num])) + eol
+            out += self.bodies[num] + eol
+            out += b"endobj" + eol
+        xref_at = len(out)
+        nums = sorted(offsets)
+        # contiguous live range expected (object numbers start at 1)
+        assert nums == list(range(1, len(nums) + 1))
+        out += b"xref" + eol
+        # subsection 1: the free-list head alone; subsection 2: all
+        # live objects — the split layout a single-subsection writer
+        # never produces (each entry is exactly 20 bytes, §7.5.4)
+        out += b"0 1" + eol
+        out += b"0000000000 65535 f \r\n"
+        out += (b"%d %d" % (nums[0], len(nums))) + eol
+        for n in nums:
+            out += b"%010d %05d n \r\n" % (offsets[n], self.gens[n])
+        root = [n for n in nums if b"/Type /Catalog" in self.bodies[n]][0]
+        out += b"trailer" + eol
+        out += (b"<< /Size %d /Root %d %d R >>"
+                % (max(nums) + 1, root, self.gens[root])) + eol
+        out += b"startxref" + eol
+        out += (b"%d" % xref_at) + eol
+        out += b"%%EOF" + eol
+        return bytes(out)
+
+
+def alien_classic(text: str) -> bytes:
+    """Variant 1: \\r\\n EOLs, % comments between objects and after
+    the stream dict, HEX-string Tj per line, Tm line positioning,
+    /Length as an INDIRECT reference (forces the endstream-scan
+    fallback), uncompressed content, bfrange-only ToUnicode, content
+    streams emitted before their length objects, catalog LAST."""
+    doc = _AlienDoc(eol=b"\r\n")
+    cmap = _bfrange_cmap(text)
+    cm = doc.add(b"<< /Length %d >>\nstream\n" % len(cmap) +
+                 cmap + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for lines in _pages_of(text):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        content = b"\r\n".join(ops)
+        lenobj = doc.add(b"%d" % len(content))
+        stream = doc.add(
+            (b"<< /Length %d 0 R >>" % lenobj) +
+            b" % indirect Length\r\nstream\r\n" +
+            content + b"\r\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >> >>"
+                     b" /Contents %d 0 R >>" % (pages_node, f1, stream))
+        page_nums.append(pg)
+        emission += [stream, lenobj, pg]              # stream FIRST
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
+    return doc.render(emission + [f1, cm, pages_node, catalog],
+                      comments=True)
+
+
+def alien_tj_kerning(text: str) -> bytes:
+    """Variant 2: TJ kern arrays — every 0x20 is ENCODED GEOMETRICALLY
+    (chunk split + a -1000 milli-em kern = a 10pt gap at size 10, well
+    past the extractor's quarter-advance space threshold; NO space
+    byte appears in any show string); /Filter as the ARRAY form
+    [/FlateDecode]; a NESTED page tree (root Pages → inner Pages →
+    leaves); NO ToUnicode (latin-1 fallback decode); catalog emitted
+    FIRST with pages/streams interleaved."""
+    doc = _AlienDoc(eol=b"\n")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1"
+                 b" /BaseFont /Courier >>")
+    root_pages = doc.reserve()
+    inner = doc.reserve()
+    page_nums, emission = [], []
+
+    def lit(s: str) -> bytes:
+        b = s.encode("latin-1")
+        return (b"(" + b.replace(b"\\", rb"\\").replace(b"(", rb"\(")
+                .replace(b")", rb"\)") + b")")
+
+    for lines in _pages_of(text):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            arr = []
+            for i, part in enumerate(ln.split(" ")):
+                if i:
+                    arr.append(b"-1000")
+                arr.append(lit(part))
+            ops.append(b"[" + b" ".join(arr) + b"] TJ")
+            y -= LEAD
+        ops.append(b"ET")
+        z = zlib.compress(b"\n".join(ops))
+        stream = doc.add(b"<< /Filter [/FlateDecode] /Length %d >>\n"
+                         b"stream\n" % len(z) + z + b"\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >> >>"
+                     b" /Contents [%d 0 R] >>" % (inner, f1, stream))
+        page_nums.append(pg)
+        emission += [pg, stream]                      # page BEFORE stream
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(inner, b"<< /Type /Pages /Parent %d 0 R /Count %d"
+                   b" /Kids [%s] >>" % (root_pages, len(page_nums), kids))
+    doc.put(root_pages, b"<< /Type /Pages /Count %d /Kids [%d 0 R] >>"
+            % (len(page_nums), inner))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % root_pages)
+    return doc.render([catalog, inner] + emission + [f1, root_pages])
+
+
+def alien_quote_ops(text: str) -> bytes:
+    """Variant 3: \\r-only EOLs inside content streams, TL leading +
+    the ' (move-next-line-show) operator for every line after the
+    first, literal strings with OCTAL escapes for every
+    non-alphanumeric byte plus a backslash LINE CONTINUATION spliced
+    between tokens, and nonzero GENERATION numbers echoed by the
+    xref."""
+    GEN = 3
+    doc = _AlienDoc(eol=b"\n")
+
+    def esc_octal(s: str) -> bytes:
+        toks = []
+        for ch in s:
+            b = ord(ch)
+            if ch.isalnum() and b < 128:
+                toks.append(ch.encode("ascii"))
+            else:
+                toks.append(("\\%03o" % b).encode("ascii"))
+        # a line-continuation backslash between two COMPLETE tokens
+        # (never mid-escape): the lexer must splice it to nothing
+        if len(toks) > 2:
+            toks.insert(2, b"\\\n")
+        return b"".join(toks)
+
+    cmap = _bfrange_cmap(text)
+    cm = doc.add(b"<< /Length %d >>\nstream\n" % len(cmap) +
+                 cmap + b"\nendstream", gen=GEN)
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d %d R >>" % (cm, GEN), gen=GEN)
+    pages_node = doc.reserve(gen=GEN)
+    page_nums, emission = [], []
+    for lines in _pages_of(text):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE, b"%d TL" % LEAD,
+               b"1 0 0 1 72 %d Tm" % TOP]
+        for i, ln in enumerate(lines):
+            lit = b"(" + esc_octal(ln) + b")"
+            ops.append(lit + (b" Tj" if i == 0 else b" '"))
+        ops.append(b"ET")
+        content = b"\r".join(ops)
+        stream = doc.add(b"<< /Length %d >>\nstream\n" % len(content) +
+                         content + b"\nendstream", gen=GEN)
+        pg = doc.add(b"<< /Type /Page /Parent %d %d R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d %d R >> >>"
+                     b" /Contents %d %d R >>"
+                     % (pages_node, GEN, f1, GEN, stream, GEN), gen=GEN)
+        page_nums.append(pg)
+        emission += [stream, pg]
+    kids = b" ".join(b"%d %d R" % (p, GEN) for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d %d R >>"
+                      % (pages_node, GEN), gen=GEN)
+    return doc.render([pages_node] + emission + [f1, cm, catalog])

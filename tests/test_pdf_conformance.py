@@ -1,0 +1,105 @@
+"""Third-party PDF conformance (round-4 verdict ask #7): the
+tokenizer must read PDFs it did not write.  tests/alien_pdf_writer.py
+is a second, independently-written minimal PDF producer whose every
+structural convention differs from pdfio/writer.py (object order,
+EOLs, show operators, /Length indirection, bfrange-vs-bfchar CMaps,
+filter spelling, page-tree nesting, xref subsections, octal escapes,
+generation numbers — see its module table).  Extraction must be
+byte-identical to the known text for all three variants.
+"""
+
+import pathlib
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from alien_pdf_writer import (  # noqa: E402
+    alien_classic, alien_quote_ops, alien_tj_kerning,
+)
+from pdf_parser_spark.pdfio.tokenizer import extract_pdf_text  # noqa: E402
+
+# latin-1-encodable, no empty lines, no double spaces (a geometric
+# space encodes exactly one 0x20), covering: accents, punctuation the
+# octal escaper must escape, parens/backslash the literal escaper must
+# escape, digits, and a multi-page break
+_TEXTS = [
+    "CHASE BANK statement\n01/02 COFFEE SHOP $4.50\n"
+    "01/03 PAYROLL ACME corp 1,234.56\nending balance $99.00",
+    "Página 1 de 2 - café déjà vu\nmontant: 12,50 € (net)\n"
+    "ligne finale\fPage 2 of 2\nrefund (partial) \\ see note\n"
+    "total due: $0.00",
+    "a1 b2 c3\nx(y)z w\\q\nthird line here",
+]
+# the euro sign is not latin-1; swap it for cents
+_TEXTS[1] = _TEXTS[1].replace("€", "¢")
+
+_VARIANTS = [
+    ("classic", alien_classic),
+    ("tj_kerning", alien_tj_kerning),
+    ("quote_ops", alien_quote_ops),
+]
+
+
+@pytest.mark.parametrize("vname,builder", _VARIANTS,
+                         ids=[v[0] for v in _VARIANTS])
+@pytest.mark.parametrize("tidx", range(len(_TEXTS)))
+def test_alien_pdf_byte_identical(vname, builder, tidx):
+    text = _TEXTS[tidx]
+    pdf = builder(text)
+    res = extract_pdf_text(pdf)
+    assert res.error is None
+    expected = text.replace("\f", "\n")
+    assert res.text == expected, (vname, tidx, res.text)
+
+
+def test_alien_pdfs_are_structurally_distinct_from_sibling():
+    """The point of the corpus: these files must NOT look like the
+    in-package writer's output.  Pin the distinguishing conventions so
+    a future writer refactor can't silently converge them."""
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    text = _TEXTS[0]
+    sib = text_to_pdf(text, compress=False)
+    classic = alien_classic(text)
+    tj = alien_tj_kerning(text)
+    quote = alien_quote_ops(text)
+
+    assert b"\r\nstream" in classic and b"\r\nstream" not in sib
+    assert b"beginbfrange" in classic and b"beginbfrange" not in sib
+    assert b"% object follows" in classic
+    # classic: catalog is the LAST object emitted; sibling emits it 1st
+    assert classic.rfind(b"/Type /Catalog") > classic.rfind(b"/Type /Page ")
+    # indirect /Length: "<< /Length N 0 R >>" appears only in classic
+    import re
+    assert re.search(rb"/Length \d+ 0 R", classic)
+    assert not re.search(rb"/Length \d+ 0 R", sib)
+    # tj variant: no space byte inside any show string (geometric
+    # encoding) and the array filter spelling
+    assert b"/Filter [/FlateDecode]" in tj
+    import zlib
+    first_stream = zlib.decompress(
+        tj.split(b"stream\n", 1)[1].split(b"\nendstream", 1)[0])
+    assert b"] TJ" in first_stream
+    assert b"( " not in first_stream and b" )" not in first_stream
+    assert b"-1000" in first_stream  # the kern that encodes the space
+    # nested page tree: two /Type /Pages nodes
+    assert tj.count(b"/Type /Pages") == 2 and sib.count(b"/Type /Pages") == 1
+    # quote variant: generation-3 objects + ' operator + octal escapes
+    assert re.search(rb"\d+ 3 obj", quote)
+    assert b" '" in quote
+    assert re.search(rb"\\0[0-7][0-7]", quote)
+
+
+def test_alien_pdf_multipage_page_order():
+    """Kids-walk order, not object-number order: tj_kerning emits page
+    objects interleaved with streams and its page tree is nested, so a
+    reader that sorted by object number with a flat scan could still
+    pass the single-page tests — pin a 3-page document's order."""
+    text = "page one line\fpage two line\fpage three line"
+    for _, builder in _VARIANTS:
+        res = extract_pdf_text(builder(text))
+        assert res.error is None
+        assert res.pages == 3
+        assert res.text == "page one line\npage two line\npage three line"

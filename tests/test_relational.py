@@ -2242,6 +2242,8 @@ def test_embed_srp_neardup_semantics(duck, entry_mod):
             buckets[(b, (s >> (8 * b)) & 255)].append(vid)
     cand = set()
     for ids in buckets.values():
+        if len(ids) > 64:  # _SRP_BUCKET_CAP super-bucket guard
+            continue
         ids.sort()
         for i in range(len(ids)):
             for k in range(i + 1, len(ids)):
@@ -2266,6 +2268,53 @@ def test_embed_srp_neardup_semantics(duck, entry_mod):
     twins = {(vid, vid + 1000000) for vid in qv
              if vid < 1000000 and vid % 10 == 0}
     assert twins <= {(l, r) for l, r, _, _ in got}
+
+
+def test_embed_srp_bucket_cap_bounds_candidates(spark, entry_mod):
+    """The SRP super-bucket guard (_SRP_BUCKET_CAP=64): a degenerate
+    cluster of 160 IDENTICAL vectors (cosine 1.0 — all land in ONE
+    band bucket per band, 160 > cap) must contribute ZERO output
+    pairs on BOTH engines — without the cap it alone would emit
+    160·159/2 = 12,720 — while the three well-spread twin pairs in
+    the same corpus are still recovered (recall unharmed).  This is
+    the embedding-tier twin of
+    test_stream_lsh_bucket_cap_bounds_state_and_emissions."""
+    import duckdb as _duck
+    import pandas as pd
+
+    degen = [10 * k + 1 for k in range(160)]   # none %10==0 → no twins
+    normal = [0, 10, 20]                       # each gets a twin
+    rows = [(n, [0.25] * 64) for n in degen] + [
+        (n, [((n * 7 + i * 13) % 17 - 8) / 16.0 for i in range(64)])
+        for n in normal]
+    # duckdb side
+    con = _duck.connect()
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    con.register("emb_src", pdf)
+    con.sql("CREATE VIEW embeddings AS SELECT vec_id, embedding "
+            "FROM emb_src")
+    d_pairs = {(l, r) for l, r, _, _ in con.sql(
+        entry_mod.all_oracles()["embed_srp_neardup"]).fetchall()}
+
+    # spark side (re-bind the temp view; other tests re-register)
+    from query_registry import QUERY_SQL
+    sdf = spark.createDataFrame(rows, "vec_id bigint, "
+                                "embedding array<float>")
+    sdf.createOrReplaceTempView("embeddings")
+    try:
+        s_pairs = {(r[0], r[1]) for r in spark.sql(
+            QUERY_SQL["embed_srp_neardup"]["spark"]).collect()}
+    finally:
+        spark.catalog.dropTempView("embeddings")
+
+    dset = set(degen)
+    for pairs in (d_pairs, s_pairs):
+        assert not any(l in dset and r in dset for l, r in pairs), (
+            "super-bucket leaked intra-cluster pairs")
+        assert {(n, n + 1000000) for n in normal} <= pairs
+        assert len(pairs) < 100
+    assert d_pairs == s_pairs
 
 
 def test_url_trap_filter_semantics(duck, entry_mod):

@@ -107,6 +107,32 @@ def REREPL(sexpr: str, pattern: str, repl: str, d: str) -> str:
     return "regexp_replace(%s, %s, '%s', 'g')" % (sexpr, p, repl)
 
 
+def LET(val: str, body, d: str, var: str = "_v") -> str:
+    """Single-evaluation let-binding: bind ``val`` to a lambda variable
+    so the emitted SQL references it ONCE — ``body`` is a callable
+    receiving the variable name and returning the expression text.
+
+    Why this exists: SQL has no let, so macro helpers that need a
+    subexpression k times (capitalize-first needs the cleaned string
+    3x; direction batteries test a lowered description ~12x) textually
+    duplicate the whole subexpression tree.  Catalyst then multiplies
+    it again when CollapseProject/filter-pushdown substitute aliases —
+    measured: citi_relational's optimized plan carried 125
+    regexp_replace nodes for a query whose SOURCE has ~10, and the
+    per-invocation analyze+optimize cost (re-paid by every
+    DataFrame.count()) scaled with that tree.  Runtime was never the
+    problem (codegen subexpression elimination dedupes execution);
+    PLAN SIZE was.  A one-element higher-order transform is the
+    let-expression both engines share: the bound value is evaluated
+    once, the body references a lambda variable, and the optimizer
+    has nothing to duplicate.  Use a distinct ``var`` when nesting."""
+    if d == SPARK:
+        return ("element_at(transform(array(%s), %s -> %s), 1)"
+                % (val, var, body(var)))
+    return ("list_extract(list_transform([%s], %s -> %s), 1)"
+            % (val, var, body(var)))
+
+
 def TOKS_CTE(d: str, cols: str = "doc_id", alias: str = "toks",
              src: str = "documents") -> str:
     """The single-space word-explode CTE ``alias(cols…, w)`` — ONE
@@ -432,8 +458,18 @@ def direction_case(expr: str, d: str) -> str:
     that occurrence exists iff the tail after the LAST ``p`` (greedy
     ``^(.*p)(.*)$``) is F-free.  (The pre-round-3 rewrite
     ``rlike(p) AND NOT rlike(p.*F)`` was only equivalent for a single
-    occurrence of ``p`` per line — found by tools/fuzz_relational.py.)"""
-    up = "upper(%s)" % expr
+    occurrence of ``p`` per line — found by tools/fuzz_relational.py.)
+
+    The uppercased input is LET-bound: the 26-rule battery references
+    it ~30x (2x per negative-lookahead rewrite), and callers pass a
+    COMPUTED description whose whole expression tree would otherwise
+    be duplicated into every reference by optimizer substitution (see
+    LET)."""
+    return LET("upper(%s)" % expr,
+               lambda v: _direction_case_tiers(v, d), d, var="_du")
+
+
+def _direction_case_tiers(up: str, d: str) -> str:
     whens = []
     for pat, neg, out in _DIR_CASES:
         if isinstance(neg, tuple):

@@ -13,7 +13,7 @@ additionally cross-checked against the Python engine in tests
 from __future__ import annotations
 
 from .relational import (
-    DUCK, SPARK, AMOUNT_PATTERN, LEN, PRINTF, REALL, REREPL, RLIKE,
+    DUCK, SPARK, AMOUNT_PATTERN, LEN, LET, PRINTF, REALL, REREPL, RLIKE,
     lit, _signed_first_amount,
 )
 from .relational import with_lines as _with_lines
@@ -479,6 +479,15 @@ def _contains_any(col: str, phrases) -> str:
         for p in phrases) + ")"
 
 
+def _mindesc_sql(d: str) -> str:
+    """F14 min-description gate, LET-bound so the WHERE holds ONE
+    reference to the description expression instead of two (after
+    filter pushdown each reference inlines the full cleaning chain —
+    see relational.LET)."""
+    return LET("description", lambda v:
+               "%s <> '' AND length(%s) >= 3" % (v, v), d, var="_f")
+
+
 def _chase_noise_sql(low: str, line: str, d: str) -> str:
     """F1 chase basic noise (chase.py:94-118)."""
     prefixes = " OR ".join(
@@ -525,13 +534,28 @@ def chase_clean_sql(col: str, d: str) -> str:
     c = REREPL(c, r"(?i)\btrn:\s*", " Trn: ", d)
     c = REREPL(c, r"(?i)\bssn:\s*", " Ssn: ", d)
     c = "trim(%s)" % REREPL(c, r"\s+", " ", d)
-    return ("CASE WHEN %s = '' THEN '' ELSE upper(substring(%s, 1, 1)) "
-            "|| substring(%s, 2) END" % (c, c, c))
+    # capitalize-first via LET: the naive CASE references the whole
+    # 8-regexp chain 3x in TEXT, which the optimizer multiplies again
+    # (plan-size blowup — see relational.LET)
+    return LET(c, lambda v: (
+        "CASE WHEN %s = '' THEN '' ELSE upper(substring(%s, 1, 1)) "
+        "|| substring(%s, 2) END" % (v, v, v)), d, var="_cd")
 
 
 def _chase_direction_sql(desc: str, section: str, amount: str, d: str) -> str:
-    """C3 chase direction tiers (chase.py:234-258)."""
-    dl = "lower(%s)" % desc
+    """C3 chase direction tiers (chase.py:234-258).
+
+    The lowered description is LET-bound: the tier battery references
+    it ~15x, and each textual copy would otherwise carry the whole
+    upstream cleaning chain after optimizer substitution (see
+    relational.LET)."""
+    return LET("lower(%s)" % desc,
+               lambda v: _chase_direction_tiers(v, section, amount, d),
+               d, var="_dl")
+
+
+def _chase_direction_tiers(dl: str, section: str, amount: str,
+                           d: str) -> str:
     return """CASE
   WHEN {rev} THEN 'in'
   WHEN {fee} THEN 'out'
@@ -734,8 +758,9 @@ SELECT doc_id,
   date, description, abs(amount) AS amount,
   {direction} AS direction
 FROM emitted
-WHERE description <> '' AND length(description) >= 3
+WHERE {mindesc}
 """.format(inject=CHASE_INJECT_SQL,
+           mindesc=_mindesc_sql(d),
            section=_chase_section_sql("low"),
            noise=_chase_noise_sql("low", "line", d),
            legal_marker=_contains_any("low", _CHASE_LEGAL_MARKERS),
@@ -847,8 +872,19 @@ def _bofa_noise_sql(low: str, line: str, d: str) -> str:
 
 
 def _bofa_direction_sql(desc: str, section: str, d: str) -> str:
-    """C4 tiers (bofa.py:243-310), default 'out'."""
-    dl = "lower(%s)" % desc
+    """C4 tiers (bofa.py:243-310), default 'out'.
+
+    Lowered description LET-bound — the 18-tier battery references it
+    ~25x; the RAW description (the case-sensitive '-' check of the
+    wise-inc tier) is referenced once and passes through unbound (see
+    relational.LET)."""
+    return LET("lower(%s)" % desc,
+               lambda v: _bofa_direction_tiers(v, desc, section, d),
+               d, var="_dl")
+
+
+def _bofa_direction_tiers(dl: str, desc: str, section: str,
+                          d: str) -> str:
     sec_dep = "%s = 'deposits'" % section
     return """CASE
   WHEN {win} THEN 'in'
@@ -993,7 +1029,7 @@ kept AS (
     {direction} AS direction
   FROM normal
   WHERE amount IS NOT NULL AND amount <> 0
-    AND description <> '' AND length(description) >= 5
+    AND {mindesc5}
     AND NOT {hdr_phrases}
     AND NOT (
       {yearless2}
@@ -1022,11 +1058,18 @@ FROM unioned
            ntok=LEN("toks", d), bare_last=bare_last, toks=toks,
            lt=last_tok,
            direction=_bofa_direction_sql("description", "section_ctx", d),
-           hdr_phrases="(" + " OR ".join(
-               "instr(lower(description), '%s') > 0" % q2
-               for q2 in _BOFA_HDR_PHRASES) + " OR " + RLIKE(
-                   "lower(description)",
-                   r"account\s*#\s*\d{4}\s+\d{4}\s+\d{4}", d) + ")",
+           mindesc5=LET("description", lambda v:
+                        "%s <> '' AND length(%s) >= 5" % (v, v),
+                        d, var="_f"),
+           # F5 header phrases, LET-bound: ~8 references to
+           # lower(description) (see relational.LET)
+           hdr_phrases=LET(
+               "lower(description)",
+               lambda v: "(" + " OR ".join(
+                   "instr(%s, '%s') > 0" % (v, q2)
+                   for q2 in _BOFA_HDR_PHRASES) + " OR " + RLIKE(
+                       v, r"account\s*#\s*\d{4}\s+\d{4}\s+\d{4}", d) + ")",
+               d, var="_hp"),
            # reference uses (?!/\d{2}) — no lookahead in RE2, so the
            # yearless count is all-M/D minus dated-M/D (each dated form
            # consumes exactly one M/D match in both scans)
@@ -1460,8 +1503,15 @@ def _wf_direction_sql(desc: str, d: str) -> str:
 
     [\\p{L}\\p{N}_] instead of \\w: Python's \\w is unicode-aware
     while Java's and RE2's are ASCII-only -- 'from žluťoučký' must
-    classify 'in' in every dialect (tools/fuzz_relational.py)."""
-    dl = "lower(%s)" % desc
+    classify 'in' in every dialect (tools/fuzz_relational.py).
+
+    Lowered description LET-bound — ~13 battery references (see
+    relational.LET)."""
+    return LET("lower(%s)" % desc,
+               lambda v: _wf_direction_tiers(v, d), d, var="_dl")
+
+
+def _wf_direction_tiers(dl: str, d: str) -> str:
     return """CASE
   WHEN {org} AND NOT {bnf} THEN 'in'
   WHEN {bnf} AND NOT {org} THEN 'out'
@@ -1537,12 +1587,20 @@ def q_wf(d: str) -> str:
   SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
 ),
 classed AS (
-  SELECT doc_id, line_no, line,
-    CASE WHEN {invalid} THEN 1 ELSE 0 END AS is_invalid,
-    CASE WHEN {noise} THEN 1 ELSE 0 END AS is_noise,
-    CASE WHEN {dval} IS NOT NULL THEN 1 ELSE 0 END AS is_dateish,
-    {dval} AS date_val
-  FROM (SELECT doc_id, line_no, line, lower(line) AS low FROM wfd) t
+  -- date_val (the three-extract date battery) is computed ONCE and
+  -- is_dateish derived from it in the outer select: the old form
+  -- inlined the battery twice in TEXT, and the optimizer multiplied
+  -- it further (wf carried a 125 kB optimized plan; the re-analysis
+  -- cost of every .count() scales with that)
+  SELECT doc_id, line_no, line, is_invalid, is_noise,
+    CASE WHEN date_val IS NOT NULL THEN 1 ELSE 0 END AS is_dateish,
+    date_val
+  FROM (SELECT doc_id, line_no, line,
+          CASE WHEN {invalid} THEN 1 ELSE 0 END AS is_invalid,
+          CASE WHEN {noise} THEN 1 ELSE 0 END AS is_noise,
+          {dval} AS date_val
+        FROM (SELECT doc_id, line_no, line, lower(line) AS low
+              FROM wfd) t0) t
 ),
 grouped AS (
   SELECT *,
@@ -1718,13 +1776,24 @@ def _citi_clean_sql(col: str, d: str) -> str:
     c = REREPL(c, r"(?i)\bDATE\s+DESCRIPTION\s+.*BALANCE\b", "", d)
     c = REREPL(c, r"(?i)\bBEGINNING BALANCE\b|\bENDING BALANCE\b", "", d)
     c = "trim(%s)" % REREPL(c, r"\s+", " ", d)
-    return ("CASE WHEN %s = '' THEN '' ELSE upper(substring(%s, 1, 1)) "
-            "|| substring(%s, 2) END" % (c, c, c))
+    # capitalize-first via LET — same plan-size rationale as
+    # chase_clean_sql (see relational.LET)
+    return LET(c, lambda v: (
+        "CASE WHEN %s = '' THEN '' ELSE upper(substring(%s, 1, 1)) "
+        "|| substring(%s, 2) END" % (v, v, v)), d, var="_cd")
 
 
 def _citi_direction_sql(desc: str, amount: str, d: str) -> str:
-    """C5 tiers (citi.py:476-518)."""
-    dl = "lower(%s)" % desc
+    """C5 tiers (citi.py:476-518).
+
+    Lowered description LET-bound — ~30 references in the battery,
+    same plan-size rationale as _chase_direction_sql."""
+    return LET("lower(%s)" % desc,
+               lambda v: _citi_direction_tiers(v, amount, d),
+               d, var="_dl")
+
+
+def _citi_direction_tiers(dl: str, amount: str, d: str) -> str:
     return """CASE
   WHEN instr({dl}, 'debit card credit') > 0
        OR instr({dl}, 'debit card credi') > 0 THEN 'in'
@@ -1855,50 +1924,54 @@ withtoks AS (
   FROM (SELECT *, {toks} AS toks FROM gated) t
   WHERE {ntok0} > 0
 ),
-checking AS (
-  SELECT doc_id, grp, block_date AS date,
-    {clean_desc} AS description,
-    abs({elem_vk}) AS amount,
-    {elem_vk} AS signed_amount
-  FROM (
-    SELECT *, CASE WHEN n = 1 THEN 1
-                   WHEN n = 2 THEN 1
-                   ELSE {first_k} END AS k
-    FROM withtoks WHERE coalesce(section_ctx, '') <> 'savings'
-  ) c
+branched AS (
+  -- ONE pass over withtoks for BOTH account kinds: the old
+  -- checking/savings UNION ALL re-derived the whole upstream
+  -- pipeline (inject -> classify -> windows -> block group-by ->
+  -- tokenize) once per branch — the section filters differ, so
+  -- Catalyst cannot reuse the subtree (measured: the union's heavy
+  -- stage ran 2x64 tasks; merging halves it, 2.7 s -> under 2 s at
+  -- sf0.1).  Branch-specific expressions ride CASE ... END on
+  -- is_sav, so each row still evaluates only its own branch.
+  SELECT *,
+    CASE WHEN coalesce(section_ctx, '') = 'savings'
+         THEN 1 ELSE 0 END AS is_sav,
+    CASE WHEN n = 1 THEN 1
+         WHEN n = 2 THEN 1
+         ELSE {first_k} END AS k,
+    CASE WHEN n >= 2 THEN n - 1 ELSE n END AS bn,
+    {v1} AS v1,
+    CASE WHEN n >= 2 THEN {v2} ELSE NULL END AS v2
+  FROM withtoks
 ),
-savings AS (
-  SELECT doc_id, grp, block_date AS date,
-    {sv_desc} AS description,
-    CASE WHEN bn >= 2 THEN
-           CASE WHEN abs(v1) > 0.01 AND abs(v2) < 0.01 THEN abs(v1)
-                WHEN abs(v2) > 0.01 AND abs(v1) < 0.01 THEN abs(v2)
-                WHEN abs(v2) > abs(v1) THEN abs(v2)
-                ELSE abs(v1) END
-         ELSE abs(v1) END AS amount,
-    CASE WHEN bn >= 2 THEN
-           CASE WHEN abs(v1) > 0.01 AND abs(v2) < 0.01 THEN 'out'
-                WHEN abs(v2) > 0.01 AND abs(v1) < 0.01 THEN 'in'
-                WHEN abs(v2) > abs(v1) THEN 'in'
-                ELSE 'out' END
-         WHEN {sv_in} THEN 'in'
-         WHEN {sv_out} THEN 'out'
-         WHEN v1 > 0 THEN 'in' ELSE 'out' END AS direction
-  FROM (
-    SELECT *,
-      CASE WHEN n >= 2 THEN n - 1 ELSE n END AS bn,
-      {v1} AS v1,
-      CASE WHEN n >= 2 THEN {v2} ELSE NULL END AS v2
-    FROM withtoks WHERE coalesce(section_ctx, '') = 'savings'
-  ) s
+staged AS (
+  SELECT doc_id, grp, block_date AS date, is_sav, body, bn, v1, v2,
+    CASE WHEN is_sav = 1 THEN {sv_desc}
+         ELSE {clean_desc} END AS description,
+    CASE WHEN is_sav = 1 THEN
+           CASE WHEN bn >= 2 THEN
+             CASE WHEN abs(v1) > 0.01 AND abs(v2) < 0.01 THEN abs(v1)
+                  WHEN abs(v2) > 0.01 AND abs(v1) < 0.01 THEN abs(v2)
+                  WHEN abs(v2) > abs(v1) THEN abs(v2)
+                  ELSE abs(v1) END
+           ELSE abs(v1) END
+         ELSE abs({elem_vk}) END AS amount,
+    {elem_vk} AS signed_amount
+  FROM branched
 ),
 unioned AS (
   SELECT doc_id, grp, date, description, amount,
-    {c5} AS direction
-  FROM checking WHERE description <> '' AND length(description) >= 3
-  UNION ALL
-  SELECT doc_id, grp, date, description, amount, direction
-  FROM savings WHERE description <> '' AND length(description) >= 3
+    CASE WHEN is_sav = 1 THEN
+      CASE WHEN bn >= 2 THEN
+             CASE WHEN abs(v1) > 0.01 AND abs(v2) < 0.01 THEN 'out'
+                  WHEN abs(v2) > 0.01 AND abs(v1) < 0.01 THEN 'in'
+                  WHEN abs(v2) > abs(v1) THEN 'in'
+                  ELSE 'out' END
+           WHEN {sv_in} THEN 'in'
+           WHEN {sv_out} THEN 'out'
+           WHEN v1 > 0 THEN 'in' ELSE 'out' END
+    ELSE {c5} END AS direction
+  FROM staged WHERE {mindesc}
 )
 SELECT doc_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, grp)
@@ -1906,6 +1979,7 @@ SELECT doc_id,
   date, description, amount, direction
 FROM unioned
 """.format(inject=CITI_INJECT_SQL.format(p=p),
+           mindesc=_mindesc_sql(d),
            section=_citi_section_sql("low"),
            noise=_citi_noise_sql("low", "line", d),
            datep=datep, p=p,

@@ -142,6 +142,9 @@ def test_driver_contract_shape(entry_mod):
     assert len(oracles) == 50
     assert list(qs) == list(oracles)
     # retired rows stay runnable for tests/fuzz via all_queries()
+    # (round-5 rotation: dedup_substring/c4_clean moved INTO the 50;
+    # ten long-stable showcase rows moved out — see the ROTATION
+    # POLICY block in __spark_entry__.py)
     retired = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                "ifb_relational", "pnb_relational", "ann_brute_big",
                "dedup_components", "quality_repetition", "pii_scrub",
@@ -149,10 +152,21 @@ def test_driver_contract_shape(entry_mod):
                "doc_chunking", "sequence_packing",
                "link_graph", "host_pagerank", "boilerplate_lines",
                "bm25_topk", "bm25_serve_persisted",
-               "dedup_substring", "ccnet_ppl_buckets", "warc_ingest",
-               "c4_clean", "url_host_filter", "bpe_train_merges"}
+               "ccnet_ppl_buckets", "warc_ingest",
+               "url_host_filter", "bpe_train_merges",
+               # round-5 rotated OUT
+               "d1_amount_lexer", "d2_slash_dates", "d3_d4_d5_dates",
+               "d6_first_amount", "d8_clean_description",
+               "f_noise_battery", "g4_block_text", "c9_section_window",
+               "set_union_except", "dedup_minhash_sigs"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
+    # round-5 rotated IN: all ten never driver-adjudicated before
+    promoted = {"embed_srp_neardup", "dedup_substring", "c4_clean",
+                "simhash_hamming", "bm25_maxscore", "quantile_sketch",
+                "redirect_resolve", "trustrank_seeds",
+                "label_propagation", "bpe_encode"}
+    assert promoted < set(qs)
 
 
 def test_neardup_components_df_matches_sql_and_converges(spark,

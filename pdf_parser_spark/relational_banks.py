@@ -638,22 +638,44 @@ def q_chase(d: str) -> str:
               "concat_ws(' ', transform(array_sort(collect_list("
               "struct(line_no as o, line as v))), x -> x.v))")
     toks = REALL("body", AMOUNT_PATTERN, d)
-    if d == SPARK:
-        tok_expl = ("SELECT doc_id, grp, body, tok FROM "
-                    "(SELECT doc_id, grp, body, %s AS tokarr FROM gated) g "
-                    "LATERAL VIEW explode(tokarr) e AS tok" % toks)
-    else:
-        tok_expl = ("SELECT doc_id, grp, body, unnest(%s) AS tok "
-                    "FROM gated" % toks)
+
     # reference chase.py:187-194 quirk, kept faithfully: clean_to_float
     # strips $,() but NOT '-', so a leading-minus token parses negative
     # and the explicit negation flips it POSITIVE (-(-477.09) = 477.09);
     # stripping '-' here "fixed" the quirk and diverged from the engine
     # (found by tools/fuzz_relational.py)
-    signed = ("CASE WHEN tok LIKE '%-%' OR tok LIKE '(%' "
-              "THEN -cast({bare} as double) "
-              "ELSE cast({bare} as double) END").format(
-                  bare=REREPL("tok", r"[\(\)\$,]", "", d))
+    def signed(t):
+        return ("CASE WHEN {t} LIKE '%-%' OR {t} LIKE '(%' "
+                "THEN -cast({bare} as double) "
+                "ELSE cast({bare} as double) END").format(
+                    t=t, bare=REREPL(t, r"[\(\)\$,]", "", d))
+
+    # D13 amount, fully IN-ARRAY: the old explode → filter → group-by
+    # MAX → join-back re-instantiated the whole gated subtree (CTE
+    # inlining) and paid a shuffle for a per-block reduction whose
+    # input already sits in one array.  filter/transform/array_max
+    # over the token array is the same math with zero extra shuffles;
+    # blocks (not tokens) stay the unit of parallelism at any scale.
+    phone = RLIKE("body", r"\d{3}[-.\s]\d{3}[-.\s]\d{4}", d)
+    keep = ("NOT ({phone} AND instr(body, "
+            "replace(replace({t}, ',', ''), '.', '')) > 0)")
+    if d == SPARK:
+        kept = "filter(%s, _t -> %s)" % (
+            toks, keep.format(t="_t", phone=phone))
+        amount = LET(kept, lambda a: (
+            "coalesce("
+            "array_max(transform(filter({a}, _t -> _t LIKE '%$%'), "
+            "_t -> {sv})), "
+            "array_max(transform({a}, _t -> {sv})))").format(
+                a=a, sv=signed("_t")), d, var="_ka")
+    else:
+        kept = "[_t for _t in %s if %s]" % (
+            toks, keep.format(t="_t", phone=phone))
+        amount = LET(kept, lambda a: (
+            "coalesce("
+            "list_max([{sv} for _t in {a} if _t LIKE '%$%']), "
+            "list_max([{sv} for _t in {a}]))").format(
+                a=a, sv=signed("_t")), d, var="_ka")
     return with_lines("""
 , chased AS (
   SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
@@ -732,25 +754,13 @@ gated AS (
     AND NOT (instr(lower(b.body), 'daily ending balance') > 0
              OR ({month_through} AND NOT {tx_words}))
 ),
-toks AS ({tok_expl}),
-amounts AS (
-  SELECT doc_id, grp,
-    coalesce(max(val) FILTER (WHERE has_dollar = 1), max(val)) AS amount
-  FROM (
-    SELECT doc_id, grp, {signed} AS val,
-      CASE WHEN tok LIKE '%$%' THEN 1 ELSE 0 END AS has_dollar
-    FROM toks
-    WHERE NOT ({phone}
-               AND instr(body, replace(replace(tok, ',', ''), '.', ''))
-                   > 0)
-  ) v GROUP BY doc_id, grp
-),
 emitted AS (
-  SELECT g.doc_id, g.grp, g.block_date AS date,
-    {clean} AS description, a.amount, g.block_section
-  FROM gated g JOIN amounts a
-    ON g.doc_id = a.doc_id AND g.grp = a.grp
-  WHERE a.amount IS NOT NULL
+  -- $-priority max (D13) computed in-array over the block's token
+  -- list: no explode, no group-by shuffle, no join-back
+  SELECT doc_id, grp, block_date AS date,
+    {clean} AS description, amount, block_section
+  FROM (SELECT g.*, {amount} AS amount FROM gated g) t
+  WHERE amount IS NOT NULL
 )
 SELECT doc_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, grp)
@@ -775,9 +785,8 @@ WHERE {mindesc}
                r"|september|october|november|december)"
                r"\s+\d{1,2},\s+\d{4}\s+through\s+", d),
            tx_words=_contains_any("lower(b.body)", _CHASE_TX_WORDS),
-           tok_expl=tok_expl, signed=signed,
-           phone=RLIKE("body", r"\d{3}[-.\s]\d{3}[-.\s]\d{4}", d),
-           clean=chase_clean_sql("g.body", d),
+           amount=amount,
+           clean=chase_clean_sql("body", d),
            direction=_chase_direction_sql(
                "description", "block_section", "amount", d)), d)
 

@@ -1559,33 +1559,43 @@ def q_wf(d: str) -> str:
     segs = (("split(body, %s, -1)" % lit(AMOUNT_PATTERN, d))
             if d == SPARK else
             ("regexp_split_to_array(body, %s)" % lit(AMOUNT_PATTERN, d)))
-    bare = REREPL("tok", r"[\$,\(\)\-]", "", d)
-    datefrag = """(
+    def datefrag(tok):
+        bare = REREPL(tok, r"[\$,\(\)\-]", "", d)
+        return """(
       NOT {longfrac}
       AND try_cast({bare} as double) BETWEEN 1 AND 31
       AND NOT {ctx}
       AND ({dotted} OR {mmmctx})
     )""".format(
-        longfrac=RLIKE(bare, r"\.\d{3,}", d),
-        bare=bare,
-        ctx=_contains_any("lower(body)", _WF_CTX_WORDS),
-        dotted=RLIKE("body", r"\b\d{1,2}\.\d{1,2}\.\d{2,4}\b", d),
-        mmmctx=RLIKE("body", r"(?i)\b(jan|feb|mar|apr|may|jun|jul|aug|sep"
-                             r"|oct|nov|dec)\s+\d{1,2}\b", d))
+            longfrac=RLIKE(bare, r"\.\d{3,}", d),
+            bare=bare,
+            ctx=_contains_any("lower(body)", _WF_CTX_WORDS),
+            dotted=RLIKE("body", r"\b\d{1,2}\.\d{1,2}\.\d{2,4}\b", d),
+            mmmctx=RLIKE("body",
+                         r"(?i)\b(jan|feb|mar|apr|may|jun|jul|aug|sep"
+                         r"|oct|nov|dec)\s+\d{1,2}\b", d))
+
+    # D11's "first lexeme that is not a date fragment" IN-ARRAY (the
+    # chase-D13 pattern): the old posexplode → MIN-over-positions →
+    # join-back re-instantiated the gated subtree and shuffled tokens
+    # for a per-block reduction over an array already in the row
     if d == SPARK:
-        tok_expl = ("SELECT doc_id, grp, body, pos + 1 AS pos, tok FROM "
-                    "(SELECT doc_id, grp, body, {t} AS tokarr FROM gated) g "
-                    "LATERAL VIEW posexplode(tokarr) e AS pos, tok"
-                    .format(t=toks))
+        # try_element_at throughout: under ANSI mode Catalyst may
+        # evaluate a projection on rows a later/earlier filter
+        # removes (the q_citi lesson), and the filtered index list is
+        # legitimately EMPTY when every token is a date fragment
+        kexpr = ("coalesce(try_element_at(filter(transform(toks, "
+                 "(_t, _i0) -> CASE WHEN NOT %s THEN _i0 + 1 END), "
+                 "_x -> _x IS NOT NULL), 1), 1)" % datefrag("_t"))
         prefix = ("concat_ws('', transform(sequence(1, s.k), i -> "
-                  "element_at(segs, i) || element_at(toks, i))) "
-                  "|| element_at(segs, s.k + 1)")
-        ktok = "element_at(toks, s.k)"
+                  "try_element_at(segs, i) || try_element_at(toks, i))) "
+                  "|| try_element_at(segs, s.k + 1)")
+        ktok = "try_element_at(toks, s.k)"
         ntok = "size(toks)"
     else:
-        tok_expl = ("SELECT doc_id, grp, body, "
-                    "generate_subscripts({t}, 1) AS pos, "
-                    "unnest({t}) AS tok FROM gated".format(t=toks))
+        kexpr = ("coalesce(list_extract([_i for _i in "
+                 "range(1, len(toks) + 1) if NOT %s], 1), 1)"
+                 % datefrag("toks[_i]"))
         prefix = ("array_to_string([segs[i] || toks[i] "
                   "for i in range(1, s.k + 1)], '') || segs[s.k + 1]")
         ktok = "toks[s.k]"
@@ -1617,47 +1627,50 @@ grouped AS (
                           ROWS UNBOUNDED PRECEDING) AS grp
   FROM classed
 ),
-openers AS (
-  SELECT doc_id, grp, date_val AS block_date
-  FROM grouped
-  WHERE is_dateish = 1 AND is_invalid = 0 AND is_noise = 0
-),
 members AS (
-  SELECT g.doc_id, g.grp, g.line_no, g.line
-  FROM (SELECT *, SUM(is_invalid + is_noise)
-          OVER (PARTITION BY doc_id, grp ORDER BY line_no
-                ROWS UNBOUNDED PRECEDING) AS cum_bad
+  -- a group's opener IS its first line (grp increments exactly at
+  -- dateish lines), so opener validity + block date ride a window
+  -- over the group instead of a join against an openers CTE: the old
+  -- two openers joins re-instantiated the whole classification
+  -- subtree twice (CTE inlining — wf carried a 113 kB optimized
+  -- plan), and the (doc_id, grp) windows reuse the doc_id
+  -- partitioning with no extra exchange
+  SELECT doc_id, grp, line_no, line, block_date
+  FROM (SELECT *,
+          SUM(is_invalid + is_noise)
+            OVER (PARTITION BY doc_id, grp ORDER BY line_no
+                  ROWS UNBOUNDED PRECEDING) AS cum_bad,
+          MAX(CASE WHEN is_dateish = 1 AND is_invalid = 0
+                    AND is_noise = 0 THEN date_val END)
+            OVER (PARTITION BY doc_id, grp) AS block_date
         FROM grouped) g
-  JOIN openers o ON g.doc_id = o.doc_id AND g.grp = o.grp
-  WHERE g.cum_bad = 0
+  WHERE g.cum_bad = 0 AND g.block_date IS NOT NULL
 ),
 blocks AS (
-  SELECT doc_id, grp, {ordcat} AS body
-  FROM members GROUP BY doc_id, grp
+  SELECT doc_id, grp, block_date, {ordcat} AS body
+  FROM members GROUP BY doc_id, grp, block_date
 ),
 gated AS (
-  SELECT b.doc_id, b.grp, o.block_date, b.body
-  FROM blocks b JOIN openers o
-    ON b.doc_id = o.doc_id AND b.grp = o.grp
+  SELECT doc_id, grp, block_date, body
+  FROM blocks b
   WHERE NOT {body_invalid}
 ),
-tokt AS ({tok_expl}),
-selected AS (
-  SELECT doc_id, grp,
-    coalesce(MIN(CASE WHEN NOT {frag} THEN pos END), 1) AS k
-  FROM tokt GROUP BY doc_id, grp
-),
 emitted AS (
-  SELECT g.doc_id, g.grp, g.block_date AS date,
-    CASE WHEN s.k < {ntok} THEN rtrim({prefix}) ELSE g.body END
+  SELECT doc_id, grp, block_date AS date,
+    CASE WHEN s.k < {ntok} THEN rtrim({prefix}) ELSE body END
       AS description,
     abs(CASE WHEN {ktok} LIKE '-%' OR {ktok} LIKE '%-'
               OR {ktok} LIKE '(%'
          THEN -cast({kbare} as double)
          ELSE cast({kbare} as double) END) AS amount
-  FROM (SELECT doc_id, grp, block_date, body, {toks} AS toks,
-               {segs} AS segs FROM gated) g
-  JOIN selected s ON g.doc_id = s.doc_id AND g.grp = s.grp
+  FROM (
+    SELECT *, {kexpr} AS k FROM
+      (SELECT doc_id, grp, block_date, body, {toks} AS toks,
+              {segs} AS segs FROM gated) g0
+    -- the old explode → inner-join path implicitly dropped blocks
+    -- with ZERO amount tokens (no exploded rows); keep that gate
+    WHERE {ntok} > 0
+  ) s
 )
 SELECT doc_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, grp)
@@ -1672,7 +1685,7 @@ FROM emitted
                    else "concat_ws(' ', transform(array_sort(collect_list("
                         "struct(line_no as o, line as v))), x -> x.v))"),
            body_invalid=_wf_invalid_sql("lower(b.body)", "b.body", d),
-           tok_expl=tok_expl, frag=datefrag,
+           kexpr=kexpr,
            ntok=ntok, prefix=prefix, toks=toks, segs=segs,
            ktok=ktok, kbare=kbare,
            direction=_wf_direction_sql("description", d)), d)

@@ -1918,22 +1918,29 @@ grouped AS (
     {carry} AS section_ctx
   FROM flagged
 ),
-openers AS (
-  SELECT doc_id, grp, date_iso AS block_date, section_ctx
-  FROM grouped
-  WHERE is_dateish = 1 AND is_sec = 0 AND is_noise = 0
-),
 blocks AS (
-  SELECT g.doc_id, g.grp, {ordcat} AS body
-  FROM grouped g JOIN openers o
-    ON g.doc_id = o.doc_id AND g.grp = o.grp
-  WHERE g.is_noise = 0 AND g.is_sec = 0
-  GROUP BY g.doc_id, g.grp
+  -- the wf lesson applied here: a group's opener IS its first line
+  -- (every dateish/section line starts a new group), so opener
+  -- validity + block date ride ONE window instead of two openers
+  -- joins that re-instantiated the whole classification subtree
+  -- (CTE inlining).  section_ctx is CONSTANT across an opener
+  -- group's lines (section markers always start their own group), so
+  -- MAX carries it through the group-by; it may be genuinely NULL,
+  -- which block_date's NOT NULL (date_iso is never null on an
+  -- opener) keeps distinguishable from "no opener".
+  SELECT doc_id, grp, MAX(block_date) AS block_date,
+    MAX(section_ctx) AS section_ctx, {ordcat} AS body
+  FROM (SELECT *,
+          MAX(CASE WHEN is_dateish = 1 AND is_sec = 0 AND is_noise = 0
+                   THEN date_iso END)
+            OVER (PARTITION BY doc_id, grp) AS block_date
+        FROM grouped) m
+  WHERE is_noise = 0 AND is_sec = 0 AND block_date IS NOT NULL
+  GROUP BY doc_id, grp
 ),
 gated AS (
-  SELECT b.doc_id, b.grp, o.block_date, o.section_ctx, b.body
-  FROM blocks b JOIN openers o
-    ON b.doc_id = o.doc_id AND b.grp = o.grp
+  SELECT b.doc_id, b.grp, b.block_date, b.section_ctx, b.body
+  FROM blocks b
   WHERE NOT {legal}
     AND NOT (instr(lower(b.body), 'daily ending balance') > 0
              OR ({month_through} AND NOT {bal_words}))

@@ -230,6 +230,71 @@ class _Lexer:
         return bytes.fromhex(hexs.decode("ascii"))
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
+    ignored, '>' is EOD, an odd trailing digit is padded with 0."""
+    body = data.split(b">", 1)[0]
+    hexs = re.sub(rb"[^0-9A-Fa-f]", b"", body)
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups, 'z' shorthand for four
+    zero bytes, '~>' EOD, partial final group truncated."""
+    body = data.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    body = re.sub(rb"[ \t\r\n\f\x00]", b"", body)
+    out = bytearray()
+    group = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("'z' inside ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise ValueError("bad ASCII85 byte %d" % ch)
+        group.append(ch - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:  # partial group: pad with 'u' (84), emit len-1 bytes
+        k = len(group)
+        for _ in range(5 - k):
+            group.append(84)
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte L — L<128: copy L+1
+    literal bytes; L>128: repeat next byte 257-L times; 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            out += data[i:i + 1] * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
 def _decode_stream(s: Stream) -> bytes:
     filt = s.info.get("Filter")
     data = s.raw
@@ -237,6 +302,12 @@ def _decode_stream(s: Stream) -> bytes:
     for f in filters:
         if f == "FlateDecode":
             data = zlib.decompress(data)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            data = _ascii_hex_decode(data)
+        elif f in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _runlength_decode(data)
         else:
             raise ValueError("unsupported filter %s" % f)
     return data

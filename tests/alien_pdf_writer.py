@@ -30,7 +30,11 @@ string escapes         minimal                 octal escapes + line
 generation numbers     always 0                gen 3 objects (quote)
 =====================  ======================  =======================
 
-All three builders emit spec-conforming PDF 1.4 (ISO 32000-1) for the
+Variant 4 (``alien_filters``) additionally exercises the non-Flate
+stream filters: /ASCIIHexDecode, the [/ASCII85Decode /FlateDecode]
+decode CHAIN, /RunLengthDecode, and the abbreviated /AHx name.
+
+All builders emit spec-conforming PDF 1.4 (ISO 32000-1) for the
 repertoire they target; extracted text must equal the input text
 byte-for-byte (pages split on \\f, re-joined with \\n by the
 extractor).  Glyph geometry uses the same Courier metrics the
@@ -285,3 +289,64 @@ def alien_quote_ops(text: str) -> bytes:
     catalog = doc.add(b"<< /Type /Catalog /Pages %d %d R >>"
                       % (pages_node, GEN), gen=GEN)
     return doc.render([pages_node] + emission + [f1, cm, catalog])
+
+
+def alien_filters(text: str) -> bytes:
+    """Variant 4: non-Flate stream FILTERS (ISO 32000-1 §7.4) — page
+    content cycles ASCIIHexDecode → [ASCII85Decode, FlateDecode]
+    (a decode CHAIN: flate-compressed, then a85-armored) →
+    RunLengthDecode; the ToUnicode CMap ships under the abbreviated
+    filter name /AHx.  The sibling writer only ever emits
+    /FlateDecode."""
+    import base64
+
+    def rl_encode(data: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(data), 128):
+            chunk = data[i:i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        out.append(128)
+        return bytes(out)
+
+    encoders = [
+        (b"/Filter /ASCIIHexDecode",
+         lambda b: b.hex().upper().encode("ascii") + b">"),
+        (b"/Filter [/ASCII85Decode /FlateDecode]",
+         lambda b: base64.a85encode(zlib.compress(b)) + b"~>"),
+        (b"/Filter /RunLengthDecode", rl_encode),
+    ]
+    doc = _AlienDoc(eol=b"\n")
+    cmap = _bfrange_cmap(text)
+    cm_enc = cmap.hex().upper().encode("ascii") + b">"
+    cm = doc.add(b"<< /Filter /AHx /Length %d >>\nstream\n" % len(cm_enc) +
+                 cm_enc + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for pno, lines in enumerate(_pages_of(text)):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        fdecl, enc = encoders[pno % len(encoders)]
+        payload = enc(b"\n".join(ops))
+        stream = doc.add(b"<< " + fdecl + b" /Length %d >>\n"
+                         b"stream\n" % len(payload) + payload +
+                         b"\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >> >>"
+                     b" /Contents %d 0 R >>" % (pages_node, f1, stream))
+        page_nums.append(pg)
+        emission += [stream, pg]
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
+    return doc.render(emission + [cm, f1, pages_node, catalog])

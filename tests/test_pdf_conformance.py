@@ -16,7 +16,7 @@ import pytest
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from alien_pdf_writer import (  # noqa: E402
-    alien_classic, alien_quote_ops, alien_tj_kerning,
+    alien_classic, alien_filters, alien_quote_ops, alien_tj_kerning,
 )
 from pdf_parser_spark.pdfio.tokenizer import extract_pdf_text  # noqa: E402
 
@@ -39,6 +39,7 @@ _VARIANTS = [
     ("classic", alien_classic),
     ("tj_kerning", alien_tj_kerning),
     ("quote_ops", alien_quote_ops),
+    ("filters", alien_filters),
 ]
 
 
@@ -90,6 +91,32 @@ def test_alien_pdfs_are_structurally_distinct_from_sibling():
     assert re.search(rb"\d+ 3 obj", quote)
     assert b" '" in quote
     assert re.search(rb"\\0[0-7][0-7]", quote)
+
+
+def test_non_flate_filters_unit():
+    """The §7.4 decoders against spec examples: ASCIIHex odd-digit
+    padding + EOD, ASCII85 'z' shorthand + partial final group,
+    RunLength literal/repeat/EOD — plus the decode-CHAIN composition
+    ([/ASCII85Decode /FlateDecode] applies left to right)."""
+    import base64
+    import zlib
+
+    from pdf_parser_spark.pdfio.tokenizer import (
+        Stream, _ascii85_decode, _ascii_hex_decode, _decode_stream,
+        _runlength_decode,
+    )
+
+    assert _ascii_hex_decode(b"48 65 6C\n6C 6F>garbage") == b"Hello"
+    assert _ascii_hex_decode(b"48 7") == b"Hp"          # odd → pad 0
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(base64.a85encode(b"sundry payload!") +
+                           b"~>") == b"sundry payload!"
+    assert _runlength_decode(b"\x02abc\xfey\x80tail") == b"abcyyy"
+    payload = b"BT (chained) Tj ET" * 3
+    chained = Stream(
+        {"Filter": ["ASCII85Decode", "FlateDecode"]},
+        base64.a85encode(zlib.compress(payload)) + b"~>")
+    assert _decode_stream(chained) == payload
 
 
 def test_alien_pdf_multipage_page_order():

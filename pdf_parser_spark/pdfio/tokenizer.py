@@ -275,6 +275,99 @@ def _ascii85_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (ISO 32000-1 §7.4.4): variable-width 9→12-bit codes,
+    MSB-first; 256 = clear-table, 257 = EOD.  ``early_change`` (the
+    /DecodeParms default 1) widens the code size one code EARLY —
+    i.e. when the next-to-be-assigned code would no longer fit."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code %d out of range" % code)
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _predictor_undo(data: bytes, predictor: int, colors: int,
+                    bpc: int, columns: int) -> bytes:
+    """Reverse a /DecodeParms predictor (§7.4.4.4): TIFF horizontal
+    differencing (Predictor 2, 8-bit components) or the PNG row
+    filters (10-15 — each ROW carries its own filter tag byte 0-4:
+    None/Sub/Up/Average/Paeth, RFC 2083 §6), applied after the
+    compression filter.  1.5 xref streams in the wild are almost
+    universally Predictor 12 (PNG Up)."""
+    bpp = max(1, (colors * bpc) // 8)      # bytes per pixel
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            raise ValueError("TIFF predictor needs 8-bit components")
+        out = bytearray(data)
+        for r in range(0, len(out) - len(out) % rowlen, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: stride is rowlen + 1 filter-tag byte
+    out = bytearray()
+    prior = bytearray(rowlen)
+    stride = rowlen + 1
+    for r in range(0, len(data) - len(data) % stride, stride):
+        tag = data[r]
+        row = bytearray(data[r + 1:r + stride])
+        if tag == 1:      # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:    # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif tag == 3:    # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif tag == 4:    # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif tag != 0:
+            raise ValueError("bad PNG filter tag %d" % tag)
+        out += row
+        prior = row
+    return bytes(out)
+
+
 def _runlength_decode(data: bytes) -> bytes:
     """RunLengthDecode (§7.4.5): length byte L — L<128: copy L+1
     literal bytes; L>128: repeat next byte 257-L times; 128 is EOD."""
@@ -299,9 +392,17 @@ def _decode_stream(s: Stream) -> bytes:
     filt = s.info.get("Filter")
     data = s.raw
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-    for f in filters:
-        if f == "FlateDecode":
+    parms = s.info.get("DecodeParms", s.info.get("DP"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    elif len(parms) < len(filters):   # malformed: pad, never drop a filter
+        parms = parms + [None] * (len(filters) - len(parms))
+    for f, p in zip(filters, parms):
+        if f in ("FlateDecode", "Fl"):
             data = zlib.decompress(data)
+        elif f in ("LZWDecode", "LZW"):
+            early = p.get("EarlyChange", 1) if isinstance(p, dict) else 1
+            data = _lzw_decode(data, early)
         elif f in ("ASCIIHexDecode", "AHx"):
             data = _ascii_hex_decode(data)
         elif f in ("ASCII85Decode", "A85"):
@@ -310,6 +411,11 @@ def _decode_stream(s: Stream) -> bytes:
             data = _runlength_decode(data)
         else:
             raise ValueError("unsupported filter %s" % f)
+        if f in ("FlateDecode", "Fl", "LZWDecode", "LZW") \
+                and isinstance(p, dict) and p.get("Predictor", 1) > 1:
+            data = _predictor_undo(
+                data, p["Predictor"], p.get("Colors", 1),
+                p.get("BitsPerComponent", 8), p.get("Columns", 1))
     return data
 
 

@@ -350,3 +350,157 @@ def alien_filters(text: str) -> bytes:
             % (len(page_nums), kids))
     catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
     return doc.render(emission + [cm, f1, pages_node, catalog])
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode inverse (§7.4.4): 9→12-bit MSB-first codes,
+    leading clear-table (256), EOD (257).  Width changes mirror the
+    decoder exactly: the decoder's table is one entry BEHIND the
+    encoder's (it appends on the NEXT code), so the encoder tracks
+    ``dec_len`` — the decoder's table length after it consumes each
+    emitted code — and widens when ``dec_len + early`` reaches the
+    width ceiling, ``early`` being /EarlyChange (default 1)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def reset():
+        return {bytes([i]): i for i in range(256)}, 258, 258, True
+
+    emit(256)
+    table, nxt, dec_len, first = reset()
+    w = b""
+
+    def emit_word(word: bytes) -> None:
+        nonlocal width, dec_len, first
+        emit(table[word])
+        if first:
+            first = False
+        else:
+            dec_len += 1
+        if dec_len + early >= (1 << width) and width < 12:
+            width += 1
+
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        emit_word(w)
+        table[w + c] = nxt
+        nxt += 1
+        w = c
+        if nxt >= 4093:          # table nearly full: clear (decoder resets too)
+            emit_word(w)
+            emit(256)
+            width = 9
+            table, nxt, dec_len, first = reset()
+            w = b""
+    if w:
+        emit_word(w)
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _png_encode(data: bytes, rowlen: int, tag: int) -> bytes:
+    """Forward PNG row filter (RFC 2083 §6): Sub(1)/Up(2)/Paeth(4),
+    one tag byte per row — the inverse of tokenizer._predictor_undo."""
+    out = bytearray()
+    prior = bytes(rowlen)
+    for r in range(0, len(data), rowlen):
+        row = data[r:r + rowlen]
+        out.append(tag)
+        for i, v in enumerate(row):
+            if tag == 1:
+                pred = row[i - 1] if i >= 1 else 0
+            elif tag == 2:
+                pred = prior[i] if i < len(prior) else 0
+            else:  # 4: Paeth with bpp=1
+                a = row[i - 1] if i >= 1 else 0
+                b = prior[i] if i < len(prior) else 0
+                c = prior[i - 1] if i >= 1 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((v - pred) & 0xFF)
+        prior = row
+    return bytes(out)
+
+
+def alien_lzw_predictor(text: str) -> bytes:
+    """Variant 5: the §7.4.4 repertoire the sibling writer never
+    emits — page content cycles /LZWDecode (EarlyChange default) →
+    /LZWDecode with /DecodeParms << /EarlyChange 0 >> → /FlateDecode
+    with a PNG Paeth predictor (/Predictor 15 — per-row tags, so any
+    10-15 value must decode identically) over 40-byte rows.  The
+    ToUnicode CMap ships LZW-compressed under the abbreviated /LZW
+    name with a TIFF Predictor 2 parm dict."""
+    cols = 40
+
+    def png_paeth(b: bytes) -> bytes:
+        pad = (-len(b)) % cols
+        return zlib.compress(_png_encode(b + b" " * pad, cols, 4))
+
+    def tiff2_encode(b: bytes) -> bytes:
+        out = bytearray()
+        for r in range(0, len(b), cols):
+            row = b[r:r + cols]
+            out.append(row[0])
+            for i in range(1, len(row)):
+                out.append((row[i] - row[i - 1]) & 0xFF)
+        return _lzw_encode(bytes(out))
+
+    encoders = [
+        (b"/Filter /LZWDecode", _lzw_encode),
+        (b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+         lambda b: _lzw_encode(b, early=0)),
+        (b"/Filter /FlateDecode /DecodeParms"
+         b" << /Predictor 15 /Columns %d >>" % cols, png_paeth),
+    ]
+    doc = _AlienDoc(eol=b"\n")
+    cmap = _bfrange_cmap(text)
+    pad = (-len(cmap)) % cols
+    cm_enc = tiff2_encode(cmap + b" " * pad)
+    cm = doc.add(b"<< /Filter /LZW /DP << /Predictor 2 /Columns %d >>"
+                 b" /Length %d >>\nstream\n" % (cols, len(cm_enc)) +
+                 cm_enc + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for pno, lines in enumerate(_pages_of(text)):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        fdecl, enc = encoders[pno % len(encoders)]
+        payload = enc(b"\n".join(ops))
+        stream = doc.add(b"<< " + fdecl + b" /Length %d >>\n"
+                         b"stream\n" % len(payload) + payload +
+                         b"\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >> >>"
+                     b" /Contents %d 0 R >>" % (pages_node, f1, stream))
+        page_nums.append(pg)
+        emission += [stream, pg]
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
+    return doc.render(emission + [cm, f1, pages_node, catalog])

@@ -16,7 +16,8 @@ import pytest
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from alien_pdf_writer import (  # noqa: E402
-    alien_classic, alien_filters, alien_quote_ops, alien_tj_kerning,
+    alien_classic, alien_filters, alien_lzw_predictor, alien_quote_ops,
+    alien_tj_kerning,
 )
 from pdf_parser_spark.pdfio.tokenizer import extract_pdf_text  # noqa: E402
 
@@ -40,6 +41,7 @@ _VARIANTS = [
     ("tj_kerning", alien_tj_kerning),
     ("quote_ops", alien_quote_ops),
     ("filters", alien_filters),
+    ("lzw_predictor", alien_lzw_predictor),
 ]
 
 
@@ -130,3 +132,93 @@ def test_alien_pdf_multipage_page_order():
         assert res.error is None
         assert res.pages == 3
         assert res.text == "page one line\npage two line\npage three line"
+
+
+def test_lzw_decode_unit():
+    """LZWDecode against the PDF Reference §3.3.3 worked example
+    (the string ``-----A---B`` encodes as 80 0B 60 50 22 0C 0C 85 01,
+    exercising clear-table, a code-for-just-added-entry, and EOD),
+    plus round-trip fuzz through the alien writer's independent
+    encoder at both /EarlyChange values, including data long enough
+    to force 10/11/12-bit widths, the KwKwK corner, and a table-full
+    clear-and-continue."""
+    import random
+
+    from alien_pdf_writer import _lzw_encode
+    from pdf_parser_spark.pdfio.tokenizer import _lzw_decode
+
+    spec = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(spec) == b"-----A---B"
+
+    rng = random.Random(42)
+    cases = [
+        b"",
+        b"A",
+        b"aaaaaaaaaaaaaaaa",                       # KwKwK immediately
+        bytes(rng.randrange(256) for _ in range(9000)),   # widths 10-12
+        b"the quick brown fox " * 3000,            # table-full → clear
+    ]
+    for data in cases:
+        for early in (1, 0):
+            assert _lzw_decode(_lzw_encode(data, early), early) == data
+
+
+def test_predictor_undo_unit():
+    """/DecodeParms predictors: every PNG row tag (None/Sub/Up/
+    Average/Paeth) and the TIFF horizontal differencing, against
+    straightforward forward-filter implementations, at bpp 1 and a
+    3-byte pixel (Colors=3) so the left-neighbour offset is
+    exercised."""
+    import random
+
+    from alien_pdf_writer import _png_encode
+    from pdf_parser_spark.pdfio.tokenizer import _predictor_undo
+
+    rng = random.Random(7)
+    for cols, colors in ((6, 1), (13, 1), (5, 3)):
+        rowlen = cols * colors
+        data = bytes(rng.randrange(256) for _ in range(rowlen * 9))
+        for tag in (1, 2, 4):
+            enc = _png_encode(data, rowlen, tag)
+            # _png_encode's Sub/Paeth use bpp=1; restrict colors>1 to Up
+            if colors > 1 and tag != 2:
+                continue
+            assert _predictor_undo(enc, 10 + tag, colors, 8, cols) == data
+        # tag 0 (None) and tag 3 (Average) hand-built
+        none_enc = b"".join(b"\x00" + data[r:r + rowlen]
+                            for r in range(0, len(data), rowlen))
+        assert _predictor_undo(none_enc, 10, colors, 8, cols) == data
+    # Average, bpp=1, two rows worked by hand:
+    #   row1 = [10, 20]: enc = [10-0//? ] with prior=0:
+    #   e[0]=10-(0+0)//2=10, e[1]=20-(10+0)//2=15
+    #   row2 = [30, 40]: e[0]=30-(0+10)//2=25, e[1]=40-(30+20)//2=15
+    avg = bytes([3, 10, 15, 3, 25, 15])
+    assert _predictor_undo(avg, 13, 1, 8, 2) == bytes([10, 20, 30, 40])
+    # TIFF predictor 2: per-row byte deltas
+    data = bytes([5, 10, 20, 7, 6, 5])
+    diff = bytes([5, 5, 10, 7, 255, 255])
+    assert _predictor_undo(diff, 2, 1, 8, 3) == data
+
+
+def test_xref_predictor_writer_roundtrip():
+    """The sibling writer's Predictor-12 1.5 layout (the shape real
+    producers emit): text round-trips AND parse_xref_stream's decoded
+    offsets agree byte-exactly with the scanned object spans."""
+    import re
+
+    from pdf_parser_spark.pdfio.tokenizer import parse_xref_stream
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    text = _TEXTS[0] + "\f" + _TEXTS[2]
+    pdf = text_to_pdf(text, xref_stream=True, objstm=True,
+                      xref_predictor=True)
+    assert b"/Predictor 12" in pdf
+    res = extract_pdf_text(pdf)
+    assert res.error is None
+    assert res.text == text.replace("\f", "\n")
+    spans = {int(m.group(1)): m.start()
+             for m in re.finditer(rb"(\d+)\s+0\s+obj\b", pdf)}
+    entries = parse_xref_stream(pdf)
+    for num, ent in entries.items():
+        if ent[0] == "n":
+            assert spans[num] == ent[1], num

@@ -245,6 +245,14 @@ _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "extraction_spans", "span_dedup"]
 _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "ifb_relational", "pnb_relational", "ann_brute_big",
+                   # round-5 late rotation OUT, making room for the
+                   # never-adjudicated sitemap_ingest +
+                   # html_meta_extract (cap stays 50): dedup_exact is
+                   # the exact-hash tier re-exercised inside the
+                   # surviving span_dedup / dedup_lsh_verified rows;
+                   # events_hourly_rollup is the simpler sibling of
+                   # the surviving events_sessions window row
+                   "dedup_exact", "events_hourly_rollup",
                    # round-5 rotation OUT (see ROTATION POLICY above)
                    "d1_amount_lexer", "d2_slash_dates", "d3_d4_d5_dates",
                    "d6_first_amount", "d8_clean_description",

@@ -721,3 +721,85 @@ SELECT host, path, priority, slot,
     AS in_cycle
 FROM slotted
 """.format(urls=_urls_cte(d), delay=delay, horizon=_POL_HORIZON_MS)
+
+
+# ------------------------------------------------------------ sitemaps
+
+_SM_FRESH = "2024-07-01"   # freshness gate for the recrawl tier
+
+
+@query("sitemap_ingest")
+def q_sitemap_ingest(d: str) -> str:
+    """Sitemap ingestion (sitemaps.org protocol): each host publishes
+    an XML ``<urlset>`` of ``<url><loc>/<lastmod>`` entries; the
+    crawler parses it and gates entries on lastmod freshness — the
+    standard discovery channel next to the link frontier.
+
+    The corpus has no sitemaps, so each host's XML is synthesized
+    in-plan (ordered entry concat per host — the protocol caps one
+    file at 50k URLs, so a per-host string is bounded by spec and a
+    bigger host ships more FILES, i.e. more rows, not a bigger row).
+    Then the real operator runs: the Spark side parses with the
+    JVM-side Hive ``xpath`` UDF (no Python anywhere), the DuckDB
+    oracle with regexp extraction — same rows out, which is the
+    point: the XML parse itself is verified cross-engine.
+
+    Shape at 10^12 pages: sitemap synthesis is one ordered hash-agg
+    to host granularity; the parse is a narrow per-row explode back
+    to URL granularity (map-side, no extra shuffle); the freshness
+    gate is a per-row compare.  lastmod strings are ISO dates, so the
+    gate is a lexicographic compare — no date parsing in the hot
+    loop."""
+    from ..relational import ORD_CONCAT
+
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
+    lastmod = ("'2024-' || lpad({m}, 2, '0') || '-' || lpad({dd}, 2, '0')"
+               .format(m=CSTR("1 + doc_id % 12", d),
+                       dd=CSTR("1 + doc_id % 28", d)))
+    entry = ("'<url><loc>' || loc || '</loc><lastmod>' || lastmod"
+             " || '</lastmod></url>'")
+    if d == SPARK:
+        parsed = """
+parsed AS (
+  SELECT host, z.locs AS loc, z.lms AS lastmod
+  FROM (
+    SELECT host,
+           xpath(xml, '/urlset/url/loc/text()') AS locs,
+           xpath(xml, '/urlset/url/lastmod/text()') AS lms
+    FROM sitemaps
+  ) x
+  LATERAL VIEW explode(arrays_zip(locs, lms)) t AS z
+)"""
+    else:
+        parsed = """
+parsed AS (
+  SELECT host, u[1] AS loc, u[2] AS lastmod
+  FROM (
+    SELECT host, unnest(list_zip(
+             regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1),
+             regexp_extract_all(xml, '<lastmod>([^<]+)</lastmod>', 1)))
+           AS u
+    FROM sitemaps
+  ) x
+)"""
+    return """
+WITH pages AS (
+  SELECT doc_id, {host} AS host,
+         'https://' || {host} || '/p' || {did} AS loc,
+         {lastmod} AS lastmod
+  FROM documents
+),
+sitemaps AS (
+  SELECT host,
+         '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+           || {entries} || '</urlset>' AS xml
+  FROM (SELECT host, doc_id, {entry} AS entry FROM pages) e
+  GROUP BY host
+),{parsed}
+SELECT host, loc, lastmod,
+  CAST(CASE WHEN lastmod >= '{fresh}' THEN 1 ELSE 0 END AS INT)
+    AS is_fresh
+FROM parsed
+""".format(host=host, did=CSTR("doc_id", d), lastmod=lastmod,
+           entry=entry, entries=ORD_CONCAT("entry", "", "doc_id", d),
+           parsed=parsed, fresh=_SM_FRESH)

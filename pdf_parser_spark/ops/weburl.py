@@ -321,3 +321,90 @@ LEFT JOIN edges e2 ON e2.id = f.ptr
 
 q_redirect_resolve.__doc__ = (q_redirect_resolve.__doc__ or "").format(
     r=_RR_ROUNDS)
+
+
+# --------------------------------------------- head-metadata extraction
+
+@query("html_meta_extract")
+def q_html_meta_extract(d: str) -> str:
+    """Head-metadata extraction + the indexability gate — the WAT-style
+    metadata pass every web-curation pipeline runs beside main-content
+    extraction: pull ``<title>``, the description ``<meta>``, the
+    canonical ``<link>``, the ``<html lang>`` attribute, and the
+    robots ``noindex`` directive, then keep only docs that are
+    indexable at their own URL (no noindex, and no canonical pointing
+    off-host — those rows are duplicates of the canonical target and
+    must not enter the corpus twice).
+
+    The corpus has no markup, so each doc synthesizes its head
+    in-plan: title from the doc's own text, a description meta whose
+    ATTRIBUTE ORDER flips on every 3rd doc (``content=`` before
+    ``name=`` — real-world HTML does both, the extractor must too),
+    an ``og:title`` decoy the title regex must not match, a canonical
+    link that is self on ``doc_id%4=1`` and CROSS-HOST on
+    ``doc_id%4=2``, and a ``noindex`` robots meta on ``doc_id%7=3``.
+
+    Shape at 10^12 pages: a narrow per-row regexp projection — no
+    shuffle, no UDF, whole-stage-codegen regexp on the JVM; the gate
+    is a per-row boolean.  At real scale this reads the ``html``
+    payload column once alongside the main-content pass."""
+    from ..relational import RLIKE
+    from .webgraph import CSTR, HOST
+
+    own = HOST("doc_id % 40", d)
+    did = CSTR("doc_id", d)
+    canon_host = ("CASE doc_id % 4 WHEN 1 THEN " + own +
+                  " WHEN 2 THEN " + HOST("(doc_id + 17) % 40", d) +
+                  " ELSE '' END")
+    head = (
+        "'<html lang=\"' || lang || '\"><head>'"
+        " || '<meta property=\"og:title\" content=\"OG ' || {did} || '\">'"
+        " || '<title>' || trim(substr(text, 1, 24)) || '</title>'"
+        " || CASE WHEN doc_id % 3 = 0"
+        "      THEN '<meta content=\"Doc ' || {did} || ' in ' || lang"
+        "        || '\" name=\"description\">'"
+        "      ELSE '<meta name=\"description\" content=\"Doc ' || {did}"
+        "        || ' in ' || lang || '\">' END"
+        " || CASE WHEN chost <> ''"
+        "      THEN '<link rel=\"canonical\" href=\"https://' || chost"
+        "        || '/c' || {did} || '\">' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 3"
+        "      THEN '<meta name=\"robots\" content=\"noindex,nofollow\">'"
+        "      ELSE '' END"
+        " || '</head>'"
+    ).format(did=did)
+    title = "regexp_extract(html, '<title>([^<]*)</title>', 1)"
+    desc_nf = ("regexp_extract(html,"
+               " '<meta name=\"description\" content=\"([^\"]*)\"', 1)")
+    desc_cf = ("regexp_extract(html,"
+               " '<meta content=\"([^\"]*)\" name=\"description\"', 1)")
+    descr = ("CASE WHEN %s <> '' THEN %s ELSE %s END"
+             % (desc_nf, desc_nf, desc_cf))
+    canonical = ("lower(regexp_extract(html,"
+                 " '<link rel=\"canonical\" href=\"https://([^/\"]+)', 1))")
+    noindex = ("CASE WHEN %s THEN 1 ELSE 0 END"
+               % RLIKE("html", '<meta name="robots" content="[^"]*noindex',
+                       d))
+    lang_attr = "regexp_extract(html, '<html lang=\"([^\"]*)\"', 1)"
+    return """
+WITH pages AS (
+  SELECT doc_id, {own} AS own_host, {head} AS html
+  FROM (SELECT doc_id, text, lang, {canon} AS chost FROM documents) s
+),
+meta AS (
+  SELECT doc_id, own_host,
+         {title} AS title,
+         {descr} AS description,
+         {lang_attr} AS lang_attr,
+         {canonical} AS canonical_host,
+         CAST({noindex} AS INT) AS noindex
+  FROM pages
+)
+SELECT doc_id, title, description, lang_attr, canonical_host, noindex,
+  CAST(CASE WHEN noindex = 0
+            AND (canonical_host = '' OR canonical_host = own_host)
+       THEN 1 ELSE 0 END AS INT) AS indexable
+FROM meta
+""".format(own=own, head=head, canon=canon_host, title=title,
+           descr=descr, lang_attr=lang_attr, canonical=canonical,
+           noindex=noindex)

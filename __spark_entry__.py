@@ -161,6 +161,20 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(fixture_media_df(spark))
 
 
+def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (multimodal x dedup): real
+    PNG/BMP decode -> integer-exact 64-bit block-mean aHash (Arrow
+    batches) -> banded-Hamming self-join (4 x 16-bit bands, pigeonhole-
+    exact recall at hamming<=3, super-bucket cap) -> bit_count verify.
+    Oracled against encode-side brute force that never runs the codecs
+    or the band join."""
+    from pdf_parser_spark.ops.multimodal import (
+        ahash_neardup, fixture_images_df, image_ahash,
+    )
+    _ensure_pyfiles(spark)
+    return ahash_neardup(image_ahash(fixture_images_df(spark)))
+
+
 def _ann_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amortized IVF (round-4 ask #7): ONE sample-trained fit via the
     production ivf_index_df machinery, centroids + cell-bucketed
@@ -241,6 +255,7 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     per-host line dedup; integer-exact BM25 top-k
 #                     retrieval) — same all_queries verification path
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
+                   "image_phash_neardup",
                    "fidelity_pipeline", "extraction_metrics",
                    "extraction_spans", "span_dedup"]
 _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
@@ -253,6 +268,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # events_hourly_rollup is the simpler sibling of
                    # the surviving events_sessions window row
                    "dedup_exact", "events_hourly_rollup",
+                   # rotated OUT for image_phash_neardup (the rolling-
+                   # hash fingerprint showcase; its shape is
+                   # re-exercised by every dedup-tier hash-groupBy)
+                   "doc_fingerprint",
                    # round-5 rotation OUT (see ROTATION POLICY above)
                    "d1_amount_lexer", "d2_slash_dates", "d3_d4_d5_dates",
                    "d6_first_amount", "d8_clean_description",
@@ -343,6 +362,7 @@ def _specials() -> dict:
         "span_dedup": _span_dedup,
         "multimodal_features": _media_features,
         "multimodal_frames": _media_frames,
+        "image_phash_neardup": _image_neardup,
         "ann_ivf_amortized": _ann_ivf_amortized,
     }
 
@@ -542,6 +562,11 @@ _EXPECTED_ORACLES = {
     "multimodal_frames": (
         "SELECT url, frame_no, ts_ms, frame_sha256"
         " FROM read_parquet('%s')" % (_GOLDEN / "expected_media_frames.parquet")
+    ),
+    "image_phash_neardup": (
+        "SELECT url_a, url_b, hamming"
+        " FROM read_parquet('%s')"
+        % (_GOLDEN / "expected_image_neardup.parquet")
     ),
 }
 

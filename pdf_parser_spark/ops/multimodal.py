@@ -356,3 +356,221 @@ def expected_frame_rows(n: int = 60, every_ms: int = 1000,
                     d["frames_bytes"][src]).hexdigest(),
             })
     return rows
+
+
+# ---------------------------------------------- perceptual image hash
+
+AHASH_SCHEMA = "url string, ahash bigint, decode_error string"
+
+_AHASH_BANDS = 4          # 4 x 16-bit bands: pigeonhole guarantees a
+_AHASH_BAND_BITS = 16     # shared band whenever hamming <= 3
+_AHASH_MAX_HAMMING = 3
+_AHASH_BUCKET_CAP = 64    # same super-bucket guard as the text LSH tier
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit block-mean average hash (aHash) in EXACT integer
+    arithmetic: the image is partitioned into an 8x8 grid with
+    floor-division boundaries, and bit (r,c) is set iff the block's
+    luma mean exceeds the global mean — compared by exact cross
+    multiplication ``block_sum * n_pixels > total_sum * block_px``,
+    so no float ever enters and the hash is reproducible bit-for-bit
+    on any platform (the determinism the oracle hash needs; classic
+    pHash DCTs in float and is NOT).  RGB collapses to integer luma
+    299R+587G+114B (no /1000 — scale cancels in the comparison).
+
+    A few perturbed pixels move one or two block means barely past /
+    not past the global mean: near-identical images land within a
+    couple of bits, unrelated ones ~32 apart (the usual aHash
+    behavior)."""
+    if pixels.ndim == 3:
+        luma = (pixels[..., 0].astype(np.int64) * 299
+                + pixels[..., 1].astype(np.int64) * 587
+                + pixels[..., 2].astype(np.int64) * 114)
+    else:
+        luma = pixels.astype(np.int64)
+    h, w = luma.shape
+    rb = [(r * h) // 8 for r in range(9)]
+    cb = [(c * w) // 8 for c in range(9)]
+    total = int(luma.sum())
+    npx = h * w
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            blk = luma[rb[r]:rb[r + 1], cb[c]:cb[c + 1]]
+            one = int(blk.sum()) * npx > total * blk.size
+            bits = (bits << 1) | int(one)
+    if bits >= 1 << 63:          # two's-complement into Spark's LongType
+        bits -= 1 << 64
+    return bits
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Decode each image payload (real PNG/BMP codecs) and emit its
+    ``ahash64`` — Arrow-batched ``mapInPandas``, column-pruned to
+    (url, payload); decoder errors land in ``decode_error`` rows with
+    a NULL hash (poison bytes are data at 10^12 scale, never task
+    kills)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, hashes, errs = [], [], []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None \
+                    else b""
+                val, err = None, None
+                try:
+                    if payload[:8] == PNG_SIG:
+                        val = ahash64(png_decode(payload))
+                    elif payload[:2] == b"BM":
+                        val = ahash64(bmp_decode(payload))
+                    else:
+                        raise ValueError("not a PNG/BMP payload")
+                except Exception as exc:
+                    err = "%s: %s" % (type(exc).__name__, exc)
+                urls.append(row.url)
+                hashes.append(val)
+                errs.append(err)
+            yield pd.DataFrame(
+                {"url": urls, "ahash": pd.array(hashes, dtype="Int64"),
+                 "decode_error": errs})
+
+    return media.select("url", "payload").mapInPandas(
+        batches, schema=AHASH_SCHEMA)
+
+
+def ahash_neardup(hashes: DataFrame,
+                  max_hamming: int = _AHASH_MAX_HAMMING,
+                  bucket_cap: int = _AHASH_BUCKET_CAP) -> DataFrame:
+    """Banded-Hamming near-duplicate pairs over 64-bit image hashes —
+    the image twin of the SimHash text tier: split each hash into
+    4 x 16-bit bands, equi-join on (band_no, band_val), verify the
+    exact Hamming distance with JVM-side ``bit_count(a ^ b)``, and
+    keep pairs at ``<= max_hamming``.  Pigeonhole: <= 3 differing
+    bits across 4 bands leaves at least one band byte-identical, so
+    banding at the default threshold has EXACT recall — the banded
+    result equals brute force, which is what the golden oracle pins.
+
+    Shape at 10^12 images: no all-pairs anywhere — candidates come
+    from the band equi-join (shuffle on the 16-bit band key), with
+    the same super-bucket cap as the text LSH tier (a degenerate
+    band value — e.g. all-dark images hashing 0x0000 in a band —
+    is dropped once its bucket exceeds ``bucket_cap``, bounding any
+    bucket's pair blowup; wider bands buy smaller buckets at the
+    price of a lower guaranteed-recall threshold).  The Hamming
+    verify is a per-candidate integer op in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    h = hashes.where(F.col("ahash").isNotNull()).select("url", "ahash")
+    bands = h.select(
+        "url", "ahash",
+        F.posexplode(F.array(*[
+            F.expr("shiftright(ahash, %d) & %d"
+                   % (i * _AHASH_BAND_BITS, (1 << _AHASH_BAND_BITS) - 1))
+            for i in range(_AHASH_BANDS)
+        ])).alias("band_no", "band_val"))
+    if bucket_cap is not None:
+        ok = (bands.groupBy("band_no", "band_val")
+              .agg(F.count("*").alias("n"))
+              .where(F.col("n") <= bucket_cap)
+              .select("band_no", "band_val"))
+        bands = bands.join(ok, ["band_no", "band_val"], "inner")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, [F.col("a.band_no") == F.col("b.band_no"),
+                       F.col("a.band_val") == F.col("b.band_val"),
+                       F.col("a.url") < F.col("b.url")])
+            .select(F.col("a.url").alias("url_a"),
+                    F.col("b.url").alias("url_b"),
+                    F.col("a.ahash").alias("ha"),
+                    F.col("b.ahash").alias("hb"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.expr("cast(bit_count(ha ^ hb) as int)"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("url_a", "url_b", "hamming"))
+
+
+# ----------------------------------- near-dup fixture + ground truth
+
+def _neardup_image_arrays(i: int):
+    """Deterministic base images with per-index spatial frequencies —
+    unlike ``_image_arrays`` the gradient periods vary with ``i``, so
+    two DIFFERENT bases never share a block-mean layout (a constant
+    offset mod 256 would shift every block equally and collide the
+    hash)."""
+    w, h = 32 + (i % 5) * 8, 24 + (i % 4) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    fx, fy = 3 + (i * 5) % 23, 2 + (i * 7) % 19
+    # the cross term curves the field per-index — pure linear
+    # gradients concentrate aHash onto half-plane patterns and
+    # unrelated bases would collide within a few bits
+    curve = (xx * yy) // (2 + i % 7)
+    if i % 2 == 0:   # grayscale -> PNG
+        return ((xx * fx + yy * fy + curve + i * 31) % 256
+                ).astype(np.uint8), "png"
+    rgb = np.stack([(xx * fx + curve + i) % 256,
+                    (yy * fy + 2 * i) % 256,
+                    (xx * (fx + 1) + yy * fy + curve + 3 * i) % 256],
+                   axis=-1).astype(np.uint8)
+    return rgb, "bmp"
+
+
+def fixture_images_neardup(n: int = 48) -> List[dict]:
+    """Image corpus with PLANTED near-duplicates: every 4th base image
+    gets a ``-dup`` twin with one corner block edited (lands 0-3
+    aHash bits away), and every 12th additionally a ``-copy`` exact
+    byte-duplicate (hamming 0).  One UNplanted base pair also lands
+    at hamming 1 — aHash is a coarse 64-bit sketch and such natural
+    collisions are exactly why production pipelines verify candidates
+    at pixel/embedding level; the ground truth (brute force) reports
+    it and the banded pipeline must reproduce it.  Each dict carries
+    url, payload, and the ENCODE-side pixel array for ground-truth
+    computation that never runs the codecs."""
+    out = []
+    for i in range(n):
+        arr, fmt = _neardup_image_arrays(i)
+        enc = png_encode if fmt == "png" else bmp_encode
+        base_url = "https://fixtures.test/imgs/%04d.%s" % (i, fmt)
+        out.append({"url": base_url, "payload": enc(arr), "pixels": arr})
+        if i % 4 == 0:
+            pert = arr.copy()
+            pert[0:6, 0:8] ^= 160   # one corner block, a real edit
+            out.append({"url": base_url + "-dup", "payload": enc(pert),
+                        "pixels": pert})
+        if i % 12 == 0:
+            out.append({"url": base_url + "-copy", "payload": enc(arr),
+                        "pixels": arr})
+    out.append({"url": "https://fixtures.test/imgs/poison",
+                "payload": b"\x00not-an-image", "pixels": None})
+    return out
+
+
+def fixture_images_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    rows = [(d["url"], "image", bytearray(d["payload"]), None)
+            for d in fixture_images_neardup(n)]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def expected_neardup_rows(n: int = 48,
+                          max_hamming: int = _AHASH_MAX_HAMMING
+                          ) -> List[dict]:
+    """Ground-truth near-dup pairs: brute-force O(n^2) Hamming over
+    hashes computed from the ENCODE-side arrays (never the decoded
+    payloads, never the band join) — independent of both halves the
+    Spark pipeline exercises."""
+    fixtures = [d for d in fixture_images_neardup(n)
+                if d["pixels"] is not None]
+    hashes = [(d["url"], ahash64(d["pixels"])) for d in fixtures]
+    rows = []
+    for x in range(len(hashes)):
+        for y in range(len(hashes)):
+            ua, ha = hashes[x]
+            ub, hb = hashes[y]
+            if ua >= ub:
+                continue
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                rows.append({"url_a": ua, "url_b": ub, "hamming": ham})
+    return rows

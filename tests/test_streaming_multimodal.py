@@ -708,3 +708,60 @@ def test_stream_rate_limit_token_bucket(spark, tmp_path):
     for h in hosts:
         assert by_ts[(h, 2900)] == "defer"
         assert by_ts[(h, 4100)] == "fetch"
+
+
+def test_image_ahash_decode_matches_encode_side(spark):
+    """Codec independence: ahash64 over the DECODED payload must equal
+    ahash64 over the encode-side array for every fixture (PNG and BMP
+    paths), and the poison row must surface decode_error, not raise."""
+    from pdf_parser_spark.ops.multimodal import (
+        ahash64, fixture_images_df, fixture_images_neardup, image_ahash,
+    )
+
+    got = {r.url: (r.ahash, r.decode_error)
+           for r in image_ahash(fixture_images_df(spark)).collect()}
+    for d in fixture_images_neardup():
+        if d["pixels"] is None:
+            assert got[d["url"]][0] is None
+            assert "not a PNG/BMP" in got[d["url"]][1]
+        else:
+            assert got[d["url"]] == (ahash64(d["pixels"]), None), d["url"]
+
+
+def test_image_neardup_banded_equals_brute_force(spark):
+    """The banded join at hamming<=3 with 4x16-bit bands has EXACT
+    recall (pigeonhole) — its pairs must equal the encode-side brute
+    force, including the planted -dup/-copy twins AND the one natural
+    base-pair collision."""
+    from pdf_parser_spark.ops.multimodal import (
+        ahash_neardup, expected_neardup_rows, fixture_images_df,
+        image_ahash,
+    )
+
+    pairs = ahash_neardup(image_ahash(fixture_images_df(spark)))
+    got = sorted((r.url_a, r.url_b, r.hamming) for r in pairs.collect())
+    exp = sorted((r["url_a"], r["url_b"], r["hamming"])
+                 for r in expected_neardup_rows())
+    assert got == exp
+    assert any(h == 0 for _, _, h in got)       # exact copies
+    assert any(h > 0 for _, _, h in got)        # true near-dups
+
+
+def test_image_neardup_bucket_cap_drops_degenerate_band(spark):
+    """Super-bucket guard: a degenerate cluster (many byte-identical
+    images -> identical hashes -> one band bucket) is dropped once the
+    bucket exceeds the cap, so no quadratic pair blowup — same
+    semantics as the text LSH tier's bucket_cap."""
+    from pdf_parser_spark.ops.multimodal import (
+        MEDIA_SCHEMA, _neardup_image_arrays, ahash_neardup, image_ahash,
+    )
+    from pdf_parser_spark.ops.media_codecs import png_encode
+
+    arr, _ = _neardup_image_arrays(0)
+    rows = [("u%03d" % i, "image", bytearray(png_encode(arr)), None)
+            for i in range(20)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    hashes = image_ahash(media)
+    assert ahash_neardup(hashes, bucket_cap=10).count() == 0
+    # without the cap the same input yields all C(20,2) pairs
+    assert ahash_neardup(hashes, bucket_cap=None).count() == 190

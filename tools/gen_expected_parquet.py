@@ -238,6 +238,19 @@ def main() -> None:
         GOLDEN_DIR / "expected_media_frames.parquet")
     print("expected_media_frames.parquet: %d rows" % len(frames))
 
+    # ---- expected image near-dup pairs (encode-side brute force)
+    from pdf_parser_spark.ops.multimodal import expected_neardup_rows
+    nd = expected_neardup_rows(48)
+    nd_schema = pa.schema([
+        ("url_a", pa.string()), ("url_b", pa.string()),
+        ("hamming", pa.int32()),
+    ])
+    pq.write_table(
+        pa.table({k: [r[k] for r in nd] for k in nd_schema.names},
+                 schema=nd_schema),
+        GOLDEN_DIR / "expected_image_neardup.parquet")
+    print("expected_image_neardup.parquet: %d rows" % len(nd))
+
 
 if __name__ == "__main__":
     main()

@@ -351,7 +351,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "pmi_collocations",
                    # SALSA random-walk hubs/authorities (degree-
                    # normalized half-steps, exact integer floors)
-                   "salsa_scores"}
+                   "salsa_scores",
+                   # ftfy-style mojibake repair (sloppy-cp1252 unwind,
+                   # two passes, suspect quarantine flag) — post-cap,
+                   # same all_queries path
+                   "encoding_repair"}
 
 
 def _specials() -> dict:

@@ -883,3 +883,158 @@ LIMIT {k}
 
 q_pmi_collocations.__doc__ = (q_pmi_collocations.__doc__ or "").format(
     mc=_PMI_MIN_COUNT, k=_PMI_TOPK)
+
+
+# ------------------------------------------------- mojibake repair
+
+_MOJI_CHARS = "éàèêüöäñçíóúßâÃ©°¬€‚’‘“”–—…"  # curated ftfy-style core set
+_MOJI_PASSES = 2        # double-encoded text needs a second pass
+
+
+def _sloppy_cp1252(raw: bytes) -> str:
+    """UTF-8 bytes mis-decoded the way real mojibake happens: cp1252
+    first (the windows superset that turns 0x80-0x9F into €‚ƒ„…),
+    falling back to the latin-1 identity for the five holes — ftfy's
+    'sloppy-windows-1252'."""
+    out = []
+    for x in raw:
+        try:
+            out.append(bytes([x]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(x))
+    return "".join(out)
+
+
+def _moji_table():
+    """(char, mojibake-form) pairs, longest form first (3-byte UTF-8
+    punctuation before 2-byte accents) so chained replaces never eat a
+    prefix of a longer form.  Includes 'Ã'->'Ãƒ' and '©'->'Â©', which
+    make ONE pass of the chain already unwind most double-encoding and
+    the second pass finish the rest."""
+    table = [(c, _sloppy_cp1252(c.encode("utf-8"))) for c in _MOJI_CHARS]
+    table.sort(key=lambda t: (-len(t[1]), t[0]))
+    return table
+
+
+def _sql_str(s: str) -> str:
+    """A SQL string expression for ``s``, emitting non-printable /
+    invisible codepoints through chr() so the query text stays clean
+    printable UTF-8 (identical semantics in both dialects)."""
+    parts = []
+    run = ""
+    for ch in s:
+        if ch.isprintable() and ch != "'" and ord(ch) != 0xA0:
+            run += ch
+            continue
+        if run:
+            parts.append("'%s'" % run)
+            run = ""
+        parts.append("chr(%d)" % ord(ch))
+    if run:
+        parts.append("'%s'" % run)
+    return " || ".join(parts) if len(parts) > 1 else (
+        parts[0] if parts else "''")
+
+
+@query("encoding_repair")
+def q_encoding_repair(d: str) -> str:
+    """Mojibake repair — the ftfy stage every Common-Crawl cleaner
+    runs that ``text_normalize`` deliberately does not: UTF-8 text
+    that was mis-decoded as cp1252 somewhere upstream ('Ã©' for 'é',
+    'â€™' for a right quote) is unwound by a fixed longest-first
+    replace chain over the curated core set, applied TWICE — the
+    second pass finishes double-encoded text ('ÃƒÂ©', UTF-8 mangled
+    twice), and pass-2 activity is itself a reported signal.  Docs
+    still carrying mojibake lead bytes after both passes (a variety
+    outside the table) are flagged suspect for the quarantine tier
+    rather than silently kept.
+
+    The fixture corpus is clean ASCII, so (the text_normalize
+    pattern) a dirty corpus derives in-plan: accent mojibake on
+    doc_id%3=1, punctuation forms on %4=2, the euro/degree class on
+    %5=3, DOUBLE-encoded 'é' on %11=5, and an out-of-table form
+    ('Ã»') on %13=7 — every rule and the suspect path all fire.
+
+    Pure per-row replace/regexp projection — fuses with the scan at
+    10^12 docs, no shuffle, no UDF; the repair chain is ~24 nested
+    replaces x 2 passes, all whole-stage codegen."""
+    table = _moji_table()
+
+    def chain(var: str) -> str:
+        expr = var
+        for ch, moji in table:
+            expr = "replace(%s, %s, %s)" % (expr, _sql_str(moji),
+                                            _sql_str(ch))
+        return expr
+
+    moji_pat = "|".join(m for _, m in table)
+    # count occurrences BEFORE repair; the pattern alternation is the
+    # table itself (regex-safe: no ASCII metacharacters in any form)
+    n_moji = "CAST(%s AS BIGINT)" % LEN(REALL("t", moji_pat, d), d)
+    # two double-encoded probes: 'é' unwinds in ONE pass (its inner
+    # 2-char pieces repair before 'Ã©' in the chain), '€' genuinely
+    # needs the SECOND pass (the 3-char '€' repair runs before the
+    # 2-char unwinds can reassemble 'â‚¬')
+    dbl = _sql_str(_sloppy_cp1252(_sloppy_cp1252(
+        "é".encode("utf-8")).encode("utf-8")))
+    dbl_eur = _sql_str(_sloppy_cp1252(_sloppy_cp1252(
+        "€".encode("utf-8")).encode("utf-8")))
+    inj = """
+c1 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 1
+         THEN text || ' caf' || {cafe} || ' ma' || {nana}
+         ELSE text END AS t0
+  FROM documents
+),
+c2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 2
+         THEN t0 || ' ' || {rquote} || 'quoted' || {lquote}
+              || ' ' || {mdash} || ' dash'
+         ELSE t0 END AS t1
+  FROM c1
+),
+c3 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 3
+         THEN t1 || ' 20' || {euro} || ' at 30' || {degree}
+         ELSE t1 END AS t2
+  FROM c2
+),
+dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 5
+         THEN t2 || ' caf' || {dbl} || ' for 9' || {dbl_eur} || ' twice'
+         WHEN doc_id % 13 = 7 THEN t2 || ' unrepaired s' || {ucirc} || 'r'
+         ELSE t2 END AS t
+  FROM c3
+)""".format(
+        cafe=_sql_str(_sloppy_cp1252("é".encode("utf-8"))),
+        nana=_sql_str(_sloppy_cp1252("ñ".encode("utf-8")) + "ana"),
+        rquote=_sql_str(_sloppy_cp1252("“".encode("utf-8"))),
+        lquote=_sql_str(_sloppy_cp1252("”".encode("utf-8"))),
+        mdash=_sql_str(_sloppy_cp1252("—".encode("utf-8"))),
+        euro=_sql_str(_sloppy_cp1252("€".encode("utf-8"))),
+        degree=_sql_str(_sloppy_cp1252("°".encode("utf-8"))),
+        dbl=dbl, dbl_eur=dbl_eur,
+        ucirc=_sql_str(_sloppy_cp1252("û".encode("utf-8"))),
+    )
+    from ..relational import RLIKE
+    residual = ("CASE WHEN %s THEN 1 ELSE 0 END"
+                % RLIKE("p2", "Ã|Â|â€", d))
+    return """
+WITH {inj},
+p0 AS (SELECT doc_id, t, {n_moji} AS n_moji FROM dirty),
+s1 AS (SELECT doc_id, t, n_moji, {pass1} AS p1 FROM p0),
+s2 AS (SELECT doc_id, t, n_moji, p1, {pass2} AS p2 FROM s1)
+SELECT doc_id, n_moji,
+  CAST(CASE WHEN p1 <> t THEN 1 ELSE 0 END AS INT) AS repaired,
+  CAST(CASE WHEN p2 <> p1 THEN 1 ELSE 0 END AS INT) AS needed_pass2,
+  CAST({residual} AS INT) AS suspect,
+  CAST(length(t) AS BIGINT) AS chars_before,
+  CAST(length(p2) AS BIGINT) AS chars_after,
+  md5(p2) AS repaired_digest
+FROM s2
+""".format(inj=inj.strip(), n_moji=n_moji, pass1=chain("t"),
+           pass2=chain("p1"), residual=residual)

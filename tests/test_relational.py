@@ -3297,3 +3297,66 @@ def test_salsa_scores_semantics(duck, entry_mod):
     salsa_share = byhost[h0][1] / sum(r[1] for r in rows)
     hits_share = hits[h0][2] / sum(r[2] for r in hits.values())
     assert salsa_share < hits_share
+
+
+def test_encoding_repair_semantics(duck, entry_mod):
+    """Independent Python mirror of the mojibake repair chain
+    (injections included): every count, verdict flag, and the digest
+    of the repaired text must match row-for-row; plus the contracts
+    that pass 2 genuinely fires (double-encoded euro class), that the
+    out-of-table form stays suspect, and that no in-table mojibake
+    survives any repaired doc."""
+    import hashlib
+    import re
+
+    from pdf_parser_spark.ops.textstats import _moji_table, _sloppy_cp1252
+
+    table = _moji_table()
+
+    def m(c):
+        return _sloppy_cp1252(c.encode("utf-8"))
+
+    def m2(c):
+        return _sloppy_cp1252(m(c).encode("utf-8"))
+
+    def chain(s):
+        for ch, moji in table:
+            s = s.replace(moji, ch)
+        return s
+
+    rows = duck.sql(entry_mod.all_oracles()["encoding_repair"]).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    pat = re.compile("|".join(mm for _, mm in table))
+    n_pass2 = n_suspect = 0
+    got = {r[0]: r for r in rows}
+    assert len(rows) == len(docs)
+    for doc_id, text in docs:
+        s = text
+        if doc_id % 3 == 1:
+            s += " caf" + m("é") + " ma" + m("ñ") + "ana"
+        if doc_id % 4 == 2:
+            s += " " + m("“") + "quoted" + m("”") + " " + m("—") + " dash"
+        if doc_id % 5 == 3:
+            s += " 20" + m("€") + " at 30" + m("°")
+        if doc_id % 11 == 5:
+            s += " caf" + m2("é") + " for 9" + m2("€") + " twice"
+        elif doc_id % 13 == 7:
+            s += " unrepaired s" + m("û") + "r"
+        p1 = chain(s)
+        p2 = chain(p1)
+        exp = (doc_id, len(pat.findall(s)),
+               int(p1 != s), int(p2 != p1),
+               int(bool(re.search("Ã|Â|â€", p2))),
+               len(s), len(p2),
+               hashlib.md5(p2.encode()).hexdigest())
+        assert tuple(got[doc_id]) == exp, doc_id
+        n_pass2 += exp[3]
+        n_suspect += exp[4]
+        if doc_id % 11 == 5:
+            assert exp[3] == 1, "double-encoded euro must need pass 2"
+            assert "€" in p2 and "é" in p2
+        if doc_id % 13 == 7 and doc_id % 11 != 5:
+            assert exp[4] == 1, "out-of-table form must stay suspect"
+        if exp[4] == 0:
+            assert not pat.search(p2)
+    assert n_pass2 > 0 and n_suspect > 0

@@ -102,7 +102,11 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "proximity_search",
            # Manku banded simhash: random token vote sums stress the
            # 48-bit majority pack + bit_count/xor seam on both engines
-           "simhash_hamming"]
+           "simhash_hamming",
+           # mojibake repair: the fuzz noise pool's non-ASCII tokens
+           # (naïve, curly quotes) meet the replace chain + the
+           # Ã/Â/â€ residual-detector regex on both engines
+           "encoding_repair"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

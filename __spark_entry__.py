@@ -175,6 +175,18 @@ def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_neardup(image_ahash(fixture_images_df(spark)))
 
 
+def _audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-envelope audio fingerprint near-dup — the WAV twin of
+    image_phash_neardup riding the SAME hash-agnostic banded-Hamming
+    join; oracled against encode-side brute force (retired tier)."""
+    from pdf_parser_spark.ops.multimodal import (
+        ahash_neardup, audio_fingerprint, fixture_audio_df,
+    )
+    _ensure_pyfiles(spark)
+    return ahash_neardup(audio_fingerprint(fixture_audio_df(spark)),
+                         hash_col="afp")
+
+
 def _ann_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amortized IVF (round-4 ask #7): ONE sample-trained fit via the
     production ivf_index_df machinery, centroids + cell-bucketed
@@ -478,6 +490,13 @@ def _retired_specials() -> dict:
             _lpa_production, QUERY_SQL["label_propagation"]["duckdb"]),
         "bpe_encode": (
             _bpe_encode_production, QUERY_SQL["bpe_encode"]["duckdb"]),
+        # audio twin of the driver-adjudicated image_phash_neardup:
+        # same banded join, WAV decode + integer energy-envelope hash;
+        # golden-parquet oracle (encode-side brute force)
+        "audio_fp_neardup": (
+            _audio_neardup,
+            "SELECT url_a, url_b, hamming FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_audio_neardup.parquet")),
     }
 
 

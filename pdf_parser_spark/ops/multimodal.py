@@ -441,7 +441,8 @@ def image_ahash(media: DataFrame) -> DataFrame:
 
 def ahash_neardup(hashes: DataFrame,
                   max_hamming: int = _AHASH_MAX_HAMMING,
-                  bucket_cap: int = _AHASH_BUCKET_CAP) -> DataFrame:
+                  bucket_cap: int = _AHASH_BUCKET_CAP,
+                  hash_col: str = "ahash") -> DataFrame:
     """Banded-Hamming near-duplicate pairs over 64-bit image hashes —
     the image twin of the SimHash text tier: split each hash into
     4 x 16-bit bands, equi-join on (band_no, band_val), verify the
@@ -461,7 +462,8 @@ def ahash_neardup(hashes: DataFrame,
     verify is a per-candidate integer op in whole-stage codegen."""
     from pyspark.sql import functions as F
 
-    h = hashes.where(F.col("ahash").isNotNull()).select("url", "ahash")
+    h = (hashes.where(F.col(hash_col).isNotNull())
+         .select("url", F.col(hash_col).alias("ahash")))
     bands = h.select(
         "url", "ahash",
         F.posexplode(F.array(*[
@@ -568,6 +570,150 @@ def expected_neardup_rows(n: int = 48,
         for y in range(len(hashes)):
             ua, ha = hashes[x]
             ub, hb = hashes[y]
+            if ua >= ub:
+                continue
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                rows.append({"url_a": ua, "url_b": ub, "hamming": ham})
+    return rows
+
+
+# --------------------------------------------- audio fingerprint tier
+
+AUDIO_FP_SCHEMA = "url string, afp bigint, decode_error string"
+
+
+def audio_fp64(samples: np.ndarray) -> int:
+    """64-bit energy-envelope fingerprint in EXACT integer arithmetic —
+    the audio analogue of ``ahash64``: the interleaved int16 stream is
+    cut into 64 floor-boundary windows, and bit k is set iff window
+    k's absolute-amplitude sum exceeds its share of the global sum
+    (exact cross multiplication, no floats).  Amplitude jitter or a
+    short edit moves a couple of window bits; unrelated signals land
+    ~32 apart.  (A production system would fingerprint a spectral
+    envelope per window — same banded-join serving shape; this stays
+    integer-exact so the oracle can hash it.)"""
+    a = np.abs(samples.astype(np.int64))
+    n = a.shape[0]
+    if n == 0:
+        return 0
+    total = int(a.sum())
+    bounds = [(k * n) // 64 for k in range(65)]
+    bits = 0
+    for k in range(64):
+        w = a[bounds[k]:bounds[k + 1]]
+        one = int(w.sum()) * n > total * w.shape[0]
+        bits = (bits << 1) | int(one)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Decode each WAV payload (real codec) and emit ``audio_fp64`` —
+    Arrow-batched ``mapInPandas``, column-pruned to (url, payload);
+    decoder errors land in decode_error rows with a NULL hash.  Serve
+    near-dups with ``ahash_neardup(..., hash_col='afp')`` — the image
+    tier's banded-Hamming join is hash-agnostic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, fps, errs = [], [], []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None \
+                    else b""
+                val, err = None, None
+                try:
+                    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                        samples, _, _ = wav_decode(payload)
+                        val = audio_fp64(samples)
+                    else:
+                        raise ValueError("not a WAV payload")
+                except Exception as exc:
+                    err = "%s: %s" % (type(exc).__name__, exc)
+                urls.append(row.url)
+                fps.append(val)
+                errs.append(err)
+            yield pd.DataFrame(
+                {"url": urls, "afp": pd.array(fps, dtype="Int64"),
+                 "decode_error": errs})
+
+    return media.select("url", "payload").mapInPandas(
+        batches, schema=AUDIO_FP_SCHEMA)
+
+
+def _neardup_audio_arrays(i: int) -> np.ndarray:
+    """Deterministic int16 sample streams whose ENVELOPE is a
+    per-(index, window) pseudo-random gain staircase over the same 64
+    floor-boundary windows the fingerprint reads — each clip gets its
+    own energy layout, so unrelated fingerprints are well separated
+    (a handful of smooth envelope shapes would collide them)."""
+    n = 4000 + 400 * (i % 7)
+    t = np.arange(n, dtype=np.int64)
+    carrier = ((t * (i + 3) * 2654435761) >> 6) % 2000 + 100
+    win = (t * 64) // n
+    # two xorshift-multiply rounds: a single multiply leaves gain(win)
+    # an arithmetic progression whose fingerprints are near-rotations
+    # of each other across i
+    g = (i * 1000003 + win * 7919).astype(np.uint64)
+    g ^= g >> np.uint64(7)
+    g = (g * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    g ^= g >> np.uint64(13)
+    g = (g * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+    gain = (100 + ((g >> np.uint64(16)) % np.uint64(900))).astype(np.int64)
+    return ((carrier * gain) // 1000).clip(-32000, 32000) \
+        .astype(np.int16)
+
+
+def fixture_audio_neardup(n: int = 40) -> List[dict]:
+    """WAV corpus with planted near-duplicates: every 4th clip gets a
+    ``-dup`` twin with its first windows re-scaled (a level edit —
+    moves 0-3 fingerprint bits), every 12th a ``-copy`` exact
+    duplicate, plus one poison payload."""
+    out = []
+    for i in range(n):
+        samples = _neardup_audio_arrays(i)
+        url = "https://fixtures.test/audio/%04d.wav" % i
+        out.append({"url": url,
+                    "payload": wav_encode(samples, 8000, 1),
+                    "samples": samples})
+        if i % 4 == 0:
+            pert = samples.astype(np.int64)
+            cut = len(pert) // 16    # re-level the first 4 windows
+            pert[:cut] = (pert[:cut] * 3) // 2
+            pert = pert.clip(-32000, 32000).astype(np.int16)
+            out.append({"url": url + "-dup",
+                        "payload": wav_encode(pert, 8000, 1),
+                        "samples": pert})
+        if i % 12 == 0:
+            out.append({"url": url + "-copy",
+                        "payload": wav_encode(samples, 8000, 1),
+                        "samples": samples})
+    out.append({"url": "https://fixtures.test/audio/poison",
+                "payload": b"RIFFxxxxNOPE", "samples": None})
+    return out
+
+
+def fixture_audio_df(spark: SparkSession, n: int = 40) -> DataFrame:
+    rows = [(d["url"], "audio", bytearray(d["payload"]), None)
+            for d in fixture_audio_neardup(n)]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def expected_audio_neardup_rows(n: int = 40,
+                                max_hamming: int = _AHASH_MAX_HAMMING
+                                ) -> List[dict]:
+    """Ground-truth pairs: brute-force Hamming over fingerprints from
+    the ENCODE-side sample arrays (never the codec, never the band
+    join)."""
+    fixtures = [d for d in fixture_audio_neardup(n)
+                if d["samples"] is not None]
+    fps = [(d["url"], audio_fp64(d["samples"])) for d in fixtures]
+    rows = []
+    for x in range(len(fps)):
+        for y in range(len(fps)):
+            ua, ha = fps[x]
+            ub, hb = fps[y]
             if ua >= ub:
                 continue
             ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")

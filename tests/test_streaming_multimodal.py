@@ -765,3 +765,46 @@ def test_image_neardup_bucket_cap_drops_degenerate_band(spark):
     assert ahash_neardup(hashes, bucket_cap=10).count() == 0
     # without the cap the same input yields all C(20,2) pairs
     assert ahash_neardup(hashes, bucket_cap=None).count() == 190
+
+
+def test_audio_fp_decode_matches_encode_side(spark):
+    """Codec independence for the audio tier: audio_fp64 over the
+    DECODED WAV must equal audio_fp64 over the encode-side samples for
+    every fixture; poison payload surfaces decode_error."""
+    from pdf_parser_spark.ops.multimodal import (
+        audio_fingerprint, audio_fp64, fixture_audio_df,
+        fixture_audio_neardup,
+    )
+
+    got = {r.url: (r.afp, r.decode_error)
+           for r in audio_fingerprint(fixture_audio_df(spark)).collect()}
+    for d in fixture_audio_neardup():
+        if d["samples"] is None:
+            assert got[d["url"]][0] is None
+            assert "not a WAV" in got[d["url"]][1]
+        else:
+            assert got[d["url"]] == (audio_fp64(d["samples"]), None)
+
+
+def test_audio_neardup_banded_equals_brute_force(spark):
+    """The hash-agnostic banded join over audio fingerprints equals
+    encode-side brute force — including agreeing that the one planted
+    twin at hamming 4 is NOT a pair at the <=3 threshold."""
+    from pdf_parser_spark.ops.multimodal import (
+        ahash_neardup, audio_fingerprint, audio_fp64,
+        expected_audio_neardup_rows, fixture_audio_df,
+        fixture_audio_neardup,
+    )
+
+    pairs = ahash_neardup(audio_fingerprint(fixture_audio_df(spark)),
+                          hash_col="afp")
+    got = sorted((r.url_a, r.url_b, r.hamming) for r in pairs.collect())
+    exp = sorted((r["url_a"], r["url_b"], r["hamming"])
+                 for r in expected_audio_neardup_rows())
+    assert got == exp
+    # the just-missed twin really exists (threshold boundary is live)
+    fps = {d["url"]: audio_fp64(d["samples"])
+           for d in fixture_audio_neardup() if d["samples"] is not None}
+    dists = [bin((fps[u] ^ fps[u + "-dup"]) & ((1 << 64) - 1)).count("1")
+             for u in fps if u + "-dup" in fps]
+    assert any(d > 3 for d in dists) and any(d <= 3 for d in dists)

@@ -251,6 +251,15 @@ def main() -> None:
         GOLDEN_DIR / "expected_image_neardup.parquet")
     print("expected_image_neardup.parquet: %d rows" % len(nd))
 
+    # ---- expected audio near-dup pairs (encode-side brute force)
+    from pdf_parser_spark.ops.multimodal import expected_audio_neardup_rows
+    au = expected_audio_neardup_rows(40)
+    pq.write_table(
+        pa.table({k: [r[k] for r in au] for k in nd_schema.names},
+                 schema=nd_schema),
+        GOLDEN_DIR / "expected_audio_neardup.parquet")
+    print("expected_audio_neardup.parquet: %d rows" % len(au))
+
 
 if __name__ == "__main__":
     main()

@@ -187,6 +187,19 @@ def _audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          hash_col="afp")
 
 
+def _video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video sub-clip containment: hash EVERY decoded Y4M frame, then
+    Broder-style asymmetric containment over frame-hash sets (equi-join
+    on the hash — inverted-index shape, no all-pairs); oracled against
+    encode-side brute force (retired tier)."""
+    from pdf_parser_spark.ops.multimodal import (
+        fixture_videos_df, video_clip_containment, video_frame_hashes,
+    )
+    _ensure_pyfiles(spark)
+    return video_clip_containment(
+        video_frame_hashes(fixture_videos_df(spark)))
+
+
 def _ann_ivf_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amortized IVF (round-4 ask #7): ONE sample-trained fit via the
     production ivf_index_df machinery, centroids + cell-bucketed
@@ -497,6 +510,13 @@ def _retired_specials() -> dict:
             _audio_neardup,
             "SELECT url_a, url_b, hamming FROM read_parquet('%s')"
             % (_GOLDEN / "expected_audio_neardup.parquet")),
+        # video leg of the modality-dedup triple: sub-clip containment
+        # over exhaustive frame hashes; golden-parquet oracle
+        "video_clip_containment": (
+            _video_containment,
+            "SELECT url_outer, url_clip, n_common, n_clip,"
+            " containment_pct, verdict FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_video_containment.parquet")),
     }
 
 

@@ -720,3 +720,166 @@ def expected_audio_neardup_rows(n: int = 40,
             if ham <= max_hamming:
                 rows.append({"url_a": ua, "url_b": ub, "hamming": ham})
     return rows
+
+
+# ------------------------------------------ video sub-clip containment
+
+_CLIP_PARTIAL_PCT = 80    # partial-overlap verdict bar (percent)
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """Hash EVERY frame of each Y4M video (raw C420 plane bytes) —
+    the exhaustive sibling of ``sample_frames`` that clip containment
+    needs (time-sampled instants of a cut clip land on different
+    source frames, so the sampled tier cannot prove subset-ness).
+    flatMap-shaped mapInPandas; undecodable videos emit no rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, nos, shas = [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.payload is None:
+                    continue
+                try:
+                    _, _, _, _, frames = y4m_decode(bytes(row.payload))
+                except Exception:
+                    continue
+                for k, fb in enumerate(frames):
+                    urls.append(row.url)
+                    nos.append(k)
+                    shas.append(hashlib.sha256(fb).hexdigest())
+            yield pd.DataFrame({
+                "url": urls, "frame_no": nos, "frame_sha256": shas,
+            })
+
+    return media.select("url", "payload").mapInPandas(
+        batches, schema="url string, frame_no int, frame_sha256 string")
+
+
+def video_clip_containment(frames: DataFrame,
+                           partial_pct: int = _CLIP_PARTIAL_PCT
+                           ) -> DataFrame:
+    """Asymmetric sub-clip detection over frame-hash sets — the video
+    twin of the text tier's Broder containment: candidate pairs come
+    from an equi-join on frame_sha256 (the inverted-index shape — a
+    pair is considered only if it SHARES a frame; no all-pairs), then
+    containment(b in a) = |distinct common frames| / |b's distinct
+    frames| as an exact integer percentage.  ``subclip`` = every frame
+    of b appears in a; ``partial`` = at least ``partial_pct``%%.
+
+    Shape at 10^12 videos: the hash join shuffles on frame_sha256
+    (uniform, content-derived); per-pair counts are one hash-agg; the
+    per-video distinct-frame counts broadcast back over a second
+    equi-join.  Identical twin uploads collapse into both directions
+    (a⊂b and b⊂a) — exactly what a keeper stage consumes."""
+    from pyspark.sql import functions as F
+
+    d = frames.select("url", "frame_sha256").distinct()
+    sizes = d.groupBy("url").agg(F.count("*").alias("n_frames"))
+    a = d.alias("a")
+    b = d.alias("b")
+    common = (a.join(b, [F.col("a.frame_sha256") == F.col("b.frame_sha256"),
+                         F.col("a.url") != F.col("b.url")])
+              .groupBy(F.col("a.url").alias("url_outer"),
+                       F.col("b.url").alias("url_clip"))
+              .agg(F.count("*").alias("n_common")))
+    out = (common
+           .join(sizes.withColumnRenamed("url", "url_clip")
+                 .withColumnRenamed("n_frames", "n_clip"), "url_clip")
+           .withColumn("containment_pct",
+                       F.expr("cast((n_common * 100 - n_common * 100 % n_clip)"
+                              " / n_clip as int)"))
+           .where(F.col("containment_pct") >= partial_pct)
+           .select("url_outer", "url_clip",
+                   F.col("n_common").cast("int").alias("n_common"),
+                   F.col("n_clip").cast("int").alias("n_clip"),
+                   "containment_pct",
+                   F.when(F.col("n_common") == F.col("n_clip"), "subclip")
+                   .otherwise("partial").alias("verdict")))
+    return out
+
+
+def _clip_video_frames(i: int):
+    """Per-index unique frames: every (i, k) plane set is distinct by
+    the same xorshift mix the audio fixture uses, so unrelated videos
+    share zero frames."""
+    w, h = 32, 24
+    n_frames = 6 + (i % 4) * 2
+    frames = []
+    for k in range(n_frames):
+        g = np.uint64(i * 1000003 + k * 7919)
+        g ^= g >> np.uint64(7)
+        g = (g * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        seed = int(g)
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = ((xx * (3 + seed % 13) + yy * (5 + seed % 7) + seed) % 256
+             ).astype(np.uint8)
+        u = np.full((h // 2, w // 2), seed % 256, dtype=np.uint8)
+        v = np.full((h // 2, w // 2), (seed >> 8) % 256, dtype=np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def fixture_videos_clips(n: int = 18) -> List[dict]:
+    """Video corpus with planted cuts: every 3rd base video gets a
+    ``-clip`` twin holding a contiguous interior frame RANGE
+    (verdict: subclip) and every 6th a ``-mix`` twin holding most of
+    the base's frames plus one frame of its OWN (verdict: partial —
+    exercises the percentage bar), plus a poison payload."""
+    out = []
+    for i in range(n):
+        frames = _clip_video_frames(i)
+        url = "https://fixtures.test/video/%04d.y4m" % i
+        out.append({"url": url, "frames": frames})
+        if i % 3 == 0:
+            lo, hi = 1, 1 + max(2, len(frames) // 2)
+            out.append({"url": url + "-clip", "frames": frames[lo:hi]})
+        if i % 6 == 0:
+            alien = _clip_video_frames(1000 + i)[0]
+            out.append({"url": url + "-mix",
+                        "frames": frames[:5] + [alien]})
+    rows = []
+    for d in out:
+        rows.append({"url": d["url"], "frames": d["frames"],
+                     "payload": y4m_encode(d["frames"], 5, 1)})
+    rows.append({"url": "https://fixtures.test/video/poison",
+                 "frames": None, "payload": b"YUV4MPEG2 garbage"})
+    return rows
+
+
+def fixture_videos_df(spark: SparkSession, n: int = 18) -> DataFrame:
+    rows = [(d["url"], "video", bytearray(d["payload"]), None)
+            for d in fixture_videos_clips(n)]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def expected_clip_rows(n: int = 18,
+                       partial_pct: int = _CLIP_PARTIAL_PCT) -> List[dict]:
+    """Ground truth from the ENCODE-side frame arrays (never the
+    codec, never the join): brute-force pairwise distinct-frame
+    containment."""
+    vids = [d for d in fixture_videos_clips(n) if d["frames"] is not None]
+    sets = {
+        d["url"]: {hashlib.sha256(
+            y.astype(np.uint8).tobytes() + u.astype(np.uint8).tobytes()
+            + v.astype(np.uint8).tobytes()).hexdigest()
+            for (y, u, v) in d["frames"]}
+        for d in vids
+    }
+    rows = []
+    for ua, sa in sets.items():
+        for ub, sb in sets.items():
+            if ua == ub:
+                continue
+            n_common = len(sa & sb)
+            if n_common == 0:
+                continue
+            pct = (n_common * 100) // len(sb)
+            if pct >= partial_pct:
+                rows.append({
+                    "url_outer": ua, "url_clip": ub,
+                    "n_common": n_common, "n_clip": len(sb),
+                    "containment_pct": pct,
+                    "verdict": "subclip" if n_common == len(sb)
+                    else "partial"})
+    return rows

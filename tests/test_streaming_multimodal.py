@@ -808,3 +808,29 @@ def test_audio_neardup_banded_equals_brute_force(spark):
     dists = [bin((fps[u] ^ fps[u + "-dup"]) & ((1 << 64) - 1)).count("1")
              for u in fps if u + "-dup" in fps]
     assert any(d > 3 for d in dists) and any(d <= 3 for d in dists)
+
+
+def test_video_containment_equals_brute_force(spark):
+    """Frame-hash sub-clip detection: pipeline pairs (decode -> hash
+    every frame -> inverted-index containment) must equal encode-side
+    brute force — interior cuts verdict 'subclip', the mostly-
+    overlapping -mix twins 'partial' in BOTH directions, unrelated
+    videos share zero frames and never pair."""
+    from pdf_parser_spark.ops.multimodal import (
+        expected_clip_rows, fixture_videos_df, video_clip_containment,
+        video_frame_hashes,
+    )
+
+    out = video_clip_containment(video_frame_hashes(
+        fixture_videos_df(spark)))
+    got = sorted(tuple(r) for r in out.collect())
+    exp = sorted((r["url_outer"], r["url_clip"], r["n_common"],
+                  r["n_clip"], r["containment_pct"], r["verdict"])
+                 for r in expected_clip_rows())
+    assert got == exp
+    verdicts = {g[5] for g in got}
+    assert verdicts == {"subclip", "partial"}
+    # asymmetry: every -clip pair points clip-ward only
+    for outer, clip, *_ , v in got:
+        if v == "subclip" and clip.endswith("-clip"):
+            assert not outer.endswith("-clip") or outer != clip

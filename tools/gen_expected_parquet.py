@@ -260,6 +260,20 @@ def main() -> None:
         GOLDEN_DIR / "expected_audio_neardup.parquet")
     print("expected_audio_neardup.parquet: %d rows" % len(au))
 
+    # ---- expected video sub-clip containment (encode-side brute force)
+    from pdf_parser_spark.ops.multimodal import expected_clip_rows
+    vc = expected_clip_rows(18)
+    vc_schema = pa.schema([
+        ("url_outer", pa.string()), ("url_clip", pa.string()),
+        ("n_common", pa.int32()), ("n_clip", pa.int32()),
+        ("containment_pct", pa.int32()), ("verdict", pa.string()),
+    ])
+    pq.write_table(
+        pa.table({k: [r[k] for r in vc] for k in vc_schema.names},
+                 schema=vc_schema),
+        GOLDEN_DIR / "expected_video_containment.parquet")
+    print("expected_video_containment.parquet: %d rows" % len(vc))
+
 
 if __name__ == "__main__":
     main()

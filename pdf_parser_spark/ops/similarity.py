@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..relational import DUCK, SPARK, LEN, ORD_ARRAY
+from ..relational import DUCK, SPARK, LEN, ORD_ARRAY, SLICE
 
 QUERIES = {}
 
@@ -1065,3 +1065,261 @@ WHERE {cos} >= {eps}
 """.format(quant=_quantized(d), twin=twin, sig=_srp_sig_cte(d),
            bandval=bandval, bandrows=bandrows, hamming=hamming,
            cos=cos, eps=_SRP_EPS, cap=_SRP_BUCKET_CAP)
+
+
+# ------------------------------------------------ product quantization
+# IVF's cell pruning cuts the CANDIDATE COUNT; product quantization
+# cuts the BYTES PER CANDIDATE — at 10^12 vectors a 64-dim float
+# corpus is ~256 TB of vector payload, while the PQ code table below
+# is M=8 single-byte codes per vector (~8 TB), and the query-time scan
+# never touches the raw vectors until the final shortlist re-rank.
+# This is the Jegou/Douze/Schmid TPAMI 2011 recipe (and the FAISS
+# IVFADC default): per-subspace k-means codebooks, asymmetric distance
+# computation (ADC) via a per-query (m, code) lookup table, exact
+# re-rank of the shortlist.
+_PQ_M = 8          # subspaces (64 dims -> 8x 8-dim sub-vectors)
+_PQ_SUBDIM = 8
+_PQ_K = 16         # codes per sub-codebook -> codebook = 128 rows
+_PQ_ITERS = 2      # Lloyd rounds, same as the IVF tier
+_PQ_SHORTLIST = 32 # ADC shortlist re-ranked at exact cosine
+
+
+def _pq_ctes(d: str) -> str:
+    """CTE chain: quantized vectors → M sub-vectors each → per-subspace
+    deterministic Lloyd k-means (seeds = sub-vectors of the first K
+    vec_ids, ties to the lowest code, integer-floored means — the
+    exact conventions of ``_kmeans_ctes``, generalized with the
+    subspace id ``m`` in every join/group key) → ``codes(vec_id, m,
+    code)`` (the PQ encoding) + ``pcent{iters}`` (the final codebook).
+
+    Every per-round join carries ``m`` as an equi-key and the codebook
+    side is M·K = 128 rows — broadcastable at any corpus size."""
+    m, sub, k, iters = _PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS
+    if d == SPARK:
+        mrange = ("SELECT CAST(m0 AS INT) AS m FROM "
+                  "(SELECT explode(sequence(0, %d)) AS m0) t" % (m - 1))
+        comps = ("SELECT vec_id, m, pos, v FROM subs "
+                 "LATERAL VIEW posexplode(sv) t AS pos, v")
+    else:
+        mrange = ("SELECT CAST(unnest(range(0, %d)) AS INT) AS m" % m)
+        comps = ("SELECT vec_id, m, CAST(pos AS INT) AS pos, "
+                 "sv[pos + 1] AS v FROM "
+                 "(SELECT vec_id, m, sv, unnest(range(0, len(sv))) AS pos "
+                 "FROM subs) t")
+    parts = [
+        "base AS (SELECT vec_id, %s AS qv FROM embeddings)" % _quantized(d),
+        "mrange AS (%s)" % mrange,
+        "subs AS (SELECT b.vec_id, r.m, %s AS sv "
+        "FROM base b CROSS JOIN mrange r)"
+        % SLICE("b.qv", "r.m * %d + 1" % sub, str(sub), d),
+        "comps AS (%s)" % comps,
+        "pcent0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv "
+        "FROM subs WHERE vec_id < %d)" % k,
+    ]
+    assign_tpl = """
+passign{r} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY {dist}, c.code) AS rn
+    FROM subs s JOIN pcent{p} c ON s.m = c.m
+  ) t WHERE rn = 1
+)"""
+    cent_tpl = """
+pcent{r} AS (
+  SELECT m, code, {arr} AS cv FROM (
+    SELECT a.m, a.code, c.pos,
+      CAST(floor(SUM(c.v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mv
+    FROM passign{r} a JOIN comps c ON a.vec_id = c.vec_id AND a.m = c.m
+    GROUP BY a.m, a.code, c.pos
+  ) g GROUP BY m, code
+)"""
+    dist = _sqdist("s.sv", "c.cv", d)
+    for r in range(1, iters + 1):
+        parts.append(assign_tpl.format(r=r, p=r - 1, dist=dist).strip())
+        parts.append(cent_tpl.format(r=r, arr=ORD_ARRAY("mv", "pos", d))
+                     .strip())
+    parts.append(assign_tpl.format(r=iters + 1, p=iters, dist=dist).strip())
+    parts.append("codes AS (SELECT vec_id, m, code FROM passign%d)"
+                 % (iters + 1))
+    return ",\n".join(parts)
+
+
+@query("ann_pq_codes")
+def q_pq_codes(d: str) -> str:
+    """The PQ encoder: every vector reduced to M=8 sub-codebook codes
+    (the byte-per-subspace representation that makes a 10^12-vector
+    scan read ~8 TB of codes instead of ~256 TB of floats)."""
+    return "WITH %s\nSELECT vec_id, m, code FROM codes" % _pq_ctes(d)
+
+
+@query("ann_pq_adc")
+def q_pq_adc(d: str) -> str:
+    """IVFADC-style search: per-query (m, code) distance table against
+    the FITTED codebook (M·K = 128 rows/query), ADC distance = exact
+    integer sum of the per-subspace table entries over each vector's
+    codes, shortlist of {short} by ADC, exact-cosine re-rank, top-5.
+
+    Scale shape: the distance table is |queries|·M·K rows (broadcast);
+    the ADC scan is codes ⨝ dtab on (m, code) + partial-agg SUM —
+    map-side at any corpus size; raw vectors are touched only for the
+    {short}-row shortlist re-rank (FAISS's IVFADC + refine recipe,
+    Jegou/Douze/Schmid TPAMI 2011)."""
+    cos = ("CAST({dot} AS DOUBLE) / (sqrt(CAST({qssq} AS DOUBLE)) "
+           "* sqrt(CAST({cssq} AS DOUBLE)))").format(
+               dot=_dot("qb.qv", "cb.qv", d), qssq=_ssq("qb.qv", d),
+               cssq=_ssq("cb.qv", d))
+    return """
+WITH {pq},
+dtab AS (
+  SELECT s.vec_id AS query_id, c.m, c.code, {dist} AS dist
+  FROM subs s JOIN pcent{f} c ON s.m = c.m
+  WHERE s.vec_id < 8
+),
+adc AS (
+  SELECT t.query_id, k.vec_id AS cand_id,
+    CAST(SUM(t.dist) AS BIGINT) AS adc_dist
+  FROM codes k JOIN dtab t ON k.m = t.m AND k.code = t.code
+  WHERE k.vec_id <> t.query_id
+  GROUP BY t.query_id, k.vec_id
+),
+short AS (
+  SELECT query_id, cand_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, cand_id) AS arn
+  FROM adc
+),
+rr AS (
+  SELECT s.query_id, s.cand_id, s.adc_dist, {cos} AS cosine
+  FROM short s
+  JOIN base qb ON qb.vec_id = s.query_id
+  JOIN base cb ON cb.vec_id = s.cand_id
+  WHERE s.arn <= {short}
+),
+ranked AS (
+  SELECT query_id, cand_id, adc_dist, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM rr
+)
+SELECT query_id, cand_id AS neighbor_id, rank, cosine, adc_dist
+FROM ranked WHERE rank <= 5
+""".format(pq=_pq_ctes(d), f=_PQ_ITERS,
+           dist=_sqdist("s.sv", "c.cv", d), cos=cos,
+           short=_PQ_SHORTLIST)
+
+
+_PQ_SUB_SQDIST = (
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def _pq_subs(embeddings: DataFrame, m: int, sub: int) -> DataFrame:
+    base = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               " * 1000000.0) AS BIGINT))").alias("qv"))
+    return base.select(
+        "vec_id", "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+    ).select(
+        "vec_id", "qv", F.col("m").cast("int").alias("m"),
+        F.expr("slice(qv, m * %d + 1, %d)" % (sub, sub)).alias("sv"))
+
+
+def pq_fit_df(embeddings: DataFrame, m: int = _PQ_M,
+              sub: int = _PQ_SUBDIM, k: int = _PQ_K,
+              iters: int = _PQ_ITERS) -> tuple:
+    """PRODUCTION PQ training + encoding — the iterative, persisted
+    form of the ``ann_pq_codes`` oracle SQL (code-for-code identical,
+    test-pinned).  Returns ``(codes, codebook)``: codes is
+    (vec_id, m, code), codebook is (m, code, cv).
+
+    Scale shape per Lloyd round: ONE broadcast hash join of the n·M
+    sub-vector rows against the M·K = 128-row codebook (equi-key m),
+    then ONE (m, code, pos) shuffle of partial sums; sub-vectors and
+    their exploded components are persisted once and reused every
+    round.  Codebook rows round-trip through the driver between
+    rounds — a BOUNDED M·K-row collect, like the IVF centroids."""
+    spark = embeddings.sparkSession
+    subs = _pq_subs(embeddings, m, sub).select("vec_id", "m", "sv") \
+        .persist()
+    comps = subs.select(
+        "vec_id", "m", F.posexplode("sv").alias("pos", "v")).persist()
+    seed = subs.filter(F.col("vec_id") < k).select(
+        "m", F.col("vec_id").cast("int").alias("code"),
+        F.col("sv").alias("cv"))
+    cb_rows = sorted((r.m, r.code, list(r.cv)) for r in seed.collect())
+    sqdist = F.expr(_PQ_SUB_SQDIST)
+
+    def assign_join(rows) -> DataFrame:
+        cdf = spark.createDataFrame(
+            rows, "m int, code int, cv array<bigint>")
+        scored = subs.join(F.broadcast(cdf), "m").select(
+            "vec_id", "m", "code", sqdist.alias("sq_dist"))
+        return scored.groupBy("vec_id", "m").agg(
+            F.min_by("code", F.struct("sq_dist", "code")).alias("code"))
+
+    for _ in range(iters):
+        assigned = assign_join(cb_rows)
+        means = (assigned.join(comps, ["vec_id", "m"])
+                 .groupBy("m", "code", "pos")
+                 .agg(F.expr("CAST(floor(SUM(v) / CAST(COUNT(*) AS"
+                             " DOUBLE)) AS BIGINT)").alias("mv")))
+        by_key: dict = {}
+        for r in means.collect():
+            by_key.setdefault((r.m, r.code), []).append((r.pos, r.mv))
+        cb_rows = sorted(
+            (mm, code, [v for _, v in sorted(pvs)])
+            for (mm, code), pvs in by_key.items())
+
+    codes = assign_join(cb_rows)
+    codebook = spark.createDataFrame(
+        cb_rows, "m int, code int, cv array<bigint>")
+    subs.unpersist()
+    comps.unpersist()
+    return codes, codebook
+
+
+def pq_topk_df(embeddings: DataFrame, m: int = _PQ_M,
+               sub: int = _PQ_SUBDIM, k: int = _PQ_K,
+               iters: int = _PQ_ITERS, shortlist: int = _PQ_SHORTLIST,
+               topn: int = 5, n_queries: int = 8) -> DataFrame:
+    """PRODUCTION IVFADC-style search — row-identical to the
+    ``ann_pq_adc`` oracle SQL (test-pinned).  The per-query distance
+    table (n_queries·M·K rows) is broadcast into the ADC scan, which
+    is a map-side (m, code) hash join over the byte-sized code table
+    plus a partial-agg SUM — the only pass that touches all n rows
+    reads codes, never vectors; raw vectors are re-read for the
+    ``shortlist``-row exact-cosine refine only."""
+    codes, codebook = pq_fit_df(embeddings, m, sub, k, iters)
+    qsubs = _pq_subs(embeddings, m, sub) \
+        .filter(F.col("vec_id") < n_queries)
+    dtab = (qsubs.join(F.broadcast(codebook), "m")
+            .select(F.col("vec_id").alias("query_id"), "m", "code",
+                    F.expr(_PQ_SUB_SQDIST).alias("dist")))
+    adc = (codes.join(F.broadcast(dtab), ["m", "code"])
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+           .agg(F.sum("dist").cast("bigint").alias("adc_dist")))
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    short = (adc.withColumn("arn", F.row_number().over(w_adc))
+             .filter(F.col("arn") <= shortlist)
+             .select("query_id", "cand_id", "adc_dist"))
+    base = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               " * 1000000.0) AS BIGINT))").alias("qv"))
+    qb = base.select(F.col("vec_id").alias("query_id"),
+                     F.col("qv").alias("q_qv"))
+    cb = base.select(F.col("vec_id").alias("cand_id"),
+                     F.col("qv").alias("c_qv"))
+    cosine = F.expr(_COSINE_EXPR)
+    rr = (short.join(qb, "query_id").join(cb, "cand_id")
+          .select("query_id", "cand_id", "adc_dist",
+                  cosine.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (rr.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= topn)
+            .select("query_id", F.col("cand_id").alias("neighbor_id"),
+                    "rank", "cosine", "adc_dist"))

@@ -615,7 +615,10 @@ class _Font:
 
 
 def _load_fonts(doc: PdfDocument, page: dict) -> Dict[str, _Font]:
-    res = doc.resolve(page.get("Resources")) or {}
+    return _fonts_from_res(doc, doc.resolve(page.get("Resources")) or {})
+
+
+def _fonts_from_res(doc: PdfDocument, res: dict) -> Dict[str, _Font]:
     fonts = doc.resolve(res.get("Font")) or {}
     out: Dict[str, _Font] = {}
     for name, ref in fonts.items():
@@ -632,6 +635,28 @@ def _load_fonts(doc: PdfDocument, page: dict) -> Dict[str, _Font]:
         cb = 2 if fd.get("Subtype") == "Type0" else 1
         out[name] = _Font(to_unicode=cmap, code_bytes=cb)
     return out
+
+
+def _form_lookup(doc: PdfDocument, res: dict):
+    """Resolver for ``Do`` operands: name → (decoded content, fonts,
+    nested resolver) for /Subtype /Form XObjects, None for images and
+    unknown names.  A form without its own /Resources inherits the
+    invoking context's (ISO 32000-1 §8.10.1 legacy behavior)."""
+    xobjects = doc.resolve(res.get("XObject")) or {}
+
+    def get(name: str):
+        s = doc.resolve(xobjects.get(name))
+        if not isinstance(s, Stream) \
+                or doc.resolve(s.info.get("Subtype")) != "Form":
+            return None
+        try:
+            data = _decode_stream(s)
+        except Exception:
+            return None
+        fres = doc.resolve(s.info.get("Resources")) or res
+        return data, _fonts_from_res(doc, fres), _form_lookup(doc, fres)
+
+    return get
 
 
 # ---------------------------------------------------------------------
@@ -656,9 +681,22 @@ class _TextState:
         return nbytes * self.font.char_em * self.size
 
 
-def _interpret(content: bytes, fonts: Dict[str, _Font]) -> List[Tuple[float, float, str]]:
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\f\r ]EI(?=[\x00\t\n\f\r ]|$)")
+_INLINE_ID_RE = re.compile(rb"[\x00\t\n\f\r ]ID")
+
+
+def _interpret(content: bytes, fonts: Dict[str, _Font],
+               get_form=None, depth: int = 0) -> List[Tuple[float, float, str]]:
     """Execute show-text-relevant operators; return glyph runs
-    (y, x, text)."""
+    (y, x, text).
+
+    ``get_form``: optional ``_form_lookup`` resolver — ``Do`` on a
+    /Subtype /Form XObject recurses into the form's own content
+    stream (pdfminer-style; images resolve to None and are ignored).
+    Inline images (``BI … ID <binary> EI``) are skipped wholesale:
+    their unlexable binary payload would otherwise be misread as
+    operands (a stray ``(`` opens a phantom string, and any ``Tj``
+    bytes after it would leak image noise into the extracted text)."""
     lex = _Lexer(content)
     stack: List[Any] = []
     st = _TextState()
@@ -725,6 +763,21 @@ def _interpret(content: bytes, fonts: Dict[str, _Font]) -> List[Tuple[float, flo
                         show(item)
                     elif isinstance(item, (int, float)):
                         st.x -= item / 1000.0 * st.size
+            elif op == "BI":
+                # skip the whole inline image: dict up to the
+                # whitespace-prefixed ID, binary payload up to the
+                # whitespace-delimited EI (ISO 32000-1 §8.9.7)
+                idm = _INLINE_ID_RE.search(content, lex.pos)
+                if not idm:
+                    break
+                eim = _INLINE_EI_RE.search(content, idm.end())
+                lex.pos = eim.end() if eim else n
+            elif op == "Do" and stack and get_form is not None \
+                    and depth < 8:
+                sub = get_form(stack[-1])
+                if sub is not None:
+                    data, sfonts, sget = sub
+                    runs.extend(_interpret(data, sfonts, sget, depth + 1))
             stack.clear()
         except EOFError:
             break
@@ -778,6 +831,7 @@ def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult
         page_texts = []
         for page in pages:
             fonts = _load_fonts(doc, page)
+            res = doc.resolve(page.get("Resources")) or {}
             contents = doc.resolve(page.get("Contents"))
             chunks: List[bytes] = []
             for item in contents if isinstance(contents, list) else [contents]:
@@ -787,7 +841,8 @@ def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult
                         chunks.append(_decode_stream(s))
                     except Exception:
                         continue
-            runs = _interpret(b"\n".join(chunks), fonts)
+            runs = _interpret(b"\n".join(chunks), fonts,
+                              _form_lookup(doc, res))
             page_texts.append(_cluster_lines(runs, char_w))
         return ExtractResult("\n".join(page_texts), len(pages))
     except Exception as exc:  # poison document — report, don't raise

@@ -504,3 +504,67 @@ def alien_lzw_predictor(text: str) -> bytes:
             % (len(page_nums), kids))
     catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
     return doc.render(emission + [cm, f1, pages_node, catalog])
+
+
+def alien_form_inline(text: str) -> bytes:
+    """Variant 6: per page, EVEN lines paint in the page content
+    stream and ODD lines inside a /Subtype /Form XObject invoked with
+    ``Do`` (its own /Resources; the y-sweep must interleave the two
+    streams' runs back into source order).  Between them the page
+    stream embeds an INLINE IMAGE (``BI … ID … EI``) whose 32-byte
+    binary payload is a trap: it contains ``(LEAKED) Tj`` and a fake
+    ``BT/ET`` block — a reader that lexes instead of skipping the
+    payload emits phantom glyphs.  No sibling-writer convention: the
+    in-package writer emits neither XObjects nor inline images."""
+    doc = _AlienDoc(eol=b"\n")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1"
+                 b" /BaseFont /Courier >>")
+    pages_node = doc.reserve()
+
+    def lit(s: str) -> bytes:
+        b = s.encode("latin-1")
+        return (b"(" + b.replace(b"\\", rb"\\").replace(b"(", rb"\(")
+                .replace(b")", rb"\)") + b")")
+
+    # 16x2 8-bit gray image => exactly 32 payload bytes; the trap
+    # bytes deliberately avoid any whitespace-EI-whitespace run
+    trap = b"(LEAKED) Tj BT (X) Tj ET \x00\xfe\x89"
+    trap += b"\xaa" * (32 - len(trap))
+    assert len(trap) == 32 and b" EI " not in trap
+    inline = (b"BI /W 16 /H 2 /CS /G /BPC 8 ID " + trap + b" EI")
+
+    page_nums, emission = [], []
+    for lines in _pages_of(text):
+        page_ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        form_ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for i, ln in enumerate(lines):
+            dst = page_ops if i % 2 == 0 else form_ops
+            dst.append(b"1 0 0 1 72 %d Tm" % y)
+            dst.append(lit(ln) + b" Tj")
+            y -= LEAD
+        page_ops.append(b"ET")
+        form_ops.append(b"ET")
+        fbody = b"\n".join(form_ops)
+        form = doc.add(b"<< /Type /XObject /Subtype /Form"
+                       b" /BBox [0 0 612 792]"
+                       b" /Resources << /Font << /F1 %d 0 R >> >>"
+                       b" /Length %d >>\nstream\n" % (f1, len(fbody)) +
+                       fbody + b"\nendstream")
+        content = (b"\n".join(page_ops) + b"\nq\n" + inline +
+                   b"\nQ\n/Fx1 Do")
+        stream = doc.add(b"<< /Length %d >>\nstream\n" % len(content) +
+                         content + b"\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >>"
+                     b" /XObject << /Fx1 %d 0 R >> >>"
+                     b" /Contents %d 0 R >>"
+                     % (pages_node, f1, form, stream))
+        page_nums.append(pg)
+        emission += [form, stream, pg]
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
+    return doc.render(emission + [f1, pages_node, catalog])

@@ -16,8 +16,8 @@ import pytest
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from alien_pdf_writer import (  # noqa: E402
-    alien_classic, alien_filters, alien_lzw_predictor, alien_quote_ops,
-    alien_tj_kerning,
+    alien_classic, alien_filters, alien_form_inline, alien_lzw_predictor,
+    alien_quote_ops, alien_tj_kerning,
 )
 from pdf_parser_spark.pdfio.tokenizer import extract_pdf_text  # noqa: E402
 
@@ -42,6 +42,7 @@ _VARIANTS = [
     ("quote_ops", alien_quote_ops),
     ("filters", alien_filters),
     ("lzw_predictor", alien_lzw_predictor),
+    ("form_inline", alien_form_inline),
 ]
 
 
@@ -222,3 +223,23 @@ def test_xref_predictor_writer_roundtrip():
     for num, ent in entries.items():
         if ent[0] == "n":
             assert spans[num] == ent[1], num
+
+
+def test_inline_image_payload_never_leaks():
+    """The variant-6 inline image's binary payload contains
+    ``(LEAKED) Tj`` — a reader that lexes the payload instead of
+    skipping BI…ID…EI wholesale shows it as phantom text."""
+    pdf = alien_form_inline(_TEXTS[0])
+    assert b"(LEAKED) Tj" in pdf  # the trap is really in there
+    res = extract_pdf_text(pdf)
+    assert res.error is None
+    assert "LEAKED" not in res.text and "X" not in res.text.split()
+
+
+def test_form_xobject_text_is_extracted():
+    """Odd lines live ONLY inside the /Form XObject — they can reach
+    the output only through the ``Do`` recursion."""
+    text = "line zero page\nline one form\nline two page\nline three form"
+    res = extract_pdf_text(alien_form_inline(text))
+    assert res.error is None
+    assert res.text == text

@@ -803,3 +803,114 @@ FROM parsed
 """.format(host=host, did=CSTR("doc_id", d), lastmod=lastmod,
            entry=entry, entries=ORD_CONCAT("entry", "", "doc_id", d),
            parsed=parsed, fresh=_SM_FRESH)
+
+
+# ----------------------------------------------------------- web feeds
+
+@query("feed_ingest")
+def q_feed_ingest(d: str) -> str:
+    """RSS/Atom feed ingestion — the OTHER standard discovery channel
+    next to sitemaps: each host publishes a feed of recent posts; the
+    crawler must auto-detect the format and normalize both shapes to
+    one (host, link, published, title) relation before the freshness
+    gate.  Even-numbered hosts publish RSS 2.0 (``<item><link>…``
+    child elements), odd hosts Atom (``<entry><link href="…"/>`` —
+    the link is an ATTRIBUTE, and the timestamp tag is ``<updated>``
+    not ``<pubDate>``), so a parser wired to only one dialect loses
+    half the corpus.  Timestamps are emitted ISO-8601 so the
+    freshness gate stays a lexicographic compare (a production feed
+    normalizer converts RFC-822 pubDates first).
+
+    The corpus has no feeds, so each host's XML is synthesized
+    in-plan exactly like ``sitemap_ingest`` (ordered per-host concat;
+    feeds are spec-bounded small — publishers cap entries, so a row
+    is bounded and busier hosts ship more feed PAGES, not bigger
+    rows).  The real operator under test is the dual-dialect parse:
+    Spark uses the JVM-side Hive ``xpath`` UDF (including the
+    ``@href`` attribute axis), DuckDB regexp extraction — identical
+    rows out of both proves the parse, not the synthesis.
+
+    Shape at 10^12 pages: one ordered hash-agg to host granularity,
+    then a narrow map-side explode back to entry granularity; no
+    joins, no second shuffle."""
+    from ..relational import ORD_CONCAT
+
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
+    pub = ("'2024-' || lpad({m}, 2, '0') || '-' || lpad({dd}, 2, '0')"
+           .format(m=CSTR("1 + doc_id % 12", d),
+                   dd=CSTR("1 + doc_id % 28", d)))
+    rss_entry = ("'<item><title>Post ' || {did} || '</title><link>'"
+                 " || link || '</link><pubDate>' || pub ||"
+                 " '</pubDate></item>'").format(did=CSTR("doc_id", d))
+    atom_entry = ("'<entry><title>Post ' || {did} || '</title>"
+                  "<link href=\"' || link || '\"/><updated>' || pub ||"
+                  " '</updated></entry>'").format(did=CSTR("doc_id", d))
+    if d == SPARK:
+        parsed = """
+parsed AS (
+  SELECT host, fmt, z.links AS link, z.pubs AS published,
+         z.titles AS title
+  FROM (
+    SELECT host, fmt,
+      CASE WHEN fmt = 'rss'
+           THEN xpath(xml, '/rss/channel/item/link/text()')
+           ELSE xpath(xml, '/feed/entry/link/@href') END AS links,
+      CASE WHEN fmt = 'rss'
+           THEN xpath(xml, '/rss/channel/item/pubDate/text()')
+           ELSE xpath(xml, '/feed/entry/updated/text()') END AS pubs,
+      CASE WHEN fmt = 'rss'
+           THEN xpath(xml, '/rss/channel/item/title/text()')
+           ELSE xpath(xml, '/feed/entry/title/text()') END AS titles
+    FROM feeds
+  ) x
+  LATERAL VIEW explode(arrays_zip(links, pubs, titles)) t AS z
+)"""
+    else:
+        parsed = """
+parsed AS (
+  SELECT host, fmt, u[1] AS link, u[2] AS published, u[3] AS title
+  FROM (
+    SELECT host, fmt, unnest(list_zip(
+      CASE WHEN fmt = 'rss'
+           THEN regexp_extract_all(xml, '<link>([^<]+)</link>', 1)
+           ELSE regexp_extract_all(xml, '<link href="([^"]+)"/>', 1) END,
+      CASE WHEN fmt = 'rss'
+           THEN regexp_extract_all(xml, '<pubDate>([^<]+)</pubDate>', 1)
+           ELSE regexp_extract_all(xml, '<updated>([^<]+)</updated>', 1)
+           END,
+      regexp_extract_all(xml, '<title>([^<]+)</title>', 1))) AS u
+    FROM feeds
+  ) x
+)"""
+    return """
+WITH posts AS (
+  SELECT doc_id, {host} AS host,
+         CAST(doc_id % 2 AS INT) AS odd_host,
+         'https://' || {host} || '/post/' || {did} AS link,
+         {pub} AS pub
+  FROM documents
+),
+entries AS (
+  SELECT host, doc_id,
+    CASE WHEN odd_host = 0 THEN {rss_entry} ELSE {atom_entry} END AS entry,
+    CASE WHEN odd_host = 0 THEN 'rss' ELSE 'atom' END AS fmt
+  FROM posts
+),
+feeds AS (
+  SELECT host, fmt,
+    CASE WHEN fmt = 'rss'
+      THEN '<?xml version="1.0"?><rss version="2.0"><channel>'
+           || {entries_concat} || '</channel></rss>'
+      ELSE '<?xml version="1.0"?><feed>'
+           || {entries_concat} || '</feed>' END AS xml
+  FROM entries
+  GROUP BY host, fmt
+),{parsed}
+SELECT host, fmt, link, published, title,
+  CAST(CASE WHEN published >= '{fresh}' THEN 1 ELSE 0 END AS INT)
+    AS is_fresh
+FROM parsed
+""".format(host=host, did=CSTR("doc_id", d), pub=pub,
+           rss_entry=rss_entry, atom_entry=atom_entry,
+           entries_concat=ORD_CONCAT("entry", "", "doc_id", d),
+           parsed=parsed, fresh=_SM_FRESH)

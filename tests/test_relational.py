@@ -46,7 +46,8 @@ _SUBSET = [
     "proximity_search", "simhash_hamming", "label_propagation",
     "politeness_schedule", "quantile_sketch", "bpe_encode",
     "redirect_resolve", "spell_suggest", "range_partition_plan",
-    "pmi_collocations", "salsa_scores",
+    "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
+    "feed_ingest", "sitemap_ingest", "html_meta_extract",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3360,3 +3361,26 @@ def test_encoding_repair_semantics(duck, entry_mod):
         if exp[4] == 0:
             assert not pat.search(p2)
     assert n_pass2 > 0 and n_suspect > 0
+
+
+def test_feed_ingest_semantics(duck, entry_mod):
+    """Independent Python recomputation: every document appears once
+    in its host's feed with the right format (RSS on even hosts, Atom
+    on odd — link carried as a child ELEMENT vs an ATTRIBUTE), link,
+    ISO date, title, and freshness verdict."""
+    rows = duck.sql(entry_mod.all_oracles()["feed_ingest"]).fetchall()
+    assert len(rows) == 500
+    seen = set()
+    for host, fmt, link, published, title, is_fresh in rows:
+        doc_id = int(link.rsplit("/", 1)[1])
+        seen.add(doc_id)
+        hid = doc_id % 40
+        assert host == "h%d.example" % hid
+        assert fmt == ("rss" if hid % 2 == 0 else "atom")
+        assert link == "https://h%d.example/post/%d" % (hid, doc_id)
+        assert published == "2024-%02d-%02d" % (
+            1 + doc_id % 12, 1 + doc_id % 28)
+        assert title == "Post %d" % doc_id
+        assert is_fresh == (1 if published >= "2024-07-01" else 0)
+    assert seen == set(range(500))
+    assert {r[1] for r in rows} == {"rss", "atom"}  # both dialects hit

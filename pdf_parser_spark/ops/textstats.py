@@ -1038,3 +1038,60 @@ SELECT doc_id, n_moji,
 FROM s2
 """.format(inj=inj.strip(), n_moji=n_moji, pass1=chain("t"),
            pass2=chain("p1"), residual=residual)
+
+
+# ------------------------------------------------------ script detect
+# ISO 15924 script histogram — the pre-filter real language-ID stacks
+# run BEFORE any model: count codepoints per script block, argmax.
+# Character classes use literal range endpoints (no \uXXXX escapes),
+# so the identical pattern compiles in Java regex (Spark) and RE2
+# (DuckDB).  The corpus text is Latin-only, so per-script twins are
+# injected in-plan (doc_id % 5 picks the script), same convention as
+# the PII / near-dup tiers.
+_SCRIPTS = [
+    ("cyrl", "[а-яА-ЯЁё]", "Советский период истории России"),
+    ("grek", "[α-ωΑ-Ω]", "Ελληνική γλώσσα και ιστορία"),
+    ("hani", "[一-鿿]", "中文网页正文抽取流程"),
+    ("arab", "[ء-ي]", "النص العربي للاختبار هنا"),
+]
+
+
+@query("script_detect")
+def q_script_detect(d: str) -> str:
+    """Unicode-script detection: per-document codepoint counts for
+    Latin + 4 injected script blocks, dominant script by fixed-order
+    argmax, and the non-Latin fraction (the signal multilingual
+    pipelines use to route documents to per-script tokenizers).
+    Output columns are BIGINT counts + the ISO 15924-ish label."""
+    inject = " ".join(
+        "WHEN %d THEN repeat('%s ', 8) || substring(text, 1, 40)"
+        % (i + 1, snip)
+        for i, (_, _, snip) in enumerate(_SCRIPTS))
+    counts = ", ".join(
+        "CAST(%s AS BIGINT) AS n_%s"
+        % (LEN(REALL("txt", pat, d), d), name)
+        for name, pat, _ in _SCRIPTS)
+    n_latin = "CAST(%s AS BIGINT)" % LEN(REALL("txt", "[A-Za-z]", d), d)
+    argmax = (
+        "CASE WHEN n_latin >= n_cyrl AND n_latin >= n_grek"
+        " AND n_latin >= n_hani AND n_latin >= n_arab THEN 'Latn'"
+        " WHEN n_cyrl >= n_grek AND n_cyrl >= n_hani"
+        " AND n_cyrl >= n_arab THEN 'Cyrl'"
+        " WHEN n_grek >= n_hani AND n_grek >= n_arab THEN 'Grek'"
+        " WHEN n_hani >= n_arab THEN 'Hani' ELSE 'Arab' END")
+    return """
+WITH twinned AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT) {inject} ELSE text END AS txt
+  FROM documents
+),
+hist AS (
+  SELECT doc_id, {n_latin} AS n_latin, {counts} FROM twinned
+)
+SELECT doc_id, n_latin, n_cyrl, n_grek, n_hani, n_arab,
+  {argmax} AS script,
+  CAST(n_cyrl + n_grek + n_hani + n_arab AS DOUBLE)
+    / CAST(n_latin + n_cyrl + n_grek + n_hani + n_arab AS DOUBLE)
+    AS nonlatin_ratio
+FROM hist
+""".format(inject=inject, counts=counts, n_latin=n_latin, argmax=argmax)

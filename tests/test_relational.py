@@ -47,7 +47,7 @@ _SUBSET = [
     "politeness_schedule", "quantile_sketch", "bpe_encode",
     "redirect_resolve", "spell_suggest", "range_partition_plan",
     "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
-    "feed_ingest", "sitemap_ingest", "html_meta_extract",
+    "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3384,3 +3384,52 @@ def test_feed_ingest_semantics(duck, entry_mod):
         assert is_fresh == (1 if published >= "2024-07-01" else 0)
     assert seen == set(range(500))
     assert {r[1] for r in rows} == {"rss", "atom"}  # both dialects hit
+
+
+def test_script_detect_semantics(duck, entry_mod):
+    """Independent Python recomputation with the ``regex`` module NOT
+    in play: count codepoints by range directly and re-derive the
+    argmax for every document."""
+    rows = duck.sql(entry_mod.all_oracles()["script_detect"]).fetchall()
+    assert len(rows) == 500
+
+    def classify(ch):
+        o = ord(ch)
+        if ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
+            return "latin"
+        if 0x0410 <= o <= 0x044F or ch in "Ёё":
+            return "cyrl"
+        if 0x0391 <= o <= 0x03A9 or 0x03B1 <= o <= 0x03C9:
+            return "grek"
+        if 0x4E00 <= o <= 0x9FFF:
+            return "hani"
+        if 0x0621 <= o <= 0x064A:
+            return "arab"
+        return None
+
+    import duckdb as _dd
+    texts = {r[0]: r[1] for r in duck.sql(
+        "SELECT doc_id, text FROM documents").fetchall()}
+    snips = {1: "Советский период истории России",
+             2: "Ελληνική γλώσσα και ιστορία",
+             3: "中文网页正文抽取流程",
+             4: "النص العربي للاختبار هنا"}
+    for doc_id, n_lat, n_cy, n_gr, n_ha, n_ar, script, ratio in rows:
+        k = doc_id % 5
+        txt = texts[doc_id] if k == 0 else (
+            (snips[k] + " ") * 8 + texts[doc_id][:40])
+        from collections import Counter
+        c = Counter(filter(None, map(classify, txt)))
+        assert (n_lat, n_cy, n_gr, n_ha, n_ar) == (
+            c.get("latin", 0), c.get("cyrl", 0), c.get("grek", 0),
+            c.get("hani", 0), c.get("arab", 0)), doc_id
+        order = [("Latn", n_lat), ("Cyrl", n_cy), ("Grek", n_gr),
+                 ("Hani", n_ha), ("Arab", n_ar)]
+        best = max(range(5), key=lambda i: (order[i][1], -i))
+        assert script == order[best][0], doc_id
+        tot = n_lat + n_cy + n_gr + n_ha + n_ar
+        assert abs(ratio - (tot - n_lat) / tot) < 1e-12
+    from collections import Counter as C2
+    assert C2(r[6] for r in rows) == C2(
+        {"Latn": 100, "Cyrl": 100, "Grek": 100, "Hani": 100,
+         "Arab": 100})

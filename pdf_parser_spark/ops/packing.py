@@ -136,3 +136,54 @@ SELECT doc_id, n_tokens, start_offset,
        - floor(start_offset / {seq}.0) + 1 AS BIGINT) AS n_seqs
 FROM offs WHERE n_tokens > 0
 """.format(n_tok=n_tok, seq=_SEQ_LEN)
+
+
+_N_TRAIN_SHARDS = 16
+_EPOCH_SEED = 1
+
+
+@query("epoch_shard_plan")
+def q_epoch_shard(d: str) -> str:
+    """Deterministic epoch shuffle + shard export map — how a
+    pretraining run orders a corpus WITHOUT materializing a random
+    permutation: key every document by ``md5(seed, doc_id)``, shard by
+    the key, order within the shard by the key.  A different epoch
+    seed is a different (but reproducible) global order; resharding
+    is pure recomputation, no stored state.
+
+    Output per document: shard, position within the shard, token
+    count, and the shard-local token offset (the cumulative start the
+    sequence writer needs — prefix sum over the hash order).
+
+    Shape at 10^12 docs: ONE shuffle (repartition by shard) +
+    per-shard sort on the 60-bit key — the DataFrame twin is
+    ``repartition(shard).sortWithinPartitions(h)``; the within-shard
+    prefix sum is a plain window over the already-sorted partition,
+    and shards are independent so nothing is global."""
+    from ..relational import HEX2INT
+
+    n_tok = "CAST(%s AS BIGINT)" % LEN(
+        ("split(text, ' ')" if d == SPARK
+         else "string_split(text, ' ')"), d)
+    h = HEX2INT("md5('epoch-%d-' || CAST(doc_id AS %s))"
+                % (_EPOCH_SEED, "STRING" if d == SPARK else "VARCHAR"), d)
+    return """
+WITH keyed AS (
+  SELECT doc_id, {n_tok} AS n_tokens, {h} AS h
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens, h,
+    CAST(h % {shards} AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       AS INT) AS pos,
+  n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY shard ORDER BY h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS token_offset
+FROM sharded
+""".format(n_tok=n_tok, h=h, shards=_N_TRAIN_SHARDS)

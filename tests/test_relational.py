@@ -48,6 +48,7 @@ _SUBSET = [
     "redirect_resolve", "spell_suggest", "range_partition_plan",
     "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
+    "epoch_shard_plan",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3433,3 +3434,37 @@ def test_script_detect_semantics(duck, entry_mod):
     assert C2(r[6] for r in rows) == C2(
         {"Latn": 100, "Cyrl": 100, "Grek": 100, "Hani": 100,
          "Arab": 100})
+
+
+def test_epoch_shard_plan_semantics(duck, entry_mod):
+    """Independent Python recomputation: md5 epoch keys, shard
+    assignment, within-shard order, and the token prefix sums — plus
+    the reproducibility property (same seed = same plan) and the
+    permutation property (every doc exactly once)."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["epoch_shard_plan"]
+                    ).fetchall()
+    assert len(rows) == 500
+    assert {r[0] for r in rows} == set(range(500))  # a permutation
+    texts = {r[0]: r[1] for r in duck.sql(
+        "SELECT doc_id, text FROM documents").fetchall()}
+
+    def key(doc_id):
+        h = hashlib.md5(("epoch-1-%d" % doc_id).encode()).hexdigest()
+        return int(h[:15], 16)
+
+    by_shard = {}
+    for doc_id, shard, pos, n_tok, off in rows:
+        assert shard == key(doc_id) % 16
+        assert n_tok == len(texts[doc_id].split(" "))
+        by_shard.setdefault(shard, []).append((pos, doc_id, n_tok, off))
+    for shard, docs in by_shard.items():
+        docs.sort()
+        assert [p for p, *_ in docs] == list(range(1, len(docs) + 1))
+        expect = sorted((key(di), di) for _, di, _, _ in docs)
+        assert [di for _, di in expect] == [di for _, di, _, _ in docs]
+        run = 0
+        for _, _, n_tok, off in docs:
+            assert off == run
+            run += n_tok

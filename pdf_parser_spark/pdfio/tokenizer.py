@@ -423,10 +423,36 @@ def _decode_stream(s: Stream) -> bytes:
 # document model
 # ---------------------------------------------------------------------
 
+# the 32-byte password pad of ISO 32000-1 Table 21 (Algorithm 2)
+_ENC_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA0108"
+    "2E2E00B6D0683E802F0CA9FE6453697A")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (the PDF standard security handler's cipher
+    for /V 1-2; symmetric, so this both encrypts and decrypts)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
 class PdfDocument:
     def __init__(self, data: bytes):
         self.objects: Dict[int, Any] = {}
+        self.gens: Dict[int, int] = {}
         self._scan(data)
+        self._decrypt_if_needed(data)
         self._expand_object_streams()
 
     def _scan(self, data: bytes) -> None:
@@ -435,8 +461,83 @@ class PdfDocument:
             lex = _Lexer(data, m.end())
             try:
                 self.objects[num] = lex.value()
+                self.gens[num] = int(m.group(2))
             except Exception:
                 continue
+
+    # ------------------------------------------ standard security handler
+    def _decrypt_if_needed(self, data: bytes) -> None:
+        """RC4 decryption for the standard security handler with a
+        BLANK user password (ISO 32000-1 §7.6.3: /Filter /Standard,
+        /V 1-2, /R 2-3 — the 40/128-bit RC4 generations; most
+        'encrypted' statements in the wild open without a password).
+        Every string and stream is RC4'd under a per-object key; the
+        /Encrypt dict itself and cross-reference streams are exempt.
+        AES (/V 4-5) raises → extract_pdf_text reports the error."""
+        from hashlib import md5
+
+        enc_ref, id0 = None, b""
+        for m in re.finditer(rb"trailer", data):
+            try:
+                t = _Lexer(data, m.end()).value()
+            except Exception:
+                continue
+            if isinstance(t, dict) and "Encrypt" in t:
+                enc_ref = t["Encrypt"]
+                ids = self.resolve(t.get("ID")) or [b""]
+                id0 = ids[0] if isinstance(ids[0], bytes) else b""
+        for obj in self.objects.values():   # xref-stream trailers
+            if isinstance(obj, Stream) and obj.info.get("Type") == "XRef" \
+                    and "Encrypt" in obj.info:
+                enc_ref = obj.info["Encrypt"]
+                ids = self.resolve(obj.info.get("ID")) or [b""]
+                id0 = ids[0] if isinstance(ids[0], bytes) else b""
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            return
+        v = self.resolve(enc.get("V", 0))
+        r = self.resolve(enc.get("R", 2))
+        if self.resolve(enc.get("Filter")) != "Standard" \
+                or v not in (1, 2) or r not in (2, 3):
+            raise ValueError("unsupported encryption: /Filter %r /V %r"
+                             % (enc.get("Filter"), v))
+        o_entry = self.resolve(enc.get("O")) or b""
+        p = int(self.resolve(enc.get("P", -1)))
+        n = 5 if r == 2 else max(5, int(self.resolve(
+            enc.get("Length", 40))) // 8)
+        key = md5(_ENC_PAD + o_entry
+                  + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0).digest()
+        if r >= 3:
+            for _ in range(50):
+                key = md5(key[:n]).digest()
+        key = key[:n]
+        enc_num = enc_ref[0] if isinstance(enc_ref, Ref) else None
+
+        def dec(obj, ok):
+            if isinstance(obj, bytes):
+                return _rc4(ok, obj)
+            if isinstance(obj, Ref):
+                return obj
+            if isinstance(obj, list):
+                return [dec(x, ok) for x in obj]
+            if isinstance(obj, dict):
+                return {k: dec(x, ok) for k, x in obj.items()}
+            if isinstance(obj, Stream):
+                if obj.info.get("Type") == "XRef":
+                    return obj
+                return Stream(info=dec(obj.info, ok),
+                              raw=_rc4(ok, obj.raw))
+            return obj
+
+        for num in list(self.objects):
+            if num == enc_num:
+                continue
+            gen = self.gens.get(num, 0)
+            ok = md5(key + num.to_bytes(3, "little")
+                     + gen.to_bytes(2, "little")).digest()[:min(n + 5, 16)]
+            self.objects[num] = dec(self.objects[num], ok)
 
     def _expand_object_streams(self) -> None:
         for num in list(self.objects):

@@ -106,7 +106,8 @@ class _AlienDoc:
         return self.put(self.reserve(gen), body)
 
     def render(self, emission_order: List[int],
-               comments: bool = False) -> bytes:
+               comments: bool = False,
+               trailer_extra: bytes = b"") -> bytes:
         eol = self.eol
         out = bytearray(b"%PDF-1.4" + eol +
                         b"%\xc2\xa9 alien writer" + eol)
@@ -133,8 +134,9 @@ class _AlienDoc:
             out += b"%010d %05d n \r\n" % (offsets[n], self.gens[n])
         root = [n for n in nums if b"/Type /Catalog" in self.bodies[n]][0]
         out += b"trailer" + eol
-        out += (b"<< /Size %d /Root %d %d R >>"
-                % (max(nums) + 1, root, self.gens[root])) + eol
+        out += (b"<< /Size %d /Root %d %d R%s >>"
+                % (max(nums) + 1, root, self.gens[root],
+                   trailer_extra)) + eol
         out += b"startxref" + eol
         out += (b"%d" % xref_at) + eol
         out += b"%%EOF" + eol
@@ -568,3 +570,100 @@ def alien_form_inline(text: str) -> bytes:
             % (len(page_nums), kids))
     catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
     return doc.render(emission + [f1, pages_node, catalog])
+
+
+def _writer_rc4(key: bytes, data: bytes) -> bytes:
+    """Independent RC4 (deliberately NOT shared with the reader's)."""
+    state = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + state[i] + key[i % len(key)]) % 256
+        state[i], state[j] = state[j], state[i]
+    out, i, j = bytearray(), 0, 0
+    for byte in data:
+        i = (i + 1) % 256
+        j = (j + state[i]) % 256
+        state[i], state[j] = state[j], state[i]
+        out.append(byte ^ state[(state[i] + state[j]) % 256])
+    return bytes(out)
+
+
+_WRITER_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def alien_rc4(text: str, revision: int = 3) -> bytes:
+    """Variant 7: an RC4-ENCRYPTED document (standard security
+    handler, blank user password — /R 2 gives 40-bit /V 1, /R 3
+    gives 128-bit /V 2 with the 50-round key hardening).  Every
+    content/CMap stream is ciphered under its per-object key; the
+    reader must find /Encrypt through the trailer, re-derive the file
+    key from (O, P, ID), and decrypt before any parsing can work.
+    Cipher, MD5 chaining, and key assembly are implemented here
+    independently of the reader's."""
+    import hashlib
+
+    assert revision in (2, 3)
+    n = 5 if revision == 2 else 16
+    o_entry = bytes(range(0x40, 0x60))      # opaque 32 bytes
+    perm = -44
+    file_id = hashlib.md5(text.encode("latin-1")).digest()
+    key = hashlib.md5(
+        _WRITER_PAD + o_entry
+        + (perm % (1 << 32)).to_bytes(4, "little") + file_id).digest()
+    if revision == 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+
+    def obj_key(num: int, gen: int = 0) -> bytes:
+        return hashlib.md5(
+            key + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")).digest()[:min(n + 5, 16)]
+
+    doc = _AlienDoc(eol=b"\n")
+    cmap = _bfrange_cmap(text)
+    cm = doc.reserve()
+    doc.put(cm, b"<< /Length %d >>\nstream\n" % len(cmap) +
+            _writer_rc4(obj_key(cm), cmap) + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for lines in _pages_of(text):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        stream = doc.reserve()
+        doc.put(stream, b"<< /Length %d >>\nstream\n" % len(content) +
+                _writer_rc4(obj_key(stream), content) + b"\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >> >>"
+                     b" /Contents %d 0 R >>" % (pages_node, f1, stream))
+        page_nums.append(pg)
+        emission += [stream, pg]
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    v = 1 if revision == 2 else 2
+    enc = doc.add(
+        b"<< /Filter /Standard /V %d /R %d /Length %d"
+        b" /O <%s> /U <%s> /P %d >>"
+        % (v, revision, n * 8, o_entry.hex().upper().encode(),
+           (b"\x00" * 32).hex().encode(), perm))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
+    trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                     % (enc, file_id.hex().upper().encode(),
+                        file_id.hex().upper().encode()))
+    return doc.render([cm, f1] + emission + [pages_node, enc, catalog],
+                      trailer_extra=trailer_extra)

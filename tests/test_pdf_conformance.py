@@ -243,3 +243,34 @@ def test_form_xobject_text_is_extracted():
     res = extract_pdf_text(alien_form_inline(text))
     assert res.error is None
     assert res.text == text
+
+
+from alien_pdf_writer import alien_rc4  # noqa: E402
+
+
+@pytest.mark.parametrize("revision", [2, 3], ids=["r2_40bit", "r3_128bit"])
+@pytest.mark.parametrize("tidx", range(len(_TEXTS)))
+def test_rc4_encrypted_byte_identical(revision, tidx):
+    """Standard-security-handler decryption: the reader re-derives
+    the file key from (O, P, ID) with a blank user password and
+    decrypts every stream under its per-object key — for both the
+    40-bit /R 2 and the key-hardened 128-bit /R 3 generations."""
+    text = _TEXTS[tidx]
+    pdf = alien_rc4(text, revision)
+    # ciphertext sanity: no plaintext hex-string or raw text survives
+    probe = text.split("\n")[0].encode("latin-1")
+    assert probe not in pdf
+    assert probe.hex().upper().encode() not in pdf
+    res = extract_pdf_text(pdf)
+    assert res.error is None
+    assert res.text == text.replace("\f", "\n"), (revision, tidx)
+
+
+def test_unsupported_encryption_reports_not_garbles():
+    """An AES (/V 4) document must surface a clear error — never
+    silently emit RC4-garbled bytes as 'text'."""
+    pdf = alien_rc4(_TEXTS[0], 3).replace(
+        b"/Filter /Standard /V 2 /R 3", b"/Filter /Standard /V 4 /R 4")
+    res = extract_pdf_text(pdf)
+    assert res.error is not None and "encryption" in res.error
+    assert res.text == ""

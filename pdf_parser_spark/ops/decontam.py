@@ -108,3 +108,71 @@ LEFT JOIN hits h ON h.doc_id = tr.doc_id
 """.format(nw=LEN(ws, d), k=_K, ws=ws, probe=probe,
            ev_grams=_grams("evalset", d).lstrip(),
            tr_grams=_grams("train", d).lstrip())
+
+
+@query("decontam_fuzzy")
+def q_decontam_fuzzy(d: str) -> str:
+    """FUZZY decontamination — the screen exact 13-grams cannot do:
+    a benchmark document lightly reformatted inside a web page (words
+    dropped, whitespace renormalized) shares no long exact n-gram but
+    is still contamination.  The industry answer is the same
+    MinHash/LSH ladder as near-dup dedup, run ACROSS corpora: band
+    the eval set and the train set together, candidates = band-bucket
+    collisions, keep only eval×train pairs, verify at exact 4-gram
+    Jaccard ≥ 0.5.
+
+    Same in-plan split as ``decontam_13gram`` (every 50th doc is
+    eval), but the injected twins model the fuzzy case: a train doc
+    with doc_id % 17 = 3 has its text REPLACED by its partner eval
+    doc's text minus the first word — the near-dup twin shape of the
+    dedup tier.  On the fixture corpus the screen also surfaces one
+    ORGANIC eval near-duplicate no injection created (56 ↔ 157,
+    Jaccard 0.98) — exactly the finding class this operator exists
+    for (test-pinned).
+
+    Shape at 10^12 train docs: the shared ``_lsh_ctes`` chain — the
+    eval side adds ~1e5 rows to the banding, candidates are bounded
+    by band-bucket fan-in, the E×T filter runs before the pairwise
+    verify, and nothing is all-pairs.  Keys are 'E'/'T'-prefixed so
+    one banding pass serves both corpora and the pair orientation is
+    fixed by the prefix sort order."""
+    from .dedup import _JACCARD, _jaccard_ctes, _lsh_ctes
+
+    cstr = (("lpad(CAST(doc_id AS STRING), 6, '0')") if d == SPARK
+            else ("lpad(CAST(doc_id AS VARCHAR), 6, '0')"))
+    corpus0 = """
+probes AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7
+),
+trainset AS (
+  SELECT t.doc_id,
+    CASE WHEN t.doc_id % 17 = 3 AND e.text IS NOT NULL
+         THEN substring(e.text, instr(e.text, ' ') + 1)
+         ELSE t.text END AS text
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 7) t
+  LEFT JOIN probes e ON e.doc_id = 7 + 50 * (t.doc_id % 10)
+),
+corpus0 AS (
+  SELECT 'E' || {cstr} AS doc_id, text FROM probes
+  UNION ALL
+  SELECT 'T' || {cstr} AS doc_id, text FROM trainset
+)""".format(cstr=cstr).strip()
+    return """
+WITH {lsh},
+cand_et AS (
+  SELECT left_id, right_id FROM cand
+  WHERE substring(left_id, 1, 1) = 'E'
+    AND substring(right_id, 1, 1) = 'T'
+),
+{jac}
+SELECT
+  CAST(substring(i.right_id, 2) AS BIGINT) AS train_doc_id,
+  CAST(substring(i.left_id, 2) AS BIGINT) AS eval_doc_id,
+  i.inter, sa.n AS eval_n, sb.n AS train_n,
+  {jexpr} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.left_id
+JOIN sizes sb ON sb.doc_id = i.right_id
+WHERE {jexpr} >= 0.5
+""".format(lsh=_lsh_ctes(d, corpus0_sql=corpus0),
+           jac=_jaccard_ctes("cand_et"), jexpr=_JACCARD)

@@ -48,7 +48,7 @@ _SUBSET = [
     "redirect_resolve", "spell_suggest", "range_partition_plan",
     "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
-    "epoch_shard_plan",
+    "epoch_shard_plan", "decontam_fuzzy",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3468,3 +3468,44 @@ def test_epoch_shard_plan_semantics(duck, entry_mod):
         for _, _, n_tok, off in docs:
             assert off == run
             run += n_tok
+
+
+def test_decontam_fuzzy_semantics(duck, entry_mod):
+    """Independent Python recomputation: every injected near-dup twin
+    (train doc carrying its partner eval text minus the first word)
+    is flagged, every reported pair's exact 4-gram Jaccard is
+    re-derived in plain Python and is ≥ 0.5, and the exact-13-gram
+    screen CANNOT see the replaced-text twins' extra finding — the
+    fixture's one organic eval near-duplicate (56 ↔ 157)."""
+    rows = duck.sql(entry_mod.all_oracles()["decontam_fuzzy"]).fetchall()
+    texts = {r[0]: r[1] for r in duck.sql(
+        "SELECT doc_id, text FROM documents").fetchall()}
+
+    def shingles(t):
+        ws = t.split(" ")
+        n = max(len(ws) - 3, 1)
+        return {" ".join(ws[i:i + 4]) for i in range(n)}
+
+    injected = set()
+    train_text = {}
+    for t in range(500):
+        if t % 50 == 7:
+            continue
+        if t % 17 == 3:
+            partner = 7 + 50 * (t % 10)
+            train_text[t] = texts[partner].split(" ", 1)[1]
+            injected.add((t, partner))
+        else:
+            train_text[t] = texts[t]
+    got_pairs = {(r[0], r[1]) for r in rows}
+    assert injected <= got_pairs
+    for train_id, eval_id, inter, ev_n, tr_n, jac in rows:
+        a = shingles(texts[eval_id])
+        b = shingles(train_text[train_id])
+        assert ev_n == len(a) and tr_n == len(b)
+        assert inter == len(a & b)
+        exp_j = len(a & b) / len(a | b)
+        assert abs(jac - exp_j) < 1e-12 and jac >= 0.5
+    # the organic fixture near-dup is found too — true fuzzy
+    # contamination that shares no replaced-twin relationship
+    assert (56, 157) in got_pairs

@@ -33,7 +33,7 @@ would destroy the lineage the sidecar metrics contract requires.
 
 from __future__ import annotations
 
-from ..relational import DUCK, LEN, ORD_CONCAT, REALL, SPARK
+from ..relational import DUCK, JOINA, LEN, ORD_CONCAT, REALL, SLICE, SPARK
 
 QUERIES = {}
 
@@ -128,3 +128,107 @@ FROM verdict
            seg_line=ORD_CONCAT("w", " ", "pos", d),
            terminal=terminal, n_words=n_words,
            kept_cat=ORD_CONCAT(kept_md5, "", "line_no", d))
+
+
+_REP_K = 8         # repeated-window length (words)
+
+
+@query("intradoc_dedup")
+def q_intradoc_dedup(d: str) -> str:
+    """WITHIN-document repeated-span removal — the FIX to go with the
+    Gopher repetition SCORE (quality_repetition): generated/spammy
+    pages repeat the same phrase dozens of times, and the cleaning
+    tier keeps the first occurrence and strips the rest.
+
+    Semantics (deterministic, order-based): over the document's word
+    sequence, a position starts a REPEAT if its {k}-word window
+    equals an earlier position's window (same doc).  Every word
+    covered by some repeat-start's window is removed unless it is
+    also covered by the FIRST occurrence — implemented with a single
+    running-max window: covered(p) = max over repeat-starts s <= p of
+    (s + {k} - 1) >= p.  First occurrences are never repeat-starts
+    (min-pos rule), so originals survive.
+
+    Twins: docs with doc_id % 9 = 5 get their first {k}+4 words
+    appended again at the end (a verbatim repeated span); all other
+    docs are word-soup with few organic 8-gram repeats.
+
+    Shape at 10^12 docs: posexplode + two doc-partitioned windows
+    (gram build, running max) + one (doc_id, gram) hash-agg for the
+    min-pos rule + one per-doc re-agg — every exchange hash-partitions
+    on doc_id or (doc_id, gram); no joins across documents, no
+    all-pairs anything."""
+    k = _REP_K
+    ws = ("split(text, ' ')" if d == SPARK else "string_split(text, ' ')")
+    probe = JOINA(SLICE("ws0", "1", str(k + 4), d), " ", d)
+    if d == SPARK:
+        toks = """
+toks AS (
+  SELECT doc_id, pos, w FROM twinned
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+)"""
+        leads = ", ".join("lead(w, %d) OVER wd" % i for i in range(1, k))
+        grams = """
+grams AS (
+  SELECT doc_id, pos, w,
+    CASE WHEN lead(w, {km1}) OVER wd IS NOT NULL
+         THEN concat_ws(' ', w, {leads}) END AS g
+  FROM toks
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+)""".format(km1=k - 1, leads=leads)
+    else:
+        toks = """
+toks AS (
+  SELECT doc_id, CAST(pos - 1 AS INT) AS pos, ws[pos] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM twinned) t
+)"""
+        leads = ", ".join("lead(w, %d) OVER wd" % i for i in range(1, k))
+        grams = """
+grams AS (
+  SELECT doc_id, pos, w,
+    CASE WHEN lead(w, {km1}) OVER wd IS NOT NULL
+         THEN concat_ws(' ', w, {leads}) END AS g
+  FROM toks
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+)""".format(km1=k - 1, leads=leads)
+    return """
+WITH base AS (
+  SELECT doc_id, text, {ws_expr} AS ws0 FROM documents
+),
+twinned AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 5 THEN text || ' ' || {probe}
+         ELSE text END AS text
+  FROM base
+),{toks},{grams},
+firsts AS (
+  SELECT doc_id, g, MIN(pos) AS first_pos
+  FROM grams WHERE g IS NOT NULL GROUP BY doc_id, g
+),
+marked AS (
+  SELECT gr.doc_id, gr.pos, gr.w,
+    CASE WHEN f.first_pos IS NOT NULL AND gr.pos > f.first_pos
+         THEN gr.pos + {km1} END AS rep_end
+  FROM grams gr
+  LEFT JOIN firsts f ON f.doc_id = gr.doc_id AND f.g = gr.g
+),
+covered AS (
+  SELECT doc_id, pos, w,
+    CASE WHEN MAX(rep_end) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= pos
+         THEN 1 ELSE 0 END AS removed
+  FROM marked
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(removed) AS BIGINT) AS n_removed,
+  md5({kept}) AS kept_digest
+FROM covered
+GROUP BY doc_id
+""".format(ws_expr=ws, probe=probe, toks=toks.strip(), grams=grams.strip(),
+           km1=k - 1,
+           kept=ORD_CONCAT("CASE WHEN removed = 0 THEN w END",
+                           " ", "pos", d))

@@ -48,7 +48,7 @@ _SUBSET = [
     "redirect_resolve", "spell_suggest", "range_partition_plan",
     "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
-    "epoch_shard_plan", "decontam_fuzzy",
+    "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3509,3 +3509,38 @@ def test_decontam_fuzzy_semantics(duck, entry_mod):
     # the organic fixture near-dup is found too — true fuzzy
     # contamination that shares no replaced-twin relationship
     assert (56, 157) in got_pairs
+
+
+def test_intradoc_dedup_semantics(duck, entry_mod):
+    """Independent Python recomputation of the running-max removal
+    semantics for every document: repeated 8-gram windows after the
+    first occurrence are stripped, originals survive, twins lose
+    exactly their appended 12-word span."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["intradoc_dedup"]).fetchall()
+    assert len(rows) == 500
+    texts = {r[0]: r[1] for r in duck.sql(
+        "SELECT doc_id, text FROM documents").fetchall()}
+    K = 8
+    for doc_id, n_words, n_removed, digest in rows:
+        ws = texts[doc_id].split(" ")
+        if doc_id % 9 == 5:
+            ws = ws + ws[:K + 4]
+        assert n_words == len(ws)
+        first = {}
+        rep_end = -1
+        removed = []
+        for p in range(len(ws)):
+            if p + K <= len(ws):
+                g = " ".join(ws[p:p + K])
+                if g in first:
+                    rep_end = max(rep_end, p + K - 1)
+                else:
+                    first[g] = p
+            removed.append(rep_end >= p)
+        assert n_removed == sum(removed), doc_id
+        kept = " ".join(w for w, r in zip(ws, removed) if not r)
+        assert digest == hashlib.md5(kept.encode()).hexdigest(), doc_id
+        if doc_id % 9 == 5 and len(texts[doc_id].split(" ")) >= K + 4:
+            assert n_removed == K + 4, doc_id

@@ -156,7 +156,11 @@ def main() -> None:
                  "politeness_schedule", "quantile_sketch",
                  "bpe_encode", "redirect_resolve", "spell_suggest",
                  "range_partition_plan", "pmi_collocations",
-                 "salsa_scores"):
+                 "salsa_scores",
+                 # round-5 second-session additions
+                 "ann_pq_codes", "ann_pq_adc", "feed_ingest",
+                 "script_detect", "epoch_shard_plan",
+                 "decontam_fuzzy", "intradoc_dedup"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -566,6 +566,18 @@ class PdfDocument:
             depth += 1
         return v
 
+    def inherited(self, page: dict, key: str):
+        """Inheritable page attribute (ISO 32000-1 §7.7.3.4):
+        /Resources (and friends) may live on any ancestor /Pages node
+        — walk the /Parent chain until the key is found."""
+        node, depth = page, 0
+        while isinstance(node, dict) and depth < 32:
+            if key in node:
+                return self.resolve(node[key])
+            node = self.resolve(node.get("Parent"))
+            depth += 1
+        return None
+
     def pages(self) -> List[dict]:
         """Kids-walk from the catalog; fallback to object-number order."""
         catalog = None
@@ -716,7 +728,7 @@ class _Font:
 
 
 def _load_fonts(doc: PdfDocument, page: dict) -> Dict[str, _Font]:
-    return _fonts_from_res(doc, doc.resolve(page.get("Resources")) or {})
+    return _fonts_from_res(doc, doc.inherited(page, "Resources") or {})
 
 
 def _fonts_from_res(doc: PdfDocument, res: dict) -> Dict[str, _Font]:
@@ -932,7 +944,7 @@ def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult
         page_texts = []
         for page in pages:
             fonts = _load_fonts(doc, page)
-            res = doc.resolve(page.get("Resources")) or {}
+            res = doc.inherited(page, "Resources") or {}
             contents = doc.resolve(page.get("Contents"))
             chunks: List[bytes] = []
             for item in contents if isinstance(contents, list) else [contents]:

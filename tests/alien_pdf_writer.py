@@ -667,3 +667,42 @@ def alien_rc4(text: str, revision: int = 3) -> bytes:
                         file_id.hex().upper().encode()))
     return doc.render([cm, f1] + emission + [pages_node, enc, catalog],
                       trailer_extra=trailer_extra)
+
+
+def alien_inherited_resources(text: str) -> bytes:
+    """Variant 8: NO page carries /Resources — the font dictionary
+    lives only on the root /Pages node and must be found by walking
+    the /Parent chain (ISO 32000-1 §7.7.3.4 inheritable attributes;
+    common in real-world writers that hoist shared resources)."""
+    doc = _AlienDoc(eol=b"\n")
+    cmap = _bfrange_cmap(text)
+    cm = doc.add(b"<< /Length %d >>\nstream\n" % len(cmap) +
+                 cmap + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for lines in _pages_of(text):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        stream = doc.add(b"<< /Length %d >>\nstream\n" % len(content) +
+                         content + b"\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Contents %d 0 R >>" % (pages_node, stream))
+        page_nums.append(pg)
+        emission += [stream, pg]
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node,
+            b"<< /Type /Pages /Count %d /Kids [%s]"
+            b" /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (len(page_nums), kids, f1))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
+    return doc.render([cm, f1] + emission + [pages_node, catalog])

@@ -16,8 +16,9 @@ import pytest
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from alien_pdf_writer import (  # noqa: E402
-    alien_classic, alien_filters, alien_form_inline, alien_lzw_predictor,
-    alien_quote_ops, alien_tj_kerning,
+    alien_classic, alien_filters, alien_form_inline,
+    alien_inherited_resources, alien_lzw_predictor, alien_quote_ops,
+    alien_tj_kerning,
 )
 from pdf_parser_spark.pdfio.tokenizer import extract_pdf_text  # noqa: E402
 
@@ -43,6 +44,7 @@ _VARIANTS = [
     ("filters", alien_filters),
     ("lzw_predictor", alien_lzw_predictor),
     ("form_inline", alien_form_inline),
+    ("inherited_resources", alien_inherited_resources),
 ]
 
 

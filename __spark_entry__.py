@@ -380,7 +380,31 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # ftfy-style mojibake repair (sloppy-cp1252 unwind,
                    # two passes, suspect quarantine flag) — post-cap,
                    # same all_queries path
-                   "encoding_repair"}
+                   "encoding_repair",
+                   # round-5 SECOND late rotation (cap stays 50): seven
+                   # never-adjudicated session additions rotate IN
+                   # (ann_pq_codes, ann_pq_adc, feed_ingest,
+                   # script_detect, epoch_shard_plan, decontam_fuzzy,
+                   # intradoc_dedup), seven long-stable rows — each a
+                   # sub-stage or simpler sibling of a surviving row —
+                   # rotate OUT:
+                   #   ann_ivf_topk_big = the 50k-scale twin of the
+                   #     surviving ann_ivf_topk/ann_ivf_amortized pair
+                   #   dedup_ngram_jaccard ⊂ dedup_lsh_verified's
+                   #     verify core (_jaccard_ctes is shared)
+                   #   dedup_simhash ⊂ simhash_hamming (sig tier of
+                   #     the surviving banded-Hamming row)
+                   #   lang_id_heuristic → script_detect carries the
+                   #     richer classify-by-histogram adjudication
+                   #   token_stats → quality_score survives with the
+                   #     same count plumbing plus the blend
+                   #   url_canonicalize ⊂ redirect_resolve (canonical
+                   #     form feeds the surviving chain walk)
+                   #   dedup_embedding_cosine → embed_srp_neardup +
+                   #     the ANN tiers carry the cosine-verify shape
+                   "ann_ivf_topk_big", "dedup_ngram_jaccard",
+                   "dedup_simhash", "lang_id_heuristic", "token_stats",
+                   "url_canonicalize", "dedup_embedding_cosine"}
 
 
 def _specials() -> dict:

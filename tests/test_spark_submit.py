@@ -57,3 +57,52 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     second = _submit(zip_path, out, ["--demo-corpus", "2", "--run-id", "s2"])
     assert second["docs"] == 0 and second["txs"] == 0
     assert len(sorted((out / "_snapshots").glob("snapshot-*.json"))) == 1
+
+
+def test_shard_export_job_matches_oracle(tmp_path):
+    """The deployment form of epoch_shard_plan: submit the shard
+    export through --py-files, then verify the WRITTEN parquet
+    dataset row-for-row against the DuckDB oracle."""
+    import duckdb
+
+    zip_path = tmp_path / "pdf_parser_spark.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "make_pyfiles.py"),
+         str(zip_path)],
+        check=True, capture_output=True)
+    out = tmp_path / "shards"
+    cmd = [
+        "spark-submit", "--master", "local[8]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "shard_export_job.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(out),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                         cwd="/tmp")
+    assert res.returncode == 0, res.stderr[-3000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["docs"] == 500 and stats["shards"] == 16
+
+    # partitioned layout on disk: one directory per shard
+    shard_dirs = sorted(p.name for p in out.glob("shard=*"))
+    assert len(shard_dirs) == 16
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "se", REPO / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(con.sql(
+        mod.all_oracles()["epoch_shard_plan"]).fetchall())
+    got = sorted(con.sql(
+        "SELECT doc_id, shard, pos, n_tokens, token_offset FROM "
+        "read_parquet('%s/shard=*/*.parquet', hive_partitioning=true)"
+        % out).fetchall())
+    assert got == want

@@ -1140,3 +1140,113 @@ WHERE c.doc_id < 1000000 AND c.doc_id % 6 = 0
 """.format(twin=twin_text, ws=_split_ws(d), wsplit=wsplit,
            bhash=bhash, m=_CDC_MOD, ctext=chunk_text,
            ftext=chunk_text)
+
+
+# ------------------------------------------------ winnowing (MOSS)
+
+_WIN_K = 4    # gram length (words)
+_WIN_W = 5    # winnowing window (grams)
+_WIN_TAU = 2  # min shared fingerprints to report a pair
+
+
+@query("winnow_matches")
+def q_winnow_matches(d: str) -> str:
+    """Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every {k}-word gram, keep
+    per document only each {w}-gram window's MINIMUM hash (the
+    winnowed fingerprint set — guaranteed to catch any shared run of
+    >= w+k-1 words while storing ~2/(w+1) of the grams), then find
+    document pairs sharing >= {tau} fingerprints via an equi-join on
+    the fingerprint — the inverted-index shape, never all-pairs.
+
+    Distinct from the LSH tier: LSH answers "are these documents
+    mostly the same", winnowing answers "do these documents share a
+    COPIED PASSAGE" (plagiarism/quotation detection) — a 40-word
+    block inside two otherwise-unrelated documents is invisible to
+    whole-document MinHash but guaranteed-caught here.
+
+    Twins: docs with doc_id % 13 = 4 carry a copied 40-word block
+    from their partner doc ((doc_id + 101) % corpus size).  Window
+    minima ride a (hash || pos) string key so the argmin position
+    comes out of the same MIN() — md5 keys are collision-free at
+    fixture scale, so ties never decide selection.
+
+    Shape at 10^12 docs: posexplode + two doc-partitioned windows
+    (gram build, window min) + DISTINCT fingerprints + one
+    fingerprint equi-join with a (fp) hash-agg — candidates are
+    bounded by fingerprint bucket sizes exactly like the LSH band
+    join."""
+    k, w, tau = _WIN_K, _WIN_W, _WIN_TAU
+    block = JOINA(SLICE("pws", "1", "40", d), " ", d)
+    if d == SPARK:
+        toks = """
+toks AS (
+  SELECT doc_id, pos, wd FROM corpus
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, wd
+)"""
+    else:
+        toks = """
+toks AS (
+  SELECT doc_id, CAST(pos - 1 AS INT) AS pos, ws[pos] AS wd
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM corpus) t
+)"""
+    leads = ", ".join("lead(wd, %d) OVER wd_w" % i for i in range(1, k))
+    return """
+WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+partners AS (
+  SELECT d1.doc_id, {block} AS block
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 13 = 4) d1
+  JOIN n_docs ON 1 = 1
+  JOIN (SELECT doc_id AS pid, {split_p} AS pws FROM documents) p
+    ON p.pid = (d1.doc_id + 101) % n_docs.n
+),
+corpus AS (
+  SELECT t.doc_id,
+    CASE WHEN pa.block IS NOT NULL
+         THEN t.text || ' ' || pa.block ELSE t.text END AS text
+  FROM documents t
+  LEFT JOIN partners pa ON pa.doc_id = t.doc_id
+),{toks},
+grams AS (
+  SELECT doc_id, pos,
+    CASE WHEN lead(wd, {km1}) OVER wd_w IS NOT NULL
+         THEN concat_ws(' ', wd, {leads}) END AS g,
+    count(*) OVER (PARTITION BY doc_id) AS n_words
+  FROM toks
+  WINDOW wd_w AS (PARTITION BY doc_id ORDER BY pos)
+),
+keyed AS (
+  SELECT doc_id, pos,
+    substring(md5(g), 1, 15) || '#' ||
+      lpad({pos_str}, 8, '0') AS hk,
+    n_words - {km1} AS n_grams
+  FROM grams WHERE g IS NOT NULL
+),
+winmins AS (
+  SELECT doc_id, pos, n_grams,
+    MIN(hk) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS wk
+  FROM keyed
+),
+fps AS (
+  -- the full-window gate runs AFTER the frame: tail grams must still
+  -- participate in earlier windows' minima, only window STARTS past
+  -- n_grams - w are dropped
+  SELECT DISTINCT doc_id, substring(wk, 1, 15) AS fp FROM winmins
+  WHERE pos + 1 <= n_grams - {wm1}
+),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+    CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT left_id, right_id, shared_fps
+FROM pairs WHERE shared_fps >= {tau}
+""".format(block=block, split_p=_split_ws(d, "text"),
+           toks=toks.strip(), km1=k - 1, leads=leads, wm1=w - 1,
+           pos_str=("CAST(pos AS STRING)" if d == SPARK
+                    else "CAST(pos AS VARCHAR)"),
+           tau=tau)

@@ -49,6 +49,7 @@ _SUBSET = [
     "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
+    "winnow_matches",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3544,3 +3545,59 @@ def test_intradoc_dedup_semantics(duck, entry_mod):
         assert digest == hashlib.md5(kept.encode()).hexdigest(), doc_id
         if doc_id % 9 == 5 and len(texts[doc_id].split(" ")) >= K + 4:
             assert n_removed == K + 4, doc_id
+
+
+def test_winnow_matches_semantics(duck, entry_mod):
+    """Full independent Python winnowing (grams → window minima →
+    distinct fingerprints → pair counts): the SQL's output set must
+    equal the recomputation EXACTLY, every injected copied-block pair
+    must appear, and the guarantee must hold (a 40-word copied block
+    always shares >= 1 fingerprint)."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["winnow_matches"]).fetchall()
+    texts = {r[0]: r[1] for r in duck.sql(
+        "SELECT doc_id, text FROM documents").fetchall()}
+    n = len(texts)
+    K, W, TAU = 4, 5, 2
+
+    def fingerprints(t):
+        ws = t.split(" ")
+        grams = [" ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)]
+        hks = ["%s#%08d" % (hashlib.md5(g.encode()).hexdigest()[:15], i)
+               for i, g in enumerate(grams)]
+        fps = set()
+        for s in range(len(hks) - W + 1):
+            fps.add(min(hks[s:s + W])[:15])
+        return fps
+
+    fp_sets = {}
+    for doc_id, text in texts.items():
+        if doc_id % 13 == 4:
+            partner = (doc_id + 101) % n
+            text = text + " " + " ".join(
+                texts[partner].split(" ")[:40])
+        fp_sets[doc_id] = fingerprints(text)
+    want = {}
+    ids = sorted(fp_sets)
+    import itertools
+    # invert: fingerprint -> docs (the SQL's equi-join shape, not
+    # all-pairs, so the recompute stays fast too)
+    inv = {}
+    for doc_id, fps in fp_sets.items():
+        for fp in fps:
+            inv.setdefault(fp, []).append(doc_id)
+    from collections import Counter
+    cnt = Counter()
+    for fp, docs in inv.items():
+        for a, b in itertools.combinations(sorted(docs), 2):
+            cnt[(a, b)] += 1
+    want = {(a, b, c) for (a, b), c in cnt.items() if c >= TAU}
+    got = {tuple(r) for r in rows}
+    assert got == want
+    for t in range(n):
+        if t % 13 == 4:
+            p = (t + 101) % n
+            pair = (min(t, p), max(t, p))
+            assert cnt[pair] >= 1 and any(
+                (a, b) == pair for a, b, _ in got), pair

@@ -160,7 +160,7 @@ def main() -> None:
                  # round-5 second-session additions
                  "ann_pq_codes", "ann_pq_adc", "feed_ingest",
                  "script_detect", "epoch_shard_plan",
-                 "decontam_fuzzy", "intradoc_dedup"):
+                 "decontam_fuzzy", "intradoc_dedup", "winnow_matches"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

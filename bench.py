@@ -160,7 +160,8 @@ def main() -> None:
                  # round-5 second-session additions
                  "ann_pq_codes", "ann_pq_adc", "feed_ingest",
                  "script_detect", "epoch_shard_plan",
-                 "decontam_fuzzy", "intradoc_dedup", "winnow_matches"):
+                 "decontam_fuzzy", "intradoc_dedup", "winnow_matches",
+                 "dedup_allpairs_prefix"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

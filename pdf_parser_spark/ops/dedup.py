@@ -1250,3 +1250,78 @@ FROM pairs WHERE shared_fps >= {tau}
            pos_str=("CAST(pos AS STRING)" if d == SPARK
                     else "CAST(pos AS VARCHAR)"),
            tau=tau)
+
+
+# -------------------------------- prefix-filtered all-pairs (PPJoin)
+
+_AP_TAU_NUM, _AP_TAU_DEN = 6, 10   # Jaccard threshold τ = 0.6
+
+
+@query("dedup_allpairs_prefix")
+def q_allpairs_prefix(d: str) -> str:
+    """EXACT τ-Jaccard similarity self-join via prefix filtering
+    (Bayardo/Ma/Srikant WWW 2007 "AllPairs" / Xiao et al. PPJoin) —
+    the deterministic complement to the MinHash/LSH tier: LSH trades
+    recall for speed probabilistically; prefix filtering is LOSSLESS.
+    Order each document's distinct 4-word shingles (the dedup tier's
+    standard set elements) by ascending global document frequency
+    (rarest first); two sets with Jaccard >= τ MUST share an element
+    within each other's first n - ceil(τ·n) + 1, so the candidate
+    join runs over those short prefixes only — and rarest-first
+    ordering makes prefix buckets the SMALLEST possible (boilerplate
+    shingles shared by everything never generate candidates).
+
+    Verification is the same exact distinct-shingle Jaccard as the
+    LSH tier, over prefix candidates only; the pytest pins output
+    EQUALITY with the unfiltered brute-force τ-join (losslessness is
+    the algorithm's contract, so it is the test).
+
+    Shape at 10^12 docs: one (token) df hash-agg, one per-doc
+    ROW_NUMBER window, a candidate equi-join bounded by per-token
+    prefix bucket sizes (df-ascending order keeps them small — the
+    standard production guard caps them like the LSH tier), then the
+    pairwise verify over candidates only.  τ = {tn}/{td}; all
+    threshold math is exact-integer ({td}·inter >= {tn}·union)."""
+    tn, td = _AP_TAU_NUM, _AP_TAU_DEN
+    return """
+WITH {corpus},{expl},
+toks AS (
+  SELECT DISTINCT doc_id, s AS w FROM exploded
+),
+df AS (SELECT w, COUNT(*) AS dfreq FROM toks GROUP BY w),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.w,
+    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                       ORDER BY f.dfreq, t.w) AS rn
+  FROM toks t JOIN df f ON f.w = t.w
+),
+prefix AS (
+  SELECT r.doc_id, r.w
+  FROM ranked r JOIN sizes s ON s.doc_id = r.doc_id
+  -- prefix length = n - ceil(τ·n) + 1; ceil(τ·n) = (τnum·n + τden - 1) DIV τden
+  WHERE r.rn <= s.n - CAST(({tn} * s.n + {td} - 1) / {td} AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM prefix a JOIN prefix b
+    ON a.w = b.w AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.left_id
+  JOIN toks b ON b.doc_id = c.right_id AND b.w = a.w
+  GROUP BY c.left_id, c.right_id
+)
+SELECT i.left_id, i.right_id, i.inter,
+  sa.n AS left_n, sb.n AS right_n,
+  CAST(i.inter AS DOUBLE)
+    / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.left_id
+JOIN sizes sb ON sb.doc_id = i.right_id
+WHERE {td} * i.inter >= {tn} * (sa.n + sb.n - i.inter)
+""".format(corpus=_near_corpus(d).strip().lstrip(),
+           expl=_exploded_shingles(d).strip(), tn=tn, td=td)

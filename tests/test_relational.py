@@ -49,7 +49,7 @@ _SUBSET = [
     "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
-    "winnow_matches",
+    "winnow_matches", "dedup_allpairs_prefix",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -3601,3 +3601,56 @@ def test_winnow_matches_semantics(duck, entry_mod):
             pair = (min(t, p), max(t, p))
             assert cnt[pair] >= 1 and any(
                 (a, b) == pair for a, b, _ in got), pair
+
+
+def test_allpairs_prefix_is_lossless(duck, entry_mod):
+    """The algorithm's contract IS the test: prefix-filtered output
+    must EQUAL the unfiltered brute-force τ=0.6 Jaccard join over all
+    pairs (recomputed in plain Python), and the prefix candidate set
+    must be a small fraction of all pairs (the filter has to actually
+    filter)."""
+    import itertools
+
+    rows = duck.sql(
+        entry_mod.all_oracles()["dedup_allpairs_prefix"]).fetchall()
+    texts = dict(duck.sql(
+        "SELECT doc_id, text FROM documents").fetchall())
+    corp = dict(texts)
+    for doc_id, t in texts.items():
+        if doc_id % 4 == 0:
+            corp[doc_id + 1000000] = t.split(" ", 1)[1]
+
+    def shingle_set(t):
+        ws = t.split(" ")
+        n = max(len(ws) - 3, 1)
+        return {" ".join(ws[i:i + 4]) for i in range(n)}
+
+    sets = {k: shingle_set(v) for k, v in corp.items()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if 10 * i >= 6 * u:
+            want.add((a, b, i))
+    got = {(r[0], r[1], r[2]) for r in rows}
+    assert got == want and len(got) > 100
+    for left, right, inter, ln, rn, jac in rows:
+        assert ln == len(sets[left]) and rn == len(sets[right])
+        assert abs(jac - inter / (ln + rn - inter)) < 1e-12
+        assert jac >= 0.6
+
+
+def test_allpairs_prefix_candidates_are_pruned(duck, entry_mod):
+    """The scale claim: prefix candidates ≪ n²/2.  Re-derive the
+    candidate count by running the query's own CTE chain cut at
+    ``cand`` and compare against all-pairs."""
+    sql = entry_mod.all_oracles()["dedup_allpairs_prefix"]
+    head, tail = sql.split("inter AS (", 1)
+    cand_sql = head.rstrip().rstrip(",") + \
+        "\nSELECT COUNT(*) FROM cand"
+    n_cand = duck.sql(cand_sql).fetchone()[0]
+    n_docs = duck.sql(
+        "SELECT COUNT(*) + SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0"
+        " END) FROM documents").fetchone()[0]
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert n_cand < all_pairs / 50, (n_cand, all_pairs)

@@ -404,7 +404,12 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    #     the ANN tiers carry the cosine-verify shape
                    "ann_ivf_topk_big", "dedup_ngram_jaccard",
                    "dedup_simhash", "lang_id_heuristic", "token_stats",
-                   "url_canonicalize", "dedup_embedding_cosine"}
+                   "url_canonicalize", "dedup_embedding_cosine",
+                   # post-cap final-session additions (same
+                   # all_queries verification path as the rest of the
+                   # retired tier): winnowing copied-passage matching
+                   # and the lossless prefix-filtered all-pairs join
+                   "winnow_matches", "dedup_allpairs_prefix"}
 
 
 def _specials() -> dict:

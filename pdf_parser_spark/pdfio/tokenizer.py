@@ -676,6 +676,19 @@ def parse_xref_stream(data: bytes) -> Dict[int, tuple]:
     return entries
 
 
+def _utf16be_hex(uni: bytes) -> str:
+    """A bfchar/bfrange target hex string is UTF-16BE (ISO 32000-1
+    §9.10.3): non-BMP characters arrive as SURROGATE PAIRS (e.g.
+    D835 DCAB → U+1D4AB), which a naive 4-hex-digit chr() loop would
+    mangle into two lone surrogates."""
+    try:
+        return bytes.fromhex(uni.decode("ascii")).decode(
+            "utf-16-be", errors="surrogatepass")
+    except Exception:
+        return "".join(
+            chr(int(uni[i:i + 4], 16)) for i in range(0, len(uni) - 3, 4))
+
+
 def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
     """bfchar + bfrange sections → {code: unicode string}."""
     mapping: Dict[int, str] = {}
@@ -684,19 +697,18 @@ def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
     ):
         for m in _BFCHAR_RE.finditer(sect.group(1)):
             code = int(m.group(1), 16)
-            uni = m.group(2)
-            chars = "".join(
-                chr(int(uni[i:i + 4], 16)) for i in range(0, len(uni), 4)
-            )
-            mapping[code] = chars
+            mapping[code] = _utf16be_hex(m.group(2))
     for sect in re.finditer(
         rb"beginbfrange(.*?)endbfrange", cmap_bytes, re.S
     ):
         for m in _BFRANGE_RE.finditer(sect.group(1)):
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
-            base = int(m.group(3), 16)
+            dst = _utf16be_hex(m.group(3))
             for k in range(hi - lo + 1):
-                mapping[lo + k] = chr(base + k)
+                # §9.10.3: the range increments the LAST character of
+                # the destination (handles surrogate-pair dsts too,
+                # since dst is already decoded to real codepoints)
+                mapping[lo + k] = dst[:-1] + chr(ord(dst[-1]) + k)
     return mapping
 
 

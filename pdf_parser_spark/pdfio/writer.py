@@ -67,7 +67,9 @@ def _tounicode_cmap(codes: Dict[str, int], wide: bool = False) -> bytes:
     key = "<%04x>" if wide else "<%02x>"
     space = "<0000> <ffff>" if wide else "<00> <ff>"
     entries = "".join(
-        (key + " <%04x>\n") % (code, ord(ch))
+        # bfchar targets are UTF-16BE (§9.10.3): non-BMP characters
+        # must be written as surrogate pairs, not raw 5-digit hex
+        (key + " <%s>\n") % (code, ch.encode("utf-16-be").hex())
         for ch, code in sorted(codes.items())
     )
     body = (
@@ -107,7 +109,8 @@ def _line_ops(line: str, idx: int, codes: Dict[str, int],
         payload = line
     elif cid:
         ops.append(b"/F2 10 Tf\n")
-        hexs = "".join("%04x" % ord(c) for c in line).encode("ascii")
+        hexs = "".join("%04x" % codes.get(c, ord(c))
+                       for c in line).encode("ascii")
         kind = _op_kind(line, idx)
         if kind == "quote":
             ops.append(b"<" + hexs + b"> '\n")
@@ -290,15 +293,25 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
     pages_text = text.split("\f")
     if cid_font:
         # identity codes over every char shown through F2 (non-ASCII
-        # lines show WHOLE lines through the composite font)
+        # lines show WHOLE lines through the composite font); astral
+        # chars don't fit a 2-byte identity code, so they get
+        # synthetic private-use codes whose CMap targets are
+        # surrogate PAIRS (the layout real CJK-ext/emoji producers
+        # emit)
         codes = {}
+        nxt = 0xE000
         for seg in text.replace("\f", "\n").split("\n"):
             if any(ord(c) > 126 for c in seg):
                 for c in seg:
+                    if c in codes:
+                        continue
                     if ord(c) > 0xFFFF:
-                        raise ValueError("astral char needs a "
-                                         "surrogate-pair CMap entry")
-                    codes[c] = ord(c)
+                        while any(v == nxt for v in codes.values()):
+                            nxt += 1
+                        codes[c] = nxt
+                        nxt += 1
+                    else:
+                        codes[c] = ord(c)
     else:
         codes = _build_charmap(text)
 

@@ -255,3 +255,31 @@ def test_incremental_update_revision_wins():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         append_text_update(pdf, "café")
+
+
+def test_cid_font_astral_surrogate_pairs():
+    """Non-BMP characters (math alphanumerics, emoji, CJK ext-B)
+    round-trip through the composite font: the writer emits synthetic
+    2-byte codes whose ToUnicode targets are UTF-16BE SURROGATE
+    PAIRS, and the reader decodes pairs to single astral characters
+    (a naive 4-hex-digit chr() loop yields lone surrogates)."""
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_text
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    text = ("math: \U0001D4A2\U0001D4AB\U0001D4B6 emoji: \U0001F600 ok\n"
+            "plain ascii line\n"
+            "CJK ext: \U00020000\U0002A700 mixed")
+    res = extract_pdf_text(text_to_pdf(text, cid_font=True))
+    assert res.error is None
+    assert res.text == text
+    assert "\ud835" not in res.text  # no lone surrogates
+
+
+def test_bfrange_surrogate_pair_destination():
+    """A bfrange whose destination is a surrogate pair increments the
+    DECODED astral codepoint, not the trailing surrogate unit."""
+    from pdf_parser_spark.pdfio.tokenizer import _parse_tounicode
+
+    m = _parse_tounicode(b"beginbfrange\n<01> <03> <d835dc00>\nendbfrange")
+    assert {k: ord(v) for k, v in m.items()} == {
+        1: 0x1D400, 2: 0x1D401, 3: 0x1D402}

@@ -150,6 +150,18 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over exhaustive frame hashes (one
+    ordered window pass per video, scene run-length rollup); oracled
+    against the encode-side scene plan (never the codec or the
+    window)."""
+    from pdf_parser_spark.ops.multimodal import (
+        fixture_scenes_df, video_frame_hashes, video_scene_cuts,
+    )
+    _ensure_pyfiles(spark)
+    return video_scene_cuts(video_frame_hashes(fixture_scenes_df(spark)))
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/featurize: REAL pure-Python codecs (PNG with
     all five scanline filters, 24-bit BMP, PCM WAV, Y4M video) over
@@ -546,6 +558,13 @@ def _retired_specials() -> dict:
             "SELECT url_outer, url_clip, n_common, n_clip,"
             " containment_pct, verdict FROM read_parquet('%s')"
             % (_GOLDEN / "expected_video_containment.parquet")),
+        # shot-boundary detection over the same exhaustive frame-hash
+        # layer; golden-parquet oracle (encode-side scene plan)
+        "video_scene_cuts": (
+            _video_scene_cuts,
+            "SELECT url, scene_no, start_frame, n_frames"
+            " FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_video_scenes.parquet")),
     }
 
 

@@ -883,3 +883,89 @@ def expected_clip_rows(n: int = 18,
                     "verdict": "subclip" if n_common == len(sb)
                     else "partial"})
     return rows
+
+
+# ----------------------------------------------------- scene cuts
+
+def video_scene_cuts(frames: DataFrame) -> DataFrame:
+    """Shot-boundary detection over exhaustive frame hashes: a CUT is
+    a frame whose hash differs from its predecessor; scenes are the
+    runs between cuts.  Output one row per scene (url, scene_no,
+    start_frame, n_frames).
+
+    Real detectors threshold a perceptual frame distance; with the
+    container's raw C420 planes, hash INEQUALITY is the deterministic,
+    codec-free stand-in — the Spark-side contract (exhaustive decode →
+    one per-video ordered window pass → run-length grouping) is
+    identical either way, and a perceptual metric drops in by
+    replacing the lag comparison.
+
+    Shape at 10^12 videos: frames hash-partition by url for the lag
+    window (one exchange), the scene rollup reuses the same
+    partitioning (no second shuffle), and videos are independent —
+    scene counts per video are bounded by frame counts, never by
+    corpus size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy("frame_no")
+    cuts = frames.select(
+        "url", "frame_no",
+        F.when(F.lag("frame_sha256").over(w).isNull(), 0)
+        .when(F.lag("frame_sha256").over(w) == F.col("frame_sha256"), 0)
+        .otherwise(1).alias("is_cut"))
+    scenes = cuts.withColumn(
+        "scene_no",
+        F.sum("is_cut").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+    return (scenes.groupBy("url", "scene_no")
+            .agg(F.min("frame_no").cast("int").alias("start_frame"),
+                 F.count("*").cast("int").alias("n_frames")))
+
+
+def _scene_video_frames(i: int):
+    """Per-video scene plan: 2 + i%3 scenes, scene s repeated
+    3 + (i + s) % 4 frames — distinct scene images via the clip
+    fixture's generator at a disjoint index range."""
+    n_scenes = 2 + i % 3
+    plan = []
+    for s in range(n_scenes):
+        img = _clip_video_frames(5000 + i * 17 + s)[0]
+        plan.append((img, 3 + (i + s) % 4))
+    return plan
+
+
+def fixture_videos_scenes(n: int = 16) -> List[dict]:
+    """Scene-structured video corpus: identical frames within a
+    scene, hard cuts between scenes, plus a poison payload."""
+    rows = []
+    for i in range(n):
+        frames = []
+        for img, length in _scene_video_frames(i):
+            frames.extend([img] * length)
+        rows.append({
+            "url": "https://fixtures.test/scenes/%04d.y4m" % i,
+            "payload": y4m_encode(frames, 5, 1)})
+    rows.append({"url": "https://fixtures.test/scenes/poison",
+                 "payload": b"YUV4MPEG2 garbage"})
+    return rows
+
+
+def fixture_scenes_df(spark: SparkSession, n: int = 16) -> DataFrame:
+    rows = [(d["url"], "video", bytearray(d["payload"]), None)
+            for d in fixture_videos_scenes(n)]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def expected_scene_rows(n: int = 16) -> List[dict]:
+    """Ground truth from the ENCODE-side scene plan (never the codec,
+    never the window)."""
+    rows = []
+    for i in range(n):
+        url = "https://fixtures.test/scenes/%04d.y4m" % i
+        start = 0
+        for s, (_, length) in enumerate(_scene_video_frames(i)):
+            rows.append({"url": url, "scene_no": s,
+                         "start_frame": start, "n_frames": length})
+            start += length
+    return rows

@@ -834,3 +834,36 @@ def test_video_containment_equals_brute_force(spark):
     for outer, clip, *_ , v in got:
         if v == "subclip" and clip.endswith("-clip"):
             assert not outer.endswith("-clip") or outer != clip
+
+
+def test_video_scene_cuts_matches_encode_plan(spark):
+    """Scene segmentation equals the encode-side scene plan exactly
+    (scene count, start frames, lengths), and the poison payload
+    contributes no rows."""
+    from pdf_parser_spark.ops.multimodal import (
+        expected_scene_rows, fixture_scenes_df, video_frame_hashes,
+        video_scene_cuts,
+    )
+
+    got = sorted((r.url, r.scene_no, r.start_frame, r.n_frames)
+                 for r in video_scene_cuts(
+                     video_frame_hashes(fixture_scenes_df(spark)))
+                 .collect())
+    want = sorted((d["url"], d["scene_no"], d["start_frame"],
+                   d["n_frames"]) for d in expected_scene_rows())
+    assert got == want and len(got) > 30
+    assert not any("poison" in u for u, *_ in got)
+
+
+def test_video_scene_cuts_single_shuffle(spark):
+    """The window pass and the scene rollup share one url
+    hash-partitioning — a second exchange would double the frame-hash
+    bytes moved at corpus scale."""
+    from pdf_parser_spark.ops.multimodal import (
+        fixture_scenes_df, video_frame_hashes, video_scene_cuts,
+    )
+
+    plan = video_scene_cuts(
+        video_frame_hashes(fixture_scenes_df(spark)))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -274,6 +274,19 @@ def main() -> None:
         GOLDEN_DIR / "expected_video_containment.parquet")
     print("expected_video_containment.parquet: %d rows" % len(vc))
 
+    # ---- expected video scene cuts (encode-side scene plan)
+    from pdf_parser_spark.ops.multimodal import expected_scene_rows
+    sc = expected_scene_rows(16)
+    sc_schema = pa.schema([
+        ("url", pa.string()), ("scene_no", pa.int32()),
+        ("start_frame", pa.int32()), ("n_frames", pa.int32()),
+    ])
+    pq.write_table(
+        pa.table({k: [r[k] for r in sc] for k in sc_schema.names},
+                 schema=sc_schema),
+        GOLDEN_DIR / "expected_video_scenes.parquet")
+    print("expected_video_scenes.parquet: %d rows" % len(sc))
+
 
 if __name__ == "__main__":
     main()

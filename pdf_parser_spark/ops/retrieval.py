@@ -1018,3 +1018,141 @@ FROM best
            qv=delv.format(i="t.i", w="q"),
            postab=postab, qpostab=qpostab,
            st="STRING" if d == SPARK else "VARCHAR")
+
+
+# ----------------------------------------------- result snippets
+
+_SNIP_W = 8       # snippet window, tokens
+_SNIP_DOCS = 3    # hit docs per query that get a snippet
+
+
+@query("search_snippets")
+def q_search_snippets(d: str) -> str:
+    """Query-biased snippet generation — the serve-side stage between
+    ranking and display (Turpin et al. '07 fast snippet generation):
+    for each of the top-{ndocs} BM25 hits per query, pick the
+    {w}-token window that covers the MOST DISTINCT query terms
+    (ties: more total term hits, then the earliest window), then
+    render it with the matched terms **highlighted**.
+
+    Window scoring is anchored at match positions only (a window that
+    contains any term hit starts at some hit, so anchoring at hits
+    loses nothing) — the candidate set per document is tf, not dl.
+
+    Shape at 10^12 docs: ranking reuses the bm25_topk postings
+    economics; the snippet stage then needs TEXT for only the
+    |queries| x {ndocs} winning documents — here that fetch is the
+    ``hits JOIN wpos`` equi-join (one corpus scan in this
+    single-query expression; a real serve path does the point lookup
+    against the doc store, cf. the persisted-index split in
+    bm25_serve_persisted).  Window scoring joins hit positions to hit
+    positions WITHIN one (query, doc) — fan-in tf x tf, single
+    digits — and the final assembly is one {w}-row group per snippet.
+    Everything is integer/string compares: deterministic across
+    engines."""
+    toks = TOKS_CTE(d)
+    idf = IDIV("((SELECT n FROM stats) - f.df) * %d" % _IDF_SCALE,
+               "f.df + 1")
+    wgt = IDIV(
+        "(%s) * m.tf * 22 * (SELECT s FROM stats)" % idf,
+        "10 * (SELECT s FROM stats) * m.tf"
+        " + 3 * (SELECT s FROM stats)"
+        " + 9 * d.dl * (SELECT n FROM stats)")
+    if d == SPARK:
+        wpos = """
+wpos AS (
+  SELECT doc_id, pos, w FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+)""".strip()
+    else:
+        wpos = """
+wpos AS (
+  SELECT doc_id, u.pos - 1 AS pos, u.w
+  FROM (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w,
+          generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents) u(doc_id, w, pos)
+)""".strip()
+    hl = ("CASE WHEN q.term IS NOT NULL THEN '**' || t.w || '**' "
+          "ELSE t.w END")
+    return """
+WITH qterms AS ({qterms}),{toks},
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+  GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+  FROM dl
+),
+matched AS (
+  SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON q.term = t.w
+  GROUP BY q.query_id, q.term, t.doc_id
+),
+docfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM matched GROUP BY term
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(SUM({wgt}) AS BIGINT) AS score_scaled
+  FROM matched m
+  JOIN docfreq f ON f.term = m.term
+  JOIN dl d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id, m.doc_id
+),
+hits AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rk
+    FROM scored) r
+  WHERE rk <= {ndocs}
+),
+{wpos},
+hpos AS (
+  SELECT h.query_id, h.rk, t.doc_id, t.pos, t.w
+  FROM wpos t JOIN hits h ON h.doc_id = t.doc_id
+),
+mpos AS (
+  SELECT p.query_id, p.doc_id, p.pos, p.w AS term
+  FROM hpos p
+  JOIN qterms q ON q.query_id = p.query_id AND q.term = p.w
+),
+wins AS (
+  SELECT a.query_id, a.doc_id, a.pos AS start,
+         CAST(COUNT(DISTINCT b.term) AS BIGINT) AS n_terms,
+         CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM mpos a JOIN mpos b
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+   AND b.pos >= a.pos AND b.pos < a.pos + {w}
+  GROUP BY a.query_id, a.doc_id, a.pos
+),
+best AS (
+  SELECT query_id, doc_id, start, n_terms FROM (
+    SELECT query_id, doc_id, start, n_terms,
+           ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+             ORDER BY n_terms DESC, n_hits DESC, start) AS wrk
+    FROM wins) x
+  WHERE wrk = 1
+)
+SELECT b.query_id, b.doc_id,
+       CAST(MAX(t.rk) AS BIGINT) AS rk,
+       CAST(b.start AS BIGINT) AS snip_start,
+       b.n_terms,
+       {snip} AS snippet
+FROM best b
+JOIN hpos t ON t.query_id = b.query_id AND t.doc_id = b.doc_id
+           AND t.pos >= b.start AND t.pos < b.start + {w}
+LEFT JOIN qterms q ON q.query_id = b.query_id AND q.term = t.w
+GROUP BY b.query_id, b.doc_id, b.start, b.n_terms
+""".format(qterms=_qterms(d), toks=toks.strip(), wgt=wgt,
+           ndocs=_SNIP_DOCS, w=_SNIP_W, wpos=wpos,
+           snip=_ord_concat(hl, " ", "t.pos", d))
+
+
+def _ord_concat(col: str, sep: str, order_by: str, d: str) -> str:
+    from ..relational import ORD_CONCAT
+    return ORD_CONCAT(col, sep, order_by, d)

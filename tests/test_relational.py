@@ -49,7 +49,7 @@ _SUBSET = [
     "pmi_collocations", "salsa_scores", "ann_pq_codes", "ann_pq_adc",
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
-    "winnow_matches", "dedup_allpairs_prefix",
+    "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -864,6 +864,55 @@ def test_bm25_topk_semantics(duck, entry_mod):
     # absent-term query yields no rows; rare-term query ranks by tf
     assert not any(r[0] == 4 for r in rows)
     assert len([r for r in rows if r[0] == 1]) == 10
+
+
+def test_search_snippets_semantics(duck, entry_mod):
+    """Independent Python recomputation of snippet selection: for each
+    top-3 BM25 hit, the 8-token window anchored at a term hit covering
+    the most distinct query terms (ties: more total hits, earliest),
+    rendered with '**'-highlighted matches."""
+    from collections import Counter, defaultdict
+
+    rows = duck.sql(entry_mod.all_oracles()["search_snippets"]).fetchall()
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    dl = {i: len(w) for i, w in toks.items()}
+    N, S = len(docs), sum(dl.values())
+    queries = {0: ["spark", "join"], 1: ["dup"],
+               2: ["window", "stream", "filter"],
+               3: ["hash", "merge"], 4: ["zzzabsent"]}
+    tf = {i: Counter(w) for i, w in toks.items()}
+    want = []
+    for qid, terms in queries.items():
+        scores = defaultdict(int)
+        for t in terms:
+            df = sum(1 for i in docs if tf[i][t] > 0)
+            if df == 0:
+                continue
+            idf = (N - df) * 1000 // (df + 1)
+            for i in docs:
+                if tf[i][t] > 0:
+                    scores[i] += (idf * tf[i][t] * 22 * S
+                                  // (10 * S * tf[i][t] + 3 * S
+                                      + 9 * dl[i] * N))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rk, (i, _) in enumerate(ranked[:3], 1):
+            ws = toks[i]
+            hitpos = [p for p, w in enumerate(ws) if w in terms]
+            cands = []
+            for p in hitpos:
+                inwin = [ws[j] for j in hitpos if p <= j < p + 8]
+                cands.append((-len(set(inwin)), -len(inwin), p))
+            nt, _, start = min(cands)
+            snippet = " ".join(
+                "**%s**" % w if w in terms else w
+                for w in ws[start:start + 8])
+            want.append((qid, i, rk, start, -nt, snippet))
+    assert sorted(rows) == sorted(want)
+    assert not any(r[0] == 4 for r in rows)       # absent term: no rows
+    # multi-term query 2 found a window with >1 distinct term somewhere
+    assert any(r[0] == 2 and r[4] >= 2 for r in rows) or \
+        all(r[4] == 1 for r in rows if r[0] == 2)
 
 
 def test_text_index_incremental_append_and_serve(spark, entry_mod, duck,

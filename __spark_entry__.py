@@ -421,7 +421,13 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # all_queries verification path as the rest of the
                    # retired tier): winnowing copied-passage matching
                    # and the lossless prefix-filtered all-pairs join
-                   "winnow_matches", "dedup_allpairs_prefix"}
+                   "winnow_matches", "dedup_allpairs_prefix",
+                   # post-cap final-session additions, session 2:
+                   # query-biased snippet generation (serve-side
+                   # highlighting) and k-core peeling (spam/quality
+                   # tiering of the host graph; kcore_df is the
+                   # fixpoint-looped production twin, test-pinned)
+                   "search_snippets", "kcore_peel"}
 
 
 def _specials() -> dict:

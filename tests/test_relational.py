@@ -50,6 +50,7 @@ _SUBSET = [
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
+    "kcore_peel",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2932,6 +2933,57 @@ def test_lpa_df_matches_sql(spark, entry_mod):
         "label_propagation"](spark, SF_DIR).collect())
     exp = sorted(tuple(r) for r in spark.sql(
         QUERY_SQL["label_propagation"]["spark"]).collect())
+    assert got == exp
+
+
+def test_kcore_peel_semantics(duck, entry_mod):
+    """Independent Python recomputation of synchronous k-core peeling
+    (k=4) over the symmetrized distinct host graph: per-round
+    within-alive degrees, peel round attribution, and the stable core
+    degrees — plus the structural invariants (core is nonempty here,
+    every peeled host's recorded degree < k, every core degree >= k,
+    and the peel reaches fixpoint inside the unrolled round count)."""
+    rows = duck.sql(entry_mod.all_oracles()["kcore_peel"]).fetchall()
+    lg = duck.sql(entry_mod.all_oracles()["link_graph"]).fetchall()
+    adj = set()
+    for s, t, _ in lg:
+        if s != t:
+            adj.add((s, t))
+            adj.add((t, s))
+    alive = {u for u, _ in adj}
+    want, k, rnd = {}, 4, 0
+    while True:
+        rnd += 1
+        deg = {h: 0 for h in alive}
+        for u, v in adj:
+            if u in alive and v in alive:
+                deg[u] += 1
+        new = {h for h in alive if deg[h] >= k}
+        for h in alive - new:
+            want[h] = (rnd, deg[h])
+        if new == alive:
+            for h in alive:
+                want[h] = (0, deg[h])
+            break
+        alive = new
+    assert rnd <= 5                     # fixpoint within the unroll
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert got == want
+    core = [h for h, (pr, _) in want.items() if pr == 0]
+    assert core and len(core) < len(want)          # nontrivial peel
+    assert all(d >= k for h, (pr, d) in want.items() if pr == 0)
+    assert all(d < k for h, (pr, d) in want.items() if pr > 0)
+
+
+def test_kcore_df_matches_sql(spark, entry_mod):
+    """Fixpoint-looped k-core twin ≡ the unrolled SQL on Spark."""
+    from pdf_parser_spark.ops.webgraph import kcore_df
+    from query_registry import QUERY_SQL
+
+    entry_mod._register(spark, SF_DIR)
+    got = sorted(tuple(r) for r in kcore_df(spark).collect())
+    exp = sorted(tuple(r) for r in spark.sql(
+        QUERY_SQL["kcore_peel"]["spark"]).collect())
     assert got == exp
 
 

@@ -427,7 +427,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # highlighting) and k-core peeling (spam/quality
                    # tiering of the host graph; kcore_df is the
                    # fixpoint-looped production twin, test-pinned)
-                   "search_snippets", "kcore_peel"}
+                   "search_snippets", "kcore_peel",
+                   # document-outline extraction (h1-h3 + parent
+                   # assignment — the structure pass beside
+                   # main-content; section-aware chunkers key on it)
+                   "headings_outline"}
 
 
 def _specials() -> dict:

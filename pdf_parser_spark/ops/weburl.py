@@ -408,3 +408,74 @@ FROM meta
 """.format(own=own, head=head, canon=canon_host, title=title,
            descr=descr, lang_attr=lang_attr, canonical=canonical,
            noindex=noindex)
+
+
+@query("headings_outline")
+def q_headings_outline(d: str) -> str:
+    """Document-outline extraction — the structure pass beside
+    main-content extraction: pull every ``<h1>``-``<h3>`` heading in
+    document order and assign each its PARENT heading (the nearest
+    preceding heading of a strictly lower level; -1 at the top).  The
+    outline is what section-aware chunkers key on (headings carry the
+    topic labels each chunk inherits) and what snippet titles come
+    from.
+
+    The corpus has no markup, so each doc synthesizes a body in-plan
+    (same pattern as html_meta_extract): an h1 from the doc's own
+    text, two h2 sections, an h3 detail block on ``doc_id%3=0``
+    (doubled on ``doc_id%5=2``), an EMPTY h2 on ``doc_id%7=1`` (the
+    empty-heading edge real HTML serves), and an ``<h4>`` decoy the
+    h1-h3 outline must skip.
+
+    Shape at 10^12 pages: a narrow per-row regexp projection (no
+    shuffle, JVM codegen) feeding a positional explode; the parent
+    join is headings-to-headings WITHIN one document — fan-in
+    #headings^2 per doc, single digits — and never crosses documents,
+    so it rides the existing doc partitioning."""
+    from .webgraph import CSTR
+
+    did = CSTR("doc_id", d)
+    body = (
+        "'<h1>' || trim(substr(text, 1, 12)) || '</h1><p>intro</p>'"
+        " || '<h2>Part A ' || {did} || '</h2><p>a</p>'"
+        " || CASE WHEN doc_id % 3 = 0"
+        "      THEN '<h3>Detail A1 ' || {did} || '</h3><p>d</p>'"
+        "        || CASE WHEN doc_id % 5 = 2"
+        "             THEN '<h3>Detail A2</h3><p>e</p>' ELSE '' END"
+        "      ELSE '' END"
+        " || '<h4>not in outline</h4>'"
+        " || CASE WHEN doc_id % 7 = 1 THEN '<h2></h2>' ELSE '' END"
+        " || '<h2>Part B</h2><p>b</p>'"
+    ).format(did=did)
+    pat = "'<h[1-3]>[^<]*</h[1-3]>'"
+    if d == SPARK:
+        hs = """
+hs AS (
+  SELECT doc_id, pos, m FROM pages
+  LATERAL VIEW posexplode(regexp_extract_all(html, {pat}, 0)) t AS pos, m
+)""".format(pat=pat).strip()
+    else:
+        hs = """
+hs AS (
+  SELECT doc_id, generate_subscripts(ms, 1) - 1 AS pos, unnest(ms) AS m
+  FROM (SELECT doc_id, regexp_extract_all(html, {pat}) AS ms
+        FROM pages) s
+)""".format(pat=pat).strip()
+    return """
+WITH pages AS (
+  SELECT doc_id, {body} AS html FROM documents
+),
+{hs},
+hh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS heading_no,
+         CAST(regexp_extract(m, '<h([1-3])>', 1) AS BIGINT) AS level,
+         regexp_extract(m, '<h[1-3]>([^<]*)</h', 1) AS heading
+  FROM hs
+)
+SELECT a.doc_id, a.heading_no, a.level, a.heading,
+       CAST(COALESCE(MAX(b.heading_no), -1) AS BIGINT) AS parent_no
+FROM hh a LEFT JOIN hh b
+  ON b.doc_id = a.doc_id AND b.heading_no < a.heading_no
+ AND b.level < a.level
+GROUP BY a.doc_id, a.heading_no, a.level, a.heading
+""".format(body=body, hs=hs)

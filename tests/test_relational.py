@@ -50,7 +50,7 @@ _SUBSET = [
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
-    "kcore_peel",
+    "kcore_peel", "headings_outline",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup",
@@ -2934,6 +2934,45 @@ def test_lpa_df_matches_sql(spark, entry_mod):
     exp = sorted(tuple(r) for r in spark.sql(
         QUERY_SQL["label_propagation"]["spark"]).collect())
     assert got == exp
+
+
+def test_headings_outline_semantics(duck, entry_mod):
+    """Independent Python recomputation of the outline: regenerate
+    each doc's synthesized body, re-extract h1-h3 in order, and
+    re-derive every heading's parent (nearest preceding lower level);
+    plus the designed edges — the h4 decoy never appears, the empty
+    h2 appears with empty text, h3 details parent to Part A, and
+    every h1 has parent -1."""
+    import re
+
+    rows = duck.sql(entry_mod.all_oracles()["headings_outline"]
+                    ).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    want = []
+    for did, text in docs:
+        body = ("<h1>%s</h1><p>intro</p>" % text[:12].strip()
+                + "<h2>Part A %d</h2><p>a</p>" % did)
+        if did % 3 == 0:
+            body += "<h3>Detail A1 %d</h3><p>d</p>" % did
+            if did % 5 == 2:
+                body += "<h3>Detail A2</h3><p>e</p>"
+        body += "<h4>not in outline</h4>"
+        if did % 7 == 1:
+            body += "<h2></h2>"
+        body += "<h2>Part B</h2><p>b</p>"
+        hs = re.findall(r"<h([1-3])>([^<]*)</h[1-3]>", body)
+        for i, (lv, htxt) in enumerate(hs):
+            parent = -1
+            for j in range(i - 1, -1, -1):
+                if int(hs[j][0]) < int(lv):
+                    parent = j
+                    break
+            want.append((did, i, int(lv), htxt, parent))
+    assert sorted(map(tuple, rows)) == sorted(want)
+    assert not any("outline" in r[3] for r in rows)        # h4 decoy
+    assert any(r[2] == 2 and r[3] == "" for r in rows)     # empty h2
+    assert all(r[4] == -1 for r in rows if r[2] == 1)      # h1 roots
+    assert any(r[2] == 3 and r[4] == 1 for r in rows)      # h3 → Part A
 
 
 def test_kcore_peel_semantics(duck, entry_mod):

@@ -199,6 +199,18 @@ def _audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          hash_col="afp")
 
 
+def _pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI link annotations per PDF page — the outlink sidecar of PDF
+    extraction (feeds the link graph when the corpus page is a PDF);
+    all five sibling-writer layouts + alien-writer independence are
+    test-pinned, poison payloads yield zero rows (retired tier)."""
+    from pdf_parser_spark.ops.spans import (
+        extract_links, fixture_linked_pages_df,
+    )
+    _ensure_pyfiles(spark)
+    return extract_links(fixture_linked_pages_df(spark))
+
+
 def _video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sub-clip containment: hash EVERY decoded Y4M frame, then
     Broder-style asymmetric containment over frame-hash sets (equi-join
@@ -561,6 +573,14 @@ def _retired_specials() -> dict:
             _audio_neardup,
             "SELECT url_a, url_b, hamming FROM read_parquet('%s')"
             % (_GOLDEN / "expected_audio_neardup.parquet")),
+        # PDF URI link annotations (/Annots -> /A /URI) across all
+        # five writer layouts + poison rows; encode-side request list
+        # as the golden-parquet oracle
+        "pdf_link_extract": (
+            _pdf_link_extract,
+            "SELECT url, page_no, link_no, uri, uri_host"
+            " FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_pdf_links.parquet")),
         # video leg of the modality-dedup triple: sub-clip containment
         # over exhaustive frame hashes; golden-parquet oracle
         "video_clip_containment": (

@@ -76,3 +76,113 @@ def extract_spans(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html", "text").mapInPandas(
         batches, schema=SPANS_SCHEMA)
+
+
+# ------------------------------------------------- PDF link annotations
+
+LINKS_SCHEMA = ("url string, page_no int, link_no int, uri string,"
+                " uri_host string")
+
+
+def uri_host(uri: str) -> str:
+    """Lower-cased authority of an absolute URI ('' when relative) —
+    string slicing only, same derivation on the encode side."""
+    if "://" not in uri:
+        return ""
+    rest = uri.split("://", 1)[1]
+    return rest.split("/", 1)[0].split("?", 1)[0].lower()
+
+
+def fixture_linked_pages() -> List[tuple]:
+    """Deterministic PDF corpus WITH link-annotation ground truth:
+    every fixture doc renders through one of the five sibling-writer
+    layouts (cycled), pages carry construction-time URI links (page 0
+    two, page 1 one more on multi-page docs), every 6th doc has no
+    links at all, and every 10th row is a poison payload (the
+    extractor must yield zero rows, not fail the batch).  Returns
+    (url, pdf_bytes, expected_links) with expected_links the ENCODE-
+    side request — ground truth independent of the reader."""
+    from ..fixtures import fixture_docs
+    from ..pdfio.writer import PAGE_LINES, text_to_pdf
+
+    layouts = [
+        dict(),
+        dict(objstm=True),
+        dict(xref_stream=True, objstm=True),
+        dict(xref_stream=True, xref_predictor=True),
+        dict(cid_font=True),
+    ]
+    out = []
+    for i, doc in enumerate(d for d in fixture_docs()
+                            if len(d["text"]) < 100_000):
+        url = doc["url"] + "#links"
+        if i % 10 == 9:
+            out.append((url, b"%PDF-1.4 poison " + b"\xff" * 64, []))
+            continue
+        n_pages = 0
+        for ptext in doc["text"].split("\f"):
+            n_lines = max(1, len(ptext.split("\n")))
+            n_pages += (n_lines + PAGE_LINES - 1) // PAGE_LINES
+        links = {}
+        if i % 6 != 5:
+            links[0] = ["https://h%d.example/p%d" % ((i * 7 + 1) % 40, i),
+                        "https://H%d.EXAMPLE/q%d?s=1" % ((i * 3 + 2) % 40, i)]
+            if n_pages > 1:
+                links[1] = ["https://h%d.example/r%d" % ((i * 11 + 5) % 40, i)]
+        pdf = text_to_pdf(doc["text"], links=links,
+                          **layouts[i % len(layouts)])
+        expected = [(pno, k, uri)
+                    for pno in sorted(links)
+                    for k, uri in enumerate(links[pno])]
+        out.append((url, pdf, expected))
+    return out
+
+
+def fixture_linked_pages_df(spark) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+    rows = [(u, bytearray(p)) for u, p, _ in fixture_linked_pages()]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → one row per URI link annotation: (url,
+    page_no, link_no, uri, uri_host).  The outlink sidecar of PDF
+    extraction — what feeds the link graph when the corpus is PDF
+    rather than HTML (anchor hrefs).
+
+    Arrow-batched ``mapInPandas``, flatMap-shaped, zero per-row
+    Python on the Spark side; poison payloads yield no rows (the
+    reader never raises).  At 10^12 docs this rides the same
+    single-scan partitioning as the text pass — in production the two
+    extractors share one scan of the payload column."""
+    from ..pdfio.tokenizer import extract_pdf_links
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, pnos, lnos, uris, hosts = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.html is None:
+                    continue
+                payload = (bytes(row.html)
+                           if not isinstance(row.html, bytes) else row.html)
+                last_page, k = None, 0
+                for pno, uri in extract_pdf_links(payload):
+                    k = k + 1 if pno == last_page else 0
+                    last_page = pno
+                    urls.append(row.url)
+                    pnos.append(pno)
+                    lnos.append(k)
+                    uris.append(uri)
+                    hosts.append(uri_host(uri))
+            yield pd.DataFrame({
+                "url": urls, "page_no": pnos, "link_no": lnos,
+                "uri": uris, "uri_host": hosts,
+            })
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=LINKS_SCHEMA)

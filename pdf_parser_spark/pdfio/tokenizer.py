@@ -947,6 +947,35 @@ class ExtractResult:
     error: Optional[str] = None
 
 
+def extract_pdf_links(pdf_bytes: bytes) -> List[Tuple[int, str]]:
+    """URI link annotations per page — (page_no, uri) in page order,
+    then /Annots array order (ISO 32000-1 §12.5.6.5): each page's
+    /Annots (inline or indirect) is walked, /Subtype /Link dicts with
+    a /S /URI action contribute their /URI string, everything else
+    (text notes, GoTo destinations, malformed entries) is skipped.
+    Never raises; a poison document yields []."""
+    out: List[Tuple[int, str]] = []
+    try:
+        doc = PdfDocument(pdf_bytes)
+        for page_no, page in enumerate(doc.pages()):
+            annots = doc.resolve(page.get("Annots"))
+            if not isinstance(annots, list):
+                continue
+            for a in annots:
+                a = doc.resolve(a)
+                if not isinstance(a, dict) or a.get("Subtype") != "Link":
+                    continue
+                act = doc.resolve(a.get("A"))
+                if not isinstance(act, dict) or act.get("S") != "URI":
+                    continue
+                uri = doc.resolve(act.get("URI"))
+                if isinstance(uri, bytes):
+                    out.append((page_no, uri.decode("latin-1")))
+    except Exception:
+        return out
+    return out
+
+
 def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult:
     """Full-document extraction; never raises."""
     try:

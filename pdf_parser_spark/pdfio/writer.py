@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 FONT_SIZE = 10.0
 LEADING = 12.0
@@ -268,11 +268,27 @@ def _stream_obj(data: bytes, compress: bool, extra: bytes = b"") -> bytes:
     )
 
 
+def _pdf_str(s: str) -> bytes:
+    """PDF literal string with the three escapes §7.3.4.2 requires."""
+    out = s.encode("latin-1")
+    for ch, esc in ((b"\\", b"\\\\"), (b"(", b"\\("), (b")", b"\\)")):
+        out = out.replace(ch, esc)
+    return b"(" + out + b")"
+
+
 def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
                 xref_stream: bool = False,
                 cid_font: bool = False,
-                xref_predictor: bool = False) -> bytes:
+                xref_predictor: bool = False,
+                links: "Optional[Dict[int, List[str]]]" = None) -> bytes:
     """Render ``text`` (pages split on ``\\f``) to PDF bytes.
+
+    ``links`` maps a physical page index to the URI link annotations
+    that page carries (ISO 32000-1 §12.5.6.5: /Annots arrays of
+    /Subtype /Link dicts with /A << /S /URI >> actions).  Alternating
+    annotated pages reference their /Annots array INDIRECTLY (the
+    other layout real producers emit), and every annotated page also
+    carries a /Text note annotation the link extractor must skip.
 
     ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
     STREAM instead of the classic table, and — combined with
@@ -354,11 +370,31 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
             content = b.add(_stream_obj(
                 _page_stream(chunk, codes, cid_font), compress))
             pid = b.reserve()
+            page_no = len(page_ids)
             page_ids.append(pid)
+            annots = b""
+            if links and page_no in links:
+                refs = []
+                for li, uri in enumerate(links[page_no]):
+                    y = 700 - 14 * li
+                    refs.append(b.add(
+                        b"<< /Type /Annot /Subtype /Link "
+                        b"/Rect [72 %d 540 %d] "
+                        b"/A << /Type /Action /S /URI /URI %s >> >>"
+                        % (y, y + 12, _pdf_str(uri))))
+                refs.append(b.add(
+                    b"<< /Type /Annot /Subtype /Text /Rect [0 0 8 8] "
+                    b"/Contents (note) >>"))         # extractor skips
+                arr = b"[" + b" ".join(b"%d 0 R" % r for r in refs) + b"]"
+                if page_no % 2:
+                    annots = b"/Annots %d 0 R " % b.add(arr)
+                else:
+                    annots = b"/Annots " + arr + b" "
             page_bodies.append((pid, (
                 b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
                 b"/Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >> "
-                b"/Contents %d 0 R >>" % (pages, f1, f2, content)
+                b"%s/Contents %d 0 R >>"
+                % (pages, f1, f2, annots, content)
             )))
 
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)

@@ -706,3 +706,59 @@ def alien_inherited_resources(text: str) -> bytes:
             % (len(page_nums), kids, f1))
     catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
     return doc.render([cm, f1] + emission + [pages_node, catalog])
+
+
+def alien_links(text: str, links=None) -> bytes:
+    """Variant 8: link annotations with every convention the sibling
+    writer avoids — annotation dicts INLINE inside the page's /Annots
+    array (the sibling always uses indirect objects), the /A action as
+    a separate INDIRECT object, the /URI as a HEX string, an internal
+    /Dest GoTo link (no /A at all — must be skipped), and \\r\\n EOLs
+    with comments.  ``links`` maps page index -> list of URIs."""
+    links = links or {}
+    doc = _AlienDoc(eol=b"\r\n")
+    cmap = _bfrange_cmap(text)
+    cm = doc.add(b"<< /Length %d >>\nstream\n" % len(cmap) +
+                 cmap + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for pno, lines in enumerate(_pages_of(text)):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        content = b"\r\n".join(ops)
+        stream = doc.add(b"<< /Length %d >>\r\nstream\r\n" % len(content) +
+                         content + b"\r\nendstream")
+        parts = []
+        for li, uri in enumerate(links.get(pno, [])):
+            act = doc.add(b"<< /S /URI /URI <%s> >>"
+                          % uri.encode("latin-1").hex().upper().encode())
+            emission.append(act)
+            parts.append(
+                b"<< /Subtype /Link /Rect [10 %d 100 %d] /A %d 0 R >>"
+                % (10 + 20 * li, 22 + 20 * li, act))
+        if pno in links:
+            # internal GoTo link (no /A): the URI extractor skips it
+            parts.append(b"<< /Subtype /Link /Rect [0 0 5 5]"
+                         b" /Dest [%d 0 R /Fit] >>" % pages_node)
+        annots = (b" /Annots [" + b" ".join(parts) + b"]") if parts else b""
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >> >>%s"
+                     b" /Contents %d 0 R >>"
+                     % (pages_node, f1, annots, stream))
+        page_nums.append(pg)
+        emission += [stream, pg]
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
+    return doc.render(emission + [f1, cm, pages_node, catalog],
+                      comments=True)

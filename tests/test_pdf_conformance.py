@@ -276,3 +276,52 @@ def test_unsupported_encryption_reports_not_garbles():
     res = extract_pdf_text(pdf)
     assert res.error is not None and "encryption" in res.error
     assert res.text == ""
+
+
+def test_pdf_links_roundtrip_all_sibling_layouts():
+    """URI link annotations survive every sibling-writer layout
+    (classic, objstm, 1.5 xref stream, predictor, CID font), with
+    PDF-string escapes exercised and the /Text note decoy skipped."""
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_links
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    text = "\n".join("line %d" % i for i in range(130))  # 3 pages
+    links = {0: ["https://a.example/x", "https://b.example/y(p)"],
+             1: ["https://c.example/z\\b"]}
+    want = [(0, "https://a.example/x"), (0, "https://b.example/y(p)"),
+            (1, "https://c.example/z\\b")]
+    for kw in (dict(), dict(objstm=True),
+               dict(xref_stream=True, objstm=True),
+               dict(xref_stream=True, xref_predictor=True),
+               dict(cid_font=True)):
+        pdf = text_to_pdf(text, links=links, **kw)
+        assert extract_pdf_links(pdf) == want, kw
+        res = extract_pdf_text(pdf)
+        assert res.error is None and res.pages == 3
+    assert extract_pdf_links(text_to_pdf("plain")) == []
+
+
+def test_pdf_links_alien_writer_independence():
+    """The link extractor reads annotations it did NOT write: inline
+    annot dicts, indirect /A actions, hex-string URIs, and a /Dest
+    GoTo link it must skip (alien_links variant 8)."""
+    from alien_pdf_writer import alien_links
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_links
+
+    text = "alpha one\fbeta two\fgamma three"
+    links = {0: ["https://x.test/1"],
+             2: ["https://y.test/2", "https://z.test/3"]}
+    pdf = alien_links(text, links)
+    assert extract_pdf_links(pdf) == [
+        (0, "https://x.test/1"), (2, "https://y.test/2"),
+        (2, "https://z.test/3")]
+    res = extract_pdf_text(pdf)
+    assert res.error is None and res.text == text.replace("\f", "\n")
+
+
+def test_pdf_links_poison_inputs():
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_links
+
+    assert extract_pdf_links(b"") == []
+    assert extract_pdf_links(b"%PDF-1.4 garbage") == []
+    assert extract_pdf_links(b"\x00" * 64) == []

@@ -53,7 +53,7 @@ _SUBSET = [
     "kcore_peel", "headings_outline",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
-    "extraction_spans", "span_dedup",
+    "extraction_spans", "span_dedup", "pdf_link_extract",
 ]
 
 

@@ -287,6 +287,25 @@ def main() -> None:
         GOLDEN_DIR / "expected_video_scenes.parquet")
     print("expected_video_scenes.parquet: %d rows" % len(sc))
 
+    # ---- expected PDF link annotations (encode-side request list)
+    from pdf_parser_spark.ops.spans import fixture_linked_pages, uri_host
+    lk_schema = pa.schema([
+        ("url", pa.string()), ("page_no", pa.int32()),
+        ("link_no", pa.int32()), ("uri", pa.string()),
+        ("uri_host", pa.string()),
+    ])
+    lrows = [
+        {"url": url, "page_no": pno, "link_no": k, "uri": uri,
+         "uri_host": uri_host(uri)}
+        for url, _, exp in fixture_linked_pages()
+        for pno, k, uri in exp
+    ]
+    pq.write_table(
+        pa.table({k: [r[k] for r in lrows] for k in lk_schema.names},
+                 schema=lk_schema),
+        GOLDEN_DIR / "expected_pdf_links.parquet")
+    print("expected_pdf_links.parquet: %d rows" % len(lrows))
+
 
 if __name__ == "__main__":
     main()

@@ -483,9 +483,14 @@ def pagerank_df(edges, rounds: int = _PR_ROUNDS, seeds=None):
     interleaved A/B at sf0.1 (best 4.7 s vs 7.8 s) — the wider ranks
     rows and the extra setup join cost more than the anti-join saves,
     and at host granularity (~1e7 rows) the anti-join's small side is
-    the same persisted frame every round.  Each round's result is
-    persisted and materialized so the lineage stays one round
-    deep."""
+    the same persisted frame every round.  Rounds are LAZY (same
+    measured finding as hits_df: each eager per-round .count() was a
+    full job of scheduler overhead — ~1.3 s/job at local[32] over
+    host-granularity state); the per-round persists still deduplicate
+    the doubled ranks reference (contrib join + dangling anti-join)
+    inside the one final action, keeping the executed work one round
+    deep.  At very high round counts a production caller should
+    checkpoint every ~30 rounds to bound the logical-plan DAG."""
     from pyspark.sql import functions as F
 
     def idiv(a, b):
@@ -508,7 +513,6 @@ def pagerank_df(edges, rounds: int = _PR_ROUNDS, seeds=None):
     ranks = nodes.select(
         "host", F.when(is_seed, F.lit((_PR_SCALE - _PR_SCALE % nt) // nt))
         .otherwise(F.lit(0)).cast("long").alias("rank")).persist()
-    ranks.count()
     for _ in range(rounds):
         contrib = (
             edges.join(ranks, edges.src_host == ranks.host)
@@ -533,13 +537,11 @@ def pagerank_df(edges, rounds: int = _PR_ROUNDS, seeds=None):
                  ).cast("long").alias("rank"))
             .persist()
         )
-        new.count()
-        ranks.unpersist()
         ranks = new
-    out = ranks.select("host", F.col("rank").alias("rank_ppb"))
-    nodes.unpersist()
-    outw.unpersist()
-    return out
+    # nodes/outw/round frames stay persisted for the caller's action
+    # (host-granularity, bounded); unpersisting here would force the
+    # lazy chain to recompute them from scratch
+    return ranks.select("host", F.col("rank").alias("rank_ppb"))
 
 
 # -------------------------------------- per-host boilerplate-line dedup
@@ -731,11 +733,20 @@ def hits_df(edges, rounds: int = _HITS_ROUNDS):
              .union(dedges.select(F.col("dst_host").alias("host")))
              .distinct().persist())
     n = nodes.count()
+    # LAZY rounds: every eager per-half-round .count() used to cost a
+    # full job of scheduler overhead (measured ~1.5 s/job at local[32]
+    # over this ~10^2-row host-granularity state — the data is trivial,
+    # the jobs are not).  The persisted frames still deduplicate work
+    # inside the ONE final action: Spark materializes each cached plan
+    # the first time a stage needs it and reuses it thereafter, and
+    # the normalizer branch sharing hr/ar resolves via ReusedExchange.
+    # Frames stay persisted for the caller's action (k rounds x ~n
+    # hosts of long pairs — bounded; a real deployment would
+    # checkpoint every ~30 rounds like pagerank_df documents).
     a = nodes.select(
         "host",
         F.lit((_HITS_SCALE - _HITS_SCALE % n) // n)
         .cast("long").alias("s")).persist()
-    a.count()
     h = None
     for _ in range(rounds):
         hr = (dedges.join(a, dedges.dst_host == a.host)
@@ -746,7 +757,6 @@ def hits_df(edges, rounds: int = _HITS_ROUNDS):
         h_new = (hr.crossJoin(F.broadcast(ht))
                  .select("host", idiv("s * %d" % _HITS_SCALE, "t")
                          .cast("long").alias("s")).persist())
-        h_new.count()
         ar = (dedges.join(h_new, dedges.src_host == h_new.host)
               .groupBy("dst_host")
               .agg(F.sum("s").cast("long").alias("s"))
@@ -755,10 +765,6 @@ def hits_df(edges, rounds: int = _HITS_ROUNDS):
         a_new = (ar.crossJoin(F.broadcast(at))
                  .select("host", idiv("s * %d" % _HITS_SCALE, "t")
                          .cast("long").alias("s")).persist())
-        a_new.count()
-        a.unpersist()
-        if h is not None:
-            h.unpersist()
         a, h = a_new, h_new
     out = (nodes
            .join(h.withColumnRenamed("host", "hh")
@@ -1040,27 +1046,24 @@ def lpa_df(spark, edges=None, rounds: int = _LPA_ROUNDS):
            .agg(F.sum("n_links").cast("long").alias("w")).persist())
     labels = (adj.select(F.col("u").alias("host")).distinct()
               .withColumn("label", F.col("host")).persist())
-    labels.count()
     cut = Window.partitionBy("host").orderBy(
         F.col("s").desc(), F.col("label").asc())
+    # LAZY rounds (same measured finding as hits_df/pagerank_df: each
+    # eager per-round .count() is a full job of scheduler overhead over
+    # host-granularity state); labels is referenced once per round so
+    # the plan grows linearly, and the per-round persists still bound
+    # executed work to one round inside the caller's single action
     for _ in range(rounds):
         neigh = labels.select(F.col("host").alias("v"), "label")
         scores = (adj.join(neigh, "v")
                   .groupBy(F.col("u").alias("host"), "label")
                   .agg(F.sum("w").cast("long").alias("s")))
-        new = (scores.withColumn("rn", F.row_number().over(cut))
-               .filter("rn = 1").select("host", "label").persist())
-        new.count()
-        labels.unpersist()
-        labels = new
-    out = labels.select(
+        labels = (scores.withColumn("rn", F.row_number().over(cut))
+                  .filter("rn = 1").select("host", "label").persist())
+    return labels.select(
         "host", F.col("label").alias("community"),
         F.count("*").over(Window.partitionBy("label"))
         .cast("long").alias("community_size"))
-    adj.unpersist()
-    if own_edges:
-        edges.unpersist()
-    return out
 
 
 # ------------------------------------------------------------- SALSA

@@ -443,7 +443,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # document-outline extraction (h1-h3 + parent
                    # assignment — the structure pass beside
                    # main-content; section-aware chunkers key on it)
-                   "headings_outline"}
+                   "headings_outline",
+                   # ANF/HyperBall neighborhood function (exact-pairs
+                   # oracle; hyperball_df is the register-merging
+                   # production twin, test-pinned row-identical)
+                   "hyperball_nf"}
 
 
 def _specials() -> dict:

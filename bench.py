@@ -141,7 +141,8 @@ def main() -> None:
                  "tfidf_keywords", "dedup_keep_best", "crawl_frontier",
                  "trustrank_seeds", "hits_scores", "recrawl_schedule",
                  "shard_rendezvous", "phrase_search",
-                 "phrase_serve_persisted",
+                 # (phrase_serve_persisted itemized below: one-shot
+                 # phrase_index_build + steady-state phrase_serve_only)
                  "cocitation_pairs",
                  # session-7 additions (trustrank_seeds/hits_scores
                  # above now time the iterative production twins —
@@ -161,7 +162,12 @@ def main() -> None:
                  "ann_pq_codes", "ann_pq_adc", "feed_ingest",
                  "script_detect", "epoch_shard_plan",
                  "decontam_fuzzy", "intradoc_dedup", "winnow_matches",
-                 "dedup_allpairs_prefix"):
+                 "dedup_allpairs_prefix",
+                 # final-session additions: serve-side snippets,
+                 # k-core peeling (iterative twin), outline
+                 # extraction, PDF link annotations
+                 "search_snippets", "kcore_peel", "headings_outline",
+                 "pdf_link_extract"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 
@@ -174,6 +180,9 @@ def main() -> None:
     edges.count()
     textops["host_pagerank_df_production"] = timed3(
         lambda: pagerank_df(edges).count())
+    from pdf_parser_spark.ops.webgraph import kcore_df
+    textops["kcore_df_production"] = timed3(
+        lambda: kcore_df(spark, edges=edges).count())
     edges.unpersist()
 
     # persisted BM25 index amortization: build once, then each served
@@ -228,6 +237,20 @@ def main() -> None:
     textops["bm25_serve_compacted"] = timed3(
         lambda: bm25_serve(spark, croot).count())
     shutil.rmtree(croot, ignore_errors=True)
+
+    # positional phrase index: same split — the registered
+    # phrase_serve_persisted row rebuilds its index per invocation
+    # (the correctness contract needs the full lifecycle in one
+    # callable), so for the scoreboard the one-shot build is timed
+    # once and the steady-state serve best-of-3
+    from pdf_parser_spark.ops.retrieval import phrase_serve
+    proot = os.path.join(tempfile.gettempdir(), "bench_phrase_idx")
+    shutil.rmtree(proot, ignore_errors=True)
+    textops["phrase_index_build"] = once(
+        lambda: text_index_append(spark, proot, docs))
+    textops["phrase_serve_only"] = timed3(
+        lambda: phrase_serve(spark, proot).count())
+    shutil.rmtree(proot, ignore_errors=True)
 
     # WARC source ingestion: real gzip-member container files → framed
     # records (binaryFile scan + mapInPandas; 32 files = 32 tasks)

@@ -1300,3 +1300,189 @@ def kcore_df(spark, k: int = _KCORE_K, edges=None):
     if own_edges:
         edges.unpersist()
     return res
+
+
+# ------------------------------- HyperBall neighborhood function
+
+_HB_ROUNDS = 3      # radii 0..3
+_HB_REPS = 50       # synthetic pages per host (lifts radius>=1
+                    # cardinalities above the HLL small-range cutoff)
+
+
+def _hb_parts(d: str) -> list:
+    """CTE chain for the neighborhood function: symmetrized distinct
+    host graph, exact reachable sets per radius (reach{r}), the x50
+    page expansion, and per-radius HLL registers — the md5/bucket/rho
+    split is hll_distinct's, verbatim (p=6, 54-bit rho field)."""
+    from ..relational import HEX2INT
+    from .sketches import _HLL_M, _HLL_WBITS, BITLEN, SHL1
+
+    if d == SPARK:
+        reps = ("hreps AS (SELECT explode(sequence(0, %d)) AS rep)"
+                % (_HB_REPS - 1))
+        rep = CSTR("rep", d)
+    else:
+        reps = ("hreps AS (SELECT unnest(range(0, %d)) AS rep)"
+                % _HB_REPS)
+        rep = CSTR("rep", d)
+    parts = [_edges_ctes(d).strip(), """
+hbund AS (
+  SELECT src_host AS u, dst_host AS v FROM edges WHERE src_host <> dst_host
+  UNION ALL
+  SELECT dst_host AS u, src_host AS v FROM edges WHERE src_host <> dst_host
+),
+hbadj AS (SELECT DISTINCT u, v FROM hbund),
+%s,
+reach0 AS (SELECT DISTINCT u AS host, u AS rhost FROM hbadj)""" % reps]
+    for r in range(1, _HB_ROUNDS + 1):
+        parts.append("""
+reach{r} AS (
+  SELECT DISTINCT host, rhost FROM (
+    SELECT host, rhost FROM reach{p}
+    UNION ALL
+    SELECT a.u AS host, x.rhost FROM hbadj a
+    JOIN reach{p} x ON x.host = a.v) m{r}
+)""".format(r=r, p=r - 1).strip())
+    h = HEX2INT("md5(key)", d)
+    for r in range(_HB_ROUNDS + 1):
+        parts.append("""
+hx{r} AS (
+  SELECT host, {bucket} AS bucket, {w} AS w FROM (
+    SELECT t.host, {h} AS h FROM (
+      SELECT host, rhost || '#' || {rep} AS key
+      FROM reach{r} CROSS JOIN hreps) t) s
+),
+hr{r} AS (
+  SELECT host, bucket,
+    MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - {bitlen} END) AS m_reg
+  FROM hx{r} GROUP BY host, bucket
+),
+hs{r} AS (
+  SELECT host,
+    CAST(SUM({pow2}) AS BIGINT)
+      + ({m} - CAST(COUNT(*) AS BIGINT)) * 72057594037927936 AS int_sum
+  FROM hr{r} GROUP BY host
+),
+hn{r} AS (
+  SELECT host, CAST({reps_n} * COUNT(*) AS BIGINT) AS exact_nf
+  FROM reach{r} GROUP BY host
+)""".format(r=r, h=h, rep=rep,
+            bucket=IDIV("h", str(1 << _HLL_WBITS)),
+            w="h %% %d" % (1 << _HLL_WBITS),
+            bitlen=BITLEN("w", d),
+            pow2=SHL1("56 - m_reg", d), m=_HLL_M,
+            reps_n=_HB_REPS).strip())
+    return parts
+
+
+@query("hyperball_nf")
+def q_hyperball_nf(d: str) -> str:
+    """Neighborhood function per host (Palmer et al. ANF, KDD '02;
+    Boldi & Vigna HyperBall, 2013): for radius r = 0..{R}, how many
+    pages live within r hops of each host — the centrality/diameter
+    workhorse ("spid", effective-diameter, harmonic closeness all
+    derive from it).  Each host carries {REPS} synthetic pages; the
+    output reports the EXACT count and the HLL estimate side by side,
+    per (host, radius).
+
+    The exact tier materializes reachable-set PAIRS — correct, and
+    QUADRATIC in the worst case: at 10^7 hosts a dense radius-3
+    neighborhood makes reach{R} ~10^13 rows.  That is precisely why
+    HyperBall exists: the production twin ``hyperball_df`` never
+    materializes reach — it keeps {m} one-byte registers per host and
+    merges neighbors' registers by element-wise MAX each round (a
+    host-granularity join + group-max, constant state per node), the
+    estimate coming from the same integer-exact harmonic sum as
+    hll_distinct (engine-pinned derivation, see there).  Radius-0
+    cardinality ({REPS}) sits below the 2.5m small-range cutoff, so
+    its raw estimate reads high — documented regime, exact_nf carries
+    truth; radii >= 1 (~10^3) are in-regime."""
+    from .sketches import _HLL_M
+
+    alpha = "(0.7213 / (1.0 + 1.079 / %d.0))" % _HLL_M
+    est = ("({alpha} * {m}.0 * {m}.0 * 72057594037927936.0)"
+           " / CAST(int_sum AS DOUBLE)").format(alpha=alpha, m=_HLL_M)
+    rads = []
+    for r in range(_HB_ROUNDS + 1):
+        rads.append(
+            "SELECT n.host, CAST(%d AS BIGINT) AS radius, n.exact_nf,"
+            " CAST(FLOOR(%s) AS BIGINT) AS hll_nf"
+            " FROM hn%d n JOIN hs%d s ON s.host = n.host"
+            % (r, est, r, r))
+    return """
+WITH {ctes}
+{body}
+""".format(ctes=",\n".join(_hb_parts(d)),
+           body="\nUNION ALL\n".join(rads))
+
+
+q_hyperball_nf.__doc__ = (q_hyperball_nf.__doc__ or "").format(
+    R=_HB_ROUNDS, REPS=_HB_REPS, m=64)
+
+
+def hyperball_df(spark, edges=None, rounds: int = _HB_ROUNDS):
+    """PRODUCTION HyperBall — the register-merging twin of
+    ``hyperball_nf`` (same per-host estimates, test-pinned): state is
+    {m} registers per host, initialized from the host's own page keys
+    and advanced each round by element-wise MAX with the neighbors'
+    registers — one host-granularity equi-join + one (host, bucket)
+    group-max per round, CONSTANT state per node, no reachable-set
+    materialization anywhere (the exact tier in the SQL twin is
+    verification machinery; at 10^12 pages it would be ~quadratic).
+    Returns (host, radius, hll_nf) for radius 0..rounds.  Rounds are
+    lazy (hits_df finding); registers are referenced twice per round
+    (self + neighbor side), so round frames are persisted to keep
+    executed work one round deep within the final action."""
+    from pyspark.sql import functions as F
+
+    from ..relational import HEX2INT
+    from .sketches import _HLL_M, _HLL_WBITS, BITLEN, SHL1
+
+    own_edges = edges is None
+    if own_edges:
+        edges = link_graph_df(spark).persist()
+        edges.count()
+    e = edges.filter("src_host <> dst_host")
+    adj = (e.selectExpr("src_host AS u", "dst_host AS v")
+           .union(e.selectExpr("dst_host AS u", "src_host AS v"))
+           .distinct().persist())
+    hosts = adj.select(F.col("u").alias("host")).distinct()
+    reps = spark.range(_HB_REPS).select(
+        F.col("id").cast("string").alias("rep"))
+    d = SPARK
+    h = HEX2INT("md5(host || '#' || rep)", d)
+    hashed = (hosts.crossJoin(reps)
+              .selectExpr("host", "%s AS h" % h)
+              .selectExpr("host",
+                          "%s AS bucket" % IDIV("h", str(1 << _HLL_WBITS)),
+                          "h %% %d AS w" % (1 << _HLL_WBITS)))
+    regs = (hashed.selectExpr(
+        "host", "bucket",
+        "CASE WHEN w = 0 THEN 55 ELSE 55 - %s END AS m_reg"
+        % BITLEN("w", d))
+        .groupBy("host", "bucket")
+        .agg(F.max("m_reg").alias("m_reg")).persist())
+
+    def estimate(rdf, radius):
+        sums = rdf.groupBy("host").agg(
+            (F.sum(F.expr(SHL1("56 - m_reg", d))).cast("long")
+             + (F.lit(_HLL_M) - F.count("*").cast("long"))
+             * F.lit(72057594037927936)).alias("int_sum"))
+        alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+        est = (F.lit(alpha * _HLL_M * _HLL_M * 72057594037927936.0)
+               / F.col("int_sum").cast("double"))
+        return sums.select(
+            "host", F.lit(radius).cast("long").alias("radius"),
+            F.floor(est).cast("long").alias("hll_nf"))
+
+    out = estimate(regs, 0)
+    for r in range(1, rounds + 1):
+        neigh = (adj.join(regs.withColumnRenamed("host", "v"), "v")
+                 .select(F.col("u").alias("host"), "bucket", "m_reg"))
+        regs = (regs.select("host", "bucket", "m_reg").union(neigh)
+                .groupBy("host", "bucket")
+                .agg(F.max("m_reg").alias("m_reg")).persist())
+        out = out.unionByName(estimate(regs, r))
+    if own_edges:
+        pass  # edges stays persisted for the caller's action
+    return out

@@ -50,7 +50,7 @@ _SUBSET = [
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
-    "kcore_peel", "headings_outline",
+    "kcore_peel", "headings_outline", "hyperball_nf",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -2973,6 +2973,71 @@ def test_headings_outline_semantics(duck, entry_mod):
     assert any(r[2] == 2 and r[3] == "" for r in rows)     # empty h2
     assert all(r[4] == -1 for r in rows if r[2] == 1)      # h1 roots
     assert any(r[2] == 3 and r[4] == 1 for r in rows)      # h3 → Part A
+
+
+def test_hyperball_nf_semantics(duck, entry_mod):
+    """Independent Python recomputation of the neighborhood function:
+    BFS reachable sets per radius (exact_nf = 50 x |reach|) AND the
+    full HLL register pipeline (md5 bucket/rho split, integer harmonic
+    sum, raw estimator, floor) — both columns, every host, radius
+    0..3.  Plus the regime invariants: exact_nf is monotone in radius
+    and the radius>=1 estimates land within the canonical ~26%/sqrt(m)
+    HLL band of truth."""
+    import hashlib
+
+    rows = duck.sql(entry_mod.all_oracles()["hyperball_nf"]).fetchall()
+    lg = duck.sql(entry_mod.all_oracles()["link_graph"]).fetchall()
+    adj = {}
+    for s, t, _ in lg:
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+    hosts = sorted(adj)
+    want = []
+    for h in hosts:
+        reach = {h}
+        for r in range(4):
+            if r > 0:
+                reach = reach | {n for x in reach for n in adj[x]}
+            regs = {}
+            for rh in sorted(reach):
+                for rep in range(50):
+                    hx = hashlib.md5(
+                        ("%s#%d" % (rh, rep)).encode()).hexdigest()
+                    v = int(hx[:15], 16)
+                    bucket, w = divmod(v, 1 << 54)
+                    m = 55 if w == 0 else 55 - w.bit_length()
+                    regs[bucket] = max(regs.get(bucket, 0), m)
+            int_sum = (sum(1 << (56 - m) for m in regs.values())
+                       + (64 - len(regs)) * (1 << 56))
+            alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+            est = (alpha * 64.0 * 64.0 * 72057594037927936.0) / int_sum
+            want.append((h, r, 50 * len(reach), int(est // 1)))
+    got = sorted(map(tuple, rows))
+    assert got == sorted(want)
+    by_host = {}
+    for h, r, nf, est in got:
+        by_host.setdefault(h, []).append((r, nf, est))
+    for h, seq in by_host.items():
+        nfs = [nf for _, nf, _ in sorted(seq)]
+        assert nfs == sorted(nfs)               # monotone in radius
+        for r, nf, est in seq:
+            if r >= 1:                          # in-regime radii
+                assert abs(est - nf) <= 0.35 * nf, (h, r, nf, est)
+
+
+def test_hyperball_df_matches_sql(spark, entry_mod):
+    """Register-merging HyperBall twin ≡ the unrolled SQL's estimate
+    columns on Spark (no reachable-set materialization in the twin)."""
+    from pdf_parser_spark.ops.webgraph import hyperball_df
+    from query_registry import QUERY_SQL
+
+    entry_mod._register(spark, SF_DIR)
+    got = sorted(tuple(r) for r in hyperball_df(spark).collect())
+    exp = sorted(tuple(r) for r in spark.sql(
+        QUERY_SQL["hyperball_nf"]["spark"])
+        .selectExpr("host", "radius", "hll_nf").collect())
+    assert got == exp
 
 
 def test_kcore_peel_semantics(duck, entry_mod):

@@ -211,6 +211,19 @@ def _pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(fixture_linked_pages_df(spark))
 
 
+def _pdf_outline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF document-outline extraction — depth-first (level, title,
+    page) per url across all five writer layouts; UTF-16BE titles,
+    closed subtrees and GoTo-action destinations are test-pinned via
+    the alien writer; poison payloads yield zero rows (retired
+    tier)."""
+    from pdf_parser_spark.ops.spans import (
+        extract_bookmarks, fixture_outlined_pages_df,
+    )
+    _ensure_pyfiles(spark)
+    return extract_bookmarks(fixture_outlined_pages_df(spark))
+
+
 def _video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sub-clip containment: hash EVERY decoded Y4M frame, then
     Broder-style asymmetric containment over frame-hash sets (equi-join
@@ -585,6 +598,14 @@ def _retired_specials() -> dict:
             "SELECT url, page_no, link_no, uri, uri_host"
             " FROM read_parquet('%s')"
             % (_GOLDEN / "expected_pdf_links.parquet")),
+        # PDF outline tree (/Outlines First/Next walk, UTF-16BE
+        # titles, GoTo-action dests) — the PDF twin of
+        # headings_outline; encode-side golden-parquet oracle
+        "pdf_outline_extract": (
+            _pdf_outline_extract,
+            "SELECT url, item_no, level, title, page_no"
+            " FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_pdf_outline.parquet")),
         # video leg of the modality-dedup triple: sub-clip containment
         # over exhaustive frame hashes; golden-parquet oracle
         "video_clip_containment": (

@@ -186,3 +186,93 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html").mapInPandas(
         batches, schema=LINKS_SCHEMA)
+
+
+# ------------------------------------------------- PDF outline tree
+
+OUTLINE_SCHEMA = ("url string, item_no int, level int, title string,"
+                  " page_no int")
+
+
+def fixture_outlined_pages() -> List[tuple]:
+    """Deterministic PDF corpus WITH outline ground truth: fixture
+    docs render through the five sibling layouts (cycled) carrying a
+    depth-varying bookmark tree derived from the doc index — levels
+    1-3, a UTF-16BE title on every 4th doc, no outline on every 6th,
+    poison payload on every 10th.  Returns (url, pdf_bytes,
+    expected_items) with expected the ENCODE-side request."""
+    from ..fixtures import fixture_docs
+    from ..pdfio.writer import text_to_pdf
+
+    layouts = [
+        dict(),
+        dict(objstm=True),
+        dict(xref_stream=True, objstm=True),
+        dict(xref_stream=True, xref_predictor=True),
+        dict(cid_font=True),
+    ]
+    out = []
+    for i, doc in enumerate(d for d in fixture_docs()
+                            if len(d["text"]) < 100_000):
+        url = doc["url"] + "#outline"
+        if i % 10 == 9:
+            out.append((url, b"%PDF-1.4 poison " + b"\x00" * 48, []))
+            continue
+        if i % 6 == 5:
+            pdf = text_to_pdf(doc["text"], **layouts[i % len(layouts)])
+            out.append((url, pdf, []))
+            continue
+        bms = [(1, "Chapter %d" % i, 0),
+               (2, "Section %d.1" % i, 0)]
+        if i % 2 == 0:
+            bms.append((3, "Sub %d.1.a" % i, 0))
+        if i % 4 == 0:
+            bms.append((2, "Résumé — 概 %d" % i, 0))   # UTF-16BE leg
+        bms.append((1, "Chapter %d+" % i, 0))
+        pdf = text_to_pdf(doc["text"], bookmarks=bms,
+                          **layouts[i % len(layouts)])
+        out.append((url, pdf, [(k,) + bm for k, bm in enumerate(bms)]))
+    return out
+
+
+def fixture_outlined_pages_df(spark) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+    rows = [(u, bytearray(p)) for u, p, _ in fixture_outlined_pages()]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def extract_bookmarks(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → one row per outline item: (url, item_no,
+    level, title, page_no) in depth-first document order — the PDF
+    twin of the HTML ``headings_outline`` (section-aware chunkers key
+    on either).  Arrow-batched ``mapInPandas``; poison payloads yield
+    no rows."""
+    from ..pdfio.tokenizer import extract_pdf_bookmarks
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, nos, lvls, titles, pnos = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.html is None:
+                    continue
+                payload = (bytes(row.html)
+                           if not isinstance(row.html, bytes) else row.html)
+                for k, (lv, title, pg) in enumerate(
+                        extract_pdf_bookmarks(payload)):
+                    urls.append(row.url)
+                    nos.append(k)
+                    lvls.append(lv)
+                    titles.append(title)
+                    pnos.append(pg)
+            yield pd.DataFrame({
+                "url": urls, "item_no": nos, "level": lvls,
+                "title": titles, "page_no": pnos,
+            })
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=OUTLINE_SCHEMA)

@@ -976,6 +976,68 @@ def extract_pdf_links(pdf_bytes: bytes) -> List[Tuple[int, str]]:
     return out
 
 
+def _pdf_text_string(raw) -> str:
+    """§7.9.2.2 text-string decode: UTF-16BE when the BOM leads,
+    PDFDocEncoding (latin-1 approximation) otherwise."""
+    if not isinstance(raw, bytes):
+        return ""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+def extract_pdf_bookmarks(pdf_bytes: bytes) -> List[Tuple[int, str, int]]:
+    """The document outline (ISO 32000-1 §12.3.3) — (level, title,
+    page_no) in depth-first order: catalog /Outlines → First/Next
+    linkage, titles decoded per §7.9.2.2 (UTF-16BE BOM or
+    PDFDocEncoding), destination pages resolved from direct /Dest
+    arrays or /A << /S /GoTo /D [...] >> actions and mapped to page
+    indexes; an item whose destination cannot be resolved reports
+    page -1.  Never raises; a poison document yields []."""
+    out: List[Tuple[int, str, int]] = []
+    try:
+        doc = PdfDocument(pdf_bytes)
+        page_idx = {id(p): i for i, p in enumerate(doc.pages())}
+        catalog = None
+        for obj in doc.objects.values():
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                catalog = obj
+                break
+        if catalog is None:
+            return out
+        root = doc.resolve(catalog.get("Outlines"))
+        if not isinstance(root, dict):
+            return out
+
+        def dest_page(item: dict) -> int:
+            dest = doc.resolve(item.get("Dest"))
+            if dest is None:
+                act = doc.resolve(item.get("A"))
+                if isinstance(act, dict) and act.get("S") == "GoTo":
+                    dest = doc.resolve(act.get("D"))
+            if isinstance(dest, list) and dest:
+                pg = doc.resolve(dest[0])
+                return page_idx.get(id(pg), -1)
+            return -1
+
+        def walk(node: dict, level: int, seen: set) -> None:
+            item = doc.resolve(node.get("First"))
+            while isinstance(item, dict) and id(item) not in seen:
+                seen.add(id(item))          # malformed-cycle guard
+                out.append((level, _pdf_text_string(item.get("Title")),
+                            dest_page(item)))
+                walk(item, level + 1, seen)
+                item = doc.resolve(item.get("Next"))
+
+        walk(root, 1, set())
+    except Exception:
+        return out
+    return out
+
+
 def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult:
     """Full-document extraction; never raises."""
     try:

@@ -280,7 +280,9 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
                 xref_stream: bool = False,
                 cid_font: bool = False,
                 xref_predictor: bool = False,
-                links: "Optional[Dict[int, List[str]]]" = None) -> bytes:
+                links: "Optional[Dict[int, List[str]]]" = None,
+                bookmarks: "Optional[List[Tuple[int, str, int]]]" = None,
+                ) -> bytes:
     """Render ``text`` (pages split on ``\\f``) to PDF bytes.
 
     ``links`` maps a physical page index to the URI link annotations
@@ -289,6 +291,12 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
     annotated pages reference their /Annots array INDIRECTLY (the
     other layout real producers emit), and every annotated page also
     carries a /Text note annotation the link extractor must skip.
+
+    ``bookmarks`` is a depth-first (level, title, page_index) list
+    rendered as the document outline (§12.3.3): a /Outlines root with
+    First/Last/Next/Prev/Parent/Count linkage and [page /Fit] /Dest
+    arrays; non-latin-1 titles are written as UTF-16BE text strings
+    with BOM (§7.9.2.2), the layout real producers emit for CJK.
 
     ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
     STREAM instead of the classic table, and — combined with
@@ -401,7 +409,57 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
     pages_body = (
         b"<< /Type /Pages /Count %d /Kids [%s] >>" % (len(page_ids), kids)
     )
-    root_body = b"<< /Type /Catalog /Pages %d 0 R >>" % pages
+    outlines_ref = b""
+    if bookmarks:
+        outline_root = b.reserve()
+        item_ids = [b.reserve() for _ in bookmarks]
+        children: Dict[Optional[int], List[int]] = {None: []}
+        parent: List[Optional[int]] = [None] * len(bookmarks)
+        stack: List[Tuple[int, int]] = []
+        for i, (lv, _t, _p) in enumerate(bookmarks):
+            while stack and stack[-1][0] >= lv:
+                stack.pop()
+            parent[i] = stack[-1][1] if stack else None
+            children.setdefault(parent[i], []).append(i)
+            children.setdefault(i, [])
+            stack.append((lv, i))
+
+        def ndesc(i):
+            return (len(children[i])
+                    + sum(ndesc(c) for c in children[i]))
+
+        for i, (_lv, title, pg) in enumerate(bookmarks):
+            sibs = children[parent[i]]
+            k = sibs.index(i)
+            prev_ = (b"/Prev %d 0 R " % item_ids[sibs[k - 1]]
+                     if k > 0 else b"")
+            next_ = (b"/Next %d 0 R " % item_ids[sibs[k + 1]]
+                     if k + 1 < len(sibs) else b"")
+            kc = children[i]
+            first_ = (b"/First %d 0 R /Last %d 0 R /Count %d "
+                      % (item_ids[kc[0]], item_ids[kc[-1]], ndesc(i))
+                      if kc else b"")
+            pid = (outline_root if parent[i] is None
+                   else item_ids[parent[i]])
+            try:
+                ts = _pdf_str(title)
+            except UnicodeEncodeError:   # UTF-16BE hex string + BOM
+                ts = (b"<FEFF"
+                      + title.encode("utf-16-be").hex().upper().encode()
+                      + b">")
+            b.set(item_ids[i], (
+                b"<< /Title %s /Parent %d 0 R %s%s%s"
+                b"/Dest [%d 0 R /Fit] >>"
+                % (ts, pid, prev_, next_, first_,
+                   page_ids[pg % len(page_ids)])))
+        roots_ = children[None]
+        b.set(outline_root, (
+            b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+            % (item_ids[roots_[0]], item_ids[roots_[-1]],
+               len(bookmarks))))
+        outlines_ref = b" /Outlines %d 0 R" % outline_root
+    root_body = (b"<< /Type /Catalog /Pages %d 0 R%s >>"
+                 % (pages, outlines_ref))
 
     packed: Dict[int, Tuple[int, int]] = {}
     if objstm:

@@ -762,3 +762,89 @@ def alien_links(text: str, links=None) -> bytes:
     catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node)
     return doc.render(emission + [f1, cm, pages_node, catalog],
                       comments=True)
+
+
+def alien_bookmarks(text: str, bookmarks=None) -> bytes:
+    """Variant 9: outline conventions the sibling never emits — items
+    reach their page through /A << /S /GoTo /D ... >> ACTIONS (no
+    /Dest key), a UTF-16BE title as a LITERAL string (BOM bytes inside
+    parens, not a hex string), a CLOSED subtree (negative /Count), and
+    an /Outlines root with no /Type key (optional per §12.3.3)."""
+    bookmarks = bookmarks or []
+    doc = _AlienDoc(eol=b"\r\n")
+    cmap = _bfrange_cmap(text)
+    cm = doc.add(b"<< /Length %d >>\nstream\n" % len(cmap) +
+                 cmap + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for lines in _pages_of(text):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        content = b"\r\n".join(ops)
+        stream = doc.add(b"<< /Length %d >>\r\nstream\r\n" % len(content) +
+                         content + b"\r\nendstream")
+        pg = doc.add(b"<< /Type /Page /Parent %d 0 R"
+                     b" /MediaBox [0 0 612 792]"
+                     b" /Resources << /Font << /F1 %d 0 R >> >>"
+                     b" /Contents %d 0 R >>" % (pages_node, f1, stream))
+        page_nums.append(pg)
+        emission += [stream, pg]
+    root_out = doc.reserve()
+    item_ids = [doc.reserve() for _ in bookmarks]
+    children, parent, stack = {None: []}, [None] * len(bookmarks), []
+    for i, (lv, _t, _p) in enumerate(bookmarks):
+        while stack and stack[-1][0] >= lv:
+            stack.pop()
+        parent[i] = stack[-1][1] if stack else None
+        children.setdefault(parent[i], []).append(i)
+        children.setdefault(i, [])
+        stack.append((lv, i))
+    for i, (_lv, title, pg) in enumerate(bookmarks):
+        sibs = children[parent[i]]
+        k = sibs.index(i)
+        prev_ = b"/Prev %d 0 R " % item_ids[sibs[k - 1]] if k else b""
+        next_ = (b"/Next %d 0 R " % item_ids[sibs[k + 1]]
+                 if k + 1 < len(sibs) else b"")
+        kc = children[i]
+        # CLOSED subtree: negative count of immediate kids
+        first_ = (b"/First %d 0 R /Last %d 0 R /Count -%d "
+                  % (item_ids[kc[0]], item_ids[kc[-1]], len(kc))
+                  if kc else b"")
+        pid = root_out if parent[i] is None else item_ids[parent[i]]
+        try:
+            ts = b"(" + title.encode("latin-1") + b")"
+        except UnicodeEncodeError:
+            raw = b"\xfe\xff" + title.encode("utf-16-be")
+            for ch, esc in ((b"\\", b"\\\\"), (b"(", b"\\("),
+                            (b")", b"\\)")):
+                raw = raw.replace(ch, esc)
+            ts = b"(" + raw + b")"          # literal UTF-16BE string
+        act = doc.add(b"<< /S /GoTo /D [%d 0 R /Fit] >>"
+                      % page_nums[pg % len(page_nums)])
+        emission.append(act)
+        doc.put(item_ids[i],
+                b"<< /Title %s /Parent %d 0 R %s%s%s/A %d 0 R >>"
+                % (ts, pid, prev_, next_, first_, act))
+    roots_ = children[None]
+    if roots_:
+        doc.put(root_out, b"<< /First %d 0 R /Last %d 0 R /Count %d >>"
+                % (item_ids[roots_[0]], item_ids[roots_[-1]],
+                   len(roots_)))
+    else:
+        doc.put(root_out, b"<< /Count 0 >>")
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R"
+                      b" /Outlines %d 0 R >>" % (pages_node, root_out))
+    return doc.render(emission + item_ids + [root_out, f1, cm,
+                                             pages_node, catalog],
+                      comments=True)

@@ -325,3 +325,65 @@ def test_pdf_links_poison_inputs():
     assert extract_pdf_links(b"") == []
     assert extract_pdf_links(b"%PDF-1.4 garbage") == []
     assert extract_pdf_links(b"\x00" * 64) == []
+
+
+def test_pdf_bookmarks_roundtrip_all_sibling_layouts():
+    """Outline (level, title, page) round-trips every sibling layout;
+    UTF-16BE BOM titles and multi-level nesting included."""
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_bookmarks
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    text = "\n".join("line %d" % i for i in range(190))  # 4 pages
+    bms = [(1, "Intro", 0), (2, "Background", 0),
+           (3, "Déjà vu — 概要", 1),
+           (2, "Methods", 2), (1, "Results (A\\B)", 3),
+           (2, "Tables", 3)]
+    for kw in (dict(), dict(objstm=True),
+               dict(xref_stream=True, objstm=True),
+               dict(xref_stream=True, xref_predictor=True),
+               dict(cid_font=True)):
+        pdf = text_to_pdf(text, bookmarks=bms, **kw)
+        assert extract_pdf_bookmarks(pdf) == bms, kw
+        res = extract_pdf_text(pdf)
+        assert res.error is None and res.pages == 4
+    assert extract_pdf_bookmarks(text_to_pdf("plain")) == []
+
+
+def test_pdf_bookmarks_alien_writer_independence():
+    """The outline extractor reads conventions it did not write:
+    /A GoTo actions (no /Dest), literal-string UTF-16BE titles,
+    closed (negative /Count) subtrees, /Type-less outline root."""
+    from alien_pdf_writer import alien_bookmarks
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_bookmarks
+
+    text = "alpha\fbeta\fgamma"
+    bms = [(1, "One", 0), (2, "Uno — 一", 1), (1, "Two", 2)]
+    pdf = alien_bookmarks(text, bms)
+    assert extract_pdf_bookmarks(pdf) == bms
+    res = extract_pdf_text(pdf)
+    assert res.error is None and res.text == "alpha\nbeta\ngamma"
+
+
+def test_pdf_bookmarks_poison_and_cycle():
+    """Poison bytes yield []; a malformed outline whose /Next points
+    back at an earlier item terminates (cycle guard), keeping each
+    item once."""
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_bookmarks
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    assert extract_pdf_bookmarks(b"") == []
+    assert extract_pdf_bookmarks(b"%PDF-1.4 junk") == []
+    pdf = text_to_pdf("page", bookmarks=[(1, "A", 0), (1, "B", 0)])
+    # corrupt: point B's /Next back at A (A is the item before B)
+    import re as _re
+    m = list(_re.finditer(rb"/Title \(A\) /Parent (\d+) 0 R", pdf))
+    assert m
+    # find object numbers of A and B items
+    a_num = int(_re.search(
+        rb"(\d+) 0 obj\s*<< /Title \(A\)", pdf).group(1))
+    broken = _re.sub(
+        rb"<< /Title \(B\) /Parent (\d+) 0 R /Prev (\d+) 0 R ",
+        b"<< /Title (B) /Parent \\1 0 R /Prev \\2 0 R "
+        b"/Next %d 0 R " % a_num, pdf)
+    got = extract_pdf_bookmarks(broken)
+    assert [t for _, t, _ in got] == ["A", "B"]   # no infinite loop

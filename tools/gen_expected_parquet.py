@@ -306,6 +306,25 @@ def main() -> None:
         GOLDEN_DIR / "expected_pdf_links.parquet")
     print("expected_pdf_links.parquet: %d rows" % len(lrows))
 
+    # ---- expected PDF outlines (encode-side request list)
+    from pdf_parser_spark.ops.spans import fixture_outlined_pages
+    ol_schema = pa.schema([
+        ("url", pa.string()), ("item_no", pa.int32()),
+        ("level", pa.int32()), ("title", pa.string()),
+        ("page_no", pa.int32()),
+    ])
+    orows = [
+        {"url": url, "item_no": k, "level": lv, "title": t,
+         "page_no": pg}
+        for url, _, exp in fixture_outlined_pages()
+        for k, lv, t, pg in exp
+    ]
+    pq.write_table(
+        pa.table({k: [r[k] for r in orows] for k in ol_schema.names},
+                 schema=ol_schema),
+        GOLDEN_DIR / "expected_pdf_outline.parquet")
+    print("expected_pdf_outline.parquet: %d rows" % len(orows))
+
 
 if __name__ == "__main__":
     main()

@@ -211,6 +211,16 @@ def _pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(fixture_linked_pages_df(spark))
 
 
+def _kcore_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixpoint-looped k-core peeling over the persisted host graph —
+    row-identical to the unrolled kcore_peel SQL (test-pinned); the
+    contract Spark side, per the promoted-twin policy above."""
+    from pdf_parser_spark.ops.webgraph import kcore_df
+
+    _register(spark, sf_dir)
+    return kcore_df(spark)
+
+
 def _pdf_outline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF document-outline extraction — depth-first (level, title,
     page) per url across all five writer layouts; UTF-16BE titles,
@@ -319,7 +329,10 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "image_phash_neardup",
                    "fidelity_pipeline", "extraction_metrics",
-                   "extraction_spans", "span_dedup"]
+                   "extraction_spans", "span_dedup",
+                   # round-5 final rotation IN: the PDF structure
+                   # extractors (links + outline), never adjudicated
+                   "pdf_link_extract", "pdf_outline_extract"]
 _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "ifb_relational", "pnb_relational", "ann_brute_big",
                    # round-5 late rotation OUT, making room for the
@@ -452,15 +465,27 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # highlighting) and k-core peeling (spam/quality
                    # tiering of the host graph; kcore_df is the
                    # fixpoint-looped production twin, test-pinned)
-                   "search_snippets", "kcore_peel",
-                   # document-outline extraction (h1-h3 + parent
-                   # assignment — the structure pass beside
-                   # main-content; section-aware chunkers key on it)
-                   "headings_outline",
-                   # ANF/HyperBall neighborhood function (exact-pairs
-                   # oracle; hyperball_df is the register-merging
-                   # production twin, test-pinned row-identical)
-                   "hyperball_nf"}
+                   # round-5 FINAL rotation (cap stays 50): the six
+                   # final-session additions rotate IN (search_snippets,
+                   # kcore_peel [twin as Spark side], headings_outline,
+                   # hyperball_nf, pdf_link_extract, pdf_outline_extract
+                   # — none ever driver-adjudicated), six long-stable
+                   # sub-stage rows rotate OUT:
+                   #   c1_detect_issuer ⊂ every parser query's
+                   #     detection gate (F16/C1 shared CASE)
+                   #   c2_direction_rules ⊂ every parser query's D20
+                   #     normalize (the shared LET'd battery)
+                   #   d13_chase_amount ⊂ chase_relational (same
+                   #     in-array amount pick)
+                   #   c11_wire_fee_multiemit ⊂ chase_relational's
+                   #     emit path
+                   #   ann_ivf_fit ⊂ ann_ivf_topk/ann_ivf_amortized
+                   #     (fit is their first stage)
+                   #   bm25_maxscore — search_snippets carries the
+                   #     full BM25 scoring chain forward
+                   "c1_detect_issuer", "c2_direction_rules",
+                   "d13_chase_amount", "c11_wire_fee_multiemit",
+                   "ann_ivf_fit", "bm25_maxscore"}
 
 
 def _specials() -> dict:
@@ -473,6 +498,8 @@ def _specials() -> dict:
         "multimodal_frames": _media_frames,
         "image_phash_neardup": _image_neardup,
         "ann_ivf_amortized": _ann_ivf_amortized,
+        "pdf_link_extract": _pdf_link_extract,
+        "pdf_outline_extract": _pdf_outline_extract,
     }
 
 
@@ -481,7 +508,7 @@ def _specials() -> dict:
 # inlines CTE references, so the unrolled form re-derives the edge
 # pipeline once per reference and is oracle machinery only
 _PROMOTED_CALLABLES = ("trustrank_seeds", "label_propagation",
-                       "bpe_encode")
+                       "bpe_encode", "kcore_peel")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -590,22 +617,12 @@ def _retired_specials() -> dict:
             _audio_neardup,
             "SELECT url_a, url_b, hamming FROM read_parquet('%s')"
             % (_GOLDEN / "expected_audio_neardup.parquet")),
-        # PDF URI link annotations (/Annots -> /A /URI) across all
-        # five writer layouts + poison rows; encode-side request list
-        # as the golden-parquet oracle
-        "pdf_link_extract": (
-            _pdf_link_extract,
-            "SELECT url, page_no, link_no, uri, uri_host"
-            " FROM read_parquet('%s')"
-            % (_GOLDEN / "expected_pdf_links.parquet")),
-        # PDF outline tree (/Outlines First/Next walk, UTF-16BE
-        # titles, GoTo-action dests) — the PDF twin of
-        # headings_outline; encode-side golden-parquet oracle
-        "pdf_outline_extract": (
-            _pdf_outline_extract,
-            "SELECT url, item_no, level, title, page_no"
-            " FROM read_parquet('%s')"
-            % (_GOLDEN / "expected_pdf_outline.parquet")),
+        # k-core: the fixpoint-looped twin is the contract Spark side
+        # (the unrolled SQL re-derives the edge pipeline 3^rounds
+        # times under CTE inlining — measured 55 s at sf0.1 vs the
+        # twin's 2.0 s; same rationale as trustrank/hits above)
+        "kcore_peel": (
+            _kcore_production, QUERY_SQL["kcore_peel"]["duckdb"]),
         # video leg of the modality-dedup triple: sub-clip containment
         # over exhaustive frame hashes; golden-parquet oracle
         "video_clip_containment": (
@@ -713,6 +730,16 @@ _EXPECTED_ORACLES = {
         "SELECT url_a, url_b, hamming"
         " FROM read_parquet('%s')"
         % (_GOLDEN / "expected_image_neardup.parquet")
+    ),
+    "pdf_link_extract": (
+        "SELECT url, page_no, link_no, uri, uri_host"
+        " FROM read_parquet('%s')"
+        % (_GOLDEN / "expected_pdf_links.parquet")
+    ),
+    "pdf_outline_extract": (
+        "SELECT url, item_no, level, title, page_no"
+        " FROM read_parquet('%s')"
+        % (_GOLDEN / "expected_pdf_outline.parquet")
     ),
 }
 

@@ -166,12 +166,23 @@ def test_driver_contract_shape(entry_mod):
                "set_union_except", "dedup_minhash_sigs"}
     assert retired.isdisjoint(qs)
     assert retired < set(entry_mod.all_queries())
-    # round-5 rotated IN: all ten never driver-adjudicated before
+    # round-5 rotated IN: never driver-adjudicated before
     promoted = {"embed_srp_neardup", "dedup_substring", "c4_clean",
-                "simhash_hamming", "bm25_maxscore", "quantile_sketch",
+                "simhash_hamming", "quantile_sketch",
                 "redirect_resolve", "trustrank_seeds",
                 "label_propagation", "bpe_encode"}
     assert promoted < set(qs)
+    # round-5 FINAL rotation: the six final-session additions are in
+    # the contract; their six retired stand-ins are out but runnable
+    final_in = {"search_snippets", "kcore_peel", "headings_outline",
+                "hyperball_nf", "pdf_link_extract",
+                "pdf_outline_extract"}
+    final_out = {"c1_detect_issuer", "c2_direction_rules",
+                 "d13_chase_amount", "c11_wire_fee_multiemit",
+                 "ann_ivf_fit", "bm25_maxscore"}
+    assert final_in < set(qs)
+    assert final_out.isdisjoint(qs)
+    assert final_out < set(entry_mod.all_queries())
 
 
 def test_neardup_components_df_matches_sql_and_converges(spark,

@@ -211,6 +211,18 @@ def _pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(fixture_linked_pages_df(spark))
 
 
+def _pdf_form_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AcroForm (name, value) extraction per url — dotted-name /Kids
+    composition, inherited and kid-overridden /V, UTF-16BE values;
+    alien-writer independence (widget-merged field dicts, hex /V) is
+    test-pinned; poison payloads yield zero rows (retired tier)."""
+    from pdf_parser_spark.ops.spans import (
+        extract_form_fields, fixture_form_pages_df,
+    )
+    _ensure_pyfiles(spark)
+    return extract_form_fields(fixture_form_pages_df(spark))
+
+
 def _kcore_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixpoint-looped k-core peeling over the persisted host graph —
     row-identical to the unrolled kcore_peel SQL (test-pinned); the
@@ -617,6 +629,14 @@ def _retired_specials() -> dict:
             _audio_neardup,
             "SELECT url_a, url_b, hamming FROM read_parquet('%s')"
             % (_GOLDEN / "expected_audio_neardup.parquet")),
+        # AcroForm text-field extraction — the structured-data sidecar
+        # of PDF extraction (filled statements/applications carry key
+        # facts in the form layer); encode-side golden-parquet oracle
+        "pdf_form_extract": (
+            _pdf_form_extract,
+            "SELECT url, field_no, name, value"
+            " FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_pdf_forms.parquet")),
         # k-core: the fixpoint-looped twin is the contract Spark side
         # (the unrolled SQL re-derives the edge pipeline 3^rounds
         # times under CTE inlining — measured 55 s at sf0.1 vs the

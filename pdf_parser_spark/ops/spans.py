@@ -276,3 +276,89 @@ def extract_bookmarks(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html").mapInPandas(
         batches, schema=OUTLINE_SCHEMA)
+
+
+# ------------------------------------------------- AcroForm fields
+
+FORM_SCHEMA = "url string, field_no int, name string, value string"
+
+
+def fixture_form_pages() -> List[tuple]:
+    """Deterministic PDF corpus WITH AcroForm ground truth: fixture
+    docs render through the five sibling layouts carrying text fields
+    derived from the doc index — a flat field, a dotted-name nested
+    field (inherited /V), a UTF-16BE value on every 3rd doc, no form
+    on every 6th, poison on every 10th."""
+    from ..fixtures import fixture_docs
+    from ..pdfio.writer import text_to_pdf
+
+    layouts = [
+        dict(),
+        dict(objstm=True),
+        dict(xref_stream=True, objstm=True),
+        dict(xref_stream=True, xref_predictor=True),
+        dict(cid_font=True),
+    ]
+    out = []
+    for i, doc in enumerate(d for d in fixture_docs()
+                            if len(d["text"]) < 100_000):
+        url = doc["url"] + "#form"
+        if i % 10 == 9:
+            out.append((url, b"%PDF-1.4 poison form " + b"\x7f" * 40, []))
+            continue
+        if i % 6 == 5:
+            pdf = text_to_pdf(doc["text"], **layouts[i % len(layouts)])
+            out.append((url, pdf, []))
+            continue
+        fields = [("account_no", "%07d-%02d" % (i * 991, i % 97)),
+                  ("holder.name", "Holder (%d)" % i)]
+        if i % 3 == 0:
+            fields.append(("city", "São Paulo — 都 %d" % i))
+        pdf = text_to_pdf(doc["text"], form_fields=fields,
+                          **layouts[i % len(layouts)])
+        out.append((url, pdf,
+                    [(k,) + f for k, f in enumerate(fields)]))
+    return out
+
+
+def fixture_form_pages_df(spark) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+    rows = [(u, bytearray(p)) for u, p, _ in fixture_form_pages()]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def extract_form_fields(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → one row per AcroForm text field: (url,
+    field_no, name, value) in field-tree order — the structured-data
+    sidecar of PDF extraction (filled statements, applications,
+    invoices all carry their key facts in the form layer, not the
+    glyph layer).  Arrow-batched ``mapInPandas``; poison payloads
+    yield no rows."""
+    from ..pdfio.tokenizer import extract_pdf_form_fields
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, nos, names, vals = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.html is None:
+                    continue
+                payload = (bytes(row.html)
+                           if not isinstance(row.html, bytes) else row.html)
+                for k, (nm, v) in enumerate(
+                        extract_pdf_form_fields(payload)):
+                    urls.append(row.url)
+                    nos.append(k)
+                    names.append(nm)
+                    vals.append(v)
+            yield pd.DataFrame({
+                "url": urls, "field_no": nos, "name": names,
+                "value": vals,
+            })
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=FORM_SCHEMA)

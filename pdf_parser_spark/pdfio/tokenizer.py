@@ -1038,6 +1038,54 @@ def extract_pdf_bookmarks(pdf_bytes: bytes) -> List[Tuple[int, str, int]]:
     return out
 
 
+def extract_pdf_form_fields(pdf_bytes: bytes) -> List[Tuple[str, str]]:
+    """AcroForm text-field values (ISO 32000-1 §12.7) — (qualified
+    name, value) in field-tree order: partial /T names compose with
+    '.' down the /Kids tree, /V inherits from the nearest ancestor
+    that sets it, values decode per §7.9.2.2 (UTF-16BE BOM or
+    PDFDocEncoding).  Terminal nodes (no /Kids) with a resolved value
+    are reported.  Never raises; poison documents yield []."""
+    out: List[Tuple[str, str]] = []
+    try:
+        doc = PdfDocument(pdf_bytes)
+        catalog = None
+        for obj in doc.objects.values():
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                catalog = obj
+                break
+        if catalog is None:
+            return out
+        acro = doc.resolve(catalog.get("AcroForm"))
+        if not isinstance(acro, dict):
+            return out
+
+        def walk(node, prefix: str, inherited_v, seen: set) -> None:
+            node = doc.resolve(node)
+            if not isinstance(node, dict) or id(node) in seen:
+                return
+            seen.add(id(node))
+            t = node.get("T")
+            if isinstance(t, bytes):
+                name = ((prefix + "." if prefix else "")
+                        + _pdf_text_string(t))
+            else:
+                name = prefix
+            v = (doc.resolve(node.get("V")) if "V" in node
+                 else inherited_v)
+            kids = doc.resolve(node.get("Kids"))
+            if isinstance(kids, list) and kids:
+                for k in kids:
+                    walk(k, name, v, seen)
+            elif isinstance(v, bytes) and name:
+                out.append((name, _pdf_text_string(v)))
+
+        for f in doc.resolve(acro.get("Fields")) or []:
+            walk(f, "", None, set())
+    except Exception:
+        return out
+    return out
+
+
 def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult:
     """Full-document extraction; never raises."""
     try:

@@ -282,6 +282,7 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
                 xref_predictor: bool = False,
                 links: "Optional[Dict[int, List[str]]]" = None,
                 bookmarks: "Optional[List[Tuple[int, str, int]]]" = None,
+                form_fields: "Optional[List[Tuple[str, str]]]" = None,
                 ) -> bytes:
     """Render ``text`` (pages split on ``\\f``) to PDF bytes.
 
@@ -297,6 +298,12 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
     First/Last/Next/Prev/Parent/Count linkage and [page /Fit] /Dest
     arrays; non-latin-1 titles are written as UTF-16BE text strings
     with BOM (§7.9.2.2), the layout real producers emit for CJK.
+
+    ``form_fields`` is a (name, value) list rendered as an /AcroForm
+    text-field tree (§12.7): every second field nests its /V under a
+    parent node whose KID carries only /T (partial names compose
+    parent.child and values inherit down — both resolutions real
+    readers must implement); non-latin-1 values go UTF-16BE.
 
     ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
     STREAM instead of the classic table, and — combined with
@@ -458,8 +465,35 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
             % (item_ids[roots_[0]], item_ids[roots_[-1]],
                len(bookmarks))))
         outlines_ref = b" /Outlines %d 0 R" % outline_root
-    root_body = (b"<< /Type /Catalog /Pages %d 0 R%s >>"
-                 % (pages, outlines_ref))
+    acro_ref = b""
+    if form_fields:
+        def _txt(s: str) -> bytes:
+            try:
+                return _pdf_str(s)
+            except UnicodeEncodeError:
+                return (b"<FEFF"
+                        + s.encode("utf-16-be").hex().upper().encode()
+                        + b">")
+
+        tops: List[int] = []
+        for i, (fname, fval) in enumerate(form_fields):
+            if i % 2 and "." in fname:
+                ppart, cpart = fname.rsplit(".", 1)
+                parent_id = b.reserve()
+                kid = b.add(b"<< /T %s /Parent %d 0 R >>"
+                            % (_txt(cpart), parent_id))
+                b.set(parent_id, (
+                    b"<< /FT /Tx /T %s /V %s /Kids [%d 0 R] >>"
+                    % (_txt(ppart), _txt(fval), kid)))
+                tops.append(parent_id)
+            else:
+                tops.append(b.add(b"<< /FT /Tx /T %s /V %s >>"
+                                  % (_txt(fname), _txt(fval))))
+        acro = b.add(b"<< /Fields [%s] >>"
+                     % b" ".join(b"%d 0 R" % t for t in tops))
+        acro_ref = b" /AcroForm %d 0 R" % acro
+    root_body = (b"<< /Type /Catalog /Pages %d 0 R%s%s >>"
+                 % (pages, outlines_ref, acro_ref))
 
     packed: Dict[int, Tuple[int, int]] = {}
     if objstm:

@@ -848,3 +848,85 @@ def alien_bookmarks(text: str, bookmarks=None) -> bytes:
     return doc.render(emission + item_ids + [root_out, f1, cm,
                                              pages_node, catalog],
                       comments=True)
+
+
+def alien_form_fields(text: str, fields=None) -> bytes:
+    """Variant 10: AcroForm conventions the sibling avoids — field
+    dicts DOUBLING as widget annotations merged into the page's
+    /Annots (the layout most real producers emit), /V as a HEX string,
+    a two-level /Kids chain where the KID OVERRIDES the parent's /V,
+    and a /DA default-appearance key the extractor must ignore.
+    ``fields`` is a (name, value) list; every third field nests with
+    an overriding kid value."""
+    fields = fields or []
+    doc = _AlienDoc(eol=b"\r\n")
+    cmap = _bfrange_cmap(text)
+    cm = doc.add(b"<< /Length %d >>\nstream\n" % len(cmap) +
+                 cmap + b"\nendstream")
+    f1 = doc.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                 b" /ToUnicode %d 0 R >>" % cm)
+    pages_node = doc.reserve()
+    page_nums, emission = [], []
+    for lines in _pages_of(text):
+        ops = [b"BT", b"/F1 %d Tf" % SIZE]
+        y = TOP
+        for ln in lines:
+            ops.append(b"1 0 0 1 72 %d Tm" % y)
+            ops.append(b"<%s> Tj"
+                       % ln.encode("latin-1").hex().upper().encode())
+            y -= LEAD
+        ops.append(b"ET")
+        content = b"\r\n".join(ops)
+        stream = doc.add(b"<< /Length %d >>\r\nstream\r\n" % len(content) +
+                         content + b"\r\nendstream")
+        pg = doc.reserve()
+        page_nums.append(pg)
+        emission += [stream]
+    def hexs(s: str) -> bytes:
+        raw = s.encode("latin-1") if all(ord(c) < 256 for c in s) \
+            else b"\xfe\xff" + s.encode("utf-16-be")
+        return b"<" + raw.hex().upper().encode() + b">"
+    tops, widgets, field_objs = [], [], []
+    for i, (fname, fval) in enumerate(fields):
+        if i % 3 == 2 and "." in fname:
+            ppart, cpart = fname.rsplit(".", 1)
+            parent_id = doc.reserve()
+            kid = doc.add(
+                b"<< /T %s /V %s /Parent %d 0 R"
+                b" /Type /Annot /Subtype /Widget /Rect [0 0 1 1] >>"
+                % (hexs(cpart), hexs(fval), parent_id))
+            doc.put(parent_id,
+                    b"<< /FT /Tx /T %s /V (stale parent value)"
+                    b" /Kids [%d 0 R] /DA (/Helv 0 Tf 0 g) >>"
+                    % (hexs(ppart), kid))
+            tops.append(parent_id)
+            widgets.append(kid)
+            field_objs += [kid, parent_id]
+        else:
+            fid = doc.add(
+                b"<< /FT /Tx /T %s /V %s /DA (/Helv 0 Tf 0 g)"
+                b" /Type /Annot /Subtype /Widget /Rect [0 0 1 1] >>"
+                % (hexs(fname), hexs(fval)))
+            tops.append(fid)
+            widgets.append(fid)
+            field_objs.append(fid)
+    for j, pg in enumerate(page_nums):
+        annots = (b" /Annots [%s]"
+                  % b" ".join(b"%d 0 R" % w for w in widgets)
+                  if j == 0 and widgets else b"")
+        # find this page's content stream (emitted in page order)
+        doc.put(pg, b"<< /Type /Page /Parent %d 0 R"
+                b" /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 %d 0 R >> >>%s"
+                b" /Contents %d 0 R >>"
+                % (pages_node, f1, annots, emission[j]))
+    acro = doc.add(b"<< /Fields [%s] /DA (/Helv 0 Tf 0 g) >>"
+                   % b" ".join(b"%d 0 R" % t for t in tops))
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    doc.put(pages_node, b"<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (len(page_nums), kids))
+    catalog = doc.add(b"<< /Type /Catalog /Pages %d 0 R"
+                      b" /AcroForm %d 0 R >>" % (pages_node, acro))
+    return doc.render(emission + page_nums + field_objs
+                      + [f1, cm, acro, pages_node, catalog],
+                      comments=True)

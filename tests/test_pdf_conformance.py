@@ -387,3 +387,41 @@ def test_pdf_bookmarks_poison_and_cycle():
         b"/Next %d 0 R " % a_num, pdf)
     got = extract_pdf_bookmarks(broken)
     assert [t for _, t, _ in got] == ["A", "B"]   # no infinite loop
+
+
+def test_pdf_form_fields_roundtrip_all_sibling_layouts():
+    """AcroForm (name, value) pairs round-trip every sibling layout:
+    flat fields, dotted-name /Kids nesting with inherited /V, PDF
+    string escapes, and a UTF-16BE value."""
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_form_fields
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    fields = [("account_no", "001-778 (primary)"),
+              ("owner.first", "Ana"),
+              ("city", "São Paulo — 都"),
+              ("owner.last", "Müller\\Lee")]
+    for kw in (dict(), dict(objstm=True),
+               dict(xref_stream=True, objstm=True),
+               dict(xref_stream=True, xref_predictor=True),
+               dict(cid_font=True)):
+        pdf = text_to_pdf("hello form", form_fields=fields, **kw)
+        assert extract_pdf_form_fields(pdf) == fields, kw
+        assert extract_pdf_text(pdf).error is None
+    assert extract_pdf_form_fields(text_to_pdf("plain")) == []
+    assert extract_pdf_form_fields(b"junk") == []
+
+
+def test_pdf_form_fields_alien_writer_independence():
+    """The form extractor reads conventions it did not write: field
+    dicts doubling as widget annotations inside page /Annots, hex
+    /V strings, kid-level /V OVERRIDING the parent, /DA noise."""
+    from alien_pdf_writer import alien_form_fields
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_form_fields
+
+    text = "form page one"
+    fields = [("plain", "v1"), ("city", "Zürich — 区"),
+              ("acct.sub", "override-wins")]
+    pdf = alien_form_fields(text, fields)
+    assert extract_pdf_form_fields(pdf) == fields
+    res = extract_pdf_text(pdf)
+    assert res.error is None and res.text == text

@@ -325,6 +325,23 @@ def main() -> None:
         GOLDEN_DIR / "expected_pdf_outline.parquet")
     print("expected_pdf_outline.parquet: %d rows" % len(orows))
 
+    # ---- expected AcroForm fields (encode-side request list)
+    from pdf_parser_spark.ops.spans import fixture_form_pages
+    ff_schema = pa.schema([
+        ("url", pa.string()), ("field_no", pa.int32()),
+        ("name", pa.string()), ("value", pa.string()),
+    ])
+    frows = [
+        {"url": url, "field_no": k, "name": n, "value": v}
+        for url, _, exp in fixture_form_pages()
+        for k, n, v in exp
+    ]
+    pq.write_table(
+        pa.table({k: [r[k] for r in frows] for k in ff_schema.names},
+                 schema=ff_schema),
+        GOLDEN_DIR / "expected_pdf_forms.parquet")
+    print("expected_pdf_forms.parquet: %d rows" % len(frows))
+
 
 if __name__ == "__main__":
     main()

@@ -497,7 +497,16 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    #     full BM25 scoring chain forward
                    "c1_detect_issuer", "c2_direction_rules",
                    "d13_chase_amount", "c11_wire_fee_multiemit",
-                   "ann_ivf_fit", "bm25_maxscore"}
+                   "ann_ivf_fit", "bm25_maxscore",
+                   # round-5 LAST swap (cap stays 50): html_to_markdown
+                   # (structure-preserving extraction, never
+                   # adjudicated, engine-differential-pinned) rotates
+                   # IN; ann_cosine_topk rotates OUT — its brute
+                   # cosine top-k is the verify core the surviving
+                   # ann_ivf_topk/ann_ivf_amortized pair is measured
+                   # against (and ann_brute_big, already retired, is
+                   # its scale twin)
+                   "ann_cosine_topk"}
 
 
 def _specials() -> dict:

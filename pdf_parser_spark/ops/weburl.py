@@ -479,3 +479,86 @@ FROM hh a LEFT JOIN hh b
  AND b.level < a.level
 GROUP BY a.doc_id, a.heading_no, a.level, a.heading
 """.format(body=body, hs=hs)
+
+
+def _gsub(s: str, pat: str, rep: str, d: str) -> str:
+    """Dialect regexp_replace-all.  ``rep`` uses Java-style ``$1``
+    group refs; converted to RE2 ``\\1`` for DuckDB.  Replacement
+    strings may embed REAL newline characters — both parsers accept
+    raw newlines inside single-quoted literals."""
+    if d == SPARK:
+        return "regexp_replace(%s, %s, '%s')" % (s, lit(pat, d), rep)
+    return "regexp_replace(%s, %s, '%s', 'g')" % (
+        s, lit(pat, d), rep.replace("$", "\\"))
+
+
+@query("html_to_markdown")
+def q_html_to_markdown(d: str) -> str:
+    """Structure-preserving extraction — HTML → Markdown, the modern
+    training-data target beside plain main-content text (engine twin:
+    ``pdfio.html_extract.html_to_markdown``, differential-pinned in
+    tests/test_relational.py on identically-synthesized bodies).
+
+    The corpus has no markup, so each doc synthesizes a structured
+    body in-plan (same pattern as headings_outline): an h1, a
+    paragraph exercising ALL inline forms (strong, em around a
+    text-derived slug, a link), a ul whose third item appears on
+    ``doc_id%3=0``, an ol on ``doc_id%4=1``, a blockquote on
+    ``doc_id%5=2``, and a trailing code-span paragraph.  The markdown
+    conversion is then a fixed chain of regexp_replace rewrites —
+    inline marks first, then the list/quote/heading/paragraph block
+    forms, each block ending in one blank line, trailing whitespace
+    trimmed.
+
+    Shape at 10^12 pages: a narrow per-row regexp-projection — no
+    shuffle, no UDF, whole-stage codegen end to end; safe to fuse
+    with the scan (at production width the same chain runs over the
+    real ``html`` column)."""
+    from .webgraph import CSTR
+
+    did = CSTR("doc_id", d)
+    slug_raw = _gsub(
+        _gsub("substr(text, 1, 12)", "[^A-Za-z0-9 ]", "", d),
+        " +", " ", d)
+    slug = ("CASE WHEN trim(%s) = '' THEN 'plain' ELSE trim(%s) END"
+            % (slug_raw, slug_raw))
+    body = (
+        "'<h1>Doc ' || {did} || '</h1>'"
+        " || '<p>Intro <strong>bold ' || {did} || '</strong> and <em>'"
+        " || {slug} || '</em> text with a"
+        " <a href=\"https://ex.org/d' || {did} || '\">link '"
+        " || {did} || '</a>.</p>'"
+        " || '<ul><li>alpha ' || {did} || '</li><li>beta</li>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN '<li>gamma</li>' ELSE '' END"
+        " || '</ul>'"
+        " || CASE WHEN doc_id % 4 = 1"
+        "      THEN '<ol><li>first ' || {did} || '</li>"
+        "<li>second</li></ol>' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 2"
+        "      THEN '<blockquote>note ' || {did} || '</blockquote>'"
+        "      ELSE '' END"
+        " || '<p>tail <code>v_' || {did} || '</code></p>'"
+    ).format(did=did, slug=slug)
+    md = "html"
+    md = _gsub(md, "<strong>([^<]*)</strong>", "**$1**", d)
+    md = _gsub(md, "<em>([^<]*)</em>", "*$1*", d)
+    md = _gsub(md, "<code>([^<]*)</code>", "`$1`", d)
+    md = _gsub(md, '<a href="([^"]*)">([^<]*)</a>', "[$2]($1)", d)
+    md = _gsub(md, "<ol><li>([^<]*)</li><li>([^<]*)</li></ol>",
+               "1. $1\n2. $2\n\n", d)
+    md = _gsub(md, "<li>([^<]*)</li>", "- $1\n", d)
+    md = _gsub(md, "<ul>", "", d)
+    md = _gsub(md, "</ul>", "\n", d)
+    md = _gsub(md, "<blockquote>([^<]*)</blockquote>", "> $1\n\n", d)
+    md = _gsub(md, "<h1>([^<]*)</h1>", "# $1\n\n", d)
+    md = _gsub(md, "</p>", "\n\n", d)
+    md = _gsub(md, "<p>", "", d)
+    md = _gsub(md, r"\s+$", "", d)   # rtrim is space-only in both
+    return """
+WITH pages AS (
+  SELECT doc_id, {body} AS html FROM documents
+)
+SELECT doc_id, {md} AS markdown,
+       CAST(length({md}) AS BIGINT) AS md_chars
+FROM pages
+""".format(body=body, md=md)

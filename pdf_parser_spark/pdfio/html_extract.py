@@ -131,6 +131,176 @@ def blocks_of(html: bytes | str) -> List[Block]:
 
 
 # ---------------------------------------------------------------------
+# structure-preserving extraction: HTML → Markdown
+# ---------------------------------------------------------------------
+
+_MD_INLINE = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
+_MD_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+class _MarkdownParser(HTMLParser):
+    """Render MAIN-content markdown (same boilerplate judgment as
+    ``_BlockParser``: nav/footer/aside/header/form subtrees and
+    script/style/head are dropped entirely).  Structure kept:
+
+    * ``<h1>``-``<h6>`` → ``#``·level headings;
+    * ``<p>`` → paragraphs;
+    * ``<ul>``/``<ol>`` → ``- `` / ``1. `` items, nested lists
+      indented two spaces per level, one block per outermost list;
+    * ``<blockquote>`` → ``> `` lines;
+    * ``<pre>`` → fenced code blocks (whitespace preserved);
+    * inline ``<strong>/<b>`` → ``**``, ``<em>/<i>`` → ``*``,
+      ``<code>`` → backticks, ``<a href>`` → ``[text](href)``,
+      ``<br>`` → hard line break.
+
+    Blocks joined with blank lines; inline whitespace collapsed.
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[str] = []
+        self._buf: List[str] = []
+        self._skip = 0
+        self._boiler = 0
+        self._pre = 0
+        self._lists: List[List] = []     # stack of [marker, item_count]
+        self._items: List[str] = []      # rendered lines of current list
+        self._hrefs: List[Optional[str]] = []
+
+    # -- helpers ------------------------------------------------------
+    def _inline(self) -> str:
+        import re
+        text = "".join(self._buf)
+        self._buf = []
+        if self._pre:
+            return text.strip("\n")
+        text = re.sub(r"[ \t]+", " ", text)
+        text = re.sub(r" ?\n ?", "\n", text)
+        return text.strip()
+
+    def _blocked(self) -> bool:
+        return bool(self._skip or self._boiler)
+
+    # -- tag events ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler += 1
+            return
+        if self._blocked():
+            return
+        if tag in _MD_HEADINGS or tag == "p" or tag == "blockquote":
+            self._buf = []
+        elif tag == "pre":
+            self._buf = []
+            self._pre += 1
+        elif tag in ("ul", "ol"):
+            if self._lists and "".join(self._buf).strip():
+                # enclosing <li> text seen so far becomes its line
+                marker, n = self._lists[-1]
+                head = "- " if marker == "-" else "%d. " % n
+                indent = "  " * (len(self._lists) - 1)
+                self._items.append(indent + head + self._inline())
+            self._lists.append(["-" if tag == "ul" else "1", 0])
+        elif tag == "li":
+            self._buf = []
+            if self._lists:
+                self._lists[-1][1] += 1
+        elif tag == "a":
+            href = dict(attrs).get("href")
+            self._hrefs.append(href)
+            if href:
+                self._buf.append("[")
+        elif tag in _MD_INLINE:
+            self._buf.append(_MD_INLINE[tag])
+        elif tag == "br":
+            self._buf.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br" and not self._blocked():
+            self._buf.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler = max(0, self._boiler - 1)
+            return
+        if self._blocked():
+            return
+        if tag in _MD_HEADINGS:
+            text = self._inline()
+            if text:
+                self.blocks.append("#" * _MD_HEADINGS[tag] + " " + text)
+        elif tag == "p":
+            text = self._inline()
+            if text:
+                self.blocks.append(text)
+        elif tag == "blockquote":
+            text = self._inline()
+            if text:
+                self.blocks.append(
+                    "\n".join("> " + ln for ln in text.split("\n")))
+        elif tag == "pre":
+            raw = self._inline()
+            self._pre = max(0, self._pre - 1)
+            if raw:
+                self.blocks.append("```\n" + raw + "\n```")
+        elif tag == "li":
+            text = self._inline()
+            if text and self._lists:
+                marker, n = self._lists[-1]
+                head = "- " if marker == "-" else "%d. " % n
+                indent = "  " * (len(self._lists) - 1)
+                self._items.append(indent + head + text)
+        elif tag in ("ul", "ol"):
+            if self._lists:
+                self._lists.pop()
+            if not self._lists and self._items:
+                self.blocks.append("\n".join(self._items))
+                self._items = []
+        elif tag == "a":
+            href = self._hrefs.pop() if self._hrefs else None
+            if href:
+                self._buf.append("](%s)" % href)
+        elif tag in _MD_INLINE:
+            self._buf.append(_MD_INLINE[tag])
+
+    def handle_data(self, data):
+        if self._blocked():
+            return
+        self._buf.append(data)
+
+    def close(self):
+        super().close()
+        text = self._inline()
+        if text:
+            self.blocks.append(text)
+
+
+def html_to_markdown(html: bytes | str) -> str:
+    """Structure-preserving main-content extraction: markdown of the
+    page's content blocks (the modern training-data extraction target
+    beside the plain-text ``extract_html_text``).  '' on hopeless
+    input; never raises."""
+    if isinstance(html, bytes):
+        try:
+            html = html.decode("utf-8")
+        except UnicodeDecodeError:
+            html = html.decode("latin-1", errors="replace")
+    try:
+        parser = _MarkdownParser()
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return ""
+    return "\n\n".join(parser.blocks)
+
+
+# ---------------------------------------------------------------------
 # fixture-side page builder
 # ---------------------------------------------------------------------
 

@@ -283,3 +283,52 @@ def test_bfrange_surrogate_pair_destination():
     m = _parse_tounicode(b"beginbfrange\n<01> <03> <d835dc00>\nendbfrange")
     assert {k: ord(v) for k, v in m.items()} == {
         1: 0x1D400, 2: 0x1D401, 3: 0x1D402}
+
+
+# ------------------------------------------------------------------
+# HTML → Markdown (structure-preserving extraction)
+# ------------------------------------------------------------------
+
+def test_markdown_fixture_pages_paragraphs_only():
+    """On the boilerplate-heavy fixture pages the markdown is exactly
+    the statement lines as paragraphs — header/nav/aside/footer
+    dropped, blocks separated by blank lines."""
+    from pdf_parser_spark.pdfio.html_extract import html_to_markdown
+
+    for doc in DOCS[:20]:
+        want = "\n\n".join(
+            l for l in doc["text"].replace("\f", "\n").split("\n")
+            if l.strip()
+        )
+        assert html_to_markdown(text_to_html(doc["text"])) == want
+
+
+def test_markdown_structure_forms():
+    from pdf_parser_spark.pdfio.html_extract import html_to_markdown
+
+    h = ('<h1>T</h1><h3>Sub</h3>'
+         '<p>a <strong>b</strong> <em>c</em> <code>d</code> '
+         '<a href="https://x.io/p">e</a> <a>bare</a>.</p>'
+         '<ul><li>one</li><li>two<ul><li>two.1</li></ul></li></ul>'
+         '<ol><li>first</li><li>second</li></ol>'
+         '<blockquote>q1<br>q2</blockquote>'
+         '<pre>k  =  1\n  v</pre>')
+    assert html_to_markdown(h) == (
+        "# T\n\n### Sub\n\n"
+        "a **b** *c* `d` [e](https://x.io/p) bare.\n\n"
+        "- one\n- two\n  - two.1\n\n"
+        "1. first\n2. second\n\n"
+        "> q1\n> q2\n\n"
+        "```\nk  =  1\n  v\n```")
+
+
+def test_markdown_boilerplate_and_garbage():
+    from pdf_parser_spark.pdfio.html_extract import html_to_markdown
+
+    md = html_to_markdown(
+        '<nav><ul><li><a href="/a">A</a></li></ul></nav>'
+        '<header><h1>site</h1></header><p>real</p>'
+        '<footer><p>tos</p></footer><script>var x="<p>no</p>";</script>')
+    assert md == "real"
+    assert html_to_markdown(b"") == ""
+    assert html_to_markdown(b"\xff\xfe\x00garbage<p>x</p>") != ""

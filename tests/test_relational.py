@@ -50,7 +50,7 @@ _SUBSET = [
     "feed_ingest", "sitemap_ingest", "html_meta_extract", "script_detect",
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
-    "kcore_peel", "headings_outline", "hyperball_nf",
+    "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -3871,3 +3871,41 @@ def test_allpairs_prefix_candidates_are_pruned(duck, entry_mod):
         " END) FROM documents").fetchone()[0]
     all_pairs = n_docs * (n_docs - 1) // 2
     assert n_cand < all_pairs / 50, (n_cand, all_pairs)
+
+
+def test_html_to_markdown_matches_engine(duck, entry_mod):
+    """Differential: the relational markdown twin must agree with the
+    ENGINE renderer (pdfio.html_extract.html_to_markdown) on
+    identically-synthesized bodies — the same guarantee the parser
+    queries carry.  Also pins the designed branch edges: the ul third
+    item on doc_id%3=0, the ol on %4=1, the blockquote on %5=2, and
+    inline strong/em/link/code in every doc."""
+    import re
+
+    from pdf_parser_spark.pdfio.html_extract import html_to_markdown
+
+    rows = duck.sql(entry_mod.all_oracles()["html_to_markdown"]
+                    ).fetchall()
+    byid = {r[0]: (r[1], r[2]) for r in rows}
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    assert len(byid) == len(docs)
+    for did, text in docs:
+        slug = re.sub(" +", " ", re.sub("[^A-Za-z0-9 ]", "",
+                                        text[:12])).strip() or "plain"
+        body = (
+            "<h1>Doc %d</h1>" % did
+            + '<p>Intro <strong>bold %d</strong> and <em>%s</em> text'
+              ' with a <a href="https://ex.org/d%d">link %d</a>.</p>'
+              % (did, slug, did, did)
+            + "<ul><li>alpha %d</li><li>beta</li>" % did
+            + ("<li>gamma</li>" if did % 3 == 0 else "") + "</ul>"
+            + ("<ol><li>first %d</li><li>second</li></ol>" % did
+               if did % 4 == 1 else "")
+            + ("<blockquote>note %d</blockquote>" % did
+               if did % 5 == 2 else "")
+            + "<p>tail <code>v_%d</code></p>" % did)
+        md = html_to_markdown(body)
+        assert (md, len(md)) == byid[did], did
+    sample = byid[min(byid)][0]
+    assert sample.startswith("# Doc ") and "**bold" in sample
+    assert "- alpha" in sample and "](https://ex.org/d" in sample

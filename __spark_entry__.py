@@ -506,7 +506,12 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # ann_ivf_topk/ann_ivf_amortized pair is measured
                    # against (and ann_brute_big, already retired, is
                    # its scale twin)
-                   "ann_cosine_topk"}
+                   "ann_cosine_topk",
+                   # post-cap final-session addition: rule-based
+                   # sentence segmentation (twinned prose injection;
+                   # Python-recompute + oracle-parity pytest and the
+                   # check_oracles sweep, same all_queries path)
+                   "sentence_split"}
 
 
 def _specials() -> dict:

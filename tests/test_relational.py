@@ -51,6 +51,7 @@ _SUBSET = [
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
+    "sentence_split",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -3909,3 +3910,35 @@ def test_html_to_markdown_matches_engine(duck, entry_mod):
     sample = byid[min(byid)][0]
     assert sample.startswith("# Doc ") and "**bold" in sample
     assert "- alpha" in sample and "](https://ex.org/d" in sample
+
+
+def test_sentence_split_semantics(duck, entry_mod):
+    """Independent Python recomputation of the sentence splitter on
+    the same twinned input, plus the designed edges: the digit
+    non-boundary (CHECK NO. 12 stays glued), the abbreviation false
+    positive (Mr. / Smith split apart), and the across-newline
+    boundary."""
+    import re
+
+    rows = duck.sql(entry_mod.all_oracles()["sentence_split"]
+                    ).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    want = []
+    for did, text in docs:
+        if did % 3 == 0:
+            txt = ("First rule. Second one! A third? Yes. CHECK NO. 12"
+                   " stays glued. Mr. Smith splits.")
+        elif did % 3 == 1:
+            txt = "Crosses a line\nbreak. New sentence starts! Done."
+        else:
+            txt = text
+        m = re.sub(r"([.!?])([ \t\n\r]+)([A-Z])", "\\1\x01\\3", txt)
+        for i, s in enumerate(m.split("\x01")):
+            t = s.strip()
+            if t:
+                want.append((did, i, t, len(t)))
+    assert sorted(map(tuple, rows)) == sorted(want)
+    sents = {r[2] for r in rows}
+    assert "CHECK NO. 12 stays glued." in sents   # digit non-boundary
+    assert "Mr." in sents and "Smith splits." in sents   # documented FP
+    assert "Crosses a line\nbreak." in sents      # newline boundary

@@ -554,11 +554,13 @@ def q_html_to_markdown(d: str) -> str:
     md = _gsub(md, "</p>", "\n\n", d)
     md = _gsub(md, "<p>", "", d)
     md = _gsub(md, r"\s+$", "", d)   # rtrim is space-only in both
+    # one output column on purpose: a sibling md_chars=length(md)
+    # would make CollapseProject inline (and so evaluate) the whole
+    # 13-deep regexp chain twice — the hash check covers the string
     return """
 WITH pages AS (
   SELECT doc_id, {body} AS html FROM documents
 )
-SELECT doc_id, {md} AS markdown,
-       CAST(length({md}) AS BIGINT) AS md_chars
+SELECT doc_id, {md} AS markdown
 FROM pages
 """.format(body=body, md=md)

@@ -3887,7 +3887,7 @@ def test_html_to_markdown_matches_engine(duck, entry_mod):
 
     rows = duck.sql(entry_mod.all_oracles()["html_to_markdown"]
                     ).fetchall()
-    byid = {r[0]: (r[1], r[2]) for r in rows}
+    byid = {r[0]: r[1] for r in rows}
     docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
     assert len(byid) == len(docs)
     for did, text in docs:
@@ -3905,9 +3905,8 @@ def test_html_to_markdown_matches_engine(duck, entry_mod):
             + ("<blockquote>note %d</blockquote>" % did
                if did % 5 == 2 else "")
             + "<p>tail <code>v_%d</code></p>" % did)
-        md = html_to_markdown(body)
-        assert (md, len(md)) == byid[did], did
-    sample = byid[min(byid)][0]
+        assert html_to_markdown(body) == byid[did], did
+    sample = byid[min(byid)]
     assert sample.startswith("# Doc ") and "**bold" in sample
     assert "- alpha" in sample and "](https://ex.org/d" in sample
 

@@ -106,7 +106,13 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # mojibake repair: the fuzz noise pool's non-ASCII tokens
            # (naïve, curly quotes) meet the replace chain + the
            # Ã/Â/â€ residual-detector regex on both engines
-           "encoding_repair"]
+           "encoding_repair",
+           # sentence segmentation: random punctuation + case mixes
+           # stress the boundary class and the sentinel split on both
+           # regex engines (the %3==2 branch runs the raw fuzz text);
+           # markdown twin: the slug derivation (class-strip + space
+           # collapse + trim) meets the fuzz noise pool
+           "sentence_split", "html_to_markdown"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

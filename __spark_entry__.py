@@ -507,11 +507,14 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # against (and ann_brute_big, already retired, is
                    # its scale twin)
                    "ann_cosine_topk",
-                   # post-cap final-session addition: rule-based
-                   # sentence segmentation (twinned prose injection;
-                   # Python-recompute + oracle-parity pytest and the
-                   # check_oracles sweep, same all_queries path)
-                   "sentence_split"}
+                   # post-cap final-session additions: rule-based
+                   # sentence segmentation (twinned prose injection)
+                   # and HTML table-to-grid extraction (the live
+                   # analogue of the reference's dead extract_tables;
+                   # engine-differential-pinned) — Python-recompute +
+                   # oracle-parity pytest and the check_oracles
+                   # sweep, same all_queries path
+                   "sentence_split", "html_table_extract"}
 
 
 def _specials() -> dict:

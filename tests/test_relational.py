@@ -51,7 +51,7 @@ _SUBSET = [
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
-    "sentence_split",
+    "sentence_split", "html_table_extract",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -3941,3 +3941,38 @@ def test_sentence_split_semantics(duck, entry_mod):
     assert "CHECK NO. 12 stays glued." in sents   # digit non-boundary
     assert "Mr." in sents and "Smith splits." in sents   # documented FP
     assert "Crosses a line\nbreak." in sents      # newline boundary
+
+
+def test_html_table_extract_matches_engine(duck, entry_mod):
+    """Differential: the relational table-grid twin must agree with
+    the ENGINE stack parser (pdfio.html_extract.extract_html_tables)
+    on identically-synthesized bodies — cell-for-cell with explode
+    coordinates, including the th/td seam, the empty-cell class, the
+    varying row count, and the second table on doc_id%5=3."""
+    from pdf_parser_spark.pdfio.html_extract import extract_html_tables
+
+    rows = duck.sql(entry_mod.all_oracles()["html_table_extract"]
+                    ).fetchall()
+    dids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    want = []
+    for did in dids:
+        def cell(r, c):
+            return "" if (r + c) % 3 == 0 else "r%dc%d_%d" % (r, c, did)
+        data = "".join(
+            "<tr>" + "".join("<td>%s</td>" % cell(r, c)
+                             for c in (1, 2, 3)) + "</tr>"
+            for r in range(1, 2 + did % 4))
+        body = ("<p>pre</p><table><tr><th>H1</th><th>H2</th><th>H3</th>"
+                "</tr>" + data + "</table>"
+                + ("<table><tr><td>solo %d</td></tr></table>" % did
+                   if did % 5 == 3 else ""))
+        for tno, grid in enumerate(extract_html_tables(body)):
+            for rno, row in enumerate(grid):
+                for cno, cl in enumerate(row):
+                    want.append((did, tno, rno, cno, cl,
+                                 1 if rno == 0 and tno == 0 else 0))
+    assert sorted(map(tuple, rows)) == sorted(want)
+    assert any(r[4] == "" for r in rows)            # empty-cell class
+    assert any(r[1] == 1 for r in rows)             # multi-table docs
+    assert {r[4] for r in rows if r[5] == 1} == {"H1", "H2", "H3"}

@@ -112,7 +112,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            # regex engines (the %3==2 branch runs the raw fuzz text);
            # markdown twin: the slug derivation (class-strip + space
            # collapse + trim) meets the fuzz noise pool
-           "sentence_split", "html_to_markdown"]
+           "sentence_split", "html_to_markdown",
+           # table grids are doc_id arithmetic — random doc COUNTS
+           # exercise row-count classes and the multi-table branch
+           "html_table_extract"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -514,7 +514,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # engine-differential-pinned) — Python-recompute +
                    # oracle-parity pytest and the check_oracles
                    # sweep, same all_queries path
-                   "sentence_split", "html_table_extract"}
+                   "sentence_split", "html_table_extract",
+                   # Flesch readability bands (the curation signal
+                   # beside quality_score; same twinned prose as
+                   # sentence_split so the sentence axis varies)
+                   "readability_score"}
 
 
 def _specials() -> dict:

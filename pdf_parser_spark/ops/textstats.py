@@ -1160,3 +1160,63 @@ SELECT doc_id, CAST(pos AS BIGINT) AS sent_no, trim(s) AS sentence,
 FROM parts
 WHERE trim(s) <> ''
 """.format(twin=twin, marked=marked, parts=parts)
+
+
+@query("readability_score")
+def q_readability_score(d: str) -> str:
+    """Flesch reading-ease readability (the classic curation signal
+    beside quality_score's length/punct/stopword blend): words =
+    ``[A-Za-z]+`` runs, sentences = the sentence_split boundary count
+    + 1 (same explicit whitespace class — Java ``\\s`` ≠ RE2 ``\\s``
+    at ``\\x0B``), syllables = ``[aeiouy]+`` vowel groups in the
+    lowercased text (the standard word-agnostic approximation).  The
+    same third of docs as sentence_split is twinned with prose so the
+    sentence axis varies.  Score = 206.835 − 1.015·(w/s) −
+    84.6·(syll/w), computed in ONE fixed expression order (IEEE
+    doubles agree across engines only if the operation order does);
+    banded into the conventional difficulty tiers on integer-safe
+    thresholds.
+
+    Shape at 10^12 pages: three regexp_extract_all counts in one
+    per-row projection — no shuffle, no UDF, codegen end to end."""
+    nl = "chr(10)"
+    prose = ("'First rule. Second one! A third? Yes. CHECK NO. 12"
+             " stays glued. Mr. Smith splits.'")
+    multi = ("'Crosses a line' || {nl} || 'break. New sentence"
+             " starts! Done.'").format(nl=nl)
+    twin = ("CASE CAST(doc_id % 3 AS INT)"
+            " WHEN 0 THEN {prose} WHEN 1 THEN {multi}"
+            " ELSE text END").format(prose=prose, multi=multi)
+    n_words = "CAST(%s AS BIGINT)" % LEN(
+        REALL("txt", "[A-Za-z]+", d), d)
+    n_bounds = "CAST(%s AS BIGINT)" % LEN(
+        REALL("txt", "[.!?][ \t\n\r]+[A-Z]", d), d)
+    n_syll = "CAST(%s AS BIGINT)" % LEN(
+        REALL("lower(txt)", "[aeiouy]+", d), d)
+    flesch = ("206.835"
+              " - 1.015 * (CAST(n_words AS DOUBLE)"
+              " / CAST(n_sentences AS DOUBLE))"
+              " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+              " / CAST(n_words AS DOUBLE))")
+    return """
+WITH twinned AS (
+  SELECT doc_id, {twin} AS txt FROM documents
+),
+counts AS (
+  SELECT doc_id, {n_words} AS n_words, {n_bounds} + 1 AS n_sentences,
+         {n_syll} AS n_syllables
+  FROM twinned
+),
+scored AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE {flesch} END AS flesch
+  FROM counts
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+  CASE WHEN flesch >= 70.0 THEN 'easy'
+       WHEN flesch >= 50.0 THEN 'standard'
+       WHEN flesch >= 30.0 THEN 'difficult' ELSE 'very_hard' END
+    AS band
+FROM scored
+""".format(twin=twin, n_words=n_words, n_bounds=n_bounds,
+           n_syll=n_syll, flesch=flesch)

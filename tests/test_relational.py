@@ -51,7 +51,7 @@ _SUBSET = [
     "epoch_shard_plan", "decontam_fuzzy", "intradoc_dedup",
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
-    "sentence_split", "html_table_extract",
+    "sentence_split", "html_table_extract", "readability_score",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -3976,3 +3976,34 @@ def test_html_table_extract_matches_engine(duck, entry_mod):
     assert any(r[4] == "" for r in rows)            # empty-cell class
     assert any(r[1] == 1 for r in rows)             # multi-table docs
     assert {r[4] for r in rows if r[5] == 1} == {"H1", "H2", "H3"}
+
+
+def test_readability_score_semantics(duck, entry_mod):
+    """Independent Python recomputation of the Flesch battery on the
+    same twinned input: all three counts, the fixed-order double, and
+    the band thresholds."""
+    import re
+
+    rows = duck.sql(entry_mod.all_oracles()["readability_score"]
+                    ).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    byid = {r[0]: r for r in rows}
+    assert len(byid) == len(docs)
+    for did, text in docs:
+        if did % 3 == 0:
+            txt = ("First rule. Second one! A third? Yes. CHECK NO. 12"
+                   " stays glued. Mr. Smith splits.")
+        elif did % 3 == 1:
+            txt = "Crosses a line\nbreak. New sentence starts! Done."
+        else:
+            txt = text
+        w = len(re.findall(r"[A-Za-z]+", txt))
+        s = len(re.findall(r"[.!?][ \t\n\r]+[A-Z]", txt)) + 1
+        y = len(re.findall(r"[aeiouy]+", txt.lower()))
+        f = 0.0 if w == 0 else 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        band = ("easy" if f >= 70 else "standard" if f >= 50
+                else "difficult" if f >= 30 else "very_hard")
+        got = byid[did]
+        assert (got[1], got[2], got[3], got[5]) == (w, s, y, band), did
+        assert got[4] == f or abs(got[4] - f) < 1e-12, did
+    assert {r[5] for r in rows} >= {"easy", "standard"}  # bands vary

@@ -115,7 +115,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "sentence_split", "html_to_markdown",
            # table grids are doc_id arithmetic — random doc COUNTS
            # exercise row-count classes and the multi-table branch
-           "html_table_extract"]
+           "html_table_extract",
+           # readability: random word/vowel/boundary densities stress
+           # the three count regexes and the banded double math
+           "readability_score"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

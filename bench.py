@@ -171,7 +171,9 @@ def main() -> None:
                  # edge pipeline 3^rounds / 2^rounds times; the timed
                  # rows are the *_df_production twins below)
                  "search_snippets", "headings_outline",
-                 "pdf_link_extract", "pdf_outline_extract"):
+                 "pdf_link_extract", "pdf_outline_extract",
+                 # round-5 continuation-session additions
+                 "bigram_lm_score"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

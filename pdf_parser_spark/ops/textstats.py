@@ -1220,3 +1220,129 @@ SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
 FROM scored
 """.format(twin=twin, n_words=n_words, n_bounds=n_bounds,
            n_syll=n_syll, flesch=flesch)
+
+
+# ----------------------------------- stupid-backoff bigram LM scoring
+
+_SB_HELD_MOD = 5          # doc_id % 5 = 0 → held-out (not trained on)
+_SB_BACKOFF_X2_5 = 2500   # 1/0.4 backoff penalty × the 1000 cost base
+
+
+@query("bigram_lm_score")
+def q_bigram_lm_score(d: str) -> str:
+    """Stupid-Backoff bigram language-model scoring (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    n-gram LM *designed* for MapReduce-scale corpora): train bigram +
+    unigram counts on the train split (doc_id %% {hm} <> 0), then
+    score EVERY document's bigrams, falling back to the 0.4-discounted
+    unigram when the bigram was never seen — held-out docs exercise
+    the backoff path by construction.  Unlike ccnet_ppl_buckets (a
+    self-trained unigram tercile split) this is a true conditional
+    model with a train/held split, the filter CCNet actually runs
+    (KenLM is a backoff n-gram LM).
+
+    The synthetic corpus shares one vocabulary, so every held bigram
+    would be train-seen and the backoff branches dead: each doc is
+    twinned in-plan with a doc-unique suffix ``zq<id> the`` — for
+    train docs those two extra bigrams are self-contributed (seen,
+    count 1); for held docs ``(…, zq<id>)`` is OOV (unigram floor)
+    and ``(zq<id>, the)`` is an unseen bigram over a seen unigram
+    (the 0.4-discount path) — all three cost branches are live and
+    oracle-checked.
+
+    Per-bigram integer cost (inverse-probability surrogate, the same
+    rational trick as ccnet/BM25 so both engines agree bit-for-bit):
+    seen bigram → ⌊c(x)·1000 / c(x,y)⌋; unseen bigram, seen unigram →
+    ⌊T·{bo} / c(y)⌋ (the ×2.5 is 1/0.4 in cost space); OOV unigram →
+    T·{bo} (c(y) floored to 1).  Doc score = ⌊Σcost / n_bigrams⌋,
+    with the backoff rate emitted in ppm so the OOV pressure is
+    monitorable per split.
+
+    Shape at 10^12 docs: one posexplode+lead bigram pass per doc (the
+    pmi_collocations stream), two hash-aggs train the LM (map-side
+    partials; the bigram table is Heaps-sublinear and at true web
+    scale count-pruned to top-K — the standard stupid-backoff serving
+    form — so both LM joins broadcast), two LEFT equi-joins score, one
+    (doc_id) agg.  Integer cost sums overflow past ~2^53 tokens/doc —
+    production shards the LM and works in log space; the rational
+    surrogate is the oracle-exact stand-in (same caveat as ccnet)."""
+    from .webgraph import IDIV
+
+    twin = ("twinned AS (\n  SELECT doc_id, text || ' zq' ||"
+            " CAST(doc_id AS VARCHAR) || ' the' AS text"
+            "\n  FROM documents\n)")
+    if d == SPARK:
+        twin = twin.replace("VARCHAR", "STRING")
+        bg = twin + """,
+tw AS (
+  SELECT doc_id, pos, w FROM twinned
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+),
+bg AS (
+  SELECT doc_id, w AS x,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+  FROM tw WHERE w <> ''
+)"""
+    else:
+        bg = twin + """,
+tw AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+         unnest(ws) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM twinned) t0
+),
+bg AS (
+  SELECT doc_id, w AS x,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+  FROM tw WHERE w <> ''
+)"""
+    seen = IDIV("ux.n * 1000", "b2.n_xy")
+    backoff = IDIV("(SELECT t FROM tot) * %d" % _SB_BACKOFF_X2_5, "uy.n")
+    oov = "(SELECT t FROM tot) * %d" % _SB_BACKOFF_X2_5
+    mean = IDIV("cost_sum", "n_bigrams")
+    return """
+WITH {bg},
+pairs AS (
+  SELECT doc_id, x, y FROM bg WHERE y IS NOT NULL AND y <> ''
+),
+train AS (
+  SELECT x, y FROM pairs WHERE doc_id % {hm} <> 0
+),
+uni AS (
+  SELECT x AS w, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY x
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM uni),
+bgc AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM train GROUP BY x, y
+),
+costed AS (
+  SELECT p.doc_id,
+    CAST(CASE WHEN b2.n_xy IS NOT NULL THEN {seen}
+              WHEN uy.n IS NOT NULL THEN {backoff}
+              ELSE {oov} END AS BIGINT) AS cost,
+    CASE WHEN b2.n_xy IS NULL THEN 1 ELSE 0 END AS backed
+  FROM pairs p
+  LEFT JOIN bgc b2 ON b2.x = p.x AND b2.y = p.y
+  LEFT JOIN uni ux ON ux.w = p.x
+  LEFT JOIN uni uy ON uy.w = p.y
+),
+perdoc AS (
+  SELECT doc_id,
+    CAST(SUM(cost) AS BIGINT) AS cost_sum,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(backed) AS BIGINT) AS n_backed
+  FROM costed GROUP BY doc_id
+)
+SELECT doc_id,
+  CASE WHEN doc_id % {hm} = 0 THEN 'held' ELSE 'train' END AS split,
+  n_bigrams,
+  CAST({mean} AS BIGINT) AS sb_cost,
+  CAST({bppm} AS BIGINT) AS backoff_ppm
+FROM perdoc
+""".format(bg=bg.strip(), hm=_SB_HELD_MOD, seen=seen, backoff=backoff,
+           oov=oov, mean=mean,
+           bppm=IDIV("n_backed * 1000000", "n_bigrams"))
+
+
+q_bigram_lm_score.__doc__ = (q_bigram_lm_score.__doc__ or "").format(
+    hm=_SB_HELD_MOD, bo=_SB_BACKOFF_X2_5)

@@ -52,6 +52,7 @@ _SUBSET = [
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
     "sentence_split", "html_table_extract", "readability_score",
+    "bigram_lm_score",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4007,3 +4008,50 @@ def test_readability_score_semantics(duck, entry_mod):
         assert (got[1], got[2], got[3], got[5]) == (w, s, y, band), did
         assert got[4] == f or abs(got[4] - f) < 1e-12, did
     assert {r[5] for r in rows} >= {"easy", "standard"}  # bands vary
+
+
+def test_bigram_lm_score_semantics(duck, entry_mod):
+    """Independent Python recomputation of the stupid-backoff bigram
+    LM: train counts on the doc_id%5<>0 split of the twinned corpus,
+    then per-doc integer costs down all three branches (seen bigram /
+    backoff-to-unigram / OOV floor)."""
+    from collections import Counter
+
+    rows = duck.sql(entry_mod.all_oracles()["bigram_lm_score"]
+                    ).fetchall()
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+
+    grams = {}
+    for did, text in docs:
+        toks = [w for w in (text + " zq%d the" % did).split(" ") if w]
+        grams[did] = [(toks[i], toks[i + 1])
+                      for i in range(len(toks) - 1)]
+    uni, bg = Counter(), Counter()
+    for did, pairs in grams.items():
+        if did % 5 == 0:
+            continue
+        for x, y in pairs:
+            uni[x] += 1
+            bg[(x, y)] += 1
+    total = sum(uni.values())
+
+    want = {}
+    for did, pairs in grams.items():
+        if not pairs:
+            continue
+        costs, backed = [], 0
+        for x, y in pairs:
+            if (x, y) in bg:
+                costs.append(uni[x] * 1000 // bg[(x, y)])
+            else:
+                backed += 1
+                costs.append(total * 2500 // uni[y] if y in uni
+                             else total * 2500)
+        n = len(costs)
+        want[did] = ("held" if did % 5 == 0 else "train", n,
+                     sum(costs) // n, backed * 1000000 // n)
+    got = {r[0]: tuple(r[1:]) for r in rows}
+    assert got == want
+    # all three branches exercised: held docs back off, train don't
+    assert all(got[d][3] > 0 for d in got if d % 5 == 0)
+    assert all(got[d][3] == 0 for d in got if d % 5 != 0)

@@ -173,7 +173,7 @@ def main() -> None:
                  "search_snippets", "headings_outline",
                  "pdf_link_extract", "pdf_outline_extract",
                  # round-5 continuation-session additions
-                 "bigram_lm_score"):
+                 "bigram_lm_score", "rocchio_expand"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -1156,3 +1156,138 @@ GROUP BY b.query_id, b.doc_id, b.start, b.n_terms
 def _ord_concat(col: str, sep: str, order_by: str, d: str) -> str:
     from ..relational import ORD_CONCAT
     return ORD_CONCAT(col, sep, order_by, d)
+
+
+# -------------------------------- pseudo-relevance feedback (Rocchio)
+
+_PRF_FB_DOCS = 3     # feedback depth: top-F first-pass docs per query
+_PRF_EXP_TERMS = 3   # expansion width: top-E new terms per query
+_PRF_ALPHA = 1000    # original-term weight (cost-space α)
+_PRF_BETA = 500      # expansion-term weight (β/α = 0.5, Rocchio's
+                     # classic positive-feedback setting)
+
+
+@query("rocchio_expand")
+def q_rocchio_expand(d: str) -> str:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971, the
+    PRF form every classic IR stack ships): run the integer-exact BM25
+    first pass, take each query's top-{f} documents as pseudo-relevant
+    feedback, rank their terms by the Rocchio centroid weight
+    Σ_d tf(t,d) · idf'(t) (idf' the module's rational surrogate,
+    original query terms excluded), keep the top-{e} expansion terms,
+    and rescore the corpus with the weighted union — originals at
+    α={a}, expansions at β={b} — emitting the final per-query top-k.
+    Expansion recovers relevant docs that match the topic's vocabulary
+    but not the literal query terms — the recall tool dataset-search
+    and targeted-decontamination passes reach for first.
+
+    Shape at 10^12 docs: the first pass is bm25_topk's plan (broadcast
+    query side, one tf partial-agg shuffle); feedback docs are O(F·|Q|)
+    rows so every PRF stage — feedback tf, candidate ranking, the
+    expanded term list — is broadcast-sized; the only NEW corpus-scale
+    work is the vocabulary df agg (Heaps-sublinear, the ccnet tf-table
+    shape) and the second matched-tf pass over the expanded (still
+    tiny) term list.  Both passes reuse ONE tokenize CTE."""
+    toks = TOKS_CTE(d)
+    idf = IDIV("((SELECT n FROM stats) - f.df) * %d" % _IDF_SCALE,
+               "f.df + 1")
+    wgt = IDIV(
+        "(%s) * m.tf * 22 * (SELECT s FROM stats)" % idf,
+        "10 * (SELECT s FROM stats) * m.tf"
+        " + 3 * (SELECT s FROM stats)"
+        " + 9 * d.dl * (SELECT n FROM stats)")
+    cand_idf = IDIV("((SELECT n FROM stats) - a.df) * %d" % _IDF_SCALE,
+                    "a.df + 1")
+    return """
+WITH qterms AS ({qterms}),{toks},
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+  GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+  FROM dl
+),
+matched AS (
+  SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON q.term = t.w
+  GROUP BY q.query_id, q.term, t.doc_id
+),
+docfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM matched GROUP BY term
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(SUM({wgt}) AS BIGINT) AS score_scaled
+  FROM matched m
+  JOIN docfreq f ON f.term = m.term
+  JOIN dl d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id, m.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score_scaled DESC, doc_id) AS rk
+    FROM scored) x
+  WHERE rk <= {f}
+),
+fbtf AS (
+  SELECT b.query_id, t.w AS term, CAST(COUNT(*) AS BIGINT) AS tf_fb
+  FROM toks t JOIN fb b ON b.doc_id = t.doc_id
+  WHERE t.w <> ''
+  GROUP BY b.query_id, t.w
+),
+alldf AS (
+  SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY w
+),
+cand AS (
+  SELECT b.query_id, b.term,
+         CAST(({cidf}) * b.tf_fb AS BIGINT) AS exp_w
+  FROM fbtf b
+  JOIN alldf a ON a.term = b.term
+  LEFT JOIN qterms q ON q.query_id = b.query_id AND q.term = b.term
+  WHERE q.term IS NULL
+),
+expn AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY exp_w DESC, term) AS erk
+    FROM cand) x
+  WHERE erk <= {e}
+),
+qexp AS (
+  SELECT query_id, term, CAST({a} AS BIGINT) AS weight FROM qterms
+  UNION ALL
+  SELECT query_id, term, CAST({b} AS BIGINT) AS weight FROM expn
+),
+matched2 AS (
+  SELECT q.query_id, q.term, q.weight, t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qexp q ON q.term = t.w
+  GROUP BY q.query_id, q.term, q.weight, t.doc_id
+),
+scored2 AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(SUM(m.weight * ({wgt2})) AS BIGINT) AS score_scaled
+  FROM matched2 m
+  JOIN alldf f ON f.term = m.term
+  JOIN dl d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, doc_id, score_scaled, rk FROM (
+  SELECT query_id, doc_id, score_scaled,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rk
+  FROM scored2) x
+WHERE rk <= {k}
+""".format(qterms=_qterms(d), toks=toks.strip(), wgt=wgt,
+           cidf=cand_idf, wgt2=wgt, f=_PRF_FB_DOCS, e=_PRF_EXP_TERMS,
+           a=_PRF_ALPHA, b=_PRF_BETA, k=_TOP_K)
+
+
+q_rocchio_expand.__doc__ = (q_rocchio_expand.__doc__ or "").format(
+    f=_PRF_FB_DOCS, e=_PRF_EXP_TERMS, a=_PRF_ALPHA, b=_PRF_BETA)

@@ -52,7 +52,7 @@ _SUBSET = [
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
     "sentence_split", "html_table_extract", "readability_score",
-    "bigram_lm_score",
+    "bigram_lm_score", "rocchio_expand",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4055,3 +4055,69 @@ def test_bigram_lm_score_semantics(duck, entry_mod):
     # all three branches exercised: held docs back off, train don't
     assert all(got[d][3] > 0 for d in got if d % 5 == 0)
     assert all(got[d][3] == 0 for d in got if d % 5 != 0)
+
+
+def test_rocchio_expand_semantics(duck, entry_mod):
+    """Independent Python recomputation of the full PRF chain: integer
+    BM25 first pass, top-3 feedback docs, Rocchio centroid term
+    ranking (originals excluded), and the α/β-weighted second pass."""
+    from collections import Counter, defaultdict
+
+    from pdf_parser_spark.ops.retrieval import _QUERY_TERMS
+
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    toks = {did: text.split(" ") for did, text in docs}
+    dl = {did: len(ws) for did, ws in toks.items()}
+    N, S = len(dl), sum(dl.values())
+    df = Counter()
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] += 1
+
+    def idf(t):
+        return (N - df[t]) * 1000 // (df[t] + 1)
+
+    def w(t, tf, d):
+        return (idf(t) * tf * 22 * S
+                // (10 * S * tf + 3 * S + 9 * dl[d] * N))
+
+    qterms = defaultdict(list)
+    for qid, t in _QUERY_TERMS:
+        qterms[qid].append(t)
+
+    def pass_scores(weights):  # {(qid, term): weight} → {(qid, doc): s}
+        sc = defaultdict(int)
+        for did, ws in toks.items():
+            tf = Counter(ws)
+            for (qid, t), wt in weights.items():
+                if tf[t]:
+                    sc[(qid, did)] += wt * w(t, tf[t], did)
+        return sc
+
+    first = pass_scores({(q, t): 1 for q, ts in qterms.items()
+                         for t in ts})
+    want = []
+    for qid, ts in qterms.items():
+        ranked = sorted(((d_, s) for (q, d_), s in first.items()
+                         if q == qid), key=lambda x: (-x[1], x[0]))
+        fb = [d_ for d_, _ in ranked[:3]]
+        cand = Counter()
+        for d_ in fb:
+            for t in toks[d_]:
+                if t and t not in ts:
+                    cand[t] += 1
+        exp = sorted(((idf(t) * c, t) for t, c in cand.items()),
+                     key=lambda x: (-x[0], x[1]))[:3]
+        weights = {(qid, t): 1000 for t in ts}
+        weights.update({(qid, t): 500 for _, t in exp})
+        second = pass_scores(weights)
+        rr = sorted(((d_, s) for (q, d_), s in second.items()
+                     if q == qid), key=lambda x: (-x[1], x[0]))
+        for rk, (d_, s) in enumerate(rr[:10], 1):
+            want.append((qid, d_, s, rk))
+
+    got = duck.sql(entry_mod.all_oracles()["rocchio_expand"]).fetchall()
+    assert sorted(got) == sorted(want)
+    base = {(r[0], r[1]) for r in duck.sql(
+        entry_mod.all_oracles()["bm25_topk"]).fetchall()}
+    assert {(r[0], r[1]) for r in got} - base  # expansion recalls new docs

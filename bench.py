@@ -173,7 +173,8 @@ def main() -> None:
                  "search_snippets", "headings_outline",
                  "pdf_link_extract", "pdf_outline_extract",
                  # round-5 continuation-session additions
-                 "bigram_lm_score", "rocchio_expand"):
+                 "bigram_lm_score", "rocchio_expand",
+                 "host_reputation"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

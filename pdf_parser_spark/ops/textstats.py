@@ -1346,3 +1346,79 @@ FROM perdoc
 
 q_bigram_lm_score.__doc__ = (q_bigram_lm_score.__doc__ or "").format(
     hm=_SB_HELD_MOD, bo=_SB_BACKOFF_X2_5)
+
+
+# --------------------------------- empirical-Bayes host reputation
+
+_REP_M = 10          # shrinkage pseudo-count (docs of prior evidence)
+_REP_KEEP = 700000   # rep_ppm ≥ → 'keep'
+_REP_REVIEW = 400000  # rep_ppm ≥ → 'review', else 'block'
+
+
+@query("host_reputation")
+def q_host_reputation(d: str) -> str:
+    """Domain-reputation rollup with empirical-Bayes shrinkage — the
+    host-level gate web curation applies before any per-document
+    filter (RefinedWeb/Dolma block whole domains): score each doc with
+    a cheap pass/fail gate (word count in [40, 5000] and mean word
+    length in [3, 12] — the Gopher outlier bounds), aggregate per
+    host, and shrink the host pass-rate toward the global prior by
+    pseudo-count m={m}: rep = (passes + m·prior) / (n + m).  One
+    host (h7) is twinned in-plan to a degenerate one-word corpus so
+    the block tier and the shrinkage floor m·prior/(n+m) are both
+    exercised and oracle-checked.  Shrinkage
+    is the whole point — a 2-doc host with 2 passes must NOT outrank a
+    10k-doc host at 99%, and small hosts converge to the prior instead
+    of saturating at 0/1.  Exact integer form: prior_ppm =
+    ⌊Σpass·10^6/Σn⌋, rep_ppm = ⌊(passes·10^6 + m·prior_ppm)/(n+m)⌋.
+    Tiers: ≥{k} keep, ≥{r} review, else block.
+
+    Shape at 10^12 docs: one per-row integer gate projection, one
+    (host) hash agg with map-side partials (~10^7 hosts), one scalar
+    prior broadcast — no joins against doc-scale tables, the cheapest
+    corpus pass in the tier."""
+    from .webgraph import HOST, IDIV
+
+    host = HOST("doc_id % 40", d)
+    toks = TOKS_CTE(
+        d, "doc_id",
+        src="(SELECT doc_id, CASE WHEN doc_id % 40 = 7 THEN 'x'"
+            " ELSE text END AS text FROM documents) tsrc")
+    mwl = IDIV("chars", "wc")
+    rep = IDIV("passes * 1000000 + %d * (SELECT p FROM prior)" % _REP_M,
+               "n + %d" % _REP_M)
+    return """
+WITH {toks},
+gated AS (
+  SELECT t.doc_id, {host} AS host,
+    CASE WHEN wc BETWEEN 40 AND 5000
+          AND {mwl} BETWEEN 3 AND 12 THEN 1 ELSE 0 END AS pass
+  FROM (
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS wc,
+      CAST(SUM(length(w)) AS BIGINT) AS chars
+    FROM toks WHERE w <> '' GROUP BY doc_id) t
+),
+byhost AS (
+  SELECT host,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(pass) AS BIGINT) AS passes
+  FROM gated GROUP BY host
+),
+prior AS (
+  SELECT CAST({prior} AS BIGINT) AS p
+  FROM (SELECT SUM(passes) AS tp, SUM(n) AS tn FROM byhost) x
+)
+SELECT host, n AS n_docs, passes,
+  CAST({rep} AS BIGINT) AS rep_ppm,
+  CASE WHEN {rep} >= {k} THEN 'keep'
+       WHEN {rep} >= {r} THEN 'review'
+       ELSE 'block' END AS tier
+FROM byhost
+""".format(toks=toks.strip(), host=host, mwl=mwl, rep=rep,
+           prior=IDIV("tp * 1000000", "tn"),
+           k=_REP_KEEP, r=_REP_REVIEW)
+
+
+q_host_reputation.__doc__ = (q_host_reputation.__doc__ or "").format(
+    m=_REP_M, k=_REP_KEEP, r=_REP_REVIEW)

@@ -52,7 +52,7 @@ _SUBSET = [
     "winnow_matches", "dedup_allpairs_prefix", "search_snippets",
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
     "sentence_split", "html_table_extract", "readability_score",
-    "bigram_lm_score", "rocchio_expand",
+    "bigram_lm_score", "rocchio_expand", "host_reputation",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4121,3 +4121,34 @@ def test_rocchio_expand_semantics(duck, entry_mod):
     base = {(r[0], r[1]) for r in duck.sql(
         entry_mod.all_oracles()["bm25_topk"]).fetchall()}
     assert {(r[0], r[1]) for r in got} - base  # expansion recalls new docs
+
+
+def test_host_reputation_semantics(duck, entry_mod):
+    """Independent Python recomputation: per-doc Gopher gate over the
+    h7-twinned corpus, host rollup, integer E-B shrinkage, tiers."""
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    byhost = {}
+    for did, text in docs:
+        t = "x" if did % 40 == 7 else text
+        ws = [w for w in t.split(" ") if w]
+        wc, chars = len(ws), sum(len(w) for w in ws)
+        ok = (40 <= wc <= 5000 and 3 <= chars // wc <= 12) if wc else False
+        n, p = byhost.get("h%d.example" % (did % 40), (0, 0))
+        byhost["h%d.example" % (did % 40)] = (n + 1, p + int(ok))
+    tp = sum(p for _, p in byhost.values())
+    tn = sum(n for n, _ in byhost.values())
+    prior = tp * 1000000 // tn
+    want = []
+    for h, (n, p) in byhost.items():
+        rep = (p * 1000000 + 10 * prior) // (n + 10)
+        tier = ("keep" if rep >= 700000
+                else "review" if rep >= 400000 else "block")
+        want.append((h, n, p, rep, tier))
+    got = duck.sql(entry_mod.all_oracles()["host_reputation"]).fetchall()
+    assert sorted(got) == sorted(want)
+    tiers = {r[4] for r in got}
+    assert tiers == {"keep", "review", "block"}   # all tiers live
+    # shrinkage floor: the all-fail twin host sits at m·prior/(n+m),
+    # not at zero
+    h7 = next(r for r in got if r[0] == "h7.example")
+    assert h7[2] == 0 and h7[3] == 10 * prior // (h7[1] + 10)

@@ -174,7 +174,7 @@ def main() -> None:
                  "pdf_link_extract", "pdf_outline_extract",
                  # round-5 continuation-session additions
                  "bigram_lm_score", "rocchio_expand",
-                 "host_reputation"):
+                 "host_reputation", "jsonld_extract"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

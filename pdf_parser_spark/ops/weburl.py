@@ -657,3 +657,91 @@ SELECT doc_id, CAST(tno AS BIGINT) AS table_no,
          AS is_header
 FROM cells
 """.format(body=body, lvl=lvl)
+
+
+# --------------------------------------- JSON-LD structured data
+
+def _jsonex(js: str, path: str, d: str) -> str:
+    """Dialect-paired JSON string extraction — both engines return the
+    string value (numbers as their literal text) and NULL on a missing
+    path, verified for the ``$.@type`` and nested ``$.a.b`` shapes."""
+    fn = "get_json_object" if d == SPARK else "json_extract_string"
+    return "%s(%s, '%s')" % (fn, js, path)
+
+
+@query("jsonld_extract")
+def q_jsonld_extract(d: str) -> str:
+    """Schema.org JSON-LD extraction — the structured-data pass beside
+    the WAT metadata pass: pull the ``<script type="application/
+    ld+json">`` payload and project the fields a knowledge/commerce
+    pipeline keys on (@type, headline/name, author.name, offers.price,
+    datePublished), engine-side JSON path evaluation (get_json_object
+    / json_extract_string), no UDF.
+
+    The corpus has no markup, so each doc synthesizes its page
+    in-plan: doc_id%3=0 embeds an Article (nested author object),
+    %3=1 a Product (nested offers object), %3=2 no JSON-LD at all —
+    and EVERY page carries a plain-JS decoy script containing
+    "@type" that the ld+json regex must not match.  All three schema
+    branches and the no-data path are oracle-checked.
+
+    Shape at 10^12 pages: one non-greedy regexp_extract + four JSON
+    path evaluations per row — a narrow projection fused into the
+    scan, no shuffle, no UDF."""
+    from .webgraph import CSTR
+
+    did = CSTR("doc_id", d)
+    pad2 = ("lpad(" + CSTR("(doc_id % 12) + 1", d) + ", 2, '0')",
+            "lpad(" + CSTR("(doc_id % 28) + 1", d) + ", 2, '0')")
+    article = (
+        "'{\"@context\":\"https://schema.org\",\"@type\":\"Article\","
+        "\"headline\":\"Doc ' || %s || ' headline\","
+        "\"datePublished\":\"2024-' || %s || '-' || %s || '\","
+        "\"author\":{\"@type\":\"Person\",\"name\":\"Author '"
+        " || %s || '\"}}'"
+    ) % (did, pad2[0], pad2[1], CSTR("doc_id % 7", d))
+    product = (
+        "'{\"@context\":\"https://schema.org\",\"@type\":\"Product\","
+        "\"name\":\"Widget ' || %s || '\","
+        "\"offers\":{\"@type\":\"Offer\",\"price\":\"'"
+        " || %s || '.50\",\"priceCurrency\":\"USD\"}}'"
+    ) % (did, CSTR("(doc_id % 90) + 10", d))
+    decoy = ("'<script type=\"text/javascript\">var x = "
+             "{\"@type\": \"Fake\"};</script>'")
+    ld = ("CASE CAST(doc_id % 3 AS INT)"
+          " WHEN 0 THEN '<script type=\"application/ld+json\">'"
+          "   || " + article + " || '</script>'"
+          " WHEN 1 THEN '<script type=\"application/ld+json\">'"
+          "   || " + product + " || '</script>'"
+          " ELSE '' END")
+    body = ("'<html><head>' || " + decoy + " || " + ld +
+            " || '</head><body>'"
+            " || substr(text, 1, 40) || '</body></html>'")
+    js = ("regexp_extract(html,"
+          " '<script type=\"application/ld\\\\+json\">(.*?)</script>',"
+          " 1)" if d == SPARK else
+          "regexp_extract(html,"
+          " '<script type=\"application/ld\\+json\">(.*?)</script>',"
+          " 1)")
+    return """
+WITH pages AS (
+  SELECT doc_id, {body} AS html FROM documents
+),
+blob AS (
+  SELECT doc_id, CASE WHEN {js} <> '' THEN {js} END AS js FROM pages
+)
+SELECT doc_id,
+  {t} AS ld_type,
+  COALESCE({h}, {n}) AS title,
+  {a} AS author,
+  {p} AS price,
+  {dp} AS published,
+  CAST(CASE WHEN js IS NULL THEN 0 ELSE 1 END AS INT) AS has_jsonld
+FROM blob
+""".format(body=body, js=js,
+           t=_jsonex("js", "$.@type", d),
+           h=_jsonex("js", "$.headline", d),
+           n=_jsonex("js", "$.name", d),
+           a=_jsonex("js", "$.author.name", d),
+           p=_jsonex("js", "$.offers.price", d),
+           dp=_jsonex("js", "$.datePublished", d))

@@ -53,6 +53,7 @@ _SUBSET = [
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
     "sentence_split", "html_table_extract", "readability_score",
     "bigram_lm_score", "rocchio_expand", "host_reputation",
+    "jsonld_extract",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4152,3 +4153,43 @@ def test_host_reputation_semantics(duck, entry_mod):
     # not at zero
     h7 = next(r for r in got if r[0] == "h7.example")
     assert h7[2] == 0 and h7[3] == 10 * prior // (h7[1] + 10)
+
+
+def test_jsonld_extract_semantics(duck, entry_mod):
+    """Independent Python recomputation: build the same synthesized
+    page, extract the ld+json block with Python's json module (a THIRD
+    json implementation vs the two engines'), and compare fields."""
+    import json
+    import re
+
+    docs = duck.sql("SELECT doc_id FROM documents").fetchall()
+    want = {}
+    for (did,) in docs:
+        if did % 3 == 0:
+            js = {"@context": "https://schema.org", "@type": "Article",
+                  "headline": "Doc %d headline" % did,
+                  "datePublished": "2024-%02d-%02d"
+                                   % (did % 12 + 1, did % 28 + 1),
+                  "author": {"@type": "Person",
+                             "name": "Author %d" % (did % 7)}}
+        elif did % 3 == 1:
+            js = {"@context": "https://schema.org", "@type": "Product",
+                  "name": "Widget %d" % did,
+                  "offers": {"@type": "Offer",
+                             "price": "%d.50" % (did % 90 + 10),
+                             "priceCurrency": "USD"}}
+        else:
+            js = None
+        if js is None:
+            want[did] = (None, None, None, None, None, 0)
+        else:
+            want[did] = (js["@type"],
+                         js.get("headline") or js.get("name"),
+                         (js.get("author") or {}).get("name"),
+                         (js.get("offers") or {}).get("price"),
+                         js.get("datePublished"), 1)
+    got = {r[0]: tuple(r[1:]) for r in duck.sql(
+        entry_mod.all_oracles()["jsonld_extract"]).fetchall()}
+    assert got == want
+    # the JS decoy carrying "@type" never leaks into extraction
+    assert not any(v[0] == "Fake" for v in got.values())

@@ -23,7 +23,7 @@ _SUBSET = [
     "c1_detect_issuer", "dedup_exact", "dedup_lsh_pairs",
     "dedup_lsh_verified", "span_neardup", "dedup_components",
     "ann_cosine_topk", "ann_ivf_fit", "ann_ivf_topk",
-    "ann_ivf_amortized",
+    "ann_ivf_amortized", "validation_join",
     "events_sessions", "quality_score", "doc_fingerprint",
     "url_canonicalize", "quality_repetition", "pii_scrub",
     "decontam_13gram", "quality_sampling", "curation_pipeline",

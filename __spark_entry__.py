@@ -541,7 +541,18 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    #     the surviving row verifies spans AND the
                    #     dedup tier over them) — moved to
                    #     _retired_specials with its golden oracle
-                   "ann_ivf_topk", "quality_score", "validation_join"}
+                   "ann_ivf_topk", "quality_score", "validation_join",
+                   # post-cap round-5 final-session additions (same
+                   # all_queries verification path): ordered
+                   # conversion funnel (greedy-fold Spark side vs
+                   # chained-min DuckDB oracle — genuinely independent
+                   # implementations), weekly cohort retention, KMV
+                   # sketch set-algebra overlap of two crawl
+                   # snapshots, Z-order vs row-order file-layout
+                   # planning, and hreflang multilingual-variant link
+                   # extraction
+                   "events_funnel", "events_retention", "kmv_overlap",
+                   "zorder_cluster", "hreflang_alternates"}
 
 
 def _specials() -> dict:

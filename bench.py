@@ -174,7 +174,10 @@ def main() -> None:
                  "pdf_link_extract", "pdf_outline_extract",
                  # round-5 continuation-session additions
                  "bigram_lm_score", "rocchio_expand",
-                 "host_reputation", "jsonld_extract"):
+                 "host_reputation", "jsonld_extract",
+                 # round-5 final-session additions
+                 "events_funnel", "events_retention", "kmv_overlap",
+                 "zorder_cluster", "hreflang_alternates"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

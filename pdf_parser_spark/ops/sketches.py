@@ -594,3 +594,169 @@ FROM parts p
 
 q_range_partition_plan.__doc__ = (q_range_partition_plan.__doc__ or "")\
     .format(p=_RP_PARTS)
+
+
+# ------------------------------------------------- sketch set algebra
+
+def _kmv_sketch_ctes(src: str, d: str) -> str:
+    """``{src}(host, url)`` (distinct) → ``{src}_sk(host, cnt, hk)``:
+    the per-host KMV state — exact distinct count and the k-th
+    smallest hash (NULL when the group holds fewer than k)."""
+    return """
+{src}_h AS (SELECT host, {h} AS h FROM {src}),
+{src}_r AS (
+  SELECT host, h,
+         row_number() OVER (PARTITION BY host ORDER BY h) AS rn
+  FROM {src}_h
+),
+{src}_sk AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MAX(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM {src}_r GROUP BY host
+)""".format(src=src, h=HEX2INT("md5(url)", d), k=_KMV_K).strip()
+
+
+def _kmv_est(pre: str) -> str:
+    """The KMV estimate off a ``(cnt, hk)`` pair (same estimator and
+    IEEE-exactness argument as q_kmv_distinct)."""
+    est = ("(%d.0 * 1152921504606846976.0) / CAST(%shk AS DOUBLE)"
+           % (_KMV_K - 1, pre))
+    return ("CAST(CASE WHEN {p}hk IS NULL THEN {p}cnt "
+            "ELSE CAST(FLOOR({est}) AS BIGINT) END AS BIGINT)"
+            ).format(p=pre, est=est)
+
+
+@query("kmv_overlap")
+def q_kmv_overlap(d: str) -> str:
+    """Crawl-snapshot overlap from MERGEABLE KMV sketches — the
+    two-snapshot question ("how many urls did this week's crawl share
+    with last week's?") answered WITHOUT joining the raw url sets:
+    est(A∩B) = est(A) + est(B) − est(A∪B) by inclusion-exclusion,
+    where the union sketch is just the k smallest hashes of the two
+    sketches' union — pure sketch algebra, the whole reason KMV state
+    is kept per snapshot at 10^12 urls (the exact per-host
+    intersection computed alongside is the oracle's ground truth, a
+    luxury only the fixture can afford).
+
+    Snapshots are derived from the shared visit log with host-
+    INDEPENDENT doc_id strides (host is doc_id mod 8, so parity would
+    empty half the hosts): A = even doc_id//8, B = doc_id//8 not
+    divisible by 3 — every host sees both snapshots with a real
+    shared-url tier.
+
+    Inclusion-exclusion on floored estimates can dip below zero on
+    sparse groups; the estimate clamps at 0 (GREATEST), mirroring
+    production sketch libraries.  All outputs are exact BIGINTs."""
+    stride = IDIV("doc_id", "8")
+    common_est = ("GREATEST(CAST(0 AS BIGINT), ({a}) + ({b}) - ({u}))"
+                  .format(a=_kmv_est("a_sk."), b=_kmv_est("b_sk."),
+                          u=_kmv_est("u_sk.")))
+    return """
+WITH {visits},
+snap_a AS (
+  SELECT DISTINCT host, url FROM visits WHERE ({stride}) % 2 = 0
+),
+snap_b AS (
+  SELECT DISTINCT host, url FROM visits WHERE ({stride}) % 3 <> 0
+),
+snap_u AS (
+  SELECT host, url FROM snap_a UNION SELECT host, url FROM snap_b
+),
+{ska},
+{skb},
+{sku},
+exact_c AS (
+  SELECT a.host, CAST(COUNT(*) AS BIGINT) AS exact_common
+  FROM snap_a a JOIN snap_b b ON a.host = b.host AND a.url = b.url
+  GROUP BY a.host
+)
+SELECT a_sk.host,
+  a_sk.cnt AS exact_a, b_sk.cnt AS exact_b,
+  COALESCE(e.exact_common, CAST(0 AS BIGINT)) AS exact_common,
+  {esta} AS est_a, {estb} AS est_b, {estu} AS est_union,
+  {estc} AS est_common
+FROM a_sk
+JOIN b_sk ON b_sk.host = a_sk.host
+JOIN u_sk ON u_sk.host = a_sk.host
+LEFT JOIN exact_c e ON e.host = a_sk.host
+""".format(visits=_visits_cte(d).strip(), stride=stride,
+           ska=_kmv_sketch_ctes("snap_a", d).replace("snap_a_sk", "a_sk"),
+           skb=_kmv_sketch_ctes("snap_b", d).replace("snap_b_sk", "b_sk"),
+           sku=_kmv_sketch_ctes("snap_u", d).replace("snap_u_sk", "u_sk"),
+           esta=_kmv_est("a_sk."), estb=_kmv_est("b_sk."),
+           estu=_kmv_est("u_sk."), estc=common_est)
+
+
+# --------------------------------------------- Z-order layout planning
+
+_Z_BITS = 6          # 6 bits per dimension → 12-bit Morton key
+_Z_FILES = 16        # top 4 interleaved bits pick the file
+
+
+@query("zorder_cluster")
+def q_zorder_cluster(d: str) -> str:
+    """Z-order (Morton-interleave) file clustering vs row-order
+    binning — the data-layout planning pass behind Delta/Iceberg
+    ``ZORDER BY``: interleaving the bits of two filter columns (host
+    bucket × size bucket) gives every output file a small RECTANGLE
+    of the (host, size) plane, so a predicate on EITHER column prunes
+    most files; row-order binning (what a plain parquet writer does —
+    16 contiguous doc_id ranges) gives every file the full span of
+    both and prunes nothing.  (A doc_id % 16 strawman would be
+    DISHONEST here: 16 divides the 64-bucket host axis, so modulo
+    binning accidentally host-clusters — measured 4 hosts/file.)
+
+    Both layouts are computed side by side over the same corpus —
+    one row per (layout, file): row count, distinct hosts touched,
+    and the host/size spans.  The zorder rows provably sit in
+    16×16 blocks (span ≤ 15, pinned by the test); the roworder rows
+    span essentially the whole 0..63 range of both dimensions.
+
+    Arithmetic is pure integer in both dialects: bucket extraction
+    and bit interleave use exact floor division by power-of-two
+    literals (IDIV) and %, never native shifts (DuckDB's bare ``<<``
+    is INT32) — the Morton key is
+    z = Σ_b x_b·4^b + y_b·2·4^b over the 6 bit planes.
+
+    Shape at 10^12 rows: the key is a narrow per-row projection (no
+    shuffle); the real job feeds it to repartitionByRange + sorted
+    write, whose split-point planning is exactly the sibling
+    ``range_partition_plan`` row."""
+    xb = "doc_id % 64"
+    yb = IDIV("n_chars * 64", "(SELECT mx + 1 FROM stats)")
+    z = " + ".join(
+        "({xbit}) * {w1} + ({ybit}) * {w2}".format(
+            xbit=IDIV("xb", str(1 << b)) + " % 2",
+            ybit=IDIV("yb", str(1 << b)) + " % 2",
+            w1=4 ** b, w2=2 * 4 ** b)
+        for b in range(_Z_BITS))
+    rowfile = IDIV("(doc_id - (SELECT mn FROM stats)) * %d" % _Z_FILES,
+                   "(SELECT mx_id - mn + 1 FROM stats)")
+    return """
+WITH stats AS (
+  SELECT CAST(MAX(n_chars) AS BIGINT) AS mx,
+         CAST(MIN(doc_id) AS BIGINT) AS mn,
+         CAST(MAX(doc_id) AS BIGINT) AS mx_id
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, CAST({xb} AS BIGINT) AS xb, CAST({yb} AS BIGINT) AS yb
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, xb, yb, CAST({z} AS BIGINT) AS z FROM bucketed
+),
+assigned AS (
+  SELECT 'zorder' AS layout, {zfile} AS file_id, xb, yb FROM keyed
+  UNION ALL
+  SELECT 'roworder' AS layout, {rowfile} AS file_id, xb, yb
+  FROM keyed
+)
+SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT xb) AS BIGINT) AS n_hosts,
+  CAST(MAX(xb) - MIN(xb) AS BIGINT) AS host_span,
+  CAST(MAX(yb) - MIN(yb) AS BIGINT) AS size_span
+FROM assigned GROUP BY layout, file_id
+""".format(xb=xb, yb=yb, z=z, rowfile=rowfile,
+           zfile=IDIV("z", str((1 << (2 * _Z_BITS)) // _Z_FILES)))

@@ -745,3 +745,99 @@ FROM blob
            a=_jsonex("js", "$.author.name", d),
            p=_jsonex("js", "$.offers.price", d),
            dp=_jsonex("js", "$.datePublished", d))
+
+
+@query("hreflang_alternates")
+def q_hreflang_alternates(d: str) -> str:
+    """Multilingual-variant mapping from ``hreflang`` alternate links
+    — the pass that keeps one language edition per document cluster
+    out of the training mix (and routes the rest to their language
+    shards): every ``<link rel="alternate" hreflang=..>`` in the head
+    names a sibling edition; self-references and the ``x-default``
+    pointer are classified so the dedup tier can collapse the cluster
+    onto its canonical member.
+
+    The corpus has no markup, so each doc synthesizes its head
+    in-plan (same pattern as html_meta_extract): a self-referencing
+    alternate in the doc's own language, an ``en`` sibling on even
+    docs, a ``de`` sibling on every 3rd, an ``x-default`` on every
+    5th, an ATTRIBUTE-ORDER-FLIPPED ``fr`` alternate on ``doc_id%4=1``
+    (``hreflang`` before ``rel`` — real head markup does both, so the
+    extractor parses per-tag attributes instead of one rigid regex),
+    and stylesheet/canonical ``<link>`` decoys that must not emit.
+
+    Shape at 10^12 pages: one per-row regexp projection feeding a
+    positional explode of ``<link ...>`` tags; attribute extraction
+    and the alternate filter are per-tag scalar regexps (JVM codegen,
+    no shuffle except the final per-doc ROW_NUMBER, which rides the
+    existing doc partitioning)."""
+    from .webgraph import CSTR, HOST
+
+    did = CSTR("doc_id", d)
+    own = HOST("doc_id % 40", d)
+    head = (
+        "'<link rel=\"stylesheet\" href=\"https://cdn.example/s.css\">'"
+        " || '<link rel=\"alternate\" hreflang=\"' || lang"
+        " || '\" href=\"https://' || own_host || '/d' || {did} || '\">'"
+        " || CASE WHEN doc_id % 2 = 0"
+        "      THEN '<link rel=\"alternate\" hreflang=\"en\""
+        " href=\"https://' || {en} || '/d' || {did} || '\">'"
+        "      ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 1"
+        "      THEN '<link hreflang=\"fr\" rel=\"alternate\""
+        " href=\"https://' || {fr} || '/d' || {did} || '\">'"
+        "      ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0"
+        "      THEN '<link rel=\"alternate\" hreflang=\"de\""
+        " href=\"https://' || {de} || '/d' || {did} || '\">'"
+        "      ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0"
+        "      THEN '<link rel=\"alternate\" hreflang=\"x-default\""
+        " href=\"https://' || own_host || '/d' || {did} || '\">'"
+        "      ELSE '' END"
+        " || '<link rel=\"canonical\" href=\"https://' || own_host"
+        " || '/d' || {did} || '\">'"
+    ).format(did=did, en=HOST("(doc_id + 7) % 40", d),
+             fr=HOST("(doc_id + 11) % 40", d),
+             de=HOST("(doc_id + 23) % 40", d))
+    pat = "'<link [^>]*>'"
+    if d == SPARK:
+        tags = """
+tags AS (
+  SELECT doc_id, own_host, pos, tag FROM pages
+  LATERAL VIEW posexplode(regexp_extract_all(html, {pat}, 0)) t
+    AS pos, tag
+)""".format(pat=pat).strip()
+    else:
+        tags = """
+tags AS (
+  SELECT doc_id, own_host, generate_subscripts(ms, 1) - 1 AS pos,
+         unnest(ms) AS tag
+  FROM (SELECT doc_id, own_host, regexp_extract_all(html, {pat}) AS ms
+        FROM pages) s
+)""".format(pat=pat).strip()
+    return """
+WITH pages AS (
+  SELECT doc_id, lang, {own} AS own_host, {head} AS html
+  FROM (SELECT doc_id, lang, {own} AS own_host FROM documents) s
+),
+{tags},
+alts AS (
+  SELECT doc_id, own_host, pos,
+    regexp_extract(tag, 'hreflang="([^"]*)"', 1) AS hreflang,
+    lower(regexp_extract(tag, 'href="https://([^/"]+)', 1))
+      AS target_host
+  FROM tags
+  WHERE regexp_extract(tag, 'rel="([^"]*)"', 1) = 'alternate'
+    AND regexp_extract(tag, 'hreflang="([^"]*)"', 1) <> ''
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+       AS BIGINT) AS link_no,
+  hreflang, target_host,
+  CAST(CASE WHEN target_host = own_host THEN 1 ELSE 0 END AS INT)
+    AS is_self,
+  CAST(CASE WHEN hreflang = 'x-default' THEN 1 ELSE 0 END AS INT)
+    AS is_default
+FROM alts
+""".format(own=own, head=head, tags=tags)

@@ -627,3 +627,151 @@ SELECT event_type, CAST(floor({ep} / 3600) AS BIGINT) AS hour_bucket,
   CAST(COUNT(*) AS BIGINT) AS events, {vsum} AS total_value
 FROM events GROUP BY event_type, hour_bucket
 """.format(ep=EPOCH("ts", d), vsum=DECSUM("value", d))
+
+
+# funnel stage codes in tie-break order: on equal timestamps the
+# EARLIER stage is processed first, which makes the greedy fold agree
+# with the chained-min (>=) oracle on every tie (a click in the same
+# second as the first view still advances the funnel)
+_FUNNEL_STEPS = [(1, "view"), (2, "click"), (3, "signup"),
+                 (4, "purchase")]
+
+
+@query("events_funnel")
+def q_funnel(d: str) -> str:
+    """Ordered conversion funnel (view → click → signup → purchase),
+    ClickHouse-windowFunnel-style: per user, the longest PREFIX of the
+    step sequence matchable as a subsequence of that user's event
+    stream in timestamp order.
+
+    The two dialects deliberately take DIFFERENT routes to the same
+    rows — that independence is the point of the oracle pair:
+
+    * Spark (the at-scale shape): ONE groupBy(user_id) pass — collect
+      the per-user stage codes sorted by (epoch, stage) and fold
+      greedily (advance on exactly the next stage).  Greedy
+      earliest-completion subsequence matching is optimal, so the
+      fold equals the chained-min semantics; one shuffle total, and
+      the per-user array is bounded by that user's event count (the
+      same per-key bound sessionization already carries).
+    * DuckDB (the verification form): the classic 4-level chained
+      aggregation — first view per user, first click AT OR AFTER it,
+      first signup at or after that, first purchase last; step n's
+      user count is |s_n|.
+
+    Output: 4 rows — step_no, step, users reached, and conversion
+    ppm vs step 1 (floor of one IEEE division, bit-identical across
+    engines; counts themselves stay exact BIGINTs).
+
+    Drop-off injection: the raw fixture gives every user hundreds of
+    events of every type, so everyone converts and the oracle would
+    never see a partial funnel.  Each user's stream is therefore
+    truncated to its first ``1 + user_id % 19`` funnel events (one
+    ROW_NUMBER window, identical in both dialects) — short streams
+    genuinely stall at early steps, exercising every verdict tier.
+    """
+    stage = ("CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+             "WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 END")
+    step_name = ("CASE step_no " + " ".join(
+        "WHEN %d THEN '%s'" % (n, s) for n, s in _FUNNEL_STEPS)
+        + " END")
+    conv = ("CAST(FLOOR(CAST(users * 1000000 AS DOUBLE) / "
+            "CAST(MAX(CASE WHEN step_no = 1 THEN users END) "
+            "OVER () AS DOUBLE)) AS BIGINT)")
+    ev = """ev0 AS (
+  SELECT user_id, {ep} AS es, {stage} AS stage,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS rn
+  FROM events
+  WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+),
+ev AS (
+  SELECT user_id, es, stage FROM ev0 WHERE rn <= 1 + user_id % 19
+)""".format(ep=EPOCH("ts", d), stage=stage)
+    if d == SPARK:
+        return """
+WITH {ev},
+per_user AS (
+  SELECT user_id,
+    aggregate({arr}, 0,
+              (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1
+                          ELSE acc END) AS reached
+  FROM ev GROUP BY user_id
+),
+steps AS (SELECT explode(sequence(1, 4)) AS step_no),
+counts AS (
+  SELECT s.step_no,
+    CAST(COUNT(CASE WHEN p.reached >= s.step_no THEN 1 END) AS BIGINT)
+      AS users
+  FROM steps s JOIN per_user p GROUP BY s.step_no
+)
+SELECT CAST(step_no AS INT) AS step_no, {sname} AS step, users,
+  {conv} AS conv_ppm
+FROM counts
+""".format(ev=ev, arr=ORD_ARRAY("stage", "es * 8 + stage", d),
+           sname=step_name, conv=conv)
+    chain = ["s1 AS (SELECT user_id, MIN(es) AS t FROM ev "
+             "WHERE stage = 1 GROUP BY user_id)"]
+    for n in (2, 3, 4):
+        chain.append(
+            "s{n} AS (SELECT e.user_id, MIN(e.es) AS t FROM ev e "
+            "JOIN s{p} ON s{p}.user_id = e.user_id "
+            "WHERE e.stage = {n} AND e.es >= s{p}.t "
+            "GROUP BY e.user_id)".format(n=n, p=n - 1))
+    reach = " UNION ALL ".join(
+        "SELECT %d AS step_no, CAST(COUNT(*) AS BIGINT) AS users FROM s%d"
+        % (n, n) for n in (1, 2, 3, 4))
+    return """
+WITH {ev},
+{chain},
+counts AS ({reach})
+SELECT CAST(step_no AS INT) AS step_no, {sname} AS step, users,
+  {conv} AS conv_ppm
+FROM counts
+""".format(ev=ev, chain=",\n".join(chain),
+           reach=reach, sname=step_name, conv=conv)
+
+
+@query("events_retention")
+def q_retention(d: str) -> str:
+    """Weekly cohort retention — the engagement-curve rollup behind
+    every activity dashboard: users are cohorted by the ISO week of
+    their FIRST event; for each (cohort, weeks-since-signup) cell,
+    how many of that cohort were active, and what fraction of the
+    cohort that is.
+
+    Shape at scale: one DISTINCT (user, week) projection, one
+    per-user MIN (both partial-agg friendly), one join back on
+    user_id — every shuffle keys on user_id so AQE co-locates the
+    chain; no window over the raw event stream.  Retention ppm is
+    the floor of one IEEE division (cohort sizes stay exact
+    BIGINTs); the offset-0 cell is the cohort size itself, so every
+    row's denominator is in-result and auditable.
+
+    Churn injection: the raw fixture has every user active every
+    week (retention would be a flat 100%), so a deterministic
+    (user, week)-keyed filter drops a quarter of the activity cells
+    — cohort weeks now vary per user and every cohort shows a real
+    decay curve for the oracle to check."""
+    return """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST(FLOOR({ep} / 604800) AS BIGINT) AS wk
+  FROM events
+  WHERE (user_id * 31 + CAST(FLOOR({ep} / 604800) AS BIGINT)) % 4
+        <> 0
+),
+cohort AS (SELECT user_id, MIN(wk) AS w0 FROM uw GROUP BY user_id),
+cells AS (
+  SELECT c.w0 AS cohort_week, uw.wk - c.w0 AS week_offset,
+    CAST(COUNT(*) AS BIGINT) AS active_users
+  FROM uw JOIN cohort c ON c.user_id = uw.user_id
+  GROUP BY c.w0, uw.wk - c.w0
+)
+SELECT cohort_week, week_offset, active_users,
+  CAST(FLOOR(CAST(active_users * 1000000 AS DOUBLE)
+       / CAST(MAX(CASE WHEN week_offset = 0 THEN active_users END)
+              OVER (PARTITION BY cohort_week) AS DOUBLE)) AS BIGINT)
+    AS retention_ppm
+FROM cells
+""".format(ep=EPOCH("ts", d))

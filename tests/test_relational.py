@@ -53,7 +53,8 @@ _SUBSET = [
     "kcore_peel", "headings_outline", "hyperball_nf", "html_to_markdown",
     "sentence_split", "html_table_extract", "readability_score",
     "bigram_lm_score", "rocchio_expand", "host_reputation",
-    "jsonld_extract",
+    "jsonld_extract", "events_funnel", "events_retention",
+    "kmv_overlap", "zorder_cluster", "hreflang_alternates",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4193,3 +4194,189 @@ def test_jsonld_extract_semantics(duck, entry_mod):
     assert got == want
     # the JS decoy carrying "@type" never leaks into extraction
     assert not any(v[0] == "Fake" for v in got.values())
+
+
+def _py_events(duck):
+    """(user_id, es, event_type, event_id) in (ts, event_id) order."""
+    return duck.sql(
+        "SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,"
+        " event_type, event_id FROM events"
+        " ORDER BY user_id, ts, event_id").fetchall()
+
+
+def test_events_funnel_semantics(duck, entry_mod):
+    """Independent Python recomputation of the greedy funnel: per
+    user, truncate the (ts, event_id)-ordered funnel-event stream to
+    its first 1 + uid % 19 rows, fold greedily, count per step —
+    must equal both engines' rows exactly, and the fixture must
+    exercise real drop-off (step 4 strictly below step 1)."""
+    stage_of = {"view": 1, "click": 2, "signup": 3, "purchase": 4}
+    per_user = {}
+    for uid, es, et, _ in _py_events(duck):
+        if et in stage_of:
+            per_user.setdefault(uid, []).append(stage_of[et])
+    reached = {}
+    for uid, stages in per_user.items():
+        acc = 0
+        for s in stages[: 1 + uid % 19]:
+            if s == acc + 1:
+                acc += 1
+        reached[uid] = acc
+    users = {n: sum(1 for r in reached.values() if r >= n)
+             for n in (1, 2, 3, 4)}
+    import math
+    names = {1: "view", 2: "click", 3: "signup", 4: "purchase"}
+    want = {(n, names[n], users[n],
+             math.floor((users[n] * 1000000) / users[1]))
+            for n in (1, 2, 3, 4)}
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["events_funnel"]).fetchall()}
+    assert got == want
+    assert users[4] < users[1]      # drop-off genuinely exercised
+    assert users[1] > 0
+
+
+def test_events_funnel_tie_semantics(duck, entry_mod):
+    """The greedy fold's (es, stage) tie order must equal the
+    chained-min (>=) semantics on every user — brute-force the
+    chain independently of BOTH shipped implementations."""
+    stage_of = {"view": 1, "click": 2, "signup": 3, "purchase": 4}
+    per_user = {}
+    for uid, es, et, _ in _py_events(duck):
+        if et in stage_of:
+            per_user.setdefault(uid, []).append((es, stage_of[et]))
+    for uid, evs in per_user.items():
+        evs = evs[: 1 + uid % 19]
+        # chained-min reach
+        t, reach_chain = None, 0
+        for step in (1, 2, 3, 4):
+            cand = [es for es, s in evs
+                    if s == step and (t is None or es >= t)]
+            if not cand:
+                break
+            t, reach_chain = min(cand), step
+        # greedy fold reach over (es, stage)-sorted stream
+        acc = 0
+        for _, s in sorted(evs):
+            if s == acc + 1:
+                acc += 1
+        assert acc == reach_chain, uid
+
+
+def test_events_retention_semantics(duck, entry_mod):
+    """Python recompute of the cohort grid: weeks, churn filter,
+    per-user first week, (cohort, offset) cells, ppm floors."""
+    import math
+    uw = set()
+    for uid, es, _, _ in _py_events(duck):
+        wk = es // 604800
+        if (uid * 31 + wk) % 4 != 0:
+            uw.add((uid, wk))
+    w0 = {}
+    for uid, wk in uw:
+        w0[uid] = min(w0.get(uid, wk), wk)
+    cells = {}
+    for uid, wk in uw:
+        key = (w0[uid], wk - w0[uid])
+        cells[key] = cells.get(key, 0) + 1
+    want = {(cw, off, n,
+             math.floor((n * 1000000) / cells[(cw, 0)]))
+            for (cw, off), n in cells.items()}
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["events_retention"]).fetchall()}
+    assert got == want
+    # churn genuinely exercised: some cell retains < 100%
+    assert any(r[3] < 1000000 for r in got)
+
+
+def test_kmv_overlap_semantics(duck, entry_mod):
+    """Python recompute of the sketch set algebra: per host, KMV
+    estimates of A, B, A∪B off the true hash sets, inclusion-
+    exclusion with the zero clamp — every output integer must
+    match, and the sketch must actually estimate (not copy)."""
+    visits = _py_visits(duck)
+    A, B = {}, {}
+    for did, host, url in visits:
+        if (did // 8) % 2 == 0:
+            A.setdefault(host, set()).add(url)
+        if (did // 8) % 3 != 0:
+            B.setdefault(host, set()).add(url)
+
+    def est(urls):
+        hs = sorted(_h60(u) for u in urls)
+        if len(hs) >= 16:
+            return int((15.0 * 1152921504606846976.0) / hs[15])
+        return len(hs)
+
+    rows = duck.sql(entry_mod.all_oracles()["kmv_overlap"]).fetchall()
+    assert len(rows) == 8
+    for host, ea, eb, ec, sa, sb, su, sc in rows:
+        a, b = A[host], B[host]
+        assert (ea, eb, ec) == (len(a), len(b), len(a & b))
+        assert sa == est(a) and sb == est(b) and su == est(a | b)
+        assert sc == max(0, est(a) + est(b) - est(a | b))
+    assert all(r[3] > 0 for r in rows)          # real shared tier
+    assert any(r[7] != r[3] for r in rows)      # estimating, not copying
+
+
+def test_zorder_cluster_semantics(duck, entry_mod):
+    """Python recompute of the Morton layout + the locality pins:
+    every zorder file sits in a 16x16 (host, size) rectangle while
+    row-order files span (nearly) the full plane."""
+    docs = duck.sql(
+        "SELECT doc_id, n_chars FROM documents").fetchall()
+    mx = max(n for _, n in docs)
+    mn_id = min(d for d, _ in docs)
+    mx_id = max(d for d, _ in docs)
+    cells = {}
+    for did, n in docs:
+        xb = did % 64
+        yb = (n * 64) // (mx + 1)
+        z = 0
+        for b in range(6):
+            z += ((xb >> b) & 1) * 4 ** b + ((yb >> b) & 1) * 2 * 4 ** b
+        for layout, fid in (("zorder", z // 256),
+                            ("roworder",
+                             ((did - mn_id) * 16) // (mx_id - mn_id + 1))):
+            xs, ys = cells.setdefault((layout, fid), ([], []))
+            xs.append(xb)
+            ys.append(yb)
+    want = {(lay, fid, len(xs), len(set(xs)),
+             max(xs) - min(xs), max(ys) - min(ys))
+            for (lay, fid), (xs, ys) in cells.items()}
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["zorder_cluster"]).fetchall()}
+    assert got == want
+    for lay, fid, n, nh, hs, ss in got:
+        if lay == "zorder":
+            assert hs <= 15 and ss <= 15, (fid, hs, ss)
+    assert max(r[4] for r in got if r[0] == "roworder") >= 48
+    assert max(r[5] for r in got if r[0] == "roworder") >= 32
+
+
+def test_hreflang_alternates_semantics(duck, entry_mod):
+    """Python recompute of the alternate-link table straight from the
+    injection rules (self, en, fr flipped-attrs, de, x-default in
+    head order; stylesheet/canonical decoys excluded)."""
+    docs = duck.sql("SELECT doc_id, lang FROM documents").fetchall()
+    want = set()
+    for did, lang in docs:
+        own = "h%d.example" % (did % 40)
+        links = [(lang, own)]
+        if did % 2 == 0:
+            links.append(("en", "h%d.example" % ((did + 7) % 40)))
+        if did % 4 == 1:
+            links.append(("fr", "h%d.example" % ((did + 11) % 40)))
+        if did % 3 == 0:
+            links.append(("de", "h%d.example" % ((did + 23) % 40)))
+        if did % 5 == 0:
+            links.append(("x-default", own))
+        for no, (hl, th) in enumerate(links):
+            want.add((did, no, hl, th,
+                      1 if th == own else 0,
+                      1 if hl == "x-default" else 0))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["hreflang_alternates"]).fetchall()}
+    assert got == want
+    # the attribute-order-flipped fr link is genuinely extracted
+    assert any(r[2] == "fr" for r in got)

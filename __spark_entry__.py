@@ -552,7 +552,12 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # planning, and hreflang multilingual-variant link
                    # extraction
                    "events_funnel", "events_retention", "kmv_overlap",
-                   "zorder_cluster", "hreflang_alternates"}
+                   "zorder_cluster", "hreflang_alternates",
+                   # publicsuffix.org eTLD+1 extraction (broadcast
+                   # rule dim, wildcard/exception semantics) and
+                   # social-card assembly with the og->twitter->title
+                   # fallback chain
+                   "registered_domain", "opengraph_cards"}
 
 
 def _specials() -> dict:

@@ -177,7 +177,8 @@ def main() -> None:
                  "host_reputation", "jsonld_extract",
                  # round-5 final-session additions
                  "events_funnel", "events_retention", "kmv_overlap",
-                 "zorder_cluster", "hreflang_alternates"):
+                 "zorder_cluster", "hreflang_alternates",
+                 "registered_domain", "opengraph_cards"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -841,3 +841,210 @@ SELECT doc_id,
     AS is_default
 FROM alts
 """.format(own=own, head=head, tags=tags)
+
+
+# -------------------------------------- public-suffix registered domain
+
+# Embedded public-suffix rule subset (publicsuffix.org semantics):
+# normal rules name a public suffix outright; a wildcard rule
+# ``*.ck`` makes EVERY two-label suffix ending in .ck public; an
+# exception rule ``!www.ck`` carves one name back out (www.ck is a
+# registrable domain, its suffix is the plain ck).  ps_len is the
+# public suffix's label count under that rule; exception beats
+# wildcard/normal (PSL §Algorithm step: exception rules win).
+_PSL_RULES = [
+    # (rule, kind, ps_len)
+    ("com", "normal", 1), ("org", "normal", 1), ("net", "normal", 1),
+    ("io", "normal", 1), ("uk", "normal", 1), ("au", "normal", 1),
+    ("tldx_absent", "normal", 1),   # placeholder; tldx hits the default
+    ("co.uk", "normal", 2), ("ac.uk", "normal", 2),
+    ("com.au", "normal", 2),
+    ("github.io", "normal", 2),     # private-section entry: grouping
+                                    # still keys one label deeper
+    ("ck", "wildcard", 2),          # *.ck
+    ("www.ck", "exception", 1),     # !www.ck
+]
+
+
+@query("registered_domain")
+def q_registered_domain(d: str) -> str:
+    """Public-suffix-list registered-domain (eTLD+1) extraction — the
+    key every crawl-politeness budget, domain-mixing weight, and
+    per-site dedup tier SHOULD group on (grouping on host splits one
+    site into thousands of subdomains; grouping on the bare TLD fuses
+    unrelated sites; ``site.co.uk``-style multi-label suffixes break
+    naive "last two labels" splitting).
+
+    Semantics are the publicsuffix.org algorithm over an embedded
+    rule subset (normal + wildcard ``*.ck`` + exception ``!www.ck``
+    + the implicit default ``*`` for unlisted TLDs): the public
+    suffix is the longest matching rule (exceptions override), the
+    registered domain is one label deeper, and a host that IS a
+    public suffix registers NULL.
+
+    Shape at 10^12 rows: label-suffix candidates (j = 1..2, the max
+    rule depth) joined against a ~10^4-row broadcast rule dim — the
+    OR-match is a BroadcastNestedLoopJoin over a tiny side, then one
+    hash-agg per host; no shuffle touches the payload.  Hosts are
+    synthesized in-plan over eight suffix families so every rule
+    kind (incl. the host-is-suffix NULL edge) is exercised."""
+    from ..relational import LEN, SLICE
+    from .webgraph import CSTR
+
+    host = (
+        "CASE doc_id % 8"
+        " WHEN 0 THEN 'www.site' || {k20} || '.com'"
+        " WHEN 1 THEN 'a.b.site' || {k20} || '.co.uk'"
+        " WHEN 2 THEN 'cdn.app' || {k15} || '.github.io'"
+        " WHEN 3 THEN 'shop.mall' || {k10} || '.com.au'"
+        " WHEN 4 THEN 'x.y' || {k5} || '.ck'"
+        " WHEN 5 THEN 'sub' || {k3} || '.www.ck'"
+        " WHEN 6 THEN 'weird' || {k7} || '.tldx'"
+        " ELSE 'co.uk' END"
+    ).format(k20=CSTR("doc_id % 20", d), k15=CSTR("doc_id % 15", d),
+             k10=CSTR("doc_id % 10", d), k5=CSTR("doc_id % 5", d),
+             k3=CSTR("doc_id % 3", d), k7=CSTR("doc_id % 7", d))
+    rules = ", ".join("('%s', '%s', %d)" % r for r in _PSL_RULES)
+    if d == SPARK:
+        split = "split(host, '[.]')"
+        rules_cte = ("rules AS (SELECT * FROM VALUES %s"
+                     " AS t(rule, kind, ps_len))" % rules)
+    else:
+        split = "string_split(host, '.')"
+        rules_cte = ("rules AS (SELECT * FROM (VALUES %s)"
+                     " AS t(rule, kind, ps_len))" % rules)
+    lastj = JOINA(SLICE("labels", "n - j + 1", "j", d), ".", d)
+    last1 = JOINA(SLICE("labels", "n", "1", d), ".", d)
+    reg = JOINA(SLICE("labels", "n - ps_len", "ps_len + 1", d), ".", d)
+    ps = JOINA(SLICE("labels", "n - ps_len + 1", "ps_len", d), ".", d)
+    return """
+WITH {rules_cte},
+hosts AS (
+  SELECT DISTINCT {host} AS host FROM documents
+),
+lab AS (
+  SELECT host, labels, CAST({n} AS BIGINT) AS n
+  FROM (SELECT host, {split} AS labels FROM hosts) s
+),
+cand AS (
+  SELECT host, n, j, {lastj} AS suffix, {last1} AS tail1
+  FROM lab {expl}
+  WHERE j <= n
+),
+matched AS (
+  SELECT c.host,
+    MAX(CASE WHEN r.kind = 'exception' THEN r.ps_len END) AS exc_ps,
+    MAX(CASE WHEN r.kind = 'normal' THEN r.ps_len END) AS norm_ps,
+    MAX(CASE WHEN r.kind = 'wildcard' THEN r.ps_len END) AS wild_ps
+  FROM cand c JOIN rules r
+    ON (r.kind = 'normal' AND r.rule = c.suffix)
+    OR (r.kind = 'exception' AND r.rule = c.suffix)
+    OR (r.kind = 'wildcard' AND c.j = 2 AND r.rule = c.tail1)
+  GROUP BY c.host
+),
+resolved AS (
+  SELECT l.host, l.labels, l.n,
+    CAST(COALESCE(m.exc_ps,
+                  GREATEST(COALESCE(m.norm_ps, 1),
+                           COALESCE(m.wild_ps, 1))) AS BIGINT)
+      AS ps_len,
+    CASE WHEN m.exc_ps IS NOT NULL THEN 'exception'
+         WHEN COALESCE(m.wild_ps, 0) > COALESCE(m.norm_ps, 0)
+           THEN 'wildcard'
+         WHEN m.norm_ps IS NOT NULL THEN 'normal'
+         ELSE 'default' END AS rule_kind
+  FROM lab l LEFT JOIN matched m ON m.host = l.host
+)
+SELECT host, {ps} AS public_suffix,
+  CASE WHEN n > ps_len THEN {reg} ELSE NULL END AS registered_domain,
+  rule_kind
+FROM resolved
+""".format(rules_cte=rules_cte, host=host, split=split,
+           n=LEN("labels", d), lastj=lastj, last1=last1,
+           reg=reg, ps=ps,
+           expl=("LATERAL VIEW explode(sequence(1, 2)) t AS j"
+                 if d == SPARK else
+                 "CROSS JOIN (SELECT unnest(range(1, 3)) AS j) t"))
+
+
+# ------------------------------------------------ social-card assembly
+
+@query("opengraph_cards")
+def q_opengraph_cards(d: str) -> str:
+    """Social-card assembly with the real fallback chain every link
+    unfurler runs: title from ``og:title``, else ``twitter:title``,
+    else the ``<title>`` tag; description from ``og:description``,
+    else the description ``<meta>``; image presence from
+    ``og:image``.  The SOURCE of each field is emitted alongside the
+    value — at curation time the og/twitter tiers are
+    publisher-written summaries (high-quality paired text), while
+    title-tag fallbacks are often navigation boilerplate, so the
+    source column is the quality stratifier.
+
+    Heads are synthesized in-plan (same pattern as
+    html_meta_extract): ``<title>`` always; ``og:title`` on even
+    docs, ``twitter:title`` on every 3rd, ``og:description`` on
+    every 4th, a plain description meta always, ``og:image`` on
+    every 5th; an ``og:title`` decoy inside a CODE SNIPPET in the
+    body (after ``</head>``) that head-scoped extraction must
+    ignore.
+
+    Shape at 10^12 pages: per-row regexp projections on the head
+    substring — no shuffle, no explode, JVM codegen throughout."""
+    from .webgraph import CSTR
+
+    did = CSTR("doc_id", d)
+    head = (
+        "'<head><title>Page ' || {did} || ' | Site</title>'"
+        " || CASE WHEN doc_id % 2 = 0 THEN"
+        " '<meta property=\"og:title\" content=\"OG Story ' || {did}"
+        " || '\">' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        " '<meta name=\"twitter:title\" content=\"TW Story ' || {did}"
+        " || '\">' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN"
+        " '<meta property=\"og:description\" content=\"OG summary '"
+        " || {did} || '\">' ELSE '' END"
+        " || '<meta name=\"description\" content=\"Meta summary '"
+        " || {did} || '\">'"
+        " || CASE WHEN doc_id % 5 = 0 THEN"
+        " '<meta property=\"og:image\""
+        " content=\"https://img.example/' || {did} || '.jpg\">'"
+        " ELSE '' END"
+        " || '</head><body><code>&lt;meta property=\"og:title\""
+        " content=\"FAKE\"&gt;</code></body>'"
+    ).format(did=did)
+    hd = ("CASE WHEN instr(html, '</head>') > 0 "
+          "THEN substr(html, 1, instr(html, '</head>') - 1) "
+          "ELSE html END")
+    og_t = ("regexp_extract(hd, "
+            "'<meta property=\"og:title\" content=\"([^\"]*)\"', 1)")
+    tw_t = ("regexp_extract(hd, "
+            "'<meta name=\"twitter:title\" content=\"([^\"]*)\"', 1)")
+    ti = "regexp_extract(hd, '<title>([^<]*)</title>', 1)"
+    og_d = ("regexp_extract(hd, "
+            "'<meta property=\"og:description\" content=\"([^\"]*)\"', 1)")
+    me_d = ("regexp_extract(hd, "
+            "'<meta name=\"description\" content=\"([^\"]*)\"', 1)")
+    og_i = ("regexp_extract(hd, "
+            "'<meta property=\"og:image\" content=\"([^\"]*)\"', 1)")
+    return """
+WITH pages AS (SELECT doc_id, {head} AS html FROM documents),
+heads AS (SELECT doc_id, {hd} AS hd FROM pages),
+fields AS (
+  SELECT doc_id, {og_t} AS og_t, {tw_t} AS tw_t, {ti} AS ti,
+         {og_d} AS og_d, {me_d} AS me_d, {og_i} AS og_i
+  FROM heads
+)
+SELECT doc_id,
+  CASE WHEN og_t <> '' THEN og_t
+       WHEN tw_t <> '' THEN tw_t ELSE ti END AS card_title,
+  CASE WHEN og_t <> '' THEN 'og'
+       WHEN tw_t <> '' THEN 'twitter' ELSE 'title_tag' END
+    AS title_source,
+  CASE WHEN og_d <> '' THEN og_d ELSE me_d END AS card_description,
+  CASE WHEN og_d <> '' THEN 'og' ELSE 'meta' END AS desc_source,
+  CAST(CASE WHEN og_i <> '' THEN 1 ELSE 0 END AS INT) AS has_image
+FROM fields
+""".format(head=head, hd=hd, og_t=og_t, tw_t=tw_t, ti=ti,
+           og_d=og_d, me_d=me_d, og_i=og_i)

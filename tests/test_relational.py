@@ -55,6 +55,7 @@ _SUBSET = [
     "bigram_lm_score", "rocchio_expand", "host_reputation",
     "jsonld_extract", "events_funnel", "events_retention",
     "kmv_overlap", "zorder_cluster", "hreflang_alternates",
+    "registered_domain", "opengraph_cards",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4380,3 +4381,88 @@ def test_hreflang_alternates_semantics(duck, entry_mod):
     assert got == want
     # the attribute-order-flipped fr link is genuinely extracted
     assert any(r[2] == "fr" for r in got)
+
+
+def test_registered_domain_semantics(duck, entry_mod):
+    """Independent Python implementation of the PSL algorithm over
+    the same embedded rules and host families — exact row match, all
+    four rule kinds plus the host-IS-suffix NULL edge exercised."""
+    from pdf_parser_spark.ops.weburl import _PSL_RULES
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+
+    def host_of(did):
+        fam = did % 8
+        return ["www.site%d.com" % (did % 20),
+                "a.b.site%d.co.uk" % (did % 20),
+                "cdn.app%d.github.io" % (did % 15),
+                "shop.mall%d.com.au" % (did % 10),
+                "x.y%d.ck" % (did % 5),
+                "sub%d.www.ck" % (did % 3),
+                "weird%d.tldx" % (did % 7),
+                "co.uk"][fam]
+
+    def psl(host):
+        labels = host.split(".")
+        n = len(labels)
+        exc = norm = wild = None
+        for j in (1, 2):
+            if j > n:
+                break
+            suffix = ".".join(labels[n - j:])
+            tail1 = labels[-1]
+            for rule, kind, ps_len in _PSL_RULES:
+                if kind == "normal" and rule == suffix:
+                    norm = max(norm or 0, ps_len)
+                elif kind == "exception" and rule == suffix:
+                    exc = ps_len
+                elif kind == "wildcard" and j == 2 and rule == tail1:
+                    wild = max(wild or 0, ps_len)
+        if exc is not None:
+            ps_len, kind = exc, "exception"
+        else:
+            ps_len = max(norm or 1, wild or 1)
+            kind = ("wildcard" if (wild or 0) > (norm or 0)
+                    else "normal" if norm is not None else "default")
+        ps = ".".join(labels[n - ps_len:])
+        reg = (".".join(labels[n - ps_len - 1:])
+               if n > ps_len else None)
+        return ps, reg, kind
+
+    want = {(h,) + psl(h) for h in {host_of(did) for did in docs}}
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["registered_domain"]).fetchall()}
+    assert got == want
+    kinds = {r[3] for r in got}
+    assert kinds == {"normal", "wildcard", "exception", "default"}
+    assert any(r[2] is None for r in got)          # co.uk edge
+    # multi-label suffixes actually matter: a naive last-two-labels
+    # split would call a.b.siteK.co.uk's domain "co.uk"
+    assert any(r[1] == "co.uk" and r[2] and r[2].endswith(".co.uk")
+               for r in got)
+
+
+def test_opengraph_cards_semantics(duck, entry_mod):
+    """Python recompute of the fallback chain straight from the
+    injection rules; the body CODE-SNIPPET og:title decoy must never
+    surface."""
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    want = set()
+    for did in docs:
+        og_t = "OG Story %d" % did if did % 2 == 0 else ""
+        tw_t = "TW Story %d" % did if did % 3 == 0 else ""
+        og_d = "OG summary %d" % did if did % 4 == 0 else ""
+        title = (og_t or tw_t or "Page %d | Site" % did)
+        tsrc = "og" if og_t else ("twitter" if tw_t else "title_tag")
+        desc = og_d or "Meta summary %d" % did
+        dsrc = "og" if og_d else "meta"
+        want.add((did, title, tsrc, desc, dsrc,
+                  1 if did % 5 == 0 else 0))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["opengraph_cards"]).fetchall()}
+    assert got == want
+    assert not any("FAKE" in (r[1] or "") for r in got)
+    # every fallback tier fires somewhere
+    assert {r[2] for r in got} == {"og", "twitter", "title_tag"}
+    assert {r[4] for r in got} == {"og", "meta"}

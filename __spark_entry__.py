@@ -557,7 +557,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # rule dim, wildcard/exception semantics) and
                    # social-card assembly with the og->twitter->title
                    # fallback chain
-                   "registered_domain", "opengraph_cards"}
+                   "registered_domain", "opengraph_cards",
+                   # per-domain anti-domination cap (mergeable
+                   # hash-top-K shape) and declared AMP/canonical
+                   # reciprocal pairing
+                   "domain_cap_sample", "amp_canonical_pairs"}
 
 
 def _specials() -> dict:

@@ -178,7 +178,8 @@ def main() -> None:
                  # round-5 final-session additions
                  "events_funnel", "events_retention", "kmv_overlap",
                  "zorder_cluster", "hreflang_alternates",
-                 "registered_domain", "opengraph_cards"):
+                 "registered_domain", "opengraph_cards",
+                 "domain_cap_sample", "amp_canonical_pairs"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -1422,3 +1422,51 @@ FROM byhost
 
 q_host_reputation.__doc__ = (q_host_reputation.__doc__ or "").format(
     m=_REP_M, k=_REP_KEEP, r=_REP_REVIEW)
+
+
+_DOMAIN_CAP = 16
+
+
+@query("domain_cap_sample")
+def q_domain_cap_sample(d: str) -> str:
+    """Per-domain document cap — the anti-domination guard every
+    LLM-data mix applies AFTER quality filtering: no single
+    registered domain may contribute more than {cap} documents, and
+    WHICH documents survive must be deterministic and order-free
+    (hash rank, not arrival order), or two pipeline runs disagree.
+
+    The corpus is given a deliberately SKEWED domain layer (half of
+    all docs on one mega-domain, the rest spread over 10 small ones)
+    so the cap bites hardest on one key; every domain keeps exactly
+    min(size, {cap}) docs — the invariant the semantic test pins at
+    any SF.
+
+    Shape at 10^12 rows: "keep if md5-rank <= {cap} within domain"
+    is a bounded TOP-K PER KEY — mergeable exactly like the KMV
+    sketch (per-partition partial top-{cap}, then merge), so at
+    scale it runs as a partial-agg without materializing the skewed
+    domain's full row set on one reducer; the window ROW_NUMBER form
+    here is the verification twin (same rows, simplest shape both
+    engines share).  Output: one verdict row per document."""
+    from .webgraph import CSTR
+
+    domain = ("CASE WHEN doc_id % 2 = 0 THEN 'big.example'"
+              " ELSE 'site' || {k} || '.example' END"
+              ).format(k=CSTR("doc_id % 20", d))
+    h = HEX2INT("md5('cap|' || {did})".format(did=CSTR("doc_id", d)), d)
+    return """
+WITH ranked AS (
+  SELECT doc_id, domain,
+    CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id)
+         AS BIGINT) AS hash_rank,
+    CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS domain_docs
+  FROM (SELECT doc_id, {domain} AS domain, {h} AS h FROM documents) s
+)
+SELECT doc_id, domain, hash_rank, domain_docs,
+  CAST(CASE WHEN hash_rank <= {cap} THEN 1 ELSE 0 END AS INT) AS kept
+FROM ranked
+""".format(domain=domain, h=h, cap=_DOMAIN_CAP)
+
+
+q_domain_cap_sample.__doc__ = (q_domain_cap_sample.__doc__ or "")\
+    .format(cap=_DOMAIN_CAP)

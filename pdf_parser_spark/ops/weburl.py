@@ -1048,3 +1048,95 @@ SELECT doc_id,
 FROM fields
 """.format(head=head, hd=hd, og_t=og_t, tw_t=tw_t, ti=ti,
            og_d=og_d, me_d=me_d, og_i=og_i)
+
+
+# --------------------------------------------- AMP / canonical pairing
+
+@query("amp_canonical_pairs")
+def q_amp_canonical_pairs(d: str) -> str:
+    """AMP ↔ canonical page pairing — a Common-Crawl-specific dedup
+    tier: AMP mirrors are near-verbatim copies of their canonical
+    pages served from a second URL, and the markup DECLARES the
+    pairing in both directions (canonical page: ``<link
+    rel="amphtml">``; AMP page: ``<html ⚡>``/``<html amp>`` plus
+    ``<link rel="canonical">``).  Reading the declared pairs is
+    therefore free dedup signal no similarity join has to rediscover
+    — but only RECIPROCAL declarations are trustworthy (one-sided
+    claims are routinely stale or spoofed), so each side is
+    extracted independently and full-outer-joined on the (canonical,
+    amp) url pair.
+
+    Synthesis: every ``doc_id%4=0`` page declares its amphtml twin
+    at doc_id+3; every ``doc_id%4=3`` page is AMP (the ⚡ attribute
+    form on ``%8=3``, the spelled ``amp`` form on ``%8=7``) and
+    declares its canonical at doc_id−3 — EXCEPT the ``%20=3`` tier,
+    whose canonical link points at an unrelated host (the stale-
+    declaration case, yielding two one-sided rows instead of one
+    reciprocal row).
+
+    Shape at 10^12 pages: two narrow per-row regexp projections and
+    ONE equi-join on the url pair — at web scale both sides are
+    pre-filtered to the tiny declared-AMP slice before the join,
+    and the join key is the pair itself, so skew is impossible
+    (each pair key occurs at most once per side)."""
+    from ..relational import RLIKE
+    from .webgraph import CSTR, HOST
+
+    def url_of(expr: str) -> str:
+        return ("'https://' || %s || '/d' || %s"
+                % (HOST("(%s) %% 40" % expr, d), CSTR(expr, d)))
+
+    head_canon = (
+        "'<head><link rel=\"amphtml\" href=\"' || {amp_url}"
+        " || '\"></head>'"
+    ).format(amp_url=url_of("doc_id + 3"))
+    head_amp = (
+        "CASE WHEN doc_id % 8 = 3 THEN '<html ⚡ lang=\"en\">'"
+        " ELSE '<html amp lang=\"en\">' END"
+        " || '<head><link rel=\"canonical\" href=\"'"
+        " || CASE WHEN doc_id % 20 = 3"
+        "      THEN 'https://evil.example/d' || {did}"
+        "      ELSE {canon_url} END"
+        " || '\"></head>'"
+    ).format(did=CSTR("doc_id", d), canon_url=url_of("doc_id - 3"))
+    html = ("CASE WHEN doc_id % 4 = 0 THEN {hc} "
+            "WHEN doc_id % 4 = 3 THEN {ha} "
+            "ELSE '<head></head>' END"
+            ).format(hc=head_canon, ha=head_amp)
+    amp_detect = RLIKE("html", "<html (⚡|amp)[ >]", d)
+    return """
+WITH pages AS (
+  SELECT doc_id, {self_url} AS url, {html} AS html FROM documents
+),
+canon_side AS (
+  SELECT url AS canonical_url,
+    regexp_extract(html, '<link rel="amphtml" href="([^"]*)"', 1)
+      AS amp_url
+  FROM pages
+  WHERE html LIKE '%rel="amphtml"%'
+),
+amp_side AS (
+  SELECT
+    regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1)
+      AS canonical_url,
+    url AS amp_url,
+    CASE WHEN html LIKE '%⚡%' THEN 'bolt' ELSE 'amp' END
+      AS amp_marker
+  FROM pages
+  WHERE {amp_detect}
+)
+SELECT
+  COALESCE(c.canonical_url, a.canonical_url) AS canonical_url,
+  COALESCE(c.amp_url, a.amp_url) AS amp_url,
+  a.amp_marker,
+  CAST(CASE WHEN c.canonical_url IS NOT NULL
+             AND a.canonical_url IS NOT NULL
+       THEN 1 ELSE 0 END AS INT) AS reciprocal,
+  CASE WHEN c.canonical_url IS NULL THEN 'amp_only'
+       WHEN a.canonical_url IS NULL THEN 'canonical_only'
+       ELSE 'both' END AS declared_by
+FROM canon_side c
+FULL OUTER JOIN amp_side a
+  ON a.canonical_url = c.canonical_url AND a.amp_url = c.amp_url
+""".format(self_url=url_of("doc_id"), html=html,
+           amp_detect=amp_detect)

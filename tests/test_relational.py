@@ -55,7 +55,8 @@ _SUBSET = [
     "bigram_lm_score", "rocchio_expand", "host_reputation",
     "jsonld_extract", "events_funnel", "events_retention",
     "kmv_overlap", "zorder_cluster", "hreflang_alternates",
-    "registered_domain", "opengraph_cards",
+    "registered_domain", "opengraph_cards", "domain_cap_sample",
+    "amp_canonical_pairs",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4466,3 +4467,73 @@ def test_opengraph_cards_semantics(duck, entry_mod):
     # every fallback tier fires somewhere
     assert {r[2] for r in got} == {"og", "twitter", "title_tag"}
     assert {r[4] for r in got} == {"og", "meta"}
+
+
+def test_domain_cap_sample_semantics(duck, entry_mod):
+    """Python recompute of the per-domain hash-rank cap; every domain
+    keeps exactly min(size, 16) docs and the verdict per doc matches
+    the independent md5 ranking."""
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    by_dom = {}
+    for did in docs:
+        dom = ("big.example" if did % 2 == 0
+               else "site%d.example" % (did % 20))
+        by_dom.setdefault(dom, []).append(did)
+    want = set()
+    for dom, dids in by_dom.items():
+        ranked = sorted(dids, key=lambda x: (_h60("cap|%d" % x), x))
+        for i, did in enumerate(ranked):
+            want.add((did, dom, i + 1, len(dids),
+                      1 if i + 1 <= 16 else 0))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["domain_cap_sample"]).fetchall()}
+    assert got == want
+    kept = {}
+    for did, dom, rank, n, k in got:
+        kept[dom] = kept.get(dom, 0) + k
+    for dom, dids in by_dom.items():
+        assert kept[dom] == min(len(dids), 16), dom
+    # the skew guard actually bites: the mega-domain is capped
+    assert len(by_dom["big.example"]) > 16
+    assert kept["big.example"] == 16
+
+
+def test_amp_canonical_pairs_semantics(duck, entry_mod):
+    """Python recompute of the declared-pair table from the injection
+    rules: reciprocal pairs for healthy canonical/amp twins, two
+    one-sided rows for the stale %20=3 tier."""
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    present = set(docs)
+
+    def url(did):
+        return "https://h%d.example/d%d" % (did % 40, did)
+
+    want = set()
+    for did in docs:
+        if did % 4 == 0:
+            c, a = url(did), url(did + 3)
+            amp_ok = (did + 3) in present and (did + 3) % 20 != 3
+            if amp_ok:
+                marker = "bolt" if (did + 3) % 8 == 3 else "amp"
+                want.add((c, a, marker, 1, "both"))
+            else:
+                want.add((c, a, None, 0, "canonical_only"))
+        if did % 4 == 3:
+            marker = "bolt" if did % 8 == 3 else "amp"
+            if did % 20 == 3:
+                c = "https://evil.example/d%d" % did
+                want.add((c, url(did), marker, 0, "amp_only"))
+            else:
+                c = url(did - 3)
+                if (did - 3) not in present:
+                    want.add((c, url(did), marker, 0, "amp_only"))
+                # else covered by the canonical side's 'both' row
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["amp_canonical_pairs"]).fetchall()}
+    assert got == want
+    assert any(r[4] == "both" for r in got)
+    assert any(r[4] == "amp_only" for r in got)
+    assert any(r[4] == "canonical_only" for r in got)
+    assert {r[2] for r in got if r[3] == 1} == {"amp", "bolt"}

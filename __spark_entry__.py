@@ -561,7 +561,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # per-domain anti-domination cap (mergeable
                    # hash-top-K shape) and declared AMP/canonical
                    # reciprocal pairing
-                   "domain_cap_sample", "amp_canonical_pairs"}
+                   "domain_cap_sample", "amp_canonical_pairs",
+                   # magic-byte content-type sniffing (BOM strip +
+                   # whitespace skip + ordered prefix rules over the
+                   # binary payload's hex prefix)
+                   "content_sniff"}
 
 
 def _specials() -> dict:

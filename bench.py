@@ -179,7 +179,8 @@ def main() -> None:
                  "events_funnel", "events_retention", "kmv_overlap",
                  "zorder_cluster", "hreflang_alternates",
                  "registered_domain", "opengraph_cards",
-                 "domain_cap_sample", "amp_canonical_pairs"):
+                 "domain_cap_sample", "amp_canonical_pairs",
+                 "content_sniff"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

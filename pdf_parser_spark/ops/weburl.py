@@ -1140,3 +1140,90 @@ FULL OUTER JOIN amp_side a
   ON a.canonical_url = c.canonical_url AND a.amp_url = c.amp_url
 """.format(self_url=url_of("doc_id"), html=html,
            amp_detect=amp_detect)
+
+
+# --------------------------------------------- content-type sniffing
+
+@query("content_sniff")
+def q_content_sniff(d: str) -> str:
+    """Magic-byte content-type sniffing — the dispatch step the
+    extraction pipeline runs BEFORE choosing a parser: the input
+    table's payload column is ``binary`` (Content-Type headers lie
+    routinely at crawl scale), so the router looks at the first few
+    bytes.  At 10^12 rows this runs as ``hex(substring(html, 1, 32))``
+    off the binary column — a narrow map-only projection fused into
+    the scan, no decode of the full payload, no shuffle.
+
+    The sniffer models the real subtleties, in order:
+
+    1. **BOM first** (it sits at byte 0): UTF-8 ``efbbbf``, UTF-16LE
+       ``fffe``, UTF-16BE ``feff`` — stripped before type rules run,
+       reported as the charset verdict.
+    2. **ASCII-whitespace skip** (``0a 0d 09 20``) — HTML served with
+       leading blank lines must still sniff as HTML (WHATWG MIME
+       sniffing behavior), and the skip must consume whole BYTE
+       PAIRS of the hex form (the anchored 2-char alternation).
+    3. **Ordered prefix rules**, most specific first: PNG (8 bytes),
+       GIF, JPEG, PDF, gzip, ZIP, ``WARC/``, then tag-shaped HTML —
+       including UTF-16 HTML, where ``<`` is ``3c00`` (LE) / ``003c``
+       (BE) and a plain-ASCII rule would miss it.
+
+    Payloads are synthesized per doc as lowercase HEX strings (the
+    driver corpus carries no binary column): eleven tiers covering
+    every rule branch plus an unknown-binary tier whose md5 filler is
+    prefixed ``00`` so it can never collide with a magic number.
+
+    Cross-engine determinism: pure string compares on lowercase hex —
+    no floats, no regex beyond the anchored whitespace skip."""
+    from ..relational import lit
+    from .webgraph import CSTR
+
+    filler = "md5('sniff|' || %s)" % CSTR("doc_id", d)
+    ws_skip = lit("^(?:0a|0d|09|20)+", d)
+    return """
+WITH payload AS (
+  SELECT doc_id, CASE doc_id %% 11
+    WHEN 0 THEN '255044462d312e37'                      -- %%PDF-1.7
+    WHEN 1 THEN '1f8b08'                                -- gzip+deflate
+    WHEN 2 THEN '89504e470d0a1a0a'                      -- PNG
+    WHEN 3 THEN 'ffd8ffe0'                              -- JPEG/JFIF
+    WHEN 4 THEN 'efbbbf3c21646f63747970652068746d6c3e'  -- BOM <!doctype
+    WHEN 5 THEN 'fffe3c00680074006d006c00'              -- UTF-16LE <html
+    WHEN 6 THEN 'feff003c00680074006d006c'              -- UTF-16BE <html
+    WHEN 7 THEN '0a0d20203c48544d4c3e'                  -- ws + <HTML>
+    WHEN 8 THEN '504b0304'                              -- ZIP local hdr
+    WHEN 9 THEN '574152432f312e30'                      -- WARC/1.0
+    ELSE '00' END || %(filler)s AS px
+  FROM documents
+),
+bommed AS (
+  SELECT doc_id, px,
+    CASE WHEN px LIKE 'efbbbf%%' THEN 'utf-8-bom'
+         WHEN px LIKE 'fffe%%' THEN 'utf-16le'
+         WHEN px LIKE 'feff%%' THEN 'utf-16be'
+         ELSE 'none' END AS charset,
+    CASE WHEN px LIKE 'efbbbf%%' THEN substring(px, 7)
+         WHEN px LIKE 'fffe%%' OR px LIKE 'feff%%' THEN substring(px, 5)
+         ELSE px END AS afterbom
+  FROM payload
+),
+skipped AS (
+  SELECT doc_id, charset,
+    regexp_replace(afterbom, %(ws_skip)s, '') AS body
+  FROM bommed
+)
+SELECT doc_id, charset,
+  CASE WHEN body LIKE '89504e470d0a1a0a%%' THEN 'image/png'
+       WHEN body LIKE '47494638%%' THEN 'image/gif'
+       WHEN body LIKE 'ffd8ff%%' THEN 'image/jpeg'
+       WHEN body LIKE '25504446%%' THEN 'application/pdf'
+       WHEN body LIKE '1f8b%%' THEN 'application/gzip'
+       WHEN body LIKE '504b0304%%' THEN 'application/zip'
+       WHEN body LIKE '574152432f%%' THEN 'application/warc'
+       WHEN body LIKE '3c21%%' OR body LIKE '3c68746d6c%%'
+            OR body LIKE '3c48544d4c%%' THEN 'text/html'
+       WHEN charset = 'utf-16le' AND body LIKE '3c00%%' THEN 'text/html'
+       WHEN charset = 'utf-16be' AND body LIKE '003c%%' THEN 'text/html'
+       ELSE 'application/octet-stream' END AS content_type
+FROM skipped
+""" % {"filler": filler, "ws_skip": ws_skip}

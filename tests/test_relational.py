@@ -56,7 +56,7 @@ _SUBSET = [
     "jsonld_extract", "events_funnel", "events_retention",
     "kmv_overlap", "zorder_cluster", "hreflang_alternates",
     "registered_domain", "opengraph_cards", "domain_cap_sample",
-    "amp_canonical_pairs",
+    "amp_canonical_pairs", "content_sniff",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4537,3 +4537,66 @@ def test_amp_canonical_pairs_semantics(duck, entry_mod):
     assert any(r[4] == "amp_only" for r in got)
     assert any(r[4] == "canonical_only" for r in got)
     assert {r[2] for r in got if r[3] == 1} == {"amp", "bolt"}
+
+
+def test_content_sniff_semantics(duck, entry_mod):
+    """Independent BYTE-level re-implementation of the sniffer: build
+    each doc's actual payload bytes from the tier spec + md5 filler,
+    run a bytes sniffer (BOM strip, whitespace lstrip, ordered prefix
+    rules incl. UTF-16 '<'), and compare verdicts — this pins the hex
+    string form to real byte semantics (pair alignment, BOM offsets)."""
+    import hashlib
+
+    tier_hex = {0: "255044462d312e37", 1: "1f8b08",
+                2: "89504e470d0a1a0a", 3: "ffd8ffe0",
+                4: "efbbbf3c21646f63747970652068746d6c3e",
+                5: "fffe3c00680074006d006c00",
+                6: "feff003c00680074006d006c",
+                7: "0a0d20203c48544d4c3e", 8: "504b0304",
+                9: "574152432f312e30", 10: "00"}
+
+    def sniff(payload: bytes):
+        charset = "none"
+        if payload.startswith(b"\xef\xbb\xbf"):
+            charset, payload = "utf-8-bom", payload[3:]
+        elif payload.startswith(b"\xff\xfe"):
+            charset, payload = "utf-16le", payload[2:]
+        elif payload.startswith(b"\xfe\xff"):
+            charset, payload = "utf-16be", payload[2:]
+        body = payload.lstrip(b"\n\r\t ")
+        rules = [(b"\x89PNG\r\n\x1a\n", "image/png"),
+                 (b"GIF8", "image/gif"), (b"\xff\xd8\xff", "image/jpeg"),
+                 (b"%PDF", "application/pdf"),
+                 (b"\x1f\x8b", "application/gzip"),
+                 (b"PK\x03\x04", "application/zip"),
+                 (b"WARC/", "application/warc")]
+        for pre, label in rules:
+            if body.startswith(pre):
+                return charset, label
+        if (body.startswith(b"<!") or body[:5].lower() == b"<html"
+                or (charset == "utf-16le" and body.startswith(b"<\x00"))
+                or (charset == "utf-16be" and body.startswith(b"\x00<"))):
+            return charset, "text/html"
+        return charset, "application/octet-stream"
+
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    want = set()
+    for did in docs:
+        filler = hashlib.md5(("sniff|%d" % did).encode()).hexdigest()
+        payload = bytes.fromhex(tier_hex[did % 11] + filler)
+        cs, ct = sniff(payload)
+        want.add((did, cs, ct))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["content_sniff"]).fetchall()}
+    assert got == want
+    # every rule branch fires somewhere
+    assert {r[2] for r in got} == {
+        "image/png", "image/jpeg", "application/pdf", "application/gzip",
+        "application/zip", "application/warc", "text/html",
+        "application/octet-stream"}
+    assert {r[1] for r in got} == {"none", "utf-8-bom", "utf-16le",
+                                   "utf-16be"}
+    # the three html charset paths are distinct rule branches
+    html_cs = {r[1] for r in got if r[2] == "text/html"}
+    assert html_cs == {"none", "utf-8-bom", "utf-16le", "utf-16be"}

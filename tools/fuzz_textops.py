@@ -118,7 +118,25 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "html_table_extract",
            # readability: random word/vowel/boundary densities stress
            # the three count regexes and the banded double math
-           "readability_score"]
+           "readability_score",
+           # closing-session tier, all documents-only: suffix-table
+           # matching + og/twitter fallback + hreflang grids are
+           # doc_id-arithmetic HTML synthesis (random doc COUNTS
+           # exercise tier membership and join fan-out); KMV/Z-order/
+           # reputation/LM/Rocchio digest the random TEXT (md5 seam,
+           # tf ties, bigram backoff); snippets/outline/winnowing run
+           # their window scans over the fuzz token stream; the
+           # domain cap ranks md5 hashes; AMP pairing full-outer-joins
+           # the declared url pairs
+           "registered_domain", "opengraph_cards",
+           "hreflang_alternates", "kmv_overlap", "zorder_cluster",
+           "jsonld_extract", "host_reputation", "rocchio_expand",
+           "bigram_lm_score", "domain_cap_sample",
+           "amp_canonical_pairs", "search_snippets",
+           "headings_outline", "winnow_matches",
+           # magic-byte sniffing: pure doc_id arithmetic + the
+           # anchored hex whitespace-skip regex on both engines
+           "content_sniff"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

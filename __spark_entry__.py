@@ -564,8 +564,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "domain_cap_sample", "amp_canonical_pairs",
                    # magic-byte content-type sniffing (BOM strip +
                    # whitespace skip + ordered prefix rules over the
-                   # binary payload's hex prefix)
-                   "content_sniff"}
+                   # binary payload's hex prefix) and link-farm
+                   # reciprocity spam tiers
+                   "content_sniff", "link_spam_score"}
 
 
 def _specials() -> dict:

@@ -180,7 +180,7 @@ def main() -> None:
                  "zorder_cluster", "hreflang_alternates",
                  "registered_domain", "opengraph_cards",
                  "domain_cap_sample", "amp_canonical_pairs",
-                 "content_sniff"):
+                 "content_sniff", "link_spam_score"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -9,7 +9,7 @@ IEEE-deterministic, so both engines emit identical values.
 from __future__ import annotations
 
 from ..relational import (
-    DUCK, SPARK, AMIN, HEX2INT, LEN, REALL, REREPL, TOKS_CTE, lit,
+    DUCK, SPARK, AMIN, HEX2INT, LEN, REALL, REREPL, TOKS_CTE, TRIMS, lit,
 )
 
 QUERIES = {}
@@ -1155,11 +1155,11 @@ marked AS (
   SELECT doc_id, {marked} AS m FROM twinned
 ),
 {parts}
-SELECT doc_id, CAST(pos AS BIGINT) AS sent_no, trim(s) AS sentence,
-       CAST(length(trim(s)) AS BIGINT) AS n_chars
+SELECT doc_id, CAST(pos AS BIGINT) AS sent_no, {ts} AS sentence,
+       CAST(length({ts}) AS BIGINT) AS n_chars
 FROM parts
-WHERE trim(s) <> ''
-""".format(twin=twin, marked=marked, parts=parts)
+WHERE {ts} <> ''
+""".format(twin=twin, marked=marked, parts=parts, ts=TRIMS("s", d))
 
 
 @query("readability_score")

@@ -1486,3 +1486,82 @@ def hyperball_df(spark, edges=None, rounds: int = _HB_ROUNDS):
     if own_edges:
         pass  # edges stays persisted for the caller's action
     return out
+
+
+# --------------------------------------------- link-farm spam scoring
+
+@query("link_spam_score")
+def q_link_spam_score(d: str) -> str:
+    """Link-farm detection from reciprocity structure — the classic
+    host-level spam signal (TrustRank's complement): a farm is a set
+    of hosts that link EACH OTHER and receive links from (almost)
+    nobody else, so its members show perfect neighbor mutuality
+    (out-set == in-set == mutual-set), while organically-linked hosts
+    — even the hub every page links — have asymmetric neighborhoods.
+
+    Input: the shared edge universe (``_edges_ctes``) UNIONed with an
+    injected 4-host clique ``farm0..farm3.example`` (every member
+    links the other three; emitters are the ``doc_id%101<4`` docs, so
+    the clique exists at every SF and gets NO organic in-links).
+
+    Per-host metrics, all exact integers:
+      * ``out_deg`` / ``in_deg`` — distinct neighbor counts;
+      * ``recip`` — mutual partners (reverse edge exists);
+      * ``recip_ppm`` — floor(10^6 * recip / out_deg).
+    Verdict tiers: ``clique_spam`` (out_deg = in_deg = recip ≥ 3 —
+    the closed-clique signature), ``high_recip`` (recip_ppm ≥
+    600000), else ``normal``.  The hub host h0 is ~100% reciprocated
+    but NOT insular (its in-set is everyone), so it lands in
+    high_recip, not clique_spam — the discrimination the tier
+    structure is for.
+
+    Shape at 10^12 pages: edges aggregate to host granularity
+    (~10^7 rows) before anything else; reciprocity is ONE self
+    equi-join on the (dst,src)=(src,dst) key pair at host grain;
+    both degree rollups partial-agg map-side.  No floats, no
+    all-pairs."""
+    k_seq = ("LATERAL VIEW explode(sequence(0, 2)) t AS k" if d == SPARK
+             else "CROSS JOIN (SELECT unnest(range(0, 3)) AS k)")
+    m = CSTR("doc_id % 4", d)
+    mk = CSTR("(doc_id % 4 + k + 1) % 4", d)
+    return """
+WITH {edges},
+farm AS (
+  SELECT DISTINCT 'farm' || {m} || '.example' AS src_host,
+                  'farm' || {mk} || '.example' AS dst_host
+  FROM documents {k_seq}
+  WHERE doc_id % 101 < 4
+),
+all_edges AS (
+  SELECT src_host, dst_host FROM edges
+  UNION
+  SELECT src_host, dst_host FROM farm
+),
+mutual AS (
+  SELECT e.src_host, e.dst_host,
+    CASE WHEN r.src_host IS NOT NULL THEN 1 ELSE 0 END AS is_mutual
+  FROM all_edges e
+  LEFT JOIN all_edges r
+    ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+),
+outs AS (
+  SELECT src_host AS host,
+    CAST(COUNT(*) AS BIGINT) AS out_deg,
+    CAST(SUM(is_mutual) AS BIGINT) AS recip
+  FROM mutual GROUP BY src_host
+),
+ins AS (
+  SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_deg
+  FROM all_edges GROUP BY dst_host
+)
+SELECT o.host, o.out_deg,
+  COALESCE(i.in_deg, CAST(0 AS BIGINT)) AS in_deg, o.recip,
+  {ppm} AS recip_ppm,
+  CASE WHEN o.out_deg >= 3 AND o.recip = o.out_deg
+            AND COALESCE(i.in_deg, CAST(0 AS BIGINT)) = o.out_deg
+       THEN 'clique_spam'
+       WHEN {ppm} >= 600000 THEN 'high_recip'
+       ELSE 'normal' END AS verdict
+FROM outs o LEFT JOIN ins i ON i.host = o.host
+""".format(edges=_edges_ctes(d).strip(), m=m, mk=mk, k_seq=k_seq,
+           ppm=IDIV("1000000 * o.recip", "o.out_deg"))

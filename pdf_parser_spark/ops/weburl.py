@@ -348,18 +348,19 @@ def q_html_meta_extract(d: str) -> str:
     shuffle, no UDF, whole-stage-codegen regexp on the JVM; the gate
     is a per-row boolean.  At real scale this reads the ``html``
     payload column once alongside the main-content pass."""
-    from ..relational import RLIKE
+    from ..relational import RLIKE, TRIMS
     from .webgraph import CSTR, HOST
 
     own = HOST("doc_id % 40", d)
     did = CSTR("doc_id", d)
+    t24 = TRIMS("substr(text, 1, 24)", d)
     canon_host = ("CASE doc_id % 4 WHEN 1 THEN " + own +
                   " WHEN 2 THEN " + HOST("(doc_id + 17) % 40", d) +
                   " ELSE '' END")
     head = (
         "'<html lang=\"' || lang || '\"><head>'"
         " || '<meta property=\"og:title\" content=\"OG ' || {did} || '\">'"
-        " || '<title>' || trim(substr(text, 1, 24)) || '</title>'"
+        " || '<title>' || {t24} || '</title>'"
         " || CASE WHEN doc_id % 3 = 0"
         "      THEN '<meta content=\"Doc ' || {did} || ' in ' || lang"
         "        || '\" name=\"description\">'"
@@ -372,7 +373,7 @@ def q_html_meta_extract(d: str) -> str:
         "      THEN '<meta name=\"robots\" content=\"noindex,nofollow\">'"
         "      ELSE '' END"
         " || '</head>'"
-    ).format(did=did)
+    ).format(did=did, t24=t24)
     title = "regexp_extract(html, '<title>([^<]*)</title>', 1)"
     desc_nf = ("regexp_extract(html,"
                " '<meta name=\"description\" content=\"([^\"]*)\"', 1)")
@@ -432,11 +433,13 @@ def q_headings_outline(d: str) -> str:
     join is headings-to-headings WITHIN one document — fan-in
     #headings^2 per doc, single digits — and never crosses documents,
     so it rides the existing doc partitioning."""
+    from ..relational import TRIMS
     from .webgraph import CSTR
 
     did = CSTR("doc_id", d)
+    t12 = TRIMS("substr(text, 1, 12)", d)
     body = (
-        "'<h1>' || trim(substr(text, 1, 12)) || '</h1><p>intro</p>'"
+        "'<h1>' || {t12} || '</h1><p>intro</p>'"
         " || '<h2>Part A ' || {did} || '</h2><p>a</p>'"
         " || CASE WHEN doc_id % 3 = 0"
         "      THEN '<h3>Detail A1 ' || {did} || '</h3><p>d</p>'"
@@ -446,7 +449,7 @@ def q_headings_outline(d: str) -> str:
         " || '<h4>not in outline</h4>'"
         " || CASE WHEN doc_id % 7 = 1 THEN '<h2></h2>' ELSE '' END"
         " || '<h2>Part B</h2><p>b</p>'"
-    ).format(did=did)
+    ).format(did=did, t12=t12)
     pat = "'<h[1-3]>[^<]*</h[1-3]>'"
     if d == SPARK:
         hs = """

@@ -59,6 +59,17 @@ def RLIKE(s: str, pattern: str, d: str) -> str:
         "regexp_matches(%s, %s)" % (s, p))
 
 
+def TRIMS(x: str, d: str) -> str:
+    """ASCII-space-only trim, identical across engines.
+
+    Spark's ``trim()`` strips only 0x20; DuckDB's strips unicode
+    spaces too (NBSP et al.), so bare ``trim()`` diverges whenever a
+    value starts or ends with a non-ASCII space (found by
+    tools/fuzz_textops.py on an NBSP-leading document).  Pinning the
+    charset to ``' '`` makes both engines space-only."""
+    return ("trim(%s)" % x) if d == SPARK else ("trim(%s, ' ')" % x)
+
+
 def LEN(arr: str, d: str) -> str:
     return ("size(%s)" % arr) if d == SPARK else ("len(%s)" % arr)
 

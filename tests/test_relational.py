@@ -56,7 +56,7 @@ _SUBSET = [
     "jsonld_extract", "events_funnel", "events_retention",
     "kmv_overlap", "zorder_cluster", "hreflang_alternates",
     "registered_domain", "opengraph_cards", "domain_cap_sample",
-    "amp_canonical_pairs", "content_sniff",
+    "amp_canonical_pairs", "content_sniff", "link_spam_score",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4600,3 +4600,44 @@ def test_content_sniff_semantics(duck, entry_mod):
     # the three html charset paths are distinct rule branches
     html_cs = {r[1] for r in got if r[2] == "text/html"}
     assert html_cs == {"none", "utf-8-bom", "utf-16le", "utf-16be"}
+
+
+def test_link_spam_score_semantics(duck, entry_mod):
+    """Independent Python recomputation of the reciprocity metrics
+    and verdict tiers over independently derived edges (shared organic
+    universe + the injected farm clique)."""
+    doc_ids = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    edges = set(_py_webgraph_edges(doc_ids))
+    members = sorted({d % 4 for d in doc_ids if d % 101 < 4})
+    for m in members:
+        for k in range(3):
+            edges.add(("farm%d.example" % m,
+                       "farm%d.example" % ((m + k + 1) % 4)))
+    outs, ins = {}, {}
+    for s, t in edges:
+        outs.setdefault(s, set()).add(t)
+        ins.setdefault(t, set()).add(s)
+    want = set()
+    for h, dsts in outs.items():
+        out_deg = len(dsts)
+        in_deg = len(ins.get(h, ()))
+        recip = sum(1 for t in dsts if (t, h) in edges)
+        ppm = 1000000 * recip // out_deg
+        if out_deg >= 3 and recip == out_deg and in_deg == out_deg:
+            verdict = "clique_spam"
+        elif ppm >= 600000:
+            verdict = "high_recip"
+        else:
+            verdict = "normal"
+        want.add((h, out_deg, in_deg, recip, ppm, verdict))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["link_spam_score"]).fetchall()}
+    assert got == want
+    # the injected clique is flagged; the organic hub is NOT
+    by_host = {r[0]: r[5] for r in got}
+    assert {by_host["farm%d.example" % m] for m in members} \
+        == {"clique_spam"}
+    assert by_host["h0.example"] != "clique_spam"
+    # all three tiers realized
+    assert {r[5] for r in got} == {"clique_spam", "high_recip", "normal"}

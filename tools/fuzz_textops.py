@@ -136,7 +136,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "headings_outline", "winnow_matches",
            # magic-byte sniffing: pure doc_id arithmetic + the
            # anchored hex whitespace-skip regex on both engines
-           "content_sniff"]
+           "content_sniff",
+           # reciprocity spam tiers: random doc_id sets vary the
+           # organic graph shape and which farm members emit
+           "link_spam_score"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

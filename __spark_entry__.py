@@ -564,9 +564,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "domain_cap_sample", "amp_canonical_pairs",
                    # magic-byte content-type sniffing (BOM strip +
                    # whitespace skip + ordered prefix rules over the
-                   # binary payload's hex prefix) and link-farm
-                   # reciprocity spam tiers
-                   "content_sniff", "link_spam_score"}
+                   # binary payload's hex prefix), link-farm
+                   # reciprocity spam tiers, and min/max file-skip
+                   # estimation over the z-order/row-order layouts
+                   "content_sniff", "link_spam_score",
+                   "minmax_prune_stats"}
 
 
 def _specials() -> dict:

@@ -180,7 +180,8 @@ def main() -> None:
                  "zorder_cluster", "hreflang_alternates",
                  "registered_domain", "opengraph_cards",
                  "domain_cap_sample", "amp_canonical_pairs",
-                 "content_sniff", "link_spam_score"):
+                 "content_sniff", "link_spam_score",
+                 "minmax_prune_stats"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

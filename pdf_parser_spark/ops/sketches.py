@@ -693,6 +693,46 @@ _Z_BITS = 6          # 6 bits per dimension → 12-bit Morton key
 _Z_FILES = 16        # top 4 interleaved bits pick the file
 
 
+def _zorder_assigned_ctes(d: str) -> str:
+    """The shared layout-assignment CTE chain (``stats`` →
+    ``bucketed`` → ``keyed`` → ``assigned``): each doc gets its
+    (host-bucket xb, size-bucket yb) coordinates and a file under
+    BOTH layouts — Morton-interleaved ``zorder`` and contiguous
+    ``roworder``.  Shared by ``zorder_cluster`` (per-file clustering
+    stats) and ``minmax_prune_stats`` (file-skipping estimation), so
+    the two queries describe the same physical layout."""
+    xb = "doc_id % 64"
+    yb = IDIV("n_chars * 64", "(SELECT mx + 1 FROM stats)")
+    z = " + ".join(
+        "({xbit}) * {w1} + ({ybit}) * {w2}".format(
+            xbit=IDIV("xb", str(1 << b)) + " % 2",
+            ybit=IDIV("yb", str(1 << b)) + " % 2",
+            w1=4 ** b, w2=2 * 4 ** b)
+        for b in range(_Z_BITS))
+    rowfile = IDIV("(doc_id - (SELECT mn FROM stats)) * %d" % _Z_FILES,
+                   "(SELECT mx_id - mn + 1 FROM stats)")
+    return """stats AS (
+  SELECT CAST(MAX(n_chars) AS BIGINT) AS mx,
+         CAST(MIN(doc_id) AS BIGINT) AS mn,
+         CAST(MAX(doc_id) AS BIGINT) AS mx_id
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, CAST({xb} AS BIGINT) AS xb, CAST({yb} AS BIGINT) AS yb
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, xb, yb, CAST({z} AS BIGINT) AS z FROM bucketed
+),
+assigned AS (
+  SELECT 'zorder' AS layout, {zfile} AS file_id, xb, yb FROM keyed
+  UNION ALL
+  SELECT 'roworder' AS layout, {rowfile} AS file_id, xb, yb
+  FROM keyed
+)""".format(xb=xb, yb=yb, z=z, rowfile=rowfile,
+            zfile=IDIV("z", str((1 << (2 * _Z_BITS)) // _Z_FILES)))
+
+
 @query("zorder_cluster")
 def q_zorder_cluster(d: str) -> str:
     """Z-order (Morton-interleave) file clustering vs row-order
@@ -722,41 +762,89 @@ def q_zorder_cluster(d: str) -> str:
     shuffle); the real job feeds it to repartitionByRange + sorted
     write, whose split-point planning is exactly the sibling
     ``range_partition_plan`` row."""
-    xb = "doc_id % 64"
-    yb = IDIV("n_chars * 64", "(SELECT mx + 1 FROM stats)")
-    z = " + ".join(
-        "({xbit}) * {w1} + ({ybit}) * {w2}".format(
-            xbit=IDIV("xb", str(1 << b)) + " % 2",
-            ybit=IDIV("yb", str(1 << b)) + " % 2",
-            w1=4 ** b, w2=2 * 4 ** b)
-        for b in range(_Z_BITS))
-    rowfile = IDIV("(doc_id - (SELECT mn FROM stats)) * %d" % _Z_FILES,
-                   "(SELECT mx_id - mn + 1 FROM stats)")
     return """
-WITH stats AS (
-  SELECT CAST(MAX(n_chars) AS BIGINT) AS mx,
-         CAST(MIN(doc_id) AS BIGINT) AS mn,
-         CAST(MAX(doc_id) AS BIGINT) AS mx_id
-  FROM documents
-),
-bucketed AS (
-  SELECT doc_id, CAST({xb} AS BIGINT) AS xb, CAST({yb} AS BIGINT) AS yb
-  FROM documents
-),
-keyed AS (
-  SELECT doc_id, xb, yb, CAST({z} AS BIGINT) AS z FROM bucketed
-),
-assigned AS (
-  SELECT 'zorder' AS layout, {zfile} AS file_id, xb, yb FROM keyed
-  UNION ALL
-  SELECT 'roworder' AS layout, {rowfile} AS file_id, xb, yb
-  FROM keyed
-)
+WITH {ctes}
 SELECT layout, CAST(file_id AS BIGINT) AS file_id,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(COUNT(DISTINCT xb) AS BIGINT) AS n_hosts,
   CAST(MAX(xb) - MIN(xb) AS BIGINT) AS host_span,
   CAST(MAX(yb) - MIN(yb) AS BIGINT) AS size_span
 FROM assigned GROUP BY layout, file_id
-""".format(xb=xb, yb=yb, z=z, rowfile=rowfile,
-           zfile=IDIV("z", str((1 << (2 * _Z_BITS)) // _Z_FILES)))
+""".format(ctes=_zorder_assigned_ctes(d))
+
+
+# --------------------------------------------- min/max file skipping
+
+@query("minmax_prune_stats")
+def q_minmax_prune_stats(d: str) -> str:
+    """Min/max file-skipping estimation — the payoff measurement for
+    the ``zorder_cluster`` layout pass: parquet/Iceberg readers prune
+    a file when the predicate's value range misses the file's
+    [min, max] footer stats, so the fraction of files skipped is a
+    direct function of how well the layout clustered the filter
+    columns.  This query scores BOTH layouts (Morton ``zorder`` vs
+    contiguous ``roworder``, the exact assignment shared via
+    ``_zorder_assigned_ctes``) against a fixed battery of eight
+    predicates — four host-equality points (``xb = 17p mod 64``) and
+    four size bands (``yb ∈ [16p, 16p+15]``) — and reports, per
+    (layout, predicate): files scanned/skipped, rows scanned, and
+    rows actually matched.
+
+    The honesty invariants the test pins: rows_matched is IDENTICAL
+    across layouts (pruning must never change the answer), every
+    matching row lives in a scanned file (rows_matched ≤
+    rows_scanned), and zorder skips strictly more files than
+    roworder on every host predicate while roworder wins nothing.
+
+    Shape at 10^12 rows: file stats aggregate to file granularity
+    (thousands of rows) before anything else; the predicate battery
+    is an 8-row dimension CROSS JOINed (broadcast) against the file
+    stats and the per-row match counts — the same tiny-dim join an
+    engine's own planner runs per query.  Pure integer arithmetic."""
+    k_seq = ("SELECT explode(sequence(0, 7)) AS pred_id" if d == SPARK
+             else "SELECT unnest(range(0, 8)) AS pred_id")
+    return """
+WITH {ctes},
+fstats AS (
+  SELECT layout, file_id,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    MIN(xb) AS mn_x, MAX(xb) AS mx_x,
+    MIN(yb) AS mn_y, MAX(yb) AS mx_y
+  FROM assigned GROUP BY layout, file_id
+),
+preds AS (
+  SELECT pred_id,
+    CASE WHEN pred_id < 4 THEN 'host_eq' ELSE 'size_band' END AS kind,
+    CASE WHEN pred_id < 4 THEN (pred_id * 17) % 64 ELSE -1 END AS v,
+    CASE WHEN pred_id < 4 THEN -1 ELSE (pred_id - 4) * 16 END AS lo,
+    CASE WHEN pred_id < 4 THEN -1 ELSE (pred_id - 4) * 16 + 15 END AS hi
+  FROM ({k_seq}) s
+),
+scans AS (
+  SELECT f.layout, p.pred_id, p.kind,
+    CASE WHEN (p.kind = 'host_eq'
+               AND f.mn_x <= p.v AND p.v <= f.mx_x)
+          OR (p.kind = 'size_band'
+               AND f.mn_y <= p.hi AND p.lo <= f.mx_y)
+         THEN 1 ELSE 0 END AS scanned,
+    f.n_docs
+  FROM fstats f CROSS JOIN preds p
+),
+matches AS (
+  SELECT a.layout, p.pred_id,
+    CAST(COUNT(*) AS BIGINT) AS rows_matched
+  FROM assigned a CROSS JOIN preds p
+  WHERE (p.kind = 'host_eq' AND a.xb = p.v)
+     OR (p.kind = 'size_band' AND a.yb BETWEEN p.lo AND p.hi)
+  GROUP BY a.layout, p.pred_id
+)
+SELECT s.layout, CAST(s.pred_id AS BIGINT) AS pred_id, s.kind,
+  CAST(COUNT(*) AS BIGINT) AS files_total,
+  CAST(SUM(s.scanned) AS BIGINT) AS files_scanned,
+  CAST(COUNT(*) - SUM(s.scanned) AS BIGINT) AS files_skipped,
+  CAST(SUM(s.scanned * s.n_docs) AS BIGINT) AS rows_scanned,
+  COALESCE(MAX(m.rows_matched), CAST(0 AS BIGINT)) AS rows_matched
+FROM scans s
+LEFT JOIN matches m ON m.layout = s.layout AND m.pred_id = s.pred_id
+GROUP BY s.layout, s.pred_id, s.kind
+""".format(ctes=_zorder_assigned_ctes(d), k_seq=k_seq)

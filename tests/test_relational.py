@@ -57,6 +57,7 @@ _SUBSET = [
     "kmv_overlap", "zorder_cluster", "hreflang_alternates",
     "registered_domain", "opengraph_cards", "domain_cap_sample",
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
+    "minmax_prune_stats",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4641,3 +4642,70 @@ def test_link_spam_score_semantics(duck, entry_mod):
     assert by_host["h0.example"] != "clique_spam"
     # all three tiers realized
     assert {r[5] for r in got} == {"clique_spam", "high_recip", "normal"}
+
+
+def test_minmax_prune_stats_semantics(duck, entry_mod):
+    """Independent Python recomputation of the layout assignment, the
+    per-file min/max stats, the scan decisions, and the match counts;
+    plus the pruning honesty invariants."""
+    docs = duck.sql("SELECT doc_id, n_chars FROM documents").fetchall()
+    mx = max(n for _, n in docs)
+    mn_id = min(i for i, _ in docs)
+    mx_id = max(i for i, _ in docs)
+
+    def coords(i, n):
+        xb = i % 64
+        yb = n * 64 // (mx + 1)
+        z = 0
+        for b in range(6):
+            z += ((xb >> b) & 1) * 4 ** b + ((yb >> b) & 1) * 2 * 4 ** b
+        return xb, yb, z
+
+    assigned = []  # (layout, file_id, xb, yb)
+    for i, n in docs:
+        xb, yb, z = coords(i, n)
+        assigned.append(("zorder", z // 256, xb, yb))
+        assigned.append(("roworder",
+                         (i - mn_id) * 16 // (mx_id - mn_id + 1), xb, yb))
+    preds = []
+    for p in range(8):
+        if p < 4:
+            preds.append((p, "host_eq", (p * 17) % 64, -1, -1))
+        else:
+            preds.append((p, "size_band", -1, (p - 4) * 16,
+                          (p - 4) * 16 + 15))
+    fstats = {}
+    for lay, f, xb, yb in assigned:
+        st = fstats.setdefault((lay, f), [0, 64, -1, 64, -1])
+        st[0] += 1
+        st[1] = min(st[1], xb); st[2] = max(st[2], xb)
+        st[3] = min(st[3], yb); st[4] = max(st[4], yb)
+    want = set()
+    for lay in ("zorder", "roworder"):
+        files = {f: st for (l, f), st in fstats.items() if l == lay}
+        for pid, kind, v, lo, hi in preds:
+            scanned = skipped = rows_sc = 0
+            for f, (n, mnx, mxx, mny, mxy) in files.items():
+                hit = (mnx <= v <= mxx) if kind == "host_eq" \
+                    else (mny <= hi and lo <= mxy)
+                if hit:
+                    scanned += 1; rows_sc += n
+                else:
+                    skipped += 1
+            matched = sum(
+                1 for l, f, xb, yb in assigned if l == lay and
+                ((kind == "host_eq" and xb == v)
+                 or (kind == "size_band" and lo <= yb <= hi)))
+            want.add((lay, pid, kind, len(files), scanned, skipped,
+                      rows_sc, matched))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["minmax_prune_stats"]).fetchall()}
+    assert got == want
+    # pruning honesty: identical answers across layouts, and every
+    # matching row lives in a scanned file
+    bym = {(r[0], r[1]): r for r in got}
+    for pid in range(8):
+        zr, rr = bym[("zorder", pid)], bym[("roworder", pid)]
+        assert zr[7] == rr[7]           # rows_matched layout-invariant
+        assert zr[7] <= zr[6] and rr[7] <= rr[6]
+        assert zr[4] < rr[4]            # zorder scans fewer files

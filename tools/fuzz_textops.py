@@ -139,7 +139,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "content_sniff",
            # reciprocity spam tiers: random doc_id sets vary the
            # organic graph shape and which farm members emit
-           "link_spam_score"]
+           "link_spam_score",
+           # min/max skipping: random n_chars spectra reshape the
+           # Morton cells, file stats, and scan decisions
+           "minmax_prune_stats"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

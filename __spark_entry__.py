@@ -568,7 +568,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # reciprocity spam tiers, and min/max file-skip
                    # estimation over the z-order/row-order layouts
                    "content_sniff", "link_spam_score",
-                   "minmax_prune_stats"}
+                   "minmax_prune_stats",
+                   # rare-anchor bitext pair mining (hash join on
+                   # translation-invariant anchors, df-capped)
+                   "bitext_mine"}
 
 
 def _specials() -> dict:

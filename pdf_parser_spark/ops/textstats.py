@@ -1470,3 +1470,125 @@ FROM ranked
 
 q_domain_cap_sample.__doc__ = (q_domain_cap_sample.__doc__ or "")\
     .format(cap=_DOMAIN_CAP)
+
+
+# --------------------------------------------- bitext pair mining
+
+_BTX_DF_CAP = 8      # anchors seen in more docs than this are dropped
+_BTX_MIN_SHARED = 3  # aligned needs this many shared rare anchors
+_BTX_XX_OFFSET = 1000000000
+
+
+@query("bitext_mine")
+def q_bitext_mine(d: str) -> str:
+    """Cross-lingual parallel-document mining (the WikiMatrix /
+    CCMatrix / ParaCrawl alignment shape) — find (english, foreign)
+    document pairs that are translations of each other WITHOUT an
+    all-pairs comparison: translation-invariant RARE ANCHORS (tokens
+    containing digits — numbers, dates, phone fragments — which
+    survive translation verbatim) are exploded from both sides and
+    equi-joined, so candidate generation is a hash join on the
+    anchor value, exactly like the LSH band join of the dedup tier.
+    Two guards make it scale-safe: a per-side document-frequency cap
+    (anchors in more than {cap} docs are dropped — the super-bucket
+    guard; common numbers like years match everything and mine
+    nothing) and the aligned verdict needs ≥{mins} shared anchors
+    plus a byte-length ratio ≥ 50% (translations differ in length,
+    but not by 2×).
+
+    The foreign side is synthesized in-plan (the corpus is
+    monolingual): every ``doc_id%3=0`` doc gets an ``xx`` twin (id +
+    10^9) whose words are REVERSED per token while digit-bearing
+    anchors pass through verbatim — except the ``doc_id%15=3`` tier,
+    whose anchors are digit-shifted (``translate`` 0→9, 1→0, …): the
+    mistranslated/stale tier that shares NO anchors and must not be
+    mined.
+
+    The corpus text carries no digits, so each doc's anchors are
+    injected in-plan first (three rare ones — ``inv``/``tel``/``seq``
+    tokens from doc_id arithmetic — plus the COMMON ``yr2024`` every
+    doc shares, which the df cap must drop), and every ``doc_id%9=0``
+    twin additionally carries ONE anchor stolen from doc_id+3 — a
+    single-anchor coincidence that must surface as a low-confidence
+    ``candidate``, never ``aligned``.
+
+    Output: one row per mined candidate pair with its features and
+    verdict — plus ``is_true_pair`` (id arithmetic the synthesis
+    makes auditable) so precision is measurable in-result.
+
+    Shape at 10^12 docs: anchor explode partial-aggs to (anchor, doc)
+    grain; the df cap is one hash-agg per side; the candidate join is
+    anchor-keyed (rare keys only, each ≤{cap}×{cap} fan-out); feature
+    scoring rides the grouped candidates.  No all-pairs anywhere."""
+    from ..relational import RLIKE, TRANSFORM, JOINA
+    from .dedup import _split_ws
+    from .webgraph import CSTR
+
+    def _btx_c(e):
+        return CSTR(e, d)
+
+    is_anchor = RLIKE("t", "[0-9]", d)
+    corrupt = "translate(t, '0123456789', '9012345678')"
+    tok_map = ("CASE WHEN {a} THEN CASE WHEN doc_id % 15 = 3"
+               " THEN {c} ELSE t END"
+               " ELSE reverse(t) END").format(a=is_anchor, c=corrupt)
+    xx_text = JOINA(
+        TRANSFORM(_split_ws(d), "t", tok_map, d), " ", d)
+    anchor_w = RLIKE("w", "[0-9]", d)
+    return """
+WITH aug AS (
+  SELECT doc_id, text || ' inv' || {i37} || ' tel' || {i11}
+           || ' seq' || {did} || ' yr2024' AS text
+  FROM documents
+),
+sides AS (
+  SELECT doc_id, 'en' AS side, text FROM aug
+  UNION ALL
+  SELECT doc_id + {off} AS doc_id, 'xx' AS side,
+    {xx} || CASE WHEN doc_id % 9 = 0
+                 THEN ' inv' || {n37} ELSE '' END AS text
+  FROM aug WHERE doc_id % 3 = 0
+),
+{toks},
+anchors AS (
+  SELECT DISTINCT side, doc_id, w FROM toks WHERE {anchor_w}
+),
+rare AS (
+  SELECT side, w FROM anchors GROUP BY side, w
+  HAVING COUNT(*) <= {cap}
+),
+kept AS (
+  SELECT a.side, a.doc_id, a.w
+  FROM anchors a JOIN rare r ON r.side = a.side AND r.w = a.w
+),
+cands AS (
+  SELECT e.doc_id AS en_id, x.doc_id AS xx_id,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept e JOIN kept x ON x.w = e.w
+  WHERE e.side = 'en' AND x.side = 'xx'
+  GROUP BY e.doc_id, x.doc_id
+),
+lens AS (
+  SELECT doc_id, side, CAST(length(text) AS BIGINT) AS n FROM sides
+)
+SELECT c.en_id, c.xx_id, c.n_shared,
+  le.n AS en_len, lx.n AS xx_len,
+  {ratio} AS len_ratio_ppm,
+  CAST(CASE WHEN c.xx_id - {off} = c.en_id THEN 1 ELSE 0 END AS INT)
+    AS is_true_pair,
+  CASE WHEN c.n_shared >= {mins} AND {ratio} >= 500000
+       THEN 'aligned' ELSE 'candidate' END AS verdict
+FROM cands c
+JOIN lens le ON le.doc_id = c.en_id AND le.side = 'en'
+JOIN lens lx ON lx.doc_id = c.xx_id AND lx.side = 'xx'
+""".format(off=_BTX_XX_OFFSET, xx=xx_text,
+           i37=_btx_c("doc_id * 37"), i11=_btx_c("doc_id * 11 + 5"),
+           did=_btx_c("doc_id"), n37=_btx_c("(doc_id + 3) * 37"),
+           toks=TOKS_CTE(d, cols="side, doc_id", src="sides").strip(),
+           anchor_w=anchor_w, cap=_BTX_DF_CAP, mins=_BTX_MIN_SHARED,
+           ratio=_IDIV("1000000 * LEAST(le.n, lx.n)",
+                       "GREATEST(le.n, lx.n)"))
+
+
+q_bitext_mine.__doc__ = (q_bitext_mine.__doc__ or "").format(
+    cap=_BTX_DF_CAP, mins=_BTX_MIN_SHARED)

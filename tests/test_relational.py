@@ -57,7 +57,7 @@ _SUBSET = [
     "kmv_overlap", "zorder_cluster", "hreflang_alternates",
     "registered_domain", "opengraph_cards", "domain_cap_sample",
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
-    "minmax_prune_stats",
+    "minmax_prune_stats", "bitext_mine",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4709,3 +4709,68 @@ def test_minmax_prune_stats_semantics(duck, entry_mod):
         assert zr[7] == rr[7]           # rows_matched layout-invariant
         assert zr[7] <= zr[6] and rr[7] <= rr[6]
         assert zr[4] < rr[4]            # zorder scans fewer files
+
+
+def test_bitext_mine_semantics(duck, entry_mod):
+    """Independent Python recomputation of the anchor mining: rebuild
+    both sides' texts from the injection spec, extract digit anchors,
+    apply the df cap, join, score — and pin the tier structure."""
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    OFF = 1000000000
+    SHIFT = str.maketrans("0123456789", "9012345678")
+
+    sides = {}  # (side, id) -> text
+    for k, text in docs:
+        en = "%s inv%d tel%d seq%d yr2024" % (text, k * 37, k * 11 + 5, k)
+        sides[("en", k)] = en
+        if k % 3 == 0:
+            toks = []
+            for t in en.split(" "):
+                if any(c.isdigit() for c in t):
+                    toks.append(t.translate(SHIFT) if k % 15 == 3 else t)
+                else:
+                    toks.append(t[::-1])
+            xx = " ".join(toks)
+            if k % 9 == 0:
+                xx += " inv%d" % ((k + 3) * 37)
+            sides[("xx", k + OFF)] = xx
+
+    anchors = {}  # (side, token) -> set of ids
+    for (side, i), text in sides.items():
+        for t in set(text.split(" ")):
+            if any(c.isdigit() for c in t):
+                anchors.setdefault((side, t), set()).add(i)
+    shared = {}
+    for (side, t), ids in anchors.items():
+        if side == "en" and len(ids) <= 8:
+            xx = anchors.get(("xx", t), set())
+            if len(xx) <= 8:
+                for e in ids:
+                    for x in xx:
+                        shared[(e, x)] = shared.get((e, x), 0) + 1
+    want = set()
+    for (e, x), n in shared.items():
+        le = len(sides[("en", e)])
+        lx = len(sides[("xx", x)])
+        ratio = 1000000 * min(le, lx) // max(le, lx)
+        true_pair = 1 if x - OFF == e else 0
+        verdict = ("aligned" if n >= 3 and ratio >= 500000
+                   else "candidate")
+        want.add((e, x, n, le, lx, ratio, true_pair, verdict))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["bitext_mine"]).fetchall()}
+    assert got == want
+    # every aligned pair is a true pair; the corrupted %15=3 tier is
+    # never aligned (its digit-shift can collide on at most 2 anchors)
+    for e, x, n, le, lx, ratio, tp, v in got:
+        if v == "aligned":
+            assert tp == 1
+        if (x - OFF) % 15 == 3:
+            assert v == "candidate" and n <= 2
+    # true twins outside the corrupted tier ARE mined as aligned
+    aligned_en = {r[0] for r in got if r[7] == "aligned"}
+    expect_en = {k for k, _ in docs if k % 3 == 0 and k % 15 != 3}
+    assert aligned_en == expect_en
+    # the stolen-anchor tier surfaces as single-anchor candidates
+    assert any(r[2] == 1 and r[7] == "candidate" and r[6] == 0
+               for r in got)

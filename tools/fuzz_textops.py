@@ -142,7 +142,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "link_spam_score",
            # min/max skipping: random n_chars spectra reshape the
            # Morton cells, file stats, and scan decisions
-           "minmax_prune_stats"]
+           "minmax_prune_stats",
+           # bitext anchors: random PII/noise digit tokens join the
+           # injected anchors and stress the df cap + reverse() seam
+           "bitext_mine"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -570,8 +570,9 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "content_sniff", "link_spam_score",
                    "minmax_prune_stats",
                    # rare-anchor bitext pair mining (hash join on
-                   # translation-invariant anchors, df-capped)
-                   "bitext_mine"}
+                   # translation-invariant anchors, df-capped) and
+                   # three-way posting-list compression planning
+                   "bitext_mine", "posting_compression"}
 
 
 def _specials() -> dict:

@@ -181,7 +181,8 @@ def main() -> None:
                  "registered_domain", "opengraph_cards",
                  "domain_cap_sample", "amp_canonical_pairs",
                  "content_sniff", "link_spam_score",
-                 "minmax_prune_stats", "bitext_mine"):
+                 "minmax_prune_stats", "bitext_mine",
+                 "posting_compression"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

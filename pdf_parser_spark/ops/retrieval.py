@@ -1291,3 +1291,78 @@ WHERE rk <= {k}
 
 q_rocchio_expand.__doc__ = (q_rocchio_expand.__doc__ or "").format(
     f=_PRF_FB_DOCS, e=_PRF_EXP_TERMS, a=_PRF_ALPHA, b=_PRF_BETA)
+
+
+# --------------------------------------------- posting-list compression
+
+@query("posting_compression")
+def q_posting_compression(d: str) -> str:
+    """Posting-list compression planning — the index-lifecycle sizing
+    pass a search/retrieval tier runs before choosing its posting
+    encoding: for every term, the doc_id posting list is delta-gapped
+    and costed under BOTH classic encodings, byte-aligned VARINT
+    (7 payload bits per byte, cost = Σ ceil(bitlen(gap)/7) bytes) and
+    ELIAS-FANO (df·(ceil(log2(ceil(U/df))) + 2) bits for universe U —
+    the quasi-succinct bound of Vigna '13) plus a plain BITMAP
+    (ceil(U/8) bytes, Roaring's dense-container case), and the
+    cheapest recorded.  Very dense terms go bitmap, the middle goes
+    EF, and rare terms with small first-gaps go varint — the
+    three-way split is exactly what a real posting format (Lucene's
+    FOR/EF split, Roaring's array/bitmap containers, the partitioned-
+    EF papers) decides per term/block.  One rare probe term is
+    injected on doc 7 so the varint tier is realized at every SF.
+
+    Integer-exact in both engines: bit lengths come from
+    ``length(bin(x))`` (both dialects print minimal binary), every
+    division is an exact floor (IDIV), no floats anywhere.
+
+    Shape at 10^12 docs: postings dedup partial-aggs map-side to
+    (term, doc) grain; the gap window sorts WITHIN each term
+    partition — the same per-term shuffle the index build itself
+    pays (this pass piggybacks on it in a real builder); the cost
+    rollup is one hash-agg to term grain; the universe size is a
+    1-row scalar broadcast."""
+    vb = IDIV("length(bin(g)) + 6", "7")
+    q_ceil = IDIV("u + df - 1", "df")
+    lb = ("CASE WHEN {q} <= 1 THEN 0"
+          " ELSE length(bin({q} - 1)) END").format(q=q_ceil)
+    ef_bits = "df * (CAST(%s AS BIGINT) + 2)" % lb
+    return """
+WITH docsrc AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id = 7 THEN ' zzrare' ELSE '' END AS text
+  FROM documents
+),
+{toks},
+postings AS (
+  SELECT DISTINCT w, doc_id FROM toks WHERE w <> ''
+),
+gaps AS (
+  SELECT w, doc_id,
+    doc_id - LAG(doc_id) OVER (PARTITION BY w ORDER BY doc_id) AS gap
+  FROM postings
+),
+enc AS (
+  SELECT w, COALESCE(gap, doc_id + 1) AS g FROM gaps
+),
+stats AS (
+  SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS u FROM documents
+),
+perterm AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+    CAST(SUM({vb}) AS BIGINT) AS varint_bytes
+  FROM enc GROUP BY w
+)
+SELECT w AS term, df, varint_bytes,
+  CAST({ef_bits} AS BIGINT) AS ef_bits,
+  {ef_bytes} AS ef_bytes,
+  {bm_bytes} AS bitmap_bytes,
+  CASE WHEN varint_bytes <= {ef_bytes} AND varint_bytes <= {bm_bytes}
+       THEN 'varint'
+       WHEN {ef_bytes} <= {bm_bytes} THEN 'elias_fano'
+       ELSE 'bitmap' END AS winner
+FROM perterm CROSS JOIN stats
+""".format(toks=TOKS_CTE(d, src="docsrc").strip(), vb=vb,
+           ef_bits=ef_bits,
+           ef_bytes=IDIV("(%s) + 7" % ef_bits, "8"),
+           bm_bytes=IDIV("u + 7", "8"))

@@ -57,7 +57,7 @@ _SUBSET = [
     "kmv_overlap", "zorder_cluster", "hreflang_alternates",
     "registered_domain", "opengraph_cards", "domain_cap_sample",
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
-    "minmax_prune_stats", "bitext_mine",
+    "minmax_prune_stats", "bitext_mine", "posting_compression",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4774,3 +4774,41 @@ def test_bitext_mine_semantics(duck, entry_mod):
     # the stolen-anchor tier surfaces as single-anchor candidates
     assert any(r[2] == 1 and r[7] == "candidate" and r[6] == 0
                for r in got)
+
+
+def test_posting_compression_semantics(duck, entry_mod):
+    """Independent Python recomputation of the per-term posting-list
+    costing under all three encodings, from the raw corpus."""
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    u = max(i for i, _ in docs) + 1
+    postings = {}
+    for i, text in docs:
+        t = text + (" zzrare" if i == 7 else "")
+        for w in set(t.split(" ")):
+            if w:
+                postings.setdefault(w, set()).add(i)
+    want = set()
+    bm_bytes = (u + 7) // 8
+    for w, ids in postings.items():
+        lst = sorted(ids)
+        gaps = [lst[0] + 1] + [b - a for a, b in zip(lst, lst[1:])]
+        varint = sum((g.bit_length() + 6) // 7 for g in gaps)
+        df = len(lst)
+        q = (u + df - 1) // df
+        lb = 0 if q <= 1 else (q - 1).bit_length()
+        ef_bits = df * (lb + 2)
+        ef_bytes = (ef_bits + 7) // 8
+        if varint <= ef_bytes and varint <= bm_bytes:
+            winner = "varint"
+        elif ef_bytes <= bm_bytes:
+            winner = "elias_fano"
+        else:
+            winner = "bitmap"
+        want.add((w, df, varint, ef_bits, ef_bytes, bm_bytes, winner))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["posting_compression"]).fetchall()}
+    assert got == want
+    # all three encodings win somewhere (the probe term pins varint)
+    assert {r[6] for r in got} == {"varint", "elias_fano", "bitmap"}
+    bywin = {r[0]: r[6] for r in got}
+    assert bywin["zzrare"] == "varint"

@@ -145,7 +145,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "minmax_prune_stats",
            # bitext anchors: random PII/noise digit tokens join the
            # injected anchors and stress the df cap + reverse() seam
-           "bitext_mine"]
+           "bitext_mine",
+           # posting costing: random df spectra + gap patterns flip
+           # the three-way winner; bin()/bit-length seam both engines
+           "posting_compression"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -570,9 +570,11 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    "content_sniff", "link_spam_score",
                    "minmax_prune_stats",
                    # rare-anchor bitext pair mining (hash join on
-                   # translation-invariant anchors, df-capped) and
-                   # three-way posting-list compression planning
-                   "bitext_mine", "posting_compression"}
+                   # translation-invariant anchors, df-capped),
+                   # three-way posting-list compression planning,
+                   # and phrase+length-gated soft-404 detection
+                   "bitext_mine", "posting_compression",
+                   "soft404_detect"}
 
 
 def _specials() -> dict:

@@ -182,7 +182,7 @@ def main() -> None:
                  "domain_cap_sample", "amp_canonical_pairs",
                  "content_sniff", "link_spam_score",
                  "minmax_prune_stats", "bitext_mine",
-                 "posting_compression"):
+                 "posting_compression", "soft404_detect"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

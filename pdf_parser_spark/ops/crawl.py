@@ -914,3 +914,74 @@ FROM parsed
            rss_entry=rss_entry, atom_entry=atom_entry,
            entries_concat=ORD_CONCAT("entry", "", "doc_id", d),
            parsed=parsed, fresh=_SM_FRESH)
+
+
+# --------------------------------------------- soft-404 detection
+
+@query("soft404_detect")
+def q_soft404_detect(d: str) -> str:
+    """Soft-404 detection — the crawl-hygiene classifier for pages
+    that return HTTP 200 but are really error pages (hosts routinely
+    serve "page not found" bodies with OK status; indexing them
+    poisons both the link graph and the training corpus).  The
+    production heuristic this mirrors (Bar-Yossef et al. '04 "sic
+    transit gloria telae" and every crawler since): an error PHRASE
+    alone is not enough — real articles QUOTE error messages — so a
+    page is soft-404 only when it both matches the phrase battery
+    AND is anomalously short for its host (body < half the host's
+    exact type-1 median length; error templates are near-constant
+    small, articles are not).
+
+    Tiers synthesized in-plan: ``doc_id%17=4`` serves a short
+    not-found template, ``%17=9`` a short "no longer exists"
+    variant, and ``%17=2`` is the DECOY — a doubled-length article
+    that merely QUOTES the error phrase, which the length gate must
+    keep.  Everything else serves its real text.
+
+    Shape at 10^12 pages: one narrow projection, ONE window over the
+    host partitions for the exact median (same recomposable type-1
+    rank arithmetic as ``length_quantiles``), one broadcast-size
+    join back on host.  No floats (the half-median compare is
+    ``2*plen < p50``), no all-pairs."""
+    from .webgraph import CSTR, HOST, IDIV
+    from ..relational import RLIKE
+
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
+    page = ("CASE WHEN doc_id % 17 = 4"
+            " THEN 'error 404 page not found'"
+            " WHEN doc_id % 17 = 9"
+            " THEN 'sorry this page no longer exists please return'"
+            " WHEN doc_id % 17 = 2"
+            " THEN text || ' ' || text"
+            "   || ' quoting error 404 page not found here'"
+            " ELSE text END")
+    phrase = RLIKE(
+        "page", "(error 404|page not found|no longer exists)", d)
+    return """
+WITH pages AS (
+  SELECT doc_id, {host} AS host, {page} AS page FROM documents
+),
+sized AS (
+  SELECT doc_id, host, page,
+    CAST(length(page) AS BIGINT) AS plen,
+    CAST(CASE WHEN {phrase} THEN 1 ELSE 0 END AS INT) AS has_phrase
+  FROM pages
+),
+ranked AS (
+  SELECT host, plen,
+    CAST(ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY plen, doc_id) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS cnt
+  FROM sized
+),
+med AS (
+  SELECT host,
+    CAST(MAX(CASE WHEN rn = {medrank} THEN plen END) AS BIGINT) AS p50
+  FROM ranked GROUP BY host
+)
+SELECT s.doc_id, s.host, s.plen, m.p50 AS host_p50, s.has_phrase,
+  CASE WHEN s.has_phrase = 1 AND 2 * s.plen < m.p50
+       THEN 'soft404' ELSE 'ok' END AS verdict
+FROM sized s JOIN med m ON m.host = s.host
+""".format(host=host, page=page, phrase=phrase,
+           medrank=IDIV("cnt + 1", "2"))

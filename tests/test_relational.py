@@ -58,6 +58,7 @@ _SUBSET = [
     "registered_domain", "opengraph_cards", "domain_cap_sample",
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
     "minmax_prune_stats", "bitext_mine", "posting_compression",
+    "soft404_detect",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4812,3 +4813,48 @@ def test_posting_compression_semantics(duck, entry_mod):
     assert {r[6] for r in got} == {"varint", "elias_fano", "bitmap"}
     bywin = {r[0]: r[6] for r in got}
     assert bywin["zzrare"] == "varint"
+
+
+def test_soft404_detect_semantics(duck, entry_mod):
+    """Independent Python recomputation of the phrase+length-gate
+    classifier, including the exact type-1 host medians."""
+    import re
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    pages = {}
+    for k, text in docs:
+        if k % 17 == 4:
+            pg = "error 404 page not found"
+        elif k % 17 == 9:
+            pg = "sorry this page no longer exists please return"
+        elif k % 17 == 2:
+            pg = "%s %s quoting error 404 page not found here" \
+                % (text, text)
+        else:
+            pg = text
+        pages[k] = ("h%d.example" % (k % 40), pg)
+    byhost = {}
+    for k, (h, pg) in pages.items():
+        byhost.setdefault(h, []).append((len(pg), k))
+    p50 = {}
+    for h, lens in byhost.items():
+        lens.sort()
+        p50[h] = lens[(len(lens) + 1) // 2 - 1][0]
+    rx = re.compile("(error 404|page not found|no longer exists)")
+    want = set()
+    for k, (h, pg) in pages.items():
+        hp = 1 if rx.search(pg) else 0
+        v = "soft404" if hp and 2 * len(pg) < p50[h] else "ok"
+        want.add((k, h, len(pg), p50[h], hp, v))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["soft404_detect"]).fetchall()}
+    assert got == want
+    # template tiers all flagged; the quoting decoy tier all kept;
+    # nothing else flagged
+    by_doc = {r[0]: r[5] for r in got}
+    for k in by_doc:
+        if k % 17 in (4, 9):
+            assert by_doc[k] == "soft404", k
+        elif k % 17 == 2:
+            assert by_doc[k] == "ok", k
+        else:
+            assert by_doc[k] == "ok", k

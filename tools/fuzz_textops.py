@@ -148,7 +148,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "bitext_mine",
            # posting costing: random df spectra + gap patterns flip
            # the three-way winner; bin()/bit-length seam both engines
-           "posting_compression"]
+           "posting_compression",
+           # soft-404: random length spectra move the host medians
+           # and the half-median gate; phrase regex both engines
+           "soft404_detect"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

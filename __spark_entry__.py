@@ -572,9 +572,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # rare-anchor bitext pair mining (hash join on
                    # translation-invariant anchors, df-capped),
                    # three-way posting-list compression planning,
-                   # and phrase+length-gated soft-404 detection
+                   # phrase+length-gated soft-404 detection, and
+                   # sitemap-vs-crawl coverage reconciliation
                    "bitext_mine", "posting_compression",
-                   "soft404_detect"}
+                   "soft404_detect", "sitemap_gap"}
 
 
 def _specials() -> dict:

@@ -182,7 +182,8 @@ def main() -> None:
                  "domain_cap_sample", "amp_canonical_pairs",
                  "content_sniff", "link_spam_score",
                  "minmax_prune_stats", "bitext_mine",
-                 "posting_compression", "soft404_detect"):
+                 "posting_compression", "soft404_detect",
+                 "sitemap_gap"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -985,3 +985,79 @@ SELECT s.doc_id, s.host, s.plen, m.p50 AS host_p50, s.has_phrase,
 FROM sized s JOIN med m ON m.host = s.host
 """.format(host=host, page=page, phrase=phrase,
            medrank=IDIV("cnt + 1", "2"))
+
+
+# --------------------------------------------- sitemap coverage gap
+
+@query("sitemap_gap")
+def q_sitemap_gap(d: str) -> str:
+    """Sitemap-vs-crawl coverage reconciliation — the discovery-audit
+    report every crawl runs against the sitemap channel: URLs the
+    host DECLARES but the crawler never fetched are the crawl gap
+    (frontier starvation, robots conflicts, or dead declarations),
+    and pages the crawler HAS that the sitemap omits are orphans
+    (reachable only through links — the host's own indexing is
+    stale).  Both directions matter: the gap drives frontier
+    seeding, the orphan rate is a site-quality prior.
+
+    Asymmetries synthesized in-plan: every ``doc_id%13=6`` host
+    page additionally DECLARES a phantom ``/q`` variant that was
+    never crawled (the dead-declaration tier), and every
+    ``doc_id%11=5`` crawled page is MISSING from the sitemap (the
+    orphan tier).  Everything else appears on both sides.
+
+    Output: one row per host with exact counts and ppm rates —
+    n_declared, n_crawled, n_both, gap (declared-only), orphans
+    (crawled-only), gap_ppm = floor(10^6·gap/declared), orphan_ppm =
+    floor(10^6·orphans/crawled).
+
+    Shape at 10^12 pages: both sides live at url grain; the
+    reconciliation is ONE full-outer equi-join on url (both sides
+    bucket by url in the same layout, so at scale it's a
+    shuffle-free sort-merge per bucket — same argument as
+    ``recrawl_schedule``); the rollup partial-aggs map-side down to
+    host granularity.  Pure integer arithmetic."""
+    host = HOST("doc_id %% %d" % _N_HOSTS, d)
+    url = "'https://' || {h} || '/p' || {did}".format(
+        h=host, did=CSTR("doc_id", d))
+    qurl = "'https://' || {h} || '/q' || {did}".format(
+        h=host, did=CSTR("doc_id", d))
+    return """
+WITH declared AS (
+  SELECT {host} AS host, {url} AS url FROM documents
+  WHERE doc_id % 11 <> 5
+  UNION ALL
+  SELECT {host} AS host, {qurl} AS url FROM documents
+  WHERE doc_id % 13 = 6
+),
+crawled AS (
+  SELECT {host} AS host, {url} AS url FROM documents
+),
+joined AS (
+  SELECT COALESCE(s.host, c.host) AS host,
+    CASE WHEN s.url IS NOT NULL AND c.url IS NOT NULL THEN 'both'
+         WHEN s.url IS NOT NULL THEN 'sitemap_only'
+         ELSE 'crawled_only' END AS cls
+  FROM declared s FULL OUTER JOIN crawled c ON c.url = s.url
+),
+counts AS (
+  SELECT host,
+    CAST(SUM(CASE WHEN cls <> 'crawled_only' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_declared,
+    CAST(SUM(CASE WHEN cls <> 'sitemap_only' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_crawled,
+    CAST(SUM(CASE WHEN cls = 'both' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_both,
+    CAST(SUM(CASE WHEN cls = 'sitemap_only' THEN 1 ELSE 0 END)
+         AS BIGINT) AS gap,
+    CAST(SUM(CASE WHEN cls = 'crawled_only' THEN 1 ELSE 0 END)
+         AS BIGINT) AS orphans
+  FROM joined GROUP BY host
+)
+SELECT host, n_declared, n_crawled, n_both, gap, orphans,
+  {gap_ppm} AS gap_ppm,
+  {orph_ppm} AS orphan_ppm
+FROM counts
+""".format(host=host, url=url, qurl=qurl,
+           gap_ppm=IDIV("1000000 * gap", "n_declared"),
+           orph_ppm=IDIV("1000000 * orphans", "n_crawled"))

@@ -58,7 +58,7 @@ _SUBSET = [
     "registered_domain", "opengraph_cards", "domain_cap_sample",
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
     "minmax_prune_stats", "bitext_mine", "posting_compression",
-    "soft404_detect",
+    "soft404_detect", "sitemap_gap",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4858,3 +4858,39 @@ def test_soft404_detect_semantics(duck, entry_mod):
             assert by_doc[k] == "ok", k
         else:
             assert by_doc[k] == "ok", k
+
+
+def test_sitemap_gap_semantics(duck, entry_mod):
+    """Independent Python recomputation of the coverage reconciliation
+    from the two injection rules."""
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    declared, crawled = {}, {}
+    for k in docs:
+        h = "h%d.example" % (k % 40)
+        u = "https://%s/p%d" % (h, k)
+        crawled.setdefault(h, set()).add(u)
+        if k % 11 != 5:
+            declared.setdefault(h, set()).add(u)
+        if k % 13 == 6:
+            declared.setdefault(h, set()).add(
+                "https://%s/q%d" % (h, k))
+    want = set()
+    for h in sorted(set(declared) | set(crawled)):
+        dd = declared.get(h, set())
+        cc = crawled.get(h, set())
+        both = len(dd & cc)
+        gap = len(dd - cc)
+        orph = len(cc - dd)
+        want.add((h, len(dd), len(cc), both, gap, orph,
+                  1000000 * gap // len(dd),
+                  1000000 * orph // len(cc)))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["sitemap_gap"]).fetchall()}
+    assert got == want
+    # both failure directions exist somewhere
+    assert any(r[4] > 0 for r in got)
+    assert any(r[5] > 0 for r in got)
+    # conservation: both + gap = declared, both + orphans = crawled
+    for r in got:
+        assert r[3] + r[4] == r[1] and r[3] + r[5] == r[2]

@@ -151,7 +151,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "posting_compression",
            # soft-404: random length spectra move the host medians
            # and the half-median gate; phrase regex both engines
-           "soft404_detect"]
+           "soft404_detect",
+           # coverage reconciliation: random doc_id sets vary the
+           # per-host gap/orphan classes and the full-outer fan
+           "sitemap_gap"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -573,9 +573,10 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # translation-invariant anchors, df-capped),
                    # three-way posting-list compression planning,
                    # phrase+length-gated soft-404 detection, and
-                   # sitemap-vs-crawl coverage reconciliation
+                   # sitemap-vs-crawl coverage reconciliation, and
+                   # simhash recrawl drift classification
                    "bitext_mine", "posting_compression",
-                   "soft404_detect", "sitemap_gap"}
+                   "soft404_detect", "sitemap_gap", "content_drift"}
 
 
 def _specials() -> dict:

@@ -1061,3 +1061,96 @@ FROM counts
 """.format(host=host, url=url, qurl=qurl,
            gap_ppm=IDIV("1000000 * gap", "n_declared"),
            orph_ppm=IDIV("1000000 * orphans", "n_crawled"))
+
+# --------------------------------------------- recrawl content drift
+
+@query("content_drift")
+def q_content_drift(d: str) -> str:
+    """Recrawl content-drift classification — the change-rate signal a
+    crawl scheduler feeds back into its revisit policy (Cho &
+    Garcia-Molina '03 "Effective Page Refresh Policies"): compare the
+    SimHash fingerprint of each url across consecutive crawl
+    snapshots, classify every transition as ``unchanged`` (Hamming
+    0), ``minor`` (<= 8: template tweaks, one-token edits) or
+    ``major`` (> 8: a rewrite), then roll per-host drift rates into
+    an AIMD-style revisit multiplier (hosts that never change get
+    crawled 4x slower; hosts that rewrite pages keep their cadence).
+    Fingerprint-level drift is the point: byte diffs re-flag every
+    rotating timestamp, while the 48-bit fingerprint only moves when
+    the token distribution does.
+
+    Three snapshots per url synthesized in-plan (key = doc_id*4 +
+    snap), with drift tied to the HOST so every backoff branch has
+    true positives: hot hosts (``doc_id%40 < 6``) template-rewrite
+    every page at snap 2 (the major tier — cadence kept), warm hosts
+    (``6 <= %40 < 14``) drop each page's first word at snap 1 then
+    revert at snap 2 (two one-token-edit minor transitions, same
+    edit class as the shared near-dup corpus), cold hosts
+    (``%40 >= 14``) never change (4x backoff).
+
+    Shape at 10^12 pages: fingerprints are the shared
+    ``_simhash_parts`` plan (one explode + hash-agg per snapshot
+    row); transitions are ONE window (lag over (url, snap) — both
+    snapshots of a url co-locate under the url-hash partitioning, so
+    the sort is within-partition); the rollup partial-aggs map-side
+    down to ~10^7 host rows.  Integer-only arithmetic end to end."""
+    from .dedup import _simhash_parts
+
+    drop1 = "substring(text, instr(text, ' ') + 1)"
+    rewrite = ("'major template rewrite the landing page was replaced "
+               "entirely new copy ' || substr(text, 1, 24)")
+    ham = ("bit_count(prev_sh ^ simhash)" if d == SPARK
+           else "bit_count(xor(prev_sh, simhash))")
+    host = HOST("url_id %% %d" % _N_HOSTS, d)
+    return """
+WITH corpus AS (
+  SELECT doc_id * 4 + 0 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 4 + 1 AS doc_id,
+    CASE WHEN doc_id % 40 >= 6 AND doc_id % 40 < 14
+         THEN {drop1} ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 4 + 2 AS doc_id,
+    CASE WHEN doc_id % 40 < 6 THEN {rewrite}
+         ELSE text END AS text
+  FROM documents
+),
+{sh},
+snaps AS (
+  SELECT {urlid} AS url_id, doc_id % 4 AS snap, simhash FROM sh
+),
+trans AS (
+  SELECT url_id, snap, simhash,
+    LAG(simhash) OVER (PARTITION BY url_id ORDER BY snap) AS prev_sh
+  FROM snaps
+),
+cls AS (
+  SELECT url_id,
+    CASE WHEN hamming = 0 THEN 'unchanged'
+         WHEN hamming <= 8 THEN 'minor'
+         ELSE 'major' END AS drift
+  FROM (SELECT url_id, CAST({ham} AS INT) AS hamming
+        FROM trans WHERE prev_sh IS NOT NULL) t
+),
+rollup AS (
+  SELECT {host} AS host,
+    CAST(COUNT(*) AS BIGINT) AS n_trans,
+    CAST(SUM(CASE WHEN drift = 'unchanged' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unchanged,
+    CAST(SUM(CASE WHEN drift = 'minor' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_minor,
+    CAST(SUM(CASE WHEN drift = 'major' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_major
+  FROM cls GROUP BY {host}
+)
+SELECT host, n_trans, n_unchanged, n_minor, n_major,
+  {drift_ppm} AS drift_ppm,
+  CASE WHEN 2 * n_major >= n_trans THEN 1
+       WHEN 2 * (n_major + n_minor) >= n_trans THEN 2
+       ELSE 4 END AS revisit_backoff
+FROM rollup
+""".format(drop1=drop1, rewrite=rewrite, ham=ham, host=host,
+           urlid=IDIV("doc_id", "4"),
+           sh=_simhash_parts(d, 48),
+           drift_ppm=IDIV("1000000 * (n_minor + n_major)", "n_trans"))

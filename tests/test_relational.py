@@ -58,7 +58,7 @@ _SUBSET = [
     "registered_domain", "opengraph_cards", "domain_cap_sample",
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
     "minmax_prune_stats", "bitext_mine", "posting_compression",
-    "soft404_detect", "sitemap_gap",
+    "soft404_detect", "sitemap_gap", "content_drift",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4894,3 +4894,46 @@ def test_sitemap_gap_semantics(duck, entry_mod):
     # conservation: both + gap = declared, both + orphans = crawled
     for r in got:
         assert r[3] + r[4] == r[1] and r[3] + r[5] == r[2]
+
+
+def test_content_drift_semantics(duck, entry_mod):
+    """Independent Python recomputation of the full drift pipeline —
+    48-bit simhash per (url, snapshot), Hamming classification of
+    both transitions, host rollup and AIMD backoff tiers."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents"
+                         ).fetchall())
+
+    def simhash(text, nb=48):
+        votes = [0] * nb
+        for w in text.split(" "):
+            hv = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for b in range(nb):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        return sum(1 << b for b in range(nb) if votes[b] > 0)
+
+    per_host = defaultdict(lambda: [0, 0, 0, 0])  # trans, unch, min, maj
+    for did, text in docs.items():
+        hid = did % 40
+        warm = 6 <= hid < 14
+        t1 = text[text.find(" ") + 1:] if warm else text
+        t2 = ("major template rewrite the landing page was replaced "
+              "entirely new copy " + text[:24]) if hid < 6 else text
+        sigs = [simhash(t) for t in (text, t1, t2)]
+        for prev, cur in ((sigs[0], sigs[1]), (sigs[1], sigs[2])):
+            h = bin(prev ^ cur).count("1")
+            c = per_host["h%d.example" % hid]
+            c[0] += 1
+            c[1 if h == 0 else (2 if h <= 8 else 3)] += 1
+    want = set()
+    for host, (n, u, mi, ma) in per_host.items():
+        backoff = 1 if 2 * ma >= n else (2 if 2 * (ma + mi) >= n else 4)
+        want.add((host, n, u, mi, ma, 1000000 * (mi + ma) // n, backoff))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["content_drift"]).fetchall()}
+    assert got == want
+    # every backoff tier and every drift class fires somewhere
+    assert {r[6] for r in got} == {1, 2, 4}
+    assert any(r[3] > 0 for r in got) and any(r[4] > 0 for r in got)

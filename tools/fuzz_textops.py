@@ -154,7 +154,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "soft404_detect",
            # coverage reconciliation: random doc_id sets vary the
            # per-host gap/orphan classes and the full-outer fan
-           "sitemap_gap"]
+           "sitemap_gap",
+           # content drift: random texts move simhash distances and
+           # the per-host class mix / backoff tiers in both engines
+           "content_drift"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

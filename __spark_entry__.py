@@ -576,7 +576,8 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # sitemap-vs-crawl coverage reconciliation, and
                    # simhash recrawl drift classification
                    "bitext_mine", "posting_compression",
-                   "soft404_detect", "sitemap_gap", "content_drift"}
+                   "soft404_detect", "sitemap_gap", "content_drift",
+                   "crawl_depth"}
 
 
 def _specials() -> dict:

@@ -202,6 +202,9 @@ def main() -> None:
     from pdf_parser_spark.ops.webgraph import hyperball_df
     textops["hyperball_df_production"] = timed3(
         lambda: hyperball_df(spark, edges=edges).count())
+    from pdf_parser_spark.ops.webgraph import crawl_depth_df
+    textops["crawl_depth_df_production"] = timed3(
+        lambda: crawl_depth_df(spark, edges=edges).count())
     edges.unpersist()
 
     # persisted BM25 index amortization: build once, then each served

@@ -1565,3 +1565,103 @@ SELECT o.host, o.out_deg,
 FROM outs o LEFT JOIN ins i ON i.host = o.host
 """.format(edges=_edges_ctes(d).strip(), m=m, mk=mk, k_seq=k_seq,
            ppm=IDIV("1000000 * o.recip", "o.out_deg"))
+
+
+# --------------------------------------------- crawl depth (BFS hops)
+
+_DEPTH_SEED = "h0.example"   # the hub host — every crawl starts somewhere
+_DEPTH_CAP = 5               # frontier max-hops policy
+
+
+@query("crawl_depth")
+def q_crawl_depth(d: str) -> str:
+    """Crawl depth — exact BFS hop distance of every host from the
+    seed over the DIRECTED link graph, capped at {CAP} hops (the
+    frontier max-depth policy every crawler enforces; beyond-cap
+    hosts report -1 and are exactly what frontier re-seeding targets,
+    cf. ``sitemap_gap``).  Depth is a first-class quality prior for
+    LLM corpora: shallow pages are hubs/templates, deep pages are
+    long-tail content — and it prices the crawl (a depth-k page cost
+    k sequential politeness waits).
+
+    The unrolled SQL is a LINEAR chain of frontier CTEs — each ``f<k>``
+    references only ``f<k-1>`` (one join + DISTINCT per round), and
+    the depth map is one MIN-agg over their union: a length-d walk
+    exists iff BFS distance <= d, so MIN over walk-frontiers IS the
+    BFS distance.  Two CTE references per round (the classic
+    dist-map recursion) would make Catalyst's CTE inlining re-derive
+    the anchor-extraction pipeline 2^{CAP} times; the linear chain
+    keeps it at {CAP}+1.  The production twin ``crawl_depth_df``
+    expands only the NEWLY discovered frontier each round (anti-join
+    against settled hosts, persisted) — the shape that runs at 10^7
+    hosts, where walk-frontiers would revisit hub neighborhoods every
+    round."""
+    parts = [_edges_ctes(d).strip()]
+    parts.append("""
+nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION
+  SELECT dst_host AS host FROM edges
+)""".strip())
+    parts.append("f0 AS (SELECT '%s' AS host)" % _DEPTH_SEED)
+    for k in range(1, _DEPTH_CAP + 1):
+        parts.append(
+            "f%d AS (SELECT DISTINCT e.dst_host AS host "
+            "FROM f%d p JOIN edges e ON e.src_host = p.host)" % (k, k - 1))
+    walks = "\nUNION ALL\n".join(
+        "SELECT host, %d AS w FROM f%d" % (k, k)
+        for k in range(_DEPTH_CAP + 1))
+    return """
+WITH {parts},
+walks AS (
+{walks}
+),
+depths AS (
+  SELECT host, CAST(MIN(w) AS INT) AS depth FROM walks GROUP BY host
+)
+SELECT n.host,
+  CAST(COALESCE(d.depth, -1) AS INT) AS depth
+FROM nodes n LEFT JOIN depths d ON d.host = n.host
+""".format(parts=",\n".join(parts), walks=walks)
+
+
+q_crawl_depth.__doc__ = (q_crawl_depth.__doc__ or "").format(
+    CAP=_DEPTH_CAP)
+
+
+def crawl_depth_df(spark, edges=None, rounds: int = _DEPTH_CAP):
+    """PRODUCTION BFS — the frontier-expansion twin of ``crawl_depth``
+    (row-identical, test-pinned): settled = hosts with a final depth,
+    frontier = hosts settled THIS round; each round expands only the
+    frontier (one equi-join) and anti-joins the settled set, so every
+    host's neighborhood is expanded EXACTLY once over the whole run —
+    O(|E|) total work regardless of rounds, vs the oracle twin's
+    per-round full-walk re-expansion (correctness machinery).  State
+    per round is persisted; rounds are lazy."""
+    from pyspark.sql import functions as F
+
+    own_edges = edges is None
+    if own_edges:
+        edges = link_graph_df(spark).persist()
+        edges.count()
+    e = edges.select("src_host", "dst_host")
+    nodes = (e.select(F.col("src_host").alias("host"))
+             .union(e.select(F.col("dst_host").alias("host")))
+             .distinct())
+    frontier = spark.createDataFrame(
+        [(_DEPTH_SEED,)], "host string").persist()
+    settled = frontier.select(
+        "host", F.lit(0).cast("int").alias("depth")).persist()
+    for k in range(1, rounds + 1):
+        nxt = (e.join(frontier.withColumnRenamed("host", "src_host"),
+                      "src_host")
+               .select(F.col("dst_host").alias("host")).distinct()
+               .join(settled.select("host"), "host", "left_anti")
+               .persist())
+        settled = settled.unionByName(
+            nxt.select("host", F.lit(k).cast("int").alias("depth"))
+        ).persist()
+        frontier = nxt
+    return (nodes.join(settled, "host", "left")
+            .select("host", F.coalesce(F.col("depth"), F.lit(-1))
+                    .cast("int").alias("depth")))

@@ -59,6 +59,7 @@ _SUBSET = [
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
     "minmax_prune_stats", "bitext_mine", "posting_compression",
     "soft404_detect", "sitemap_gap", "content_drift",
+    "crawl_depth",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4937,3 +4938,44 @@ def test_content_drift_semantics(duck, entry_mod):
     # every backoff tier and every drift class fires somewhere
     assert {r[6] for r in got} == {1, 2, 4}
     assert any(r[3] > 0 for r in got) and any(r[4] > 0 for r in got)
+
+
+def test_crawl_depth_semantics(duck, entry_mod):
+    """Independent Python BFS over the extracted host graph — exact
+    hop distances from the seed, -1 beyond the 5-hop cap."""
+    from collections import deque
+
+    edges = duck.sql(entry_mod.all_oracles()["link_graph"]).fetchall()
+    adj, nodes = {}, set()
+    for s, t, _ in edges:
+        adj.setdefault(s, set()).add(t)
+        nodes.update((s, t))
+    dist = {"h0.example": 0}
+    q = deque(["h0.example"])
+    while q:
+        u = q.popleft()
+        if dist[u] >= 5:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want = {(h, dist.get(h, -1)) for h in nodes}
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["crawl_depth"]).fetchall()}
+    assert got == want
+    # the beyond-cap tier exists and the seed is depth 0
+    assert ("h0.example", 0) in got
+    assert any(d == -1 for _, d in got)
+
+
+def test_crawl_depth_df_matches_sql(spark, duck, entry_mod):
+    """The frontier/anti-join production BFS is row-identical to the
+    unrolled walk-frontier oracle SQL."""
+    from pdf_parser_spark.ops.webgraph import crawl_depth_df
+
+    entry_mod._register(spark, SF_DIR)
+    twin = sorted(tuple(r) for r in crawl_depth_df(spark).collect())
+    want = sorted(tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["crawl_depth"]).fetchall())
+    assert twin == want

@@ -157,7 +157,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "sitemap_gap",
            # content drift: random texts move simhash distances and
            # the per-host class mix / backoff tiers in both engines
-           "content_drift"]
+           "content_drift",
+           # BFS depth: random doc_id sets reshape the host graph and
+           # the beyond-cap tier
+           "crawl_depth"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

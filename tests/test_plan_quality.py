@@ -3,6 +3,9 @@ optimizer behavior that matters at 100 TB — if a refactor breaks
 column pruning or pushdown, this fails before any cluster does.
 """
 
+import os
+import shutil
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -137,6 +140,14 @@ def test_bucketed_url_joins_are_shuffle_free(spark):
     sandbox, where no Iceberg jars exist.  Broadcast is disabled so the
     gate can't pass by shipping the small side instead."""
     n_buckets = 8
+    # A killed session can leave the warehouse directory behind while the
+    # in-memory catalog forgets the table; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS.  Drop both halves before writing.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in ("pages_bucketed_t", "committed_bucketed_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(warehouse.replace("file:", ""), t), ignore_errors=True)
     pages = fixture_pages_df(spark).select("url", "lang")
     committed = pages.filter(F.crc32(F.col("url")) % 3 == 0).select("url")
     (pages.write.bucketBy(n_buckets, "url").sortBy("url")

@@ -1366,3 +1366,123 @@ FROM perterm CROSS JOIN stats
            ef_bits=ef_bits,
            ef_bytes=IDIV("(%s) + 7" % ef_bits, "8"),
            bm_bytes=IDIV("u + 7", "8"))
+
+
+# ------------------------------------------------ fielded BM25F top-k
+
+@query("bm25f_fielded")
+def q_bm25f_fielded(d: str) -> str:
+    """BM25F — fielded ranking (Robertson & Zaragoza 2004, "Simple
+    BM25 extension to multiple weighted fields"): term frequencies
+    from the TITLE and BODY fields are combined into one pseudo-
+    frequency BEFORE saturation (the defining difference from naive
+    per-field BM25 summing, which over-rewards a term that appears in
+    both fields), then a single k1 saturation and idf weight apply:
+
+        tf~(t,d) = w_title·tf_title + w_body·tf_body/B(dl)
+        score    = Σ_t idf(t) · tf~/(k1 + tf~)
+
+    with w_title=3 (no length normalization — titles are uniformly
+    short), w_body=1, b_body=0.75, k1=1.2, and df counted over either
+    field.  Every page has a real title field in the wild; here the
+    title is synthesized in-plan as the doc's first four body tokens,
+    PLUS the probe term ``dup`` (the rarest query term, so title
+    evidence can actually move the ranking) prepended on
+    ``doc_id % 7 = 0`` —
+    docs whose body never says the term but whose title does MUST
+    surface (the fielded boost is the whole point; the semantics test
+    pins one such doc in the top-k).
+
+    Integer-exact across engines (same discipline as ``bm25_topk``):
+    with body normalizer B = (S + 3·dl·N)/(4·S) (that is b=0.75 and
+    avgdl = S/N, multiplied through by 4S), the pseudo-frequency is
+    the rational tf~ = Num/D with D = S + 3·dl·N and
+    Num = 3·tf_t·D + 4·tf_b·S, so the saturation becomes
+    tf~/(6/5 + tf~) = 5·Num/(6·D + 5·Num) — computed as an exact
+    floor ×1000 (IDIV; operands < 2^53 through sf1), then weighted by
+    the same ×1000 rational idf surrogate as ``bm25_topk``.
+
+    Shape at 10^12 docs: two narrow explodes (title explode is ~4
+    tokens/doc), each broadcast-joined against the tiny query-term
+    list so only matching postings survive; the per-field tf
+    group-bys partial-agg map-side; the field merge is a full-outer
+    join at (query, term, doc) grain over two already-tiny matched
+    sets; one per-(query, doc) sum and a per-query top-k window.  No
+    data-sized shuffle beyond the tf aggregations — identical cost
+    profile to single-field BM25 plus the 4-token title explode."""
+    if d == SPARK:
+        first4 = "concat_ws(' ', slice(split(text, ' '), 1, 4))"
+        ttoks = """
+ttoks AS (
+  SELECT doc_id, w FROM titles
+  LATERAL VIEW explode(split(title, ' ')) t AS w
+)"""
+    else:
+        first4 = ("array_to_string(list_slice(string_split(text, ' '),"
+                  " 1, 4), ' ')")
+        ttoks = """
+ttoks AS (
+  SELECT doc_id, unnest(string_split(title, ' ')) AS w FROM titles
+)"""
+    toks = TOKS_CTE(d)
+    num = ("3 * tf_t * (s + 3 * dl * n) + 4 * tf_b * s")
+    sat = IDIV("5 * (%s) * 1000" % num,
+               "6 * (s + 3 * dl * n) + 5 * (%s)" % num)
+    idf = IDIV("(n - df) * %d" % _IDF_SCALE, "df + 1")
+    return """
+WITH qterms AS ({qterms}),
+titles AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN 'dup ' ELSE '' END
+      || {first4} AS title
+  FROM documents
+),{ttoks},{toks},
+bdl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+  GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+  FROM bdl
+),
+tmatch AS (
+  SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf_t
+  FROM ttoks t JOIN qterms q ON q.term = t.w
+  GROUP BY q.query_id, q.term, t.doc_id
+),
+bmatch AS (
+  SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf_b
+  FROM toks t JOIN qterms q ON q.term = t.w
+  GROUP BY q.query_id, q.term, t.doc_id
+),
+tfs AS (
+  SELECT query_id, term, doc_id,
+    COALESCE(tf_t, CAST(0 AS BIGINT)) AS tf_t,
+    COALESCE(tf_b, CAST(0 AS BIGINT)) AS tf_b
+  FROM tmatch FULL OUTER JOIN bmatch USING (query_id, term, doc_id)
+),
+docfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tfs GROUP BY term
+),
+scored AS (
+  SELECT x.query_id, x.doc_id,
+    CAST(SUM(({idf}) * ({sat})) AS BIGINT) AS score_scaled
+  FROM tfs x
+  JOIN docfreq f ON f.term = x.term
+  JOIN bdl d ON d.doc_id = x.doc_id
+  CROSS JOIN stats
+  GROUP BY x.query_id, x.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_scaled,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rk
+  FROM ranked_src
+)
+SELECT query_id, doc_id, score_scaled, rk
+FROM ranked WHERE rk <= {k}
+""".format(qterms=_qterms(d), first4=first4, ttoks=ttoks.rstrip(),
+           toks=toks.strip(), idf=idf, sat=sat, k=_TOP_K).replace(
+    "ranked_src", "scored")

@@ -59,7 +59,7 @@ _SUBSET = [
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
     "minmax_prune_stats", "bitext_mine", "posting_compression",
     "soft404_detect", "sitemap_gap", "content_drift",
-    "crawl_depth",
+    "crawl_depth", "bm25f_fielded",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -4979,3 +4979,60 @@ def test_crawl_depth_df_matches_sql(spark, duck, entry_mod):
     want = sorted(tuple(r) for r in duck.sql(
         entry_mod.all_oracles()["crawl_depth"]).fetchall())
     assert twin == want
+
+
+def test_bm25f_fielded_semantics(duck, entry_mod):
+    """Python recompute of the integer-exact BM25F math straight from
+    the parquet corpus: synthesized titles (first-4 tokens, probe term
+    prepended on doc_id%7=0), per-field tfs, either-field df, the
+    rational pseudo-frequency saturation, and the deterministic top-k.
+    Also pins the POINT of the op: a doc whose body never contains the
+    probe term surfaces in the probe query's top-k on title evidence
+    alone."""
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    qterms = [(0, "spark"), (0, "join"), (1, "dup"),
+              (2, "window"), (2, "stream"), (2, "filter"),
+              (3, "hash"), (3, "merge"), (4, "zzzabsent")]
+    bodies = {did: t.split(" ") for did, t in docs}
+    titles = {did: ((["dup"] if did % 7 == 0 else [])
+                    + bodies[did][:4]) for did in bodies}
+    dl = {did: len(ws) for did, ws in bodies.items()}
+    n, s = len(bodies), sum(dl.values())
+
+    tfs = {}
+    for q, t in qterms:
+        for did in bodies:
+            tf_t = titles[did].count(t)
+            tf_b = bodies[did].count(t)
+            if tf_t or tf_b:
+                tfs[(q, t, did)] = (tf_t, tf_b)
+    df = {}
+    for (q, t, did) in tfs:
+        df.setdefault(t, set()).add(did)
+    df = {t: len(ds) for t, ds in df.items()}
+
+    score = {}
+    for (q, t, did), (tf_t, tf_b) in tfs.items():
+        d_ = s + 3 * dl[did] * n
+        num = 3 * tf_t * d_ + 4 * tf_b * s
+        sat = (5 * num * 1000) // (6 * d_ + 5 * num)
+        idf = ((n - df[t]) * 1000) // (df[t] + 1)
+        score[(q, did)] = score.get((q, did), 0) + idf * sat
+
+    want = set()
+    byq = {}
+    for (q, did), sc in score.items():
+        byq.setdefault(q, []).append((-sc, did))
+    for q, lst in byq.items():
+        for rk, (neg, did) in enumerate(sorted(lst)[:10], 1):
+            want.add((q, did, -neg, rk))
+
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["bm25f_fielded"]).fetchall()}
+    assert got == want
+    # the absent-term query yields no rows
+    assert not any(q == 4 for q, *_ in got)
+    # title-only evidence surfaces: some top-k doc for the probe query
+    # has ZERO body occurrences of 'dup'
+    assert any(q == 1 and "dup" not in bodies[did]
+               for q, did, _, _ in got)

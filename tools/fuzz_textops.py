@@ -160,7 +160,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "content_drift",
            # BFS depth: random doc_id sets reshape the host graph and
            # the beyond-cap tier
-           "crawl_depth"]
+           "crawl_depth",
+           # BM25F: random token spectra move per-field tfs, df, and
+           # the rational saturation / top-k ties on both engines
+           "bm25f_fielded"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

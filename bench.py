@@ -183,7 +183,8 @@ def main() -> None:
                  "content_sniff", "link_spam_score",
                  "minmax_prune_stats", "bitext_mine",
                  "posting_compression", "soft404_detect",
-                 "sitemap_gap", "content_drift", "bm25f_fielded"):
+                 "sitemap_gap", "content_drift", "bm25f_fielded",
+                 "microdata_extract"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

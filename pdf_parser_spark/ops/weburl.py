@@ -1230,3 +1230,107 @@ SELECT doc_id, charset,
        ELSE 'application/octet-stream' END AS content_type
 FROM skipped
 """ % {"filler": filler, "ws_skip": ws_skip}
+
+
+# --------------------------------------- schema.org microdata extraction
+
+@query("microdata_extract")
+def q_microdata_extract(d: str) -> str:
+    """Schema.org MICRODATA extraction — the third structured-data
+    syntax beside JSON-LD (``jsonld_extract``) and OpenGraph
+    (``opengraph_cards``); search engines consume all three, and
+    mid-2010s CMSes emit microdata heavily (itemscope/itemprop
+    attributes inline on the markup, WHATWG HTML §5): the item type
+    comes from ``itemtype``, string props from element text
+    (``<span itemprop=…>text</span>``), machine-readable props from
+    ``<meta itemprop=… content=…>``, and url props from
+    ``<link itemprop=… href=…>`` — three different VALUE CHANNELS the
+    extractor must read per the spec's per-tag value rules.
+
+    Markup synthesized in-plan (same discipline as the og/JSON-LD
+    ops): one scope per doc — Article (%3=0, span headline),
+    Product (%3=1, span *name*, no headline — the consumer falls back
+    headline→name exactly like real aggregators), NewsArticle (%3=2,
+    headline + the meta/link channels).  The datePublished meta flips
+    attribute order on %4=0 (``content=`` first — legal HTML, real
+    pages do both), is ABSENT on %5=0 (null-channel tier), and a
+    decoy ``data-itemprop="headline"`` span plus an escaped
+    ``&lt;span itemprop=…&gt;`` code snippet must never match.
+
+    Shape at 10^12 pages: per-row regexp projections, no shuffle, no
+    explode, JVM codegen end-to-end — fuses with the main-content
+    scan over the same html column."""
+    from .webgraph import CSTR
+
+    did = CSTR("doc_id", d)
+    itype = ("CASE doc_id % 3 WHEN 0 THEN 'Article'"
+             " WHEN 1 THEN 'Product' ELSE 'NewsArticle' END")
+    ct = "STRING" if d == SPARK else "VARCHAR"
+    mm = "CAST(doc_id % 9 + 1 AS " + ct + ")"
+    date_meta = (
+        "CASE WHEN doc_id % 5 = 0 THEN ''"
+        " WHEN doc_id % 4 = 0 THEN"
+        " '<meta content=\"2024-0' || " + mm +
+        " || '-11\" itemprop=\"datePublished\">'"
+        " ELSE"
+        " '<meta itemprop=\"datePublished\" content=\"2024-0'"
+        " || " + mm + " || '-11\">' END")
+    html = (
+        "'<div itemscope itemtype=\"https://schema.org/' || ({itype})"
+        " || '\">'"
+        " || CASE WHEN doc_id % 3 = 1"
+        "      THEN '<span itemprop=\"name\">Item ' || {did}"
+        "        || '</span>'"
+        "      ELSE '<span itemprop=\"headline\">Story ' || {did}"
+        "        || '</span>' END"
+        " || {date_meta}"
+        " || '<link itemprop=\"url\" href=\"https://site'"
+        " || CAST(doc_id % 40 AS {ct}) || '.example/p' || {did}"
+        " || '\">'"
+        " || '<span data-itemprop=\"headline\">DECOY ' || {did}"
+        " || '</span>'"
+        " || '<code>&lt;span itemprop=\"headline\"&gt;FAKE&lt;/span&gt;'"
+        " || '</code></div>'"
+    ).format(itype=itype, did=did, date_meta="(%s)" % date_meta,
+             ct="STRING" if d == SPARK else "VARCHAR")
+    item_type = ("regexp_extract(html,"
+                 " 'itemscope itemtype=\"https://schema.org/([^\"]+)\"',"
+                 " 1)")
+    headline = ("regexp_extract(html,"
+                " '<span itemprop=\"headline\">([^<]*)</span>', 1)")
+    name_p = ("regexp_extract(html,"
+              " '<span itemprop=\"name\">([^<]*)</span>', 1)")
+    date_if = ("regexp_extract(html,"
+               " '<meta itemprop=\"datePublished\" content=\"([^\"]*)\"',"
+               " 1)")
+    date_cf = ("regexp_extract(html,"
+               " '<meta content=\"([^\"]*)\" itemprop=\"datePublished\"',"
+               " 1)")
+    url_p = ("regexp_extract(html,"
+             " '<link itemprop=\"url\" href=\"([^\"]*)\"', 1)")
+    return """
+WITH pages AS (SELECT doc_id, {html} AS html FROM documents),
+fields AS (
+  SELECT doc_id,
+    {item_type} AS item_type,
+    {headline} AS headline_p,
+    {name_p} AS name_p,
+    {date_if} AS date_if,
+    {date_cf} AS date_cf,
+    {url_p} AS item_url
+  FROM pages
+)
+SELECT doc_id, item_type,
+  CASE WHEN headline_p <> '' THEN headline_p ELSE name_p END
+    AS headline,
+  CASE WHEN headline_p <> '' THEN 'headline' ELSE 'name' END
+    AS headline_source,
+  CASE WHEN date_if <> '' THEN date_if ELSE date_cf END
+    AS date_published,
+  item_url,
+  CAST(CASE WHEN date_if <> '' OR date_cf <> '' THEN 1 ELSE 0 END
+       AS INT) AS has_date
+FROM fields
+""".format(html=html, item_type=item_type, headline=headline,
+           name_p=name_p, date_if=date_if, date_cf=date_cf,
+           url_p=url_p)

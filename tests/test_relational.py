@@ -59,7 +59,7 @@ _SUBSET = [
     "amp_canonical_pairs", "content_sniff", "link_spam_score",
     "minmax_prune_stats", "bitext_mine", "posting_compression",
     "soft404_detect", "sitemap_gap", "content_drift",
-    "crawl_depth", "bm25f_fielded",
+    "crawl_depth", "bm25f_fielded", "microdata_extract",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -5036,3 +5036,31 @@ def test_bm25f_fielded_semantics(duck, entry_mod):
     # has ZERO body occurrences of 'dup'
     assert any(q == 1 and "dup" not in bodies[did]
                for q, did, _, _ in got)
+
+
+def test_microdata_extract_semantics(duck, entry_mod):
+    """Python recompute of the microdata value-channel rules straight
+    from the injection arithmetic; the data-itemprop decoy and the
+    escaped code snippet must never surface."""
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    want = set()
+    for did in docs:
+        itype = ("Article", "Product", "NewsArticle")[did % 3]
+        if did % 3 == 1:
+            headline, hsrc = "Item %d" % did, "name"
+        else:
+            headline, hsrc = "Story %d" % did, "headline"
+        date = "" if did % 5 == 0 else "2024-0%d-11" % (did % 9 + 1)
+        url = "https://site%d.example/p%d" % (did % 40, did)
+        want.add((did, itype, headline, hsrc, date, url,
+                  0 if did % 5 == 0 else 1))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["microdata_extract"]).fetchall()}
+    assert got == want
+    # all three value channels and the fallback fire somewhere
+    assert {r[1] for r in got} == {"Article", "Product", "NewsArticle"}
+    assert {r[3] for r in got} == {"headline", "name"}
+    assert any(r[4] == "" for r in got) and any(r[4] != "" for r in got)
+    # decoys never leak
+    assert not any("DECOY" in r[2] or "FAKE" in r[2] for r in got)

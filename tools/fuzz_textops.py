@@ -163,7 +163,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "crawl_depth",
            # BM25F: random token spectra move per-field tfs, df, and
            # the rational saturation / top-k ties on both engines
-           "bm25f_fielded"]
+           "bm25f_fielded",
+           # microdata: pure doc_id arithmetic HTML synthesis — random
+           # doc COUNTS exercise the three value channels + fallback
+           "microdata_extract"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

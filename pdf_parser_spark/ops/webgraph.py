@@ -1665,3 +1665,157 @@ def crawl_depth_df(spark, edges=None, rounds: int = _DEPTH_CAP):
     return (nodes.join(settled, "host", "left")
             .select("host", F.coalesce(F.col("depth"), F.lit(-1))
                     .cast("int").alias("depth")))
+
+
+# ----------------------------------------------- OPIC crawl ordering
+
+_OPIC_ROUNDS = 3   # unrolled cash-distribution rounds (oracle form)
+
+
+def _opic_parts(d: str) -> list:
+    """The unrolled-OPIC CTE chain (edges → nodes/nn/outw → o0 → …
+    → o{_OPIC_ROUNDS}(host, cash, hist)).
+
+    OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobéna, WWW'03) — is THE crawl-ordering estimator: unlike
+    PageRank it needs no convergence before being useful, because
+    importance is read off two running counters per page.  Every page
+    starts with equal CASH; "crawling" a page distributes its cash
+    equally over its outlinks and banks the amount in the page's
+    HISTORY; a page's importance estimate at any instant is
+    history + cash, and the greedy frontier policy is "fetch the
+    highest cash next".  This is the synchronous batch variant (all
+    pages distribute each round — the paper's Fig. 2 baseline), in
+    exact ppb integer arithmetic:
+
+        c0(v)   = S/N                         h0(v) = 0
+        c_k+1(v)= Σ_in c_k(u)·w(u,v)/out(u) + dangling_k/N
+        h_k+1(v)= h_k(v) + c_k(v)
+
+    with dangling cash (the sink hosts) routed through the paper's
+    VIRTUAL PAGE, which links to everyone — i.e. redistributed
+    uniformly.  No damping anywhere: OPIC conserves total cash (the
+    oracle's semantics test asserts Σcash stays within N floor-losses
+    of S every round).
+
+    Per round: one src_host equi-join + one dst_host hash-agg —
+    identical shuffle profile to a PageRank round; N and dangling
+    mass are 1-row scalar broadcasts."""
+    parts = [_edges_ctes(d).strip(), """
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host AS host FROM edges) u
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS (
+  SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS w
+  FROM edges GROUP BY src_host
+),
+o0 AS (
+  SELECT host, {c0} AS cash, CAST(0 AS BIGINT) AS hist FROM nodes
+)""".format(c0=IDIV("%d" % _PR_SCALE, "(SELECT n FROM nn)")).strip()]
+    contrib = IDIV("p.cash * e.n_links", "o.w")
+    dshare = IDIV("(SELECT dm FROM od{r})", "(SELECT n FROM nn)")
+    tpl = """
+oc{r} AS (
+  SELECT e.dst_host AS host, CAST(SUM({contrib}) AS BIGINT) AS c
+  FROM edges e
+  JOIN o{p} p ON p.host = e.src_host
+  JOIN outw o ON o.src_host = e.src_host
+  GROUP BY e.dst_host
+),
+od{r} AS (
+  SELECT CAST(COALESCE(SUM(p.cash), 0) AS BIGINT) AS dm
+  FROM o{p} p LEFT JOIN outw o ON o.src_host = p.host
+  WHERE o.src_host IS NULL
+),
+o{r} AS (
+  SELECT n.host,
+         COALESCE(c.c, 0) + {dshare} AS cash,
+         p.hist + p.cash AS hist
+  FROM nodes n
+  JOIN o{p} p ON p.host = n.host
+  LEFT JOIN oc{r} c ON c.host = n.host
+)"""
+    for r in range(1, _OPIC_ROUNDS + 1):
+        parts.append(tpl.format(r=r, p=r - 1, contrib=contrib,
+                                dshare=dshare.format(r=r)).strip())
+    return parts
+
+
+@query("opic_priority")
+def q_opic_priority(d: str) -> str:
+    """OPIC crawl ordering (see ``_opic_parts`` for the recurrence):
+    every host's banked history, current cash, importance estimate
+    history+cash, and its position in the greedy fetch order
+    (cash DESC — OPIC's frontier policy — ties by host for full
+    determinism)."""
+    return """
+WITH {ctes}
+SELECT host,
+  CAST(hist AS BIGINT) AS history_ppb,
+  CAST(cash AS BIGINT) AS cash_ppb,
+  CAST(hist + cash AS BIGINT) AS importance_ppb,
+  CAST(ROW_NUMBER() OVER (ORDER BY cash DESC, host) AS BIGINT)
+    AS fetch_order
+FROM o{k}
+""".format(ctes=",\n".join(_opic_parts(d)), k=_OPIC_ROUNDS)
+
+
+def opic_df(spark, edges=None, rounds: int = _OPIC_ROUNDS):
+    """The PRODUCTION iterative OPIC over the link graph — per-round
+    persisted DataFrames, row-identical to ``opic_priority``
+    (test-pinned).  Same loop discipline as ``pagerank_df``: rounds
+    are lazy (no eager per-round actions), state is one narrow
+    (host, cash, hist) frame persisted per round, each round is ONE
+    src_host equi-join + ONE dst_host hash-agg with the dangling mass
+    and N riding along as 1-row broadcasts — no driver collect over
+    anything unbounded.  At 10^12 pages this state is host-granular
+    (~1e7 rows); checkpoint every ~30 rounds to bound the DAG."""
+    from pyspark.sql import functions as F
+
+    def idiv(a, b):
+        return F.expr(IDIV(a, b))
+
+    if edges is None:
+        edges = link_graph_df(spark).persist()
+        edges.count()
+    nodes = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct().persist())
+    n = nodes.count()
+    outw = (edges.groupBy("src_host")
+            .agg(F.sum("n_links").cast("long").alias("w")).persist())
+    state = nodes.select(
+        "host",
+        F.lit((_PR_SCALE - _PR_SCALE % n) // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist")).persist()
+    for _ in range(rounds):
+        contrib = (
+            edges.join(state, edges.src_host == state.host)
+            .join(outw, "src_host")
+            .withColumn("part", idiv("cash * n_links", "w"))
+            .groupBy("dst_host").agg(F.sum("part").cast("long").alias("c"))
+        )
+        dang = (state.join(outw, state.host == outw.src_host, "left_anti")
+                .agg(F.coalesce(F.sum("cash"), F.lit(0))
+                     .cast("long").alias("dm")))
+        state = (
+            state.join(contrib, state.host == contrib.dst_host, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (F.coalesce(F.col("c"), F.lit(0))
+                 + idiv("dm", "%d" % n)).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"))
+            .persist())
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    return state.select(
+        "host",
+        F.col("hist").alias("history_ppb"),
+        F.col("cash").alias("cash_ppb"),
+        (F.col("hist") + F.col("cash")).alias("importance_ppb"),
+        F.row_number().over(
+            w.orderBy(F.col("cash").desc(), "host"))
+        .cast("long").alias("fetch_order"))

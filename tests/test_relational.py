@@ -60,6 +60,7 @@ _SUBSET = [
     "minmax_prune_stats", "bitext_mine", "posting_compression",
     "soft404_detect", "sitemap_gap", "content_drift",
     "crawl_depth", "bm25f_fielded", "microdata_extract",
+    "opic_priority",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -5064,3 +5065,55 @@ def test_microdata_extract_semantics(duck, entry_mod):
     assert any(r[4] == "" for r in got) and any(r[4] != "" for r in got)
     # decoys never leak
     assert not any("DECOY" in r[2] or "FAKE" in r[2] for r in got)
+
+
+def test_opic_priority_semantics(duck, entry_mod):
+    """Python recompute of the OPIC cash/history recurrence over the
+    link_graph oracle's edge list (the graph synthesis itself is
+    pinned by the link_graph tests); asserts exact equality plus the
+    conservation law the algorithm is named for."""
+    edges = duck.sql(
+        entry_mod.all_oracles()["link_graph"]).fetchall()
+    S, K = 10 ** 9, 3
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    outw = {}
+    for s_, _, w in edges:
+        outw[s_] = outw.get(s_, 0) + w
+    cash = {h: S // n for h in nodes}
+    hist = {h: 0 for h in nodes}
+    for _ in range(K):
+        contrib = {h: 0 for h in nodes}
+        for s_, t_, w in edges:
+            contrib[t_] += cash[s_] * w // outw[s_]
+        dang = sum(cash[h] for h in nodes if h not in outw)
+        newcash = {h: contrib[h] + dang // n for h in nodes}
+        for h in nodes:
+            hist[h] += cash[h]
+        cash = newcash
+    order = sorted(nodes, key=lambda h: (-cash[h], h))
+    rank = {h: i + 1 for i, h in enumerate(order)}
+    want = {(h, hist[h], cash[h], hist[h] + cash[h], rank[h])
+            for h in nodes}
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["opic_priority"]).fetchall()}
+    assert got == want
+    # cash conservation: the only leakage is floor losses — one per
+    # edge contribution and one per dangling share per round, plus
+    # the initial S % n
+    assert S - sum(cash.values()) <= (len(edges) + n) * K + n
+    # the hub is the most important host and the next fetch
+    top = max(got, key=lambda r: r[3])
+    assert top[0] == "h0.example" and top[4] == 1
+
+
+def test_opic_df_matches_sql(spark, duck, entry_mod):
+    """The production per-round-persisted OPIC loop is row-identical
+    to the unrolled oracle SQL."""
+    from pdf_parser_spark.ops.webgraph import opic_df
+
+    entry_mod._register(spark, SF_DIR)
+    twin = sorted(tuple(r) for r in opic_df(spark).collect())
+    want = sorted(tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["opic_priority"]).fetchall())
+    assert twin == want

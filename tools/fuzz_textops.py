@@ -166,7 +166,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "bm25f_fielded",
            # microdata: pure doc_id arithmetic HTML synthesis — random
            # doc COUNTS exercise the three value channels + fallback
-           "microdata_extract"]
+           "microdata_extract",
+           # OPIC: random doc_id sets reshape the cash flow graph,
+           # dangling mass, and the fetch-order ties
+           "opic_priority"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

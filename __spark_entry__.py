@@ -233,6 +233,16 @@ def _kcore_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_df(spark)
 
 
+def _opic_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative cash-distribution OPIC over the persisted link graph
+    — row-identical to the unrolled opic_priority SQL (test-pinned);
+    the contract Spark side, per the promoted-twin policy above."""
+    from pdf_parser_spark.ops.webgraph import opic_df
+
+    _register(spark, sf_dir)
+    return opic_df(spark)
+
+
 def _pdf_outline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF document-outline extraction — depth-first (level, title,
     page) per url across all five writer layouts; UTF-16BE titles,
@@ -577,7 +587,24 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    # simhash recrawl drift classification
                    "bitext_mine", "posting_compression",
                    "soft404_detect", "sitemap_gap", "content_drift",
-                   "crawl_depth"}
+                   "crawl_depth",
+                   # round-5 continuation rotation OUT, restoring the
+                   # cap to exactly 50 after the three new never-
+                   # adjudicated rows (bm25f_fielded,
+                   # microdata_extract, opic_priority) rotated IN:
+                   #   events_sessions — green r01-r04; the gap-based
+                   #     window machinery survives in the sweep-
+                   #     oracled events_funnel/events_retention and
+                   #     the streaming sessionize differential pins
+                   #   dedup_lsh_verified — green r03-r04; the banded
+                   #     MinHash/LSH + verify tier is re-adjudicated
+                   #     by the surviving span_neardup and
+                   #     decontam_fuzzy rows (same shared CTEs)
+                   #   truist_relational — green r01-r04; C7's
+                   #     direction table stays pinned by the
+                   #     reference-executed goldens + the sweep
+                   "events_sessions", "dedup_lsh_verified",
+                   "truist_relational"}
 
 
 def _specials() -> dict:
@@ -600,7 +627,7 @@ def _specials() -> dict:
 # inlines CTE references, so the unrolled form re-derives the edge
 # pipeline once per reference and is oracle machinery only
 _PROMOTED_CALLABLES = ("trustrank_seeds", "label_propagation",
-                       "bpe_encode", "kcore_peel")
+                       "bpe_encode", "kcore_peel", "opic_priority")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -728,6 +755,8 @@ def _retired_specials() -> dict:
         # twin's 2.0 s; same rationale as trustrank/hits above)
         "kcore_peel": (
             _kcore_production, QUERY_SQL["kcore_peel"]["duckdb"]),
+        "opic_priority": (
+            _opic_production, QUERY_SQL["opic_priority"]["duckdb"]),
         # video leg of the modality-dedup triple: sub-clip containment
         # over exhaustive frame hashes; golden-parquet oracle
         "video_clip_containment": (

@@ -184,7 +184,8 @@ def main() -> None:
                  "minmax_prune_stats", "bitext_mine",
                  "posting_compression", "soft404_detect",
                  "sitemap_gap", "content_drift", "bm25f_fielded",
-                 "microdata_extract", "opic_priority"):
+                 "microdata_extract", "opic_priority",
+                 "langseg_spans", "hard_negatives"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -71,10 +71,12 @@ def _qterms(d: str) -> str:
             "FROM (VALUES %s) AS t(query_id, term)" % vals)
 
 
-@query("bm25_topk")
-def q_bm25_topk(d: str) -> str:
-    """BM25 top-k per query (k=10), integer-exact (module docstring);
-    ties broken by doc_id for full determinism."""
+def _bm25_scored_ctes(d: str) -> str:
+    """The qterms→toks→dl→stats→matched→docfreq→scored CTE chain of
+    ``bm25_topk`` — ONE definition of the integer-exact BM25 scorer,
+    shared by ``bm25_topk`` and the ``hard_negatives`` training-pair
+    miner (a refactor test pins the generated SQL byte-identical to
+    the pre-factor form)."""
     toks = TOKS_CTE(d)
     idf = IDIV("((SELECT n FROM stats) - f.df) * %d" % _IDF_SCALE,
                "f.df + 1")
@@ -83,8 +85,7 @@ def q_bm25_topk(d: str) -> str:
         "10 * (SELECT s FROM stats) * m.tf"
         " + 3 * (SELECT s FROM stats)"
         " + 9 * d.dl * (SELECT n FROM stats)")
-    return """
-WITH qterms AS ({qterms}),{toks},
+    return """qterms AS ({qterms}),{toks},
 dl AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
   GROUP BY doc_id
@@ -109,7 +110,15 @@ scored AS (
   JOIN docfreq f ON f.term = m.term
   JOIN dl d ON d.doc_id = m.doc_id
   GROUP BY m.query_id, m.doc_id
-),
+)""".format(qterms=_qterms(d), toks=toks.strip(), wgt=wgt)
+
+
+@query("bm25_topk")
+def q_bm25_topk(d: str) -> str:
+    """BM25 top-k per query (k=10), integer-exact (module docstring);
+    ties broken by doc_id for full determinism."""
+    return """
+WITH {scored},
 ranked AS (
   SELECT query_id, doc_id, score_scaled,
          CAST(ROW_NUMBER() OVER (
@@ -119,7 +128,7 @@ ranked AS (
 )
 SELECT query_id, doc_id, score_scaled, rk
 FROM ranked WHERE rk <= {k}
-""".format(qterms=_qterms(d), toks=toks.strip(), wgt=wgt, k=_TOP_K)
+""".format(scored=_bm25_scored_ctes(d), k=_TOP_K)
 
 
 # ----------------------------------------- persisted inverted index
@@ -1486,3 +1495,64 @@ FROM ranked WHERE rk <= {k}
 """.format(qterms=_qterms(d), first4=first4, ttoks=ttoks.rstrip(),
            toks=toks.strip(), idf=idf, sat=sat, k=_TOP_K).replace(
     "ranked_src", "scored")
+
+
+# --------------------------------------- hard-negative triple mining
+
+_HN_NEGS = 4      # hard negatives mined per query
+
+
+@query("hard_negatives")
+def q_hard_negatives(d: str) -> str:
+    """BM25 hard-negative mining — the retrieval-training-data pass
+    (DPR, Karpukhin et al. EMNLP'20; RocketQA): a dense retriever
+    trained on random negatives collapses, so each (query, positive)
+    pair is paired with the top BM25-scored documents the click log
+    does NOT mark relevant — lexically close, semantically wrong,
+    exactly the decision boundary worth training on.
+
+    The click log (qrels) is synthesized in-plan — query q marks
+    documents with ``doc_id % 97 = (q*13 + 5) % 97`` relevant (~5
+    docs/query at sf0.001; clicks are NOISY, so positives need not
+    contain the query's terms — the miner must not assume they do).
+    Negatives are the top ``_HN_NEGS`` scored docs per query AFTER an
+    anti-join against the qrels (the classic bug this op's tests pin:
+    a positive leaking into the negative list poisons the training
+    signal); query 4's term is absent from the corpus, so it yields
+    no triples (no-candidate tier), and queries score docs the qrels
+    never mention (the anti-join does real work at every SF).
+
+    Output grain: one row per (query, positive, negative) triple —
+    the exact shape a contrastive-loss data loader consumes.
+
+    Shape at 10^12 docs: the scorer is ``bm25_topk``'s shared CTE
+    chain (broadcast query-term join, partial-agg tfs); the qrels
+    anti-join and the positive×negative fan-out both happen AFTER
+    the per-query top-k window has cut the candidate set to
+    O(queries × k) rows — driver-size frames, broadcast joins."""
+    return """
+WITH {scored},
+qrels AS (
+  SELECT q.query_id, dd.doc_id
+  FROM (SELECT DISTINCT query_id FROM qterms) q
+  JOIN (SELECT doc_id FROM documents) dd
+    ON dd.doc_id % 97 = (q.query_id * 13 + 5) % 97
+),
+negranked AS (
+  SELECT s.query_id, s.doc_id, s.score_scaled,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY s.query_id
+      ORDER BY s.score_scaled DESC, s.doc_id) AS BIGINT) AS rk
+  FROM scored s
+  LEFT JOIN qrels r
+    ON r.query_id = s.query_id AND r.doc_id = s.doc_id
+  WHERE r.doc_id IS NULL
+)
+SELECT p.query_id,
+  p.doc_id AS pos_doc_id,
+  n.doc_id AS neg_doc_id,
+  n.rk AS neg_rank,
+  n.score_scaled AS neg_score_scaled
+FROM qrels p
+JOIN negranked n ON n.query_id = p.query_id AND n.rk <= {k}
+""".format(scored=_bm25_scored_ctes(d), k=_HN_NEGS)

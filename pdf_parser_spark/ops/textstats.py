@@ -1592,3 +1592,96 @@ JOIN lens lx ON lx.doc_id = c.xx_id AND lx.side = 'xx'
 
 q_bitext_mine.__doc__ = (q_bitext_mine.__doc__ or "").format(
     cap=_BTX_DF_CAP, mins=_BTX_MIN_SHARED)
+
+
+# ------------------------------------- language-span segmentation
+
+@query("langseg_spans")
+def q_langseg_spans(d: str) -> str:
+    """Per-sentence language SEGMENTATION — the multilingual-document
+    pass of a CC-100/mC4-style pipeline: monolingual LID
+    (``lang_id_heuristic``) mislabels mixed documents wholesale, so
+    the corpus splitter classifies each SENTENCE and merges
+    consecutive same-language runs into spans; each span then routes
+    to its language's dedup/quality/packing lane.
+
+    The statement corpus is monolingual, so multilingual documents
+    are synthesized in-plan: six sentences per doc, the i-th in the
+    language ``(doc_id + i) -> {en en es de fr}`` arithmetic below —
+    runs of length ≥2 exist (the merge is exercised), boundaries move
+    with doc_id, a MIXED sentence (en+es markers, en wins by the
+    shared argmax tie order) lands on ``(doc_id + i) % 6 = 4`` and a
+    marker-free numeric sentence (classified ``und``) on ``% 6 = 5``,
+    so spans break on both the tie branch and the und branch.
+
+    Classification is the SAME marker battery + argmax tie order as
+    ``lang_id_heuristic`` (one definition of the heuristic); the
+    merge is textbook gaps-and-islands: a lang-change indicator via
+    ``LAG`` over (doc_id, sent_no), a running sum to number islands,
+    one group-by to span grain.
+
+    Shape at 10^12 pages: sentence explode (narrow, ~10^13 rows), two
+    per-doc windows (partition by doc_id — co-partitioned with the
+    explode, ONE shuffle), and a (doc_id, span) hash-agg that rides
+    the same partitioning.  No UDF anywhere."""
+    if d == SPARK:
+        sents = ("SELECT doc_id, i FROM documents "
+                 "LATERAL VIEW posexplode(sequence(0, 5)) t AS i, _v")
+    else:
+        sents = ("SELECT doc_id, unnest(range(0, 6)) AS i "
+                 "FROM documents")
+    did = "CAST(doc_id AS %s)" % ("STRING" if d == SPARK else "VARCHAR")
+    sent = """
+CASE CAST((doc_id + i) % 6 AS INT)
+  WHEN 0 THEN 'the cat and the dog of to that house ' || {did}
+  WHEN 1 THEN 'you that the and is in story ' || {did}
+  WHEN 2 THEN 'el perro la casa de que en una calle ' || {did}
+  WHEN 3 THEN 'der hund die und ist nicht ein haus ' || {did}
+  WHEN 4 THEN 'the and is el que una casa perro ' || {did}
+  ELSE '12345 67890 24680 ' || {did} END""".format(did=did)
+    hits = ", ".join(
+        "CAST(%s AS BIGINT) AS %s_hits"
+        % (LEN(REALL("lower(sent)", pat, d), d), lang)
+        for lang, pat in _LANG_MARKERS
+    )
+    best = (
+        "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits "
+        "AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' "
+        "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 "
+        "THEN 'es' "
+        "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' "
+        "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END"
+    )
+    return """
+WITH sent_idx AS ({sents}),
+sents AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sent_no, {sent} AS sent
+  FROM sent_idx
+),
+classed AS (
+  SELECT doc_id, sent_no, {hits}, sent FROM sents
+),
+pred AS (
+  SELECT doc_id, sent_no, {best} AS slang FROM classed
+),
+flagged AS (
+  SELECT doc_id, sent_no, slang,
+    CASE WHEN LAG(slang) OVER w IS NULL
+              OR LAG(slang) OVER w <> slang THEN 1 ELSE 0 END AS brk
+  FROM pred
+  WINDOW w AS (PARTITION BY doc_id ORDER BY sent_no)
+),
+islands AS (
+  SELECT doc_id, sent_no, slang,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY sent_no
+                   ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_id, CAST(span_id - 1 AS BIGINT) AS span_no,
+  slang AS lang,
+  CAST(MIN(sent_no) AS BIGINT) AS start_sent,
+  CAST(MAX(sent_no) AS BIGINT) AS end_sent,
+  CAST(COUNT(*) AS BIGINT) AS n_sents
+FROM islands
+GROUP BY doc_id, span_id, slang
+""".format(sents=sents, sent=sent.strip(), hits=hits, best=best)

@@ -60,7 +60,7 @@ _SUBSET = [
     "minmax_prune_stats", "bitext_mine", "posting_compression",
     "soft404_detect", "sitemap_gap", "content_drift",
     "crawl_depth", "bm25f_fielded", "microdata_extract",
-    "opic_priority",
+    "opic_priority", "langseg_spans", "hard_negatives",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -5117,3 +5117,111 @@ def test_opic_df_matches_sql(spark, duck, entry_mod):
     want = sorted(tuple(r) for r in duck.sql(
         entry_mod.all_oracles()["opic_priority"]).fetchall())
     assert twin == want
+
+
+def test_langseg_spans_semantics(duck, entry_mod):
+    """Python recompute of the sentence synthesis, the shared marker
+    battery + argmax tie order, and the islands merge; pins the
+    exact-tie sentence (en 3 vs es 3 → en by tie order) and that
+    runs of length ≥2 actually merge."""
+    import re
+
+    pats = {
+        "en": r"\b(the|and|of|to|in|is|you|that)\b",
+        "es": r"\b(el|la|los|las|de|que|en|una?)\b",
+        "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
+        "fr": r"\b(le|les|des|est|une?|dans|pour)\b",
+    }
+
+    def sent(did, i):
+        k = (did + i) % 6
+        return [
+            "the cat and the dog of to that house %d" % did,
+            "you that the and is in story %d" % did,
+            "el perro la casa de que en una calle %d" % did,
+            "der hund die und ist nicht ein haus %d" % did,
+            "the and is el que una casa perro %d" % did,
+            "12345 67890 24680 %d" % did,
+        ][k]
+
+    def classify(s):
+        h = {l: len(re.findall(p, s.lower())) for l, p in pats.items()}
+        if h["en"] >= h["es"] and h["en"] >= h["de"] \
+                and h["en"] >= h["fr"] and h["en"] > 0:
+            return "en"
+        if h["es"] >= h["de"] and h["es"] >= h["fr"] and h["es"] > 0:
+            return "es"
+        if h["de"] >= h["fr"] and h["de"] > 0:
+            return "de"
+        return "fr" if h["fr"] > 0 else "und"
+
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    want = set()
+    for did in docs:
+        langs = [classify(sent(did, i)) for i in range(6)]
+        span_no, start = 0, 0
+        for i in range(1, 7):
+            if i == 6 or langs[i] != langs[start]:
+                want.add((did, span_no, langs[start], start, i - 1,
+                          i - start))
+                span_no, start = span_no + 1, i
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["langseg_spans"]).fetchall()}
+    assert got == want
+    # the tie sentence classifies en (3-3 vs es, tie order)
+    assert classify(sent(0, 4)) == "en"
+    # merges happen: some span covers ≥2 sentences, some doc has an
+    # und break mid-document
+    assert any(r[5] >= 2 for r in got)
+    assert any(r[2] == "und" and 0 < r[3] < 5 for r in got)
+
+
+def test_hard_negatives_semantics(duck, entry_mod):
+    """Python recompute: qrels from the synthesis arithmetic, negative
+    ranking straight from the bm25_topk oracle's scores (scored chain
+    shared by construction — a refactor test pins the SQL), triples as
+    the cross of positives × top-4 non-relevant.  Pins the anti-join
+    (no positive ever appears as a negative) and the no-candidate
+    tier (query 4 absent)."""
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+    # full scored set = bm25 oracle WITHOUT the top-k cut: rebuild it
+    # by lifting the rank filter via a large-k variant of the shared
+    # chain — the registry's bm25_topk keeps k=10, so recompute from
+    # its scored CTE by querying with ROW_NUMBER removed:
+    from pdf_parser_spark.ops.retrieval import (
+        _bm25_scored_ctes, _HN_NEGS)
+    scored = duck.sql(
+        "WITH %s SELECT query_id, doc_id, score_scaled FROM scored"
+        % _bm25_scored_ctes("duckdb")).fetchall()
+    qrels = {(q, did) for q in range(5) for did in docs
+             if did % 97 == (q * 13 + 5) % 97}
+    byq = {}
+    for q, did, sc in scored:
+        if (q, did) not in qrels:
+            byq.setdefault(q, []).append((-sc, did))
+    want = set()
+    for q, lst in byq.items():
+        for rk, (neg, did) in enumerate(sorted(lst)[:_HN_NEGS], 1):
+            for (pq, pos) in qrels:
+                if pq == q:
+                    want.add((q, pos, did, rk, -neg))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["hard_negatives"]).fetchall()}
+    assert got == want
+    # anti-join holds: no negative is a relevant doc of its query
+    assert not any((q, n) in qrels for q, _, n, _, _ in got)
+    # absent-term query mines nothing; the others all mine
+    assert {q for q, *_ in got} == {0, 1, 2, 3}
+
+
+def test_bm25_refactor_sql_stable(entry_mod):
+    """The _bm25_scored_ctes refactor left bm25_topk's generated SQL
+    semantically unchanged: the shared chain appears verbatim inside
+    the bm25_topk query text in both dialects."""
+    from pdf_parser_spark.ops.retrieval import (
+        QUERIES, _bm25_scored_ctes)
+    for d in ("spark", "duckdb"):
+        assert _bm25_scored_ctes(d) in QUERIES["bm25_topk"](d)
+        assert _bm25_scored_ctes(d) in QUERIES["hard_negatives"](d)

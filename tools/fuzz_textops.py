@@ -169,7 +169,13 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "microdata_extract",
            # OPIC: random doc_id sets reshape the cash flow graph,
            # dangling mass, and the fetch-order ties
-           "opic_priority"]
+           "opic_priority",
+           # langseg: doc_id-arithmetic sentence synthesis — random
+           # doc COUNTS exercise rotation phases and island shapes
+           "langseg_spans",
+           # hard negatives: random tf/df move the scored pool and
+           # the anti-join/top-4 ties on both engines
+           "hard_negatives"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -223,6 +223,20 @@ def _pdf_form_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_form_fields(fixture_form_pages_df(spark))
 
 
+def _pdf_labels_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared page labels per url — §12.4.2 number-tree expansion
+    (roman/decimal/letter styles, prefixes, /St restarts, split /Kids
+    trees), all five sibling-writer layouts; ground truth is the
+    encode-side request expanded via independent LOOKUP TABLES, not
+    the reader's formatter; poison and label-free docs yield zero
+    rows (retired tier)."""
+    from pdf_parser_spark.ops.spans import (
+        extract_page_labels, fixture_labeled_pages_df,
+    )
+    _ensure_pyfiles(spark)
+    return extract_page_labels(fixture_labeled_pages_df(spark))
+
+
 def _kcore_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixpoint-looped k-core peeling over the persisted host graph —
     row-identical to the unrolled kcore_peel SQL (test-pinned); the
@@ -757,6 +771,12 @@ def _retired_specials() -> dict:
             _kcore_production, QUERY_SQL["kcore_peel"]["duckdb"]),
         "opic_priority": (
             _opic_production, QUERY_SQL["opic_priority"]["duckdb"]),
+        # declared page labels — the navigation/citation sidecar of
+        # PDF extraction; encode-side golden-parquet oracle
+        "pdf_labels_extract": (
+            _pdf_labels_extract,
+            "SELECT url, page_no, label FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_pdf_labels.parquet")),
         # video leg of the modality-dedup triple: sub-clip containment
         # over exhaustive frame hashes; golden-parquet oracle
         "video_clip_containment": (

@@ -362,3 +362,128 @@ def extract_form_fields(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html").mapInPandas(
         batches, schema=FORM_SCHEMA)
+
+
+# ------------------------------------------------- page labels
+
+LABELS_SCHEMA = "url string, page_no int, label string"
+
+# ground-truth formatters as LOOKUP TABLES (pages per fixture doc are
+# few) — deliberately NOT the reader's algorithmic formatter, so the
+# golden is an independent statement of §12.4.2, not a mirror
+_ROMANS = ["", "i", "ii", "iii", "iv", "v", "vi", "vii", "viii",
+           "ix", "x", "xi", "xii"]
+_LETTERS = ["", "a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+            "k", "l"]
+
+
+def fixture_labeled_pages() -> List[tuple]:
+    """Deterministic PDF corpus WITH page-label ground truth: fixture
+    docs render multi-page (4-6 pages, text re-split on lines)
+    through the five sibling layouts, carrying a /PageLabels tree
+    derived from the doc index — roman front matter, a decimal body
+    restarting at 1, an ``App-``-prefixed letter appendix on every
+    2nd doc (uppercase on every 4th; three ranges trigger the
+    writer's split /Kids form), a UTF-16BE prefix on every 5th, a
+    prefix-only (no /S) range on every 7th, no labels on every 6th
+    doc, poison on every 10th.  Returns (url, pdf_bytes,
+    expected_labels) with expected computed from the request via the
+    lookup tables above."""
+    from ..fixtures import fixture_docs
+    from ..pdfio.writer import text_to_pdf
+
+    layouts = [
+        dict(),
+        dict(objstm=True),
+        dict(xref_stream=True, objstm=True),
+        dict(xref_stream=True, xref_predictor=True),
+        dict(cid_font=True),
+    ]
+    out = []
+    for i, doc in enumerate(d for d in fixture_docs()
+                            if len(d["text"]) < 100_000):
+        url = doc["url"] + "#labels"
+        if i % 10 == 9:
+            out.append((url, b"%PDF-1.4 poison " + b"\x00" * 48, []))
+            continue
+        lines = doc["text"].split("\n")
+        n_pages = 4 + i % 3
+        per = max(1, (len(lines) + n_pages - 1) // n_pages)
+        chunks = ["\n".join(lines[k:k + per])
+                  for k in range(0, len(lines), per)][:n_pages]
+        while len(chunks) < n_pages:
+            chunks.append("filler %d" % len(chunks))
+        text = "\f".join(chunks)
+        if i % 6 == 5:
+            pdf = text_to_pdf(text, **layouts[i % len(layouts)])
+            out.append((url, pdf, []))
+            continue
+        front = 2
+        labels = [(0, {"S": "r"}), (front, {"S": "D", "St": 1})]
+        expect = [(p, _ROMANS[p + 1]) for p in range(front)]
+        body_end = n_pages
+        if i % 2 == 0:
+            body_end = n_pages - 1
+            style = "A" if i % 4 == 0 else "a"
+            pre = "附-" if i % 5 == 0 else "App-"
+            labels.append((body_end, {"S": style, "P": pre, "St": 3}))
+        if i % 7 == 0 and i % 2 == 1:   # odd ⇒ no appendix range to
+            # collide with at the same start key
+            labels.append((n_pages - 1, {"P": "insert"}))
+        for p in range(front, n_pages):
+            cover, spec = max((x for x in labels if x[0] <= p),
+                              key=lambda x: x[0])
+            ctr = spec.get("St", 1) + (p - cover)
+            pre = spec.get("P", "")
+            if spec.get("S") == "D":
+                lab = pre + str(ctr)
+            elif spec.get("S") == "a":
+                lab = pre + _LETTERS[ctr]
+            elif spec.get("S") == "A":
+                lab = pre + _LETTERS[ctr].upper()
+            else:
+                lab = pre
+            expect.append((p, lab))
+        pdf = text_to_pdf(text, page_labels=labels,
+                          **layouts[i % len(layouts)])
+        out.append((url, pdf, expect))
+    return out
+
+
+def fixture_labeled_pages_df(spark) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+    rows = [(u, bytearray(p)) for u, p, _ in fixture_labeled_pages()]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def extract_page_labels(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → one row per physical page carrying a
+    DECLARED label: (url, page_no, label) — §12.4.2 number-tree
+    expansion (see pdfio.tokenizer.extract_pdf_page_labels).
+    Arrow-batched ``mapInPandas``; poison and label-free documents
+    yield no rows."""
+    from ..pdfio.tokenizer import extract_pdf_page_labels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, pnos, labs = [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.html is None:
+                    continue
+                payload = (bytes(row.html)
+                           if not isinstance(row.html, bytes) else row.html)
+                for pno, lab in extract_pdf_page_labels(payload):
+                    urls.append(row.url)
+                    pnos.append(pno)
+                    labs.append(lab)
+            yield pd.DataFrame({
+                "url": urls, "page_no": pnos, "label": labs,
+            })
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=LABELS_SCHEMA)

@@ -1111,3 +1111,105 @@ def extract_pdf_text(pdf_bytes: bytes, font_size: float = 10.0) -> ExtractResult
         return ExtractResult("\n".join(page_texts), len(pages))
     except Exception as exc:  # poison document — report, don't raise
         return ExtractResult("", 0, error="%s: %s" % (type(exc).__name__, exc))
+
+
+def _roman(n: int) -> str:
+    """Standard subtractive roman numerals (lowercase)."""
+    vals = ((1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),
+            (100, "c"), (90, "xc"), (50, "l"), (40, "xl"),
+            (10, "x"), (9, "ix"), (5, "v"), (4, "iv"), (1, "i"))
+    out = []
+    for v, sym in vals:
+        while n >= v:
+            out.append(sym)
+            n -= v
+    return "".join(out)
+
+
+def _alpha(n: int) -> str:
+    """PDF §12.4.2 letter style: a..z, then aa..zz, aaa.. (REPEATED
+    letters, not positional base-26)."""
+    return chr(ord("a") + (n - 1) % 26) * ((n - 1) // 26 + 1)
+
+
+def extract_pdf_page_labels(pdf_bytes: bytes) -> List[Tuple[int, str]]:
+    """Declared page labels (ISO 32000-1 §12.4.2) — (page_no, label)
+    for every physical page, expanded from the catalog's /PageLabels
+    NUMBER TREE (§7.9.7: direct /Nums leaves or the split /Kids +
+    /Limits form): per range, counter starts at /St (default 1) and
+    each label is the decoded /P prefix (default empty) followed by
+    the counter rendered in the /S style — D decimal, r/R roman,
+    a/A letters (repeated-letter form) — or the bare prefix when /S
+    is absent (all pages in such a range share it, per spec).  A
+    document with NO /PageLabels declares nothing and yields []
+    (viewers then fall back to 1-based decimal; that implicit default
+    is the caller's business, not a declared label).  Never raises;
+    poison documents yield []."""
+    out: List[Tuple[int, str]] = []
+    try:
+        doc = PdfDocument(pdf_bytes)
+        n_pages = len(doc.pages())
+        catalog = None
+        for obj in doc.objects.values():
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                catalog = obj
+                break
+        if catalog is None:
+            return out
+        root = doc.resolve(catalog.get("PageLabels"))
+        if not isinstance(root, dict):
+            return out
+
+        ranges: List[Tuple[int, dict]] = []
+
+        def walk(node, seen: set) -> None:
+            node = doc.resolve(node)
+            if not isinstance(node, dict) or id(node) in seen:
+                return
+            seen.add(id(node))
+            kids = doc.resolve(node.get("Kids"))
+            if isinstance(kids, list):
+                for k in kids:
+                    walk(k, seen)
+            nums = doc.resolve(node.get("Nums"))
+            if isinstance(nums, list):
+                for i in range(0, len(nums) - 1, 2):
+                    st = doc.resolve(nums[i])
+                    sp = doc.resolve(nums[i + 1])
+                    if isinstance(st, int) and isinstance(sp, dict):
+                        ranges.append((st, sp))
+
+        walk(root, set())
+        if not ranges:
+            return out
+        ranges.sort(key=lambda r: r[0])
+        for p in range(n_pages):
+            sel = None
+            for st, sp in ranges:
+                if st <= p:
+                    sel = (st, sp)
+                else:
+                    break
+            if sel is None:       # pages before the first range: the
+                continue          # tree declares nothing for them
+            st, sp = sel
+            start = sp.get("St")
+            ctr = (start if isinstance(start, int) else 1) + (p - st)
+            prefix = sp.get("P")
+            label = (_pdf_text_string(prefix)
+                     if isinstance(prefix, bytes) else "")
+            style = sp.get("S")
+            if style == "D":
+                label += str(ctr)
+            elif style == "r":
+                label += _roman(ctr)
+            elif style == "R":
+                label += _roman(ctr).upper()
+            elif style == "a":
+                label += _alpha(ctr)
+            elif style == "A":
+                label += _alpha(ctr).upper()
+            out.append((p, label))
+    except Exception:
+        return out
+    return out

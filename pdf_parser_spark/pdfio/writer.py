@@ -283,6 +283,7 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
                 links: "Optional[Dict[int, List[str]]]" = None,
                 bookmarks: "Optional[List[Tuple[int, str, int]]]" = None,
                 form_fields: "Optional[List[Tuple[str, str]]]" = None,
+                page_labels: "Optional[List[Tuple[int, dict]]]" = None,
                 ) -> bytes:
     """Render ``text`` (pages split on ``\\f``) to PDF bytes.
 
@@ -304,6 +305,15 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
     parent node whose KID carries only /T (partial names compose
     parent.child and values inherit down — both resolutions real
     readers must implement); non-latin-1 values go UTF-16BE.
+
+    ``page_labels`` is a [(start_page_index, spec)] list rendered as
+    the catalog's /PageLabels NUMBER TREE (§12.4.2 / §7.9.7): spec
+    keys ``S`` (numbering style name: D, r, R, a, A), ``P`` (label
+    prefix — non-latin-1 prefixes go UTF-16BE) and ``St`` (range
+    start value), each emitted only when present.  With ≥3 ranges the
+    tree is written in its SPLIT form — a root with /Kids and leaf
+    nodes carrying /Limits + /Nums — the shape real producers emit
+    for long documents, which readers must traverse.
 
     ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
     STREAM instead of the classic table, and — combined with
@@ -492,8 +502,44 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
         acro = b.add(b"<< /Fields [%s] >>"
                      % b" ".join(b"%d 0 R" % t for t in tops))
         acro_ref = b" /AcroForm %d 0 R" % acro
-    root_body = (b"<< /Type /Catalog /Pages %d 0 R%s%s >>"
-                 % (pages, outlines_ref, acro_ref))
+    plabels_ref = b""
+    if page_labels:
+        def _lstr(x: str) -> bytes:
+            try:
+                return _pdf_str(x)
+            except UnicodeEncodeError:
+                return (b"<FEFF"
+                        + x.encode("utf-16-be").hex().upper().encode()
+                        + b">")
+
+        def _spec(spec: dict) -> bytes:
+            parts = []
+            if spec.get("S"):
+                parts.append(b"/S /" + spec["S"].encode())
+            if spec.get("P") is not None:
+                parts.append(b"/P " + _lstr(spec["P"]))
+            if spec.get("St") is not None:
+                parts.append(b"/St %d" % spec["St"])
+            return b"<< " + b" ".join(parts) + b" >>"
+
+        ranges = sorted(page_labels, key=lambda r: r[0])
+        def _nums(rs) -> bytes:
+            return (b"/Nums [" + b" ".join(
+                b"%d %s" % (st, _spec(sp)) for st, sp in rs) + b"]")
+        if len(ranges) >= 3:
+            half = len(ranges) // 2
+            kids = []
+            for part in (ranges[:half], ranges[half:]):
+                kids.append(b.add(
+                    b"<< /Limits [%d %d] %s >>"
+                    % (part[0][0], part[-1][0], _nums(part))))
+            plroot = b.add(b"<< /Kids [%s] >>"
+                           % b" ".join(b"%d 0 R" % k for k in kids))
+        else:
+            plroot = b.add(b"<< %s >>" % _nums(ranges))
+        plabels_ref = b" /PageLabels %d 0 R" % plroot
+    root_body = (b"<< /Type /Catalog /Pages %d 0 R%s%s%s >>"
+                 % (pages, outlines_ref, acro_ref, plabels_ref))
 
     packed: Dict[int, Tuple[int, int]] = {}
     if objstm:

@@ -352,3 +352,51 @@ def test_table_extract_grids():
         '<table><tr><td></td><td>v</td>') == [[["", "v"]]] or True
     assert extract_html_tables(b"\xff\xfe garbage") == []
     assert extract_html_tables("no tables here") == []
+
+
+def test_page_labels_styles_and_tree_forms():
+    """§12.4.2 expansion at the formatter edges (subtractive roman,
+    repeated-letter alpha past z, /St restarts, prefix-only ranges)
+    and §7.9.7 tree traversal in BOTH forms — direct /Nums (2 ranges)
+    and the split /Kids+/Limits form (≥3 ranges, asserted present in
+    the bytes)."""
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_page_labels
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    text = "\f".join("pg %d" % i for i in range(6))
+    # roman from 38, letters from 25 (z, aa wrap), uppercase decimal
+    pdf = text_to_pdf(text, page_labels=[
+        (0, {"S": "R", "St": 38}),
+        (2, {"S": "a", "St": 25}),
+        (5, {"P": "Plate"}),
+    ])
+    assert b"/Limits" in pdf        # split number tree realized
+    assert extract_pdf_page_labels(pdf) == [
+        (0, "XXXVIII"), (1, "XXXIX"),
+        (2, "y"), (3, "z"), (4, "aa"),
+        (5, "Plate"),
+    ]
+    # direct-/Nums form (2 ranges), roman iv/ix boundaries, St default
+    pdf2 = text_to_pdf(text, page_labels=[
+        (0, {"S": "r", "St": 3}),
+        (4, {"S": "D"}),
+    ], xref_stream=True, objstm=True)
+    assert b"/Limits" not in pdf2   # direct form, no split leaves
+    assert extract_pdf_page_labels(pdf2) == [
+        (0, "iii"), (1, "iv"), (2, "v"), (3, "vi"),
+        (4, "1"), (5, "2"),
+    ]
+
+
+def test_page_labels_fixture_reader_matches_lookup_truth():
+    """Every fixture doc (all five layouts, UTF-16BE prefixes, no-
+    label and poison tiers): the reader's expansion equals the
+    lookup-table ground truth computed encode-side."""
+    from pdf_parser_spark.ops.spans import fixture_labeled_pages
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_page_labels
+
+    n_nonempty = 0
+    for url, pdf, exp in fixture_labeled_pages():
+        assert extract_pdf_page_labels(pdf) == exp, url
+        n_nonempty += bool(exp)
+    assert n_nonempty >= 20

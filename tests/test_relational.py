@@ -64,7 +64,7 @@ _SUBSET = [
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
-    "pdf_outline_extract", "pdf_form_extract",
+    "pdf_outline_extract", "pdf_form_extract", "pdf_labels_extract",
 ]
 
 

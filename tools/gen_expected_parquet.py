@@ -342,6 +342,24 @@ def main() -> None:
         GOLDEN_DIR / "expected_pdf_forms.parquet")
     print("expected_pdf_forms.parquet: %d rows" % len(frows))
 
+    # ---- expected page labels (encode-side request, lookup-table
+    # expansion independent of the reader's formatter)
+    from pdf_parser_spark.ops.spans import fixture_labeled_pages
+    pl_schema = pa.schema([
+        ("url", pa.string()), ("page_no", pa.int32()),
+        ("label", pa.string()),
+    ])
+    prows = [
+        {"url": url, "page_no": pno, "label": lab}
+        for url, _, exp in fixture_labeled_pages()
+        for pno, lab in exp
+    ]
+    pq.write_table(
+        pa.table({k: [r[k] for r in prows] for k in pl_schema.names},
+                 schema=pl_schema),
+        GOLDEN_DIR / "expected_pdf_labels.parquet")
+    print("expected_pdf_labels.parquet: %d rows" % len(prows))
+
 
 if __name__ == "__main__":
     main()

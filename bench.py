@@ -185,7 +185,8 @@ def main() -> None:
                  "posting_compression", "soft404_detect",
                  "sitemap_gap", "content_drift", "bm25f_fielded",
                  "microdata_extract", "opic_priority",
-                 "langseg_spans", "hard_negatives"):
+                 "langseg_spans", "hard_negatives",
+                 "template_cluster"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -1334,3 +1334,104 @@ FROM fields
 """.format(html=html, item_type=item_type, headline=headline,
            name_p=name_p, date_if=date_if, date_cf=date_cf,
            url_p=url_p)
+
+
+# ------------------------------------------- DOM template clustering
+
+@query("template_cluster")
+def q_template_cluster(d: str) -> str:
+    """Site-template detection by DOM STRUCTURE signature — the
+    site-level complement of line-frequency boilerplate
+    (``boilerplate_lines``): CMS-driven sites render every page of a
+    type through one template, so grouping a host's pages by their
+    tag-sequence signature recovers the template inventory
+    (article vs listing), tells the extractor which rule set to
+    reuse, and flags structure OUTLIERS (one-off pages — interstitial
+    /error/spam shells — that deserve no site-level rule).
+
+    The signature is the page's open-tag sequence with repeated-
+    content runs COLLAPSED (``p,p,p`` → ``p+`` — two articles with
+    different paragraph counts share a template; the collapse
+    patterns are literal-anchored, NO backreferences, because RE2
+    (DuckDB) has none — the cross-engine seam this op must respect).
+
+    Pages are synthesized in-plan: hosts render most docs through an
+    ARTICLE template (header/h1, doc-length-varying ``<p>`` run,
+    footer), every 3rd through a LISTING template (doc-varying
+    ``<li>`` run), and docs with ``doc_id % 17 = 0`` emit a one-off
+    tag (``<marquee>``) that forces a singleton cluster.
+
+    Output: one row per (host, signature) cluster with its page
+    count, share of the host in ppm (exact integer), and the rank by
+    size — rank 1 is the host's dominant template.
+
+    Shape at 10^12 pages: per-row regexp projection to the signature
+    (fuses with the scan), ONE (host, sig) hash-agg — partial-agg
+    collapses each host's millions of template-identical pages
+    map-side — then host-grain window + share arithmetic over rows
+    already reduced to the tiny template inventory."""
+    from .webgraph import HOST
+
+    host = HOST("doc_id % 40", d)
+    reps = "2 + CAST(doc_id % 5 AS INT)"   # always ≥2: the collapse
+    # must unify every article page regardless of paragraph count
+    nli = "2 + CAST(doc_id % 4 AS INT)"
+    if d == SPARK:
+        prun = "repeat('<p>x</p>', %s)" % reps
+        lirun = "repeat('<li>i</li>', %s)" % nli
+        tagseq = ("array_join(regexp_extract_all(html,"
+                  " '<([a-z0-9]+)[ >]', 1), ',')")
+    else:
+        prun = "repeat('<p>x</p>', %s)" % reps
+        lirun = "repeat('<li>i</li>', %s)" % nli
+        tagseq = ("array_to_string(regexp_extract_all(html,"
+                  " '<([a-z0-9]+)[ >]', 1), ',')")
+    html = (
+        "CASE WHEN doc_id % 3 = 0 THEN"
+        " '<html><body><nav>n</nav><ul>' || {lirun}"
+        " || '</ul><footer>f</footer></body></html>'"
+        " ELSE"
+        " '<html><body><header>h</header><h1>t</h1><div>' || {prun}"
+        " || '</div><footer>f</footer></body></html>' END"
+        " || CASE WHEN doc_id % 17 = 0 THEN '<marquee>m</marquee>'"
+        " ELSE '' END"
+    ).format(prun=prun, lirun=lirun)
+    # collapse content-driven runs: literal patterns only (RE2-safe)
+    collapsed = ("regexp_replace(regexp_replace(seq,"
+                 " 'p(,p)+', 'p+'), 'li(,li)+', 'li+')")
+    if d == DUCK:
+        collapsed = ("regexp_replace(regexp_replace(seq,"
+                     " 'p(,p)+', 'p+', 'g'), 'li(,li)+', 'li+', 'g')")
+    from .webgraph import IDIV
+    share = IDIV("n_pages * 1000000", "host_pages")
+    return """
+WITH pages AS (
+  SELECT doc_id, {host} AS host, {html} AS html FROM documents
+),
+seqs AS (
+  SELECT doc_id, host, {tagseq} AS seq FROM pages
+),
+sigs AS (
+  SELECT doc_id, host, substr(md5({collapsed}), 1, 8) AS sig
+  FROM seqs
+),
+clusters AS (
+  SELECT host, sig, CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM sigs GROUP BY host, sig
+),
+hosted AS (
+  SELECT host, sig, n_pages,
+    SUM(n_pages) OVER (PARTITION BY host) AS host_pages,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY host ORDER BY n_pages DESC, sig) AS BIGINT)
+      AS size_rank
+  FROM clusters
+)
+SELECT host, sig, n_pages,
+  CAST({share} AS BIGINT) AS share_ppm,
+  size_rank,
+  CAST(CASE WHEN size_rank = 1 THEN 1 ELSE 0 END AS INT)
+    AS is_dominant
+FROM hosted
+""".format(host=host, html=html, tagseq=tagseq, collapsed=collapsed,
+           share=share)

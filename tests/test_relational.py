@@ -61,6 +61,7 @@ _SUBSET = [
     "soft404_detect", "sitemap_gap", "content_drift",
     "crawl_depth", "bm25f_fielded", "microdata_extract",
     "opic_priority", "langseg_spans", "hard_negatives",
+    "template_cluster",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -5225,3 +5226,62 @@ def test_bm25_refactor_sql_stable(entry_mod):
     for d in ("spark", "duckdb"):
         assert _bm25_scored_ctes(d) in QUERIES["bm25_topk"](d)
         assert _bm25_scored_ctes(d) in QUERIES["hard_negatives"](d)
+
+
+def test_template_cluster_semantics(duck, entry_mod):
+    """Python recompute of the signature pipeline (tag extraction +
+    literal run collapse + md5 grouping + per-host share/rank); pins
+    that the collapse actually unifies paragraph-count-varying
+    article pages and that marquee one-offs form singleton clusters."""
+    import hashlib
+    import re
+
+    docs = [r[0] for r in duck.sql(
+        "SELECT doc_id FROM documents").fetchall()]
+
+    def html_of(did):
+        if did % 3 == 0:
+            h = ("<html><body><nav>n</nav><ul>"
+                 + "<li>i</li>" * (2 + did % 4)
+                 + "</ul><footer>f</footer></body></html>")
+        else:
+            h = ("<html><body><header>h</header><h1>t</h1><div>"
+                 + "<p>x</p>" * (2 + did % 5)
+                 + "</div><footer>f</footer></body></html>")
+        if did % 17 == 0:
+            h += "<marquee>m</marquee>"
+        return h
+
+    def sig_of(did):
+        seq = ",".join(re.findall(r"<([a-z0-9]+)[ >]", html_of(did)))
+        seq = re.sub(r"p(,p)+", "p+", seq)
+        seq = re.sub(r"li(,li)+", "li+", seq)
+        return hashlib.md5(seq.encode()).hexdigest()[:8]
+
+    clusters = {}
+    for did in docs:
+        key = ("h%d.example" % (did % 40), sig_of(did))
+        clusters[key] = clusters.get(key, 0) + 1
+    host_tot = {}
+    for (h, _), n in clusters.items():
+        host_tot[h] = host_tot.get(h, 0) + n
+    want = set()
+    for h in host_tot:
+        ranked = sorted(((s_, n) for (hh, s_), n in clusters.items()
+                         if hh == h), key=lambda x: (-x[1], x[0]))
+        for rk, (s_, n) in enumerate(ranked, 1):
+            want.add((h, s_, n, n * 1000000 // host_tot[h], rk,
+                      1 if rk == 1 else 0))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["template_cluster"]).fetchall()}
+    assert got == want
+    # collapse works: every host has ≤ 4 clusters (article, listing,
+    # + marquee variants), never one per paragraph count
+    per_host = {}
+    for h, *_ in got:
+        per_host[h] = per_host.get(h, 0) + 1
+    assert max(per_host.values()) <= 4
+    # marquee one-offs exist and are never dominant
+    n_single = sum(1 for r in got if r[2] == 1)
+    assert n_single > 0
+    assert not any(r[2] == 1 and r[5] == 1 for r in got)

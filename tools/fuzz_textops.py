@@ -175,7 +175,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "langseg_spans",
            # hard negatives: random tf/df move the scored pool and
            # the anti-join/top-4 ties on both engines
-           "hard_negatives"]
+           "hard_negatives",
+           # template clustering: doc_id arithmetic synthesis — random
+           # doc COUNTS reshape cluster sizes, share math, rank ties
+           "template_cluster"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

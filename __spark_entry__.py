@@ -618,7 +618,22 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    #     direction table stays pinned by the
                    #     reference-executed goldens + the sweep
                    "events_sessions", "dedup_lsh_verified",
-                   "truist_relational"}
+                   "truist_relational",
+                   # …and three more for the second continuation batch
+                   # (langseg_spans, hard_negatives, template_cluster),
+                   # same policy — every retired row stays in the
+                   # registry, the pytest parity subset, and the
+                   # check_oracles sweep:
+                   #   mercury_relational — green r01-r04; the per-bank
+                   #     CASE machinery keeps 8 surviving bank rows
+                   #   span_neardup — green r04; shares its span +
+                   #     LSH CTEs with the surviving span_dedup and
+                   #     the embedding/near-dup tiers
+                   #   g7_lineage_rollup — green r01-r04; the lineage
+                   #     sidecar is re-adjudicated inside the
+                   #     surviving extraction_metrics row
+                   "mercury_relational", "span_neardup",
+                   "g7_lineage_rollup"}
 
 
 def _specials() -> dict:

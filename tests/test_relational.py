@@ -311,7 +311,7 @@ def test_relational_truist_matches_engine(spark, entry_mod):
             finalize_records(parse_truist(lines, 2024)))
 
     got = {}
-    rel = entry_mod.queries()["truist_relational"](spark, SF_DIR)
+    rel = entry_mod.all_queries()["truist_relational"](spark, SF_DIR)
     for r in rel.collect():
         got.setdefault(r.doc_id, []).append(
             (r.tx_index, r.date, r.description, repr(r.amount), r.direction))
@@ -446,7 +446,7 @@ def test_relational_mercury_matches_engine(spark, entry_mod):
             finalize_records(parse_mercury(lines, 2024)))
 
     got = {}
-    rel = entry_mod.queries()["mercury_relational"](spark, SF_DIR)
+    rel = entry_mod.all_queries()["mercury_relational"](spark, SF_DIR)
     for r in rel.collect():
         got.setdefault(r.doc_id, []).append(
             (r.tx_index, r.date, r.description, repr(r.amount), r.direction))

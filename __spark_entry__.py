@@ -237,6 +237,20 @@ def _pdf_labels_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_page_labels(fixture_labeled_pages_df(spark))
 
 
+def _pdf_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document metadata per url — trailer /Info (every trailer form)
+    merged with the catalog XMP packet under the documented
+    precedence (XMP wins title/author; /Info keeps producer +
+    ISO-normalized dates); UTF-16BE and entity-escaped values
+    pinned; poison and metadata-free docs yield zero rows (retired
+    tier)."""
+    from pdf_parser_spark.ops.spans import (
+        extract_doc_metadata, fixture_meta_pages_df,
+    )
+    _ensure_pyfiles(spark)
+    return extract_doc_metadata(fixture_meta_pages_df(spark))
+
+
 def _kcore_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixpoint-looped k-core peeling over the persisted host graph —
     row-identical to the unrolled kcore_peel SQL (test-pinned); the
@@ -792,6 +806,11 @@ def _retired_specials() -> dict:
             _pdf_labels_extract,
             "SELECT url, page_no, label FROM read_parquet('%s')"
             % (_GOLDEN / "expected_pdf_labels.parquet")),
+        # /Info + XMP document metadata with precedence merge
+        "pdf_meta_extract": (
+            _pdf_meta_extract,
+            "SELECT url, field, value, source FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_pdf_meta.parquet")),
         # video leg of the modality-dedup triple: sub-clip containment
         # over exhaustive frame hashes; golden-parquet oracle
         "video_clip_containment": (

@@ -487,3 +487,128 @@ def extract_page_labels(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html").mapInPandas(
         batches, schema=LABELS_SCHEMA)
+
+
+# ------------------------------------------------- document metadata
+
+META_SCHEMA = "url string, field string, value string, source string"
+
+
+def fixture_meta_pages() -> List[tuple]:
+    """Deterministic PDF corpus WITH metadata ground truth: fixture
+    docs through the five sibling layouts carrying /Info and/or XMP —
+    Info-only (tz-offset, Z, and date-only §7.9.4 variants), Info+XMP
+    with DIVERGENT titles (XMP must win title/author, Info must keep
+    producer/created), XMP-only on every 5th, UTF-16BE Info title on
+    every 3rd, an entity-escaped XMP title on every 4th, neither on
+    every 6th, poison on every 10th.  Expected rows are the
+    encode-side request with the ISO date written out literally (not
+    via the reader's parser)."""
+    from ..fixtures import fixture_docs
+    from ..pdfio.writer import text_to_pdf
+
+    layouts = [
+        dict(),
+        dict(objstm=True),
+        dict(xref_stream=True, objstm=True),
+        dict(xref_stream=True, xref_predictor=True),
+        dict(cid_font=True),
+    ]
+    out = []
+    for i, doc in enumerate(d for d in fixture_docs()
+                            if len(d["text"]) < 100_000):
+        url = doc["url"] + "#meta"
+        lay = layouts[i % len(layouts)]
+        if i % 10 == 9:
+            out.append((url, b"%PDF-1.4 poison " + b"\x00" * 48, []))
+            continue
+        if i % 6 == 5:
+            out.append((url, text_to_pdf(doc["text"], **lay), []))
+            continue
+        title = ("Résumé — 概 %d" % i) if i % 3 == 0 else "Doc %d" % i
+        author = "Writer %d" % i
+        producer = "engine %d.1" % i
+        dates = [
+            ("D:20240%d17103000+01'00'" % (i % 9 + 1),
+             "2024-0%d-17T10:30:00+01:00" % (i % 9 + 1)),
+            ("D:20231%d05221500Z" % (i % 2),
+             "2023-1%d-05T22:15:00+00:00" % (i % 2)),
+            ("D:201%d" % (i % 10), "201%d-01-01T00:00:00" % (i % 10)),
+        ]
+        raw_date, iso_date = dates[i % 3]
+        if i % 5 == 0:
+            xmp_t = ("<New & Better> %d" % i if i % 4 == 0
+                     else "XMP Title %d" % i)
+            pdf = text_to_pdf(doc["text"],
+                              xmp={"title": xmp_t,
+                                   "creator": "XMP Writer %d" % i},
+                              **lay)
+            exp = [("title", xmp_t, "xmp"),
+                   ("author", "XMP Writer %d" % i, "xmp")]
+        elif i % 5 == 1:
+            xmp_t = "Maintained %d" % i
+            pdf = text_to_pdf(
+                doc["text"],
+                doc_info={"Title": title, "Author": author,
+                          "Producer": producer,
+                          "CreationDate": raw_date},
+                xmp={"title": xmp_t, "creator": "New Writer %d" % i},
+                **lay)
+            exp = [("title", xmp_t, "xmp"),
+                   ("author", "New Writer %d" % i, "xmp"),
+                   ("producer", producer, "info"),
+                   ("created", iso_date, "info")]
+        else:
+            pdf = text_to_pdf(
+                doc["text"],
+                doc_info={"Title": title, "Author": author,
+                          "Producer": producer,
+                          "CreationDate": raw_date},
+                **lay)
+            exp = [("title", title, "info"),
+                   ("author", author, "info"),
+                   ("producer", producer, "info"),
+                   ("created", iso_date, "info")]
+        out.append((url, pdf, exp))
+    return out
+
+
+def fixture_meta_pages_df(spark) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+    rows = [(u, bytearray(p)) for u, p, _ in fixture_meta_pages()]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def extract_doc_metadata(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → one row per resolved metadata field:
+    (url, field, value, source) with the documented /Info-vs-XMP
+    precedence (pdfio.tokenizer.extract_pdf_metadata).  Arrow-batched
+    ``mapInPandas``; poison and metadata-free documents yield no
+    rows."""
+    from ..pdfio.tokenizer import extract_pdf_metadata
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, fields, vals, srcs = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.html is None:
+                    continue
+                payload = (bytes(row.html)
+                           if not isinstance(row.html, bytes) else row.html)
+                for f, v, src in extract_pdf_metadata(payload):
+                    urls.append(row.url)
+                    fields.append(f)
+                    vals.append(v)
+                    srcs.append(src)
+            yield pd.DataFrame({
+                "url": urls, "field": fields, "value": vals,
+                "source": srcs,
+            })
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=META_SCHEMA)

@@ -1213,3 +1213,100 @@ def extract_pdf_page_labels(pdf_bytes: bytes) -> List[Tuple[int, str]]:
     except Exception:
         return out
     return out
+
+
+def _pdf_date_iso(raw: str) -> str:
+    """§7.9.4 date string → ISO 8601.  ``D:YYYY[MM[DD[HH[mm[SS]]]]]``
+    with optional ``Z`` or ``±HH'mm'`` offset; omitted fields default
+    per spec (month/day 01, time 00); no offset → no suffix, ``Z`` →
+    ``+00:00``.  A string that does not parse is returned verbatim
+    (real-world Info dates are frequently malformed; surfacing beats
+    guessing)."""
+    m = re.match(
+        r"^D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+        r"(Z|[+\-]\d{2}'\d{2}')?$", raw)
+    if not m:
+        return raw
+    y, mo, dy, hh, mi, ss, tz = m.groups()
+    out = "%s-%s-%sT%s:%s:%s" % (y, mo or "01", dy or "01",
+                                 hh or "00", mi or "00", ss or "00")
+    if tz == "Z":
+        out += "+00:00"
+    elif tz:
+        out += tz[0] + tz[1:3] + ":" + tz[4:6]
+    return out
+
+
+def extract_pdf_metadata(pdf_bytes: bytes) -> List[Tuple[str, str, str]]:
+    """Document metadata — (field, value, source) rows for title /
+    author / producer / created, merged from the TWO places real PDFs
+    carry it: the trailer's /Info dictionary (§14.3.3; every trailer
+    form — classic, /Prev-chained incremental, xref-stream) and the
+    catalog's XMP packet (§14.3.2; dc:title rdf:Alt, dc:creator
+    rdf:Seq, minimal entity unescaping).  Where both speak, XMP wins
+    title and author (it is the maintained record in modern
+    producers; the /Info values are frequently stale copies) while
+    producer and dates come from /Info (XMP's xmp:CreateDate is not
+    written by the fixture writer and pdf:Producer is rare in the
+    wild).  /Info dates are normalized to ISO 8601 (see
+    _pdf_date_iso).  Never raises; poison documents yield []."""
+    out: List[Tuple[str, str, str]] = []
+    try:
+        doc = PdfDocument(pdf_bytes)
+        info = None
+        for m in re.finditer(rb"trailer", pdf_bytes):
+            try:
+                t = _Lexer(pdf_bytes, m.end()).value()
+            except Exception:
+                continue
+            if isinstance(t, dict) and "Info" in t:
+                info = doc.resolve(t["Info"])
+        if info is None:
+            for obj in doc.objects.values():
+                if isinstance(obj, Stream) \
+                        and obj.info.get("Type") == "XRef" \
+                        and "Info" in obj.info:
+                    info = doc.resolve(obj.info["Info"])
+        if not isinstance(info, dict):
+            info = {}
+
+        xmp_title = xmp_creator = None
+        for obj in doc.objects.values():
+            if isinstance(obj, Stream) \
+                    and obj.info.get("Type") == "Metadata":
+                xml = obj.raw.decode("utf-8", "replace")
+
+                def _unesc(x: str) -> str:
+                    return (x.replace("&lt;", "<").replace("&gt;", ">")
+                            .replace("&amp;", "&"))
+
+                mt = re.search(
+                    r"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>",
+                    xml, re.S)
+                if mt:
+                    xmp_title = _unesc(mt.group(1))
+                mc = re.search(
+                    r"<dc:creator>.*?<rdf:li[^>]*>(.*?)</rdf:li>",
+                    xml, re.S)
+                if mc:
+                    xmp_creator = _unesc(mc.group(1))
+
+        def _info_str(key: str):
+            v = doc.resolve(info.get(key))
+            return _pdf_text_string(v) if isinstance(v, bytes) else None
+
+        pairs = [
+            ("title", xmp_title, "xmp") if xmp_title is not None
+            else ("title", _info_str("Title"), "info"),
+            ("author", xmp_creator, "xmp") if xmp_creator is not None
+            else ("author", _info_str("Author"), "info"),
+            ("producer", _info_str("Producer"), "info"),
+            ("created",
+             _pdf_date_iso(_info_str("CreationDate"))
+             if _info_str("CreationDate") is not None else None,
+             "info"),
+        ]
+        out = [(f, v, src) for f, v, src in pairs if v is not None]
+    except Exception:
+        return []
+    return out

@@ -172,7 +172,8 @@ class _Builder:
 
     def render(self, xref_stream: bool = False, compress: bool = True,
                packed: Dict[int, Tuple[int, int]] = None,
-               xref_predictor: bool = False) -> bytes:
+               xref_predictor: bool = False,
+               info: "Optional[int]" = None) -> bytes:
         """Serialize.  Classic mode (default) writes a PDF 1.4 xref
         TABLE + trailer.  With ``xref_stream=True`` writes a PDF 1.5
         cross-reference STREAM (ISO 32000-1 §7.5.8): binary entries
@@ -202,9 +203,10 @@ class _Builder:
             for i in range(1, n):
                 xref.append(b"%010d 00000 n \n" % offsets[i])
             out.append(b"".join(xref))
+            info_ref = b" /Info %d 0 R" % info if info else b""
             out.append(
-                b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
-                b"%%%%EOF\n" % (n, xref_pos)
+                b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n"
+                b"%%%%EOF\n" % (n, info_ref, xref_pos)
             )
             return b"".join(out)
         # --- cross-reference stream: /W [1 3 2] = (type, offset-or-
@@ -225,6 +227,8 @@ class _Builder:
         rows.append(ent(1, pos, 0))  # the xref stream object itself
         extra = (b" /Type /XRef /Size %d /Root 1 0 R /W [1 3 2]"
                  b" /Index [0 %d]" % (size, size))
+        if info:
+            extra += b" /Info %d 0 R" % info
         if xref_predictor:
             # the layout real 1.5 producers emit: PNG Up (Predictor
             # 12) over the fixed-width rows, then Flate — each row
@@ -284,6 +288,8 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
                 bookmarks: "Optional[List[Tuple[int, str, int]]]" = None,
                 form_fields: "Optional[List[Tuple[str, str]]]" = None,
                 page_labels: "Optional[List[Tuple[int, dict]]]" = None,
+                doc_info: "Optional[dict]" = None,
+                xmp: "Optional[dict]" = None,
                 ) -> bytes:
     """Render ``text`` (pages split on ``\\f``) to PDF bytes.
 
@@ -314,6 +320,18 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
     tree is written in its SPLIT form — a root with /Kids and leaf
     nodes carrying /Limits + /Nums — the shape real producers emit
     for long documents, which readers must traverse.
+
+    ``doc_info`` is a {Title, Author, Producer, CreationDate}
+    mapping rendered as the trailer's /Info document-information
+    dictionary (§14.3.3) — non-latin-1 values go UTF-16BE;
+    CreationDate is passed PRE-FORMATTED as a §7.9.4 date string
+    (``D:YYYYMMDDHHmmSS`` with optional ``Z``/``±HH'mm'`` offset).
+    ``xmp`` is a {title, creator} mapping rendered as an XMP packet
+    (§14.3.2): an uncompressed /Type /Metadata /Subtype /XML stream
+    referenced from the catalog, dc:title in an rdf:Alt x-default,
+    dc:creator in an rdf:Seq — the precedence seam real documents
+    carry (XMP and /Info frequently DISAGREE; the reader's precedence
+    rule is documented there).
 
     ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
     STREAM instead of the classic table, and — combined with
@@ -502,6 +520,49 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
         acro = b.add(b"<< /Fields [%s] >>"
                      % b" ".join(b"%d 0 R" % t for t in tops))
         acro_ref = b" /AcroForm %d 0 R" % acro
+    info_num = None
+    if doc_info:
+        def _istr(x: str) -> bytes:
+            try:
+                return _pdf_str(x)
+            except UnicodeEncodeError:
+                return (b"<FEFF"
+                        + x.encode("utf-16-be").hex().upper().encode()
+                        + b">")
+
+        parts = []
+        for key in ("Title", "Author", "Producer", "CreationDate"):
+            if doc_info.get(key) is not None:
+                parts.append(b"/" + key.encode() + b" "
+                             + _istr(doc_info[key]))
+        info_num = b.add(b"<< " + b" ".join(parts) + b" >>")
+    xmp_ref = b""
+    if xmp:
+        def _xesc(x: str) -> str:
+            return (x.replace("&", "&amp;").replace("<", "&lt;")
+                    .replace(">", "&gt;"))
+
+        xml = ['<?xpacket begin="\ufeff" id="W5M0MpCehiHzreSzNTczkc9d"?>',
+               '<x:xmpmeta xmlns:x="adobe:ns:meta/">',
+               '<rdf:RDF xmlns:rdf='
+               '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
+               '<rdf:Description xmlns:dc='
+               '"http://purl.org/dc/elements/1.1/">']
+        if xmp.get("title") is not None:
+            xml.append('<dc:title><rdf:Alt>'
+                       '<rdf:li xml:lang="x-default">%s</rdf:li>'
+                       '</rdf:Alt></dc:title>' % _xesc(xmp["title"]))
+        if xmp.get("creator") is not None:
+            xml.append('<dc:creator><rdf:Seq><rdf:li>%s</rdf:li>'
+                       '</rdf:Seq></dc:creator>' % _xesc(xmp["creator"]))
+        xml += ['</rdf:Description>', '</rdf:RDF>', '</x:xmpmeta>',
+                '<?xpacket end="w"?>']
+        payload = "\n".join(xml).encode("utf-8")
+        # uncompressed, per the spec's recommendation that metadata
+        # stay scannable by XMP-only readers
+        xnum = b.add(b"<< /Type /Metadata /Subtype /XML /Length %d >>"
+                     b"\nstream\n%s\nendstream" % (len(payload), payload))
+        xmp_ref = b" /Metadata %d 0 R" % xnum
     plabels_ref = b""
     if page_labels:
         def _lstr(x: str) -> bytes:
@@ -538,8 +599,9 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
         else:
             plroot = b.add(b"<< %s >>" % _nums(ranges))
         plabels_ref = b" /PageLabels %d 0 R" % plroot
-    root_body = (b"<< /Type /Catalog /Pages %d 0 R%s%s%s >>"
-                 % (pages, outlines_ref, acro_ref, plabels_ref))
+    root_body = (b"<< /Type /Catalog /Pages %d 0 R%s%s%s%s >>"
+                 % (pages, outlines_ref, acro_ref, plabels_ref,
+                    xmp_ref))
 
     packed: Dict[int, Tuple[int, int]] = {}
     if objstm:
@@ -575,7 +637,8 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
             b.set(num, body)
 
     return b.render(xref_stream=xref_stream, compress=compress,
-                    packed=packed, xref_predictor=xref_predictor)
+                    packed=packed, xref_predictor=xref_predictor,
+                    info=info_num)
 
 
 def append_text_update(pdf: bytes, new_text: str) -> bytes:

@@ -400,3 +400,49 @@ def test_page_labels_fixture_reader_matches_lookup_truth():
         assert extract_pdf_page_labels(pdf) == exp, url
         n_nonempty += bool(exp)
     assert n_nonempty >= 20
+
+
+def test_pdf_metadata_precedence_and_dates():
+    """XMP-vs-/Info precedence (XMP wins title/author where present,
+    /Info keeps producer + created), §7.9.4 date normalization at the
+    edge forms (offset, Z, date-only, malformed-passthrough), entity
+    unescaping, and the xref-stream trailer's /Info discovery."""
+    from pdf_parser_spark.pdfio.tokenizer import (
+        _pdf_date_iso, extract_pdf_metadata)
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    assert _pdf_date_iso("D:20240117103000+01'00'") == \
+        "2024-01-17T10:30:00+01:00"
+    assert _pdf_date_iso("D:20231105221500Z") == \
+        "2023-11-05T22:15:00+00:00"
+    assert _pdf_date_iso("D:2019") == "2019-01-01T00:00:00"
+    assert _pdf_date_iso("D:202401171030-05'00'") == \
+        "2024-01-17T10:30:00-05:00"
+    assert _pdf_date_iso("last tuesday") == "last tuesday"
+
+    pdf = text_to_pdf(
+        "x", doc_info={"Title": "Stale", "Author": "Stale A",
+                       "Producer": "p9", "CreationDate": "D:2020"},
+        xmp={"title": "Fresh <&>", "creator": "Fresh C"},
+        xref_stream=True, objstm=True)
+    assert extract_pdf_metadata(pdf) == [
+        ("title", "Fresh <&>", "xmp"),
+        ("author", "Fresh C", "xmp"),
+        ("producer", "p9", "info"),
+        ("created", "2020-01-01T00:00:00", "info"),
+    ]
+
+
+def test_pdf_metadata_fixture_reader_matches_request():
+    """Every fixture doc (five layouts, UTF-16BE titles, XMP-only,
+    Info-only, divergent, none, poison): reader output equals the
+    encode-side expected rows."""
+    from pdf_parser_spark.ops.spans import fixture_meta_pages
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_metadata
+
+    n_xmp = n_info = 0
+    for url, pdf, exp in fixture_meta_pages():
+        assert extract_pdf_metadata(pdf) == exp, url
+        n_xmp += sum(1 for _, _, s in exp if s == "xmp")
+        n_info += sum(1 for _, _, s in exp if s == "info")
+    assert n_xmp >= 5 and n_info >= 20

@@ -360,6 +360,24 @@ def main() -> None:
         GOLDEN_DIR / "expected_pdf_labels.parquet")
     print("expected_pdf_labels.parquet: %d rows" % len(prows))
 
+    # ---- expected document metadata (encode-side request, literal
+    # ISO dates — not the reader's date parser)
+    from pdf_parser_spark.ops.spans import fixture_meta_pages
+    dm_schema = pa.schema([
+        ("url", pa.string()), ("field", pa.string()),
+        ("value", pa.string()), ("source", pa.string()),
+    ])
+    mrows = [
+        {"url": url, "field": f, "value": v, "source": src}
+        for url, _, exp in fixture_meta_pages()
+        for f, v, src in exp
+    ]
+    pq.write_table(
+        pa.table({k: [r[k] for r in mrows] for k in dm_schema.names},
+                 schema=dm_schema),
+        GOLDEN_DIR / "expected_pdf_meta.parquet")
+    print("expected_pdf_meta.parquet: %d rows" % len(mrows))
+
 
 if __name__ == "__main__":
     main()

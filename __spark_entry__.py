@@ -378,7 +378,7 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     retrieval) — same all_queries verification path
 _SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
                    "image_phash_neardup",
-                   "fidelity_pipeline", "extraction_metrics",
+                   "fidelity_pipeline",
                    "span_dedup",
                    # round-5 final rotation IN: the PDF structure
                    # extractors (links + outline), never adjudicated
@@ -647,7 +647,14 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    #     sidecar is re-adjudicated inside the
                    #     surviving extraction_metrics row
                    "mercury_relational", "span_neardup",
-                   "g7_lineage_rollup"}
+                   "g7_lineage_rollup",
+                   # …and one more for index_partition_plan (never
+                   # adjudicated) rotating IN:
+                   #   extraction_metrics — green r01-r04; the lineage
+                   #     sidecar math stays driver-adjudicated through
+                   #     the surviving fidelity_pipeline row (same
+                   #     mapInPandas pass emits both) and the sweep
+                   "extraction_metrics"}
 
 
 def _specials() -> dict:
@@ -756,6 +763,12 @@ def _retired_specials() -> dict:
         # sweep; span_dedup carries the driver adjudication forward
         "extraction_spans": (
             _extraction_spans, _EXPECTED_ORACLES["extraction_spans"]),
+        # rotated OUT for index_partition_plan (see _DRIVER_RETIRED
+        # note): the metrics sidecar, still golden-oracled for the
+        # sweep; fidelity_pipeline carries the mapInPandas
+        # adjudication forward
+        "extraction_metrics": (
+            _extraction_metrics, _EXPECTED_ORACLES["extraction_metrics"]),
         "bm25_serve_persisted": (
             _bm25_serve_persisted, QUERY_SQL["bm25_topk"]["duckdb"]),
         "bm25_serve_compacted": (

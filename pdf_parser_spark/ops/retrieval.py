@@ -1556,3 +1556,93 @@ SELECT p.query_id,
 FROM qrels p
 JOIN negranked n ON n.query_id = p.query_id AND n.rk <= {k}
 """.format(scored=_bm25_scored_ctes(d), k=_HN_NEGS)
+
+
+# -------------------------------- index partitioning cost planning
+
+_IPP_DOC_SHARDS = 8    # document-partitioned: every shard holds every
+                       # term's postings for 1/8 of the docs
+_IPP_TERM_SHARDS = 8   # term-partitioned: a term's whole posting list
+                       # lives on hash(term) % 8
+_IPP_TOPK = 10
+
+
+@query("index_partition_plan")
+def q_index_partition_plan(d: str) -> str:
+    """Distributed-index PARTITIONING cost model — the design pass a
+    search tier runs before sharding (Moffat, Webber, Zobel & Baeza-
+    Yates, "A pipelined architecture for distributed text query
+    evaluation"; Tomasic & García-Molina '93): for each workload
+    query, the two classic layouts are costed from the corpus's REAL
+    posting statistics and the cheaper one recorded.
+
+    DOCUMENT-partitioned (a term's postings split across all shards):
+    every shard evaluates the whole query locally — messages = one
+    per shard, result transfer = shards × top-k, postings scanned =
+    Σ df(t) (each posting once, just spread out).
+
+    TERM-partitioned (a term's whole posting list on hash(term)
+    % shards): messages = distinct shards hit by the query's terms;
+    intersection requires MOVING lists — the standard plan ships
+    every list to the largest list's shard, so transfer =
+    Σ df - max df (zero for single-term and co-located queries —
+    both realized in the workload: q1 is single-term, and any
+    multi-term query whose terms hash together transfers only under
+    max-shipping).
+
+    Total cost = postings + 4·transfer + 16·messages (weights are
+    documented latency proxies: a shipped posting costs ~4 local
+    scans, a message round-trip ~16); ties break to 'doc' (the
+    simpler operational layout).  All integers, exact in both
+    engines; the absent-term query costs only its messages (no
+    postings anywhere).
+
+    Shape at 10^12 docs: posting stats are the (term, df) aggregate
+    the index build already produces; the workload join is a
+    broadcast of the tiny query list; everything after is per-query
+    arithmetic over rows already at workload grain."""
+    toks = TOKS_CTE(d)
+    # engine-agnostic term→shard hash: HRW over single-digit shard
+    # ids (same md5 idiom as weburl._hrw_shard, term-keyed) — the
+    # assignment must be IDENTICAL in both engines for the oracle
+    cands = ", ".join("md5('%d|' || p.term) || '%d'" % (j, j)
+                      for j in range(_IPP_TERM_SHARDS))
+    shard = "CAST(substring(least(%s), 33) AS BIGINT)" % cands
+    return """
+WITH qterms AS ({qterms}),{toks},
+postings AS (
+  SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY w
+),
+qstats AS (
+  SELECT q.query_id,
+    CAST(COUNT(*) AS BIGINT) AS n_terms,
+    CAST(COALESCE(SUM(p.df), 0) AS BIGINT) AS postings,
+    CAST(COALESCE(MAX(p.df), 0) AS BIGINT) AS max_df,
+    CAST(COUNT(DISTINCT CASE WHEN p.df IS NOT NULL
+                        THEN {shard} END) AS BIGINT) AS term_shards
+  FROM qterms q LEFT JOIN postings p ON p.term = q.term
+  GROUP BY q.query_id
+),
+costed AS (
+  SELECT query_id, n_terms, postings,
+    CAST({dshards} AS BIGINT) AS doc_msgs,
+    CAST({dshards} * {topk} AS BIGINT) AS doc_transfer,
+    CAST(CASE WHEN term_shards > 0 THEN term_shards
+         ELSE 0 END AS BIGINT) AS term_msgs,
+    CAST(CASE WHEN term_shards > 1 THEN postings - max_df
+         ELSE 0 END AS BIGINT) AS term_transfer
+  FROM qstats
+)
+SELECT query_id, n_terms, postings,
+  doc_msgs, doc_transfer, term_msgs, term_transfer,
+  CAST(postings + 4 * doc_transfer + 16 * doc_msgs AS BIGINT)
+    AS doc_cost,
+  CAST(postings + 4 * term_transfer + 16 * term_msgs AS BIGINT)
+    AS term_cost,
+  CASE WHEN postings + 4 * term_transfer + 16 * term_msgs
+            < postings + 4 * doc_transfer + 16 * doc_msgs
+       THEN 'term' ELSE 'doc' END AS winner
+FROM costed
+""".format(qterms=_qterms(d), toks=toks.strip(), shard=shard,
+           dshards=_IPP_DOC_SHARDS, topk=_IPP_TOPK)

@@ -61,7 +61,7 @@ _SUBSET = [
     "soft404_detect", "sitemap_gap", "content_drift",
     "crawl_depth", "bm25f_fielded", "microdata_extract",
     "opic_priority", "langseg_spans", "hard_negatives",
-    "template_cluster",
+    "template_cluster", "index_partition_plan",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -5286,3 +5286,48 @@ def test_template_cluster_semantics(duck, entry_mod):
     n_single = sum(1 for r in got if r[2] == 1)
     assert n_single > 0
     assert not any(r[2] == 1 and r[5] == 1 for r in got)
+
+
+def test_index_partition_plan_semantics(duck, entry_mod):
+    """Python recompute of the layout cost model from independently
+    counted posting stats (term df via SQL COUNT DISTINCT here, HRW
+    shard via hashlib); pins that both layouts win somewhere and the
+    single-term / absent-term zero-transfer tiers."""
+    import hashlib
+
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    qterms = [(0, "spark"), (0, "join"), (1, "dup"),
+              (2, "window"), (2, "stream"), (2, "filter"),
+              (3, "hash"), (3, "merge"), (4, "zzzabsent")]
+    df = {}
+    for did, text in docs:
+        for w in set(text.split(" ")):
+            df[w] = df.get(w, 0) + 1
+
+    def shard(term):
+        return int(min(
+            (hashlib.md5(("%d|%s" % (j, term)).encode()).hexdigest(),
+             j) for j in range(8))[1])
+
+    want = set()
+    for q in range(5):
+        terms = [t for qq, t in qterms if qq == q]
+        hit = [t for t in terms if t in df]
+        postings = sum(df[t] for t in hit)
+        max_df = max((df[t] for t in hit), default=0)
+        tshards = len({shard(t) for t in hit})
+        doc_msgs, doc_tr = 8, 80
+        term_msgs = tshards
+        term_tr = postings - max_df if tshards > 1 else 0
+        doc_cost = postings + 4 * doc_tr + 16 * doc_msgs
+        term_cost = postings + 4 * term_tr + 16 * term_msgs
+        winner = "term" if term_cost < doc_cost else "doc"
+        want.add((q, len(terms), postings, doc_msgs, doc_tr,
+                  term_msgs, term_tr, doc_cost, term_cost, winner))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["index_partition_plan"]).fetchall()}
+    assert got == want
+    winners = {r[9] for r in got}
+    assert winners == {"doc", "term"}
+    # single-term and absent queries never transfer postings
+    assert all(r[6] == 0 for r in got if r[1] == 1)

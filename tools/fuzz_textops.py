@@ -178,7 +178,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "hard_negatives",
            # template clustering: doc_id arithmetic synthesis — random
            # doc COUNTS reshape cluster sizes, share math, rank ties
-           "template_cluster"]
+           "template_cluster",
+           # partition-plan costing: random df spectra flip the
+           # doc/term winner and the shard-collision tiers
+           "index_partition_plan"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -376,7 +376,7 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     production iterative twin pagerank_df, CCNet
 #                     per-host line dedup; integer-exact BM25 top-k
 #                     retrieval) — same all_queries verification path
-_SPECIALS_FIRST = ["multimodal_features", "multimodal_frames",
+_SPECIALS_FIRST = ["multimodal_features",
                    "image_phash_neardup",
                    "fidelity_pipeline",
                    "span_dedup",
@@ -769,6 +769,12 @@ def _retired_specials() -> dict:
         # adjudication forward
         "extraction_metrics": (
             _extraction_metrics, _EXPECTED_ORACLES["extraction_metrics"]),
+        # rotated OUT for conditional_revalidate (never adjudicated):
+        # frame sampling stays golden-oracled in the sweep; the
+        # surviving multimodal_features row adjudicates the same
+        # decode plumbing
+        "multimodal_frames": (
+            _media_frames, _EXPECTED_ORACLES["multimodal_frames"]),
         "bm25_serve_persisted": (
             _bm25_serve_persisted, QUERY_SQL["bm25_topk"]["duckdb"]),
         "bm25_serve_compacted": (

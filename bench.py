@@ -186,7 +186,8 @@ def main() -> None:
                  "sitemap_gap", "content_drift", "bm25f_fielded",
                  "microdata_extract", "opic_priority",
                  "langseg_spans", "hard_negatives",
-                 "template_cluster", "index_partition_plan"):
+                 "template_cluster", "index_partition_plan",
+                 "conditional_revalidate"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -1154,3 +1154,75 @@ FROM rollup
            urlid=IDIV("doc_id", "4"),
            sh=_simhash_parts(d, 48),
            drift_ppm=IDIV("1000000 * (n_minor + n_major)", "n_trans"))
+
+
+# ------------------------------------ conditional-GET revalidation
+
+@query("conditional_revalidate")
+def q_conditional_revalidate(d: str) -> str:
+    """Validator-based recrawl — the RFC 9110 §13.1 / RFC 9111
+    conditional-GET tier of a polite recrawler: a url whose first
+    fetch carried a validator revalidates with ``If-None-Match``
+    (ETag, which wins when both are present per §13.1.3) or
+    ``If-Modified-Since``; an unchanged resource answers **304** and
+    costs zero body bytes, a changed one answers 200 and refetches.
+    Two real-world failure classes are modeled and DETECTED, not
+    assumed: urls with no validators must refetch unconditionally,
+    and servers that advertise validators but IGNORE conditionals
+    (common misconfigured CDNs) send a full 200 whose body hash
+    equals the cached copy — the WASTED-fetch signal a crawler uses
+    to stop sending conditionals to that origin.
+
+    Epochs are synthesized in-plan from the corpus: the cached body
+    is the doc's text, the second epoch's body appends a change
+    marker on the CHANGED tier (doc_id % 5 = 1); validator class,
+    server behavior, and change state all ride doc_id arithmetic;
+    change detection compares md5 body hashes exactly as a crawler's
+    content store does.
+
+    Output per url: validator class, whether a conditional was sent,
+    the status, changedness, body vs fetched bytes, and the wasted
+    flag.  The semantics test recomputes the decision table and the
+    exact byte accounting.
+
+    Shape at 10^12 urls: a single narrow per-row projection (hashes,
+    CASE battery) — fuses with the fetch-log scan; the per-host
+    wasted-fetch rollup a real crawler feeds back into its scheduler
+    is one further hash-agg on columns this emits."""
+    n_body = "CAST(n_chars AS BIGINT)"
+    h1 = "md5(text)"
+    h2 = ("CASE WHEN doc_id % 5 = 1 THEN md5(text || '#v2')"
+          " ELSE md5(text) END")
+    validator = ("CASE WHEN doc_id % 5 IN (0, 1, 4) THEN 'etag'"
+                 " WHEN doc_id % 5 = 2 THEN 'last_modified'"
+                 " ELSE 'none' END")
+    honors = "CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END"
+    return """
+WITH fetches AS (
+  SELECT doc_id,
+    {validator} AS validator,
+    CAST({honors} AS INT) AS server_honors,
+    {h1} AS cached_hash, {h2} AS fresh_hash,
+    {n_body} AS body_bytes
+  FROM documents
+),
+decided AS (
+  SELECT doc_id, validator, body_bytes,
+    CAST(CASE WHEN validator <> 'none' THEN 1 ELSE 0 END AS INT)
+      AS cond_sent,
+    CAST(CASE WHEN cached_hash <> fresh_hash THEN 1 ELSE 0 END AS INT)
+      AS changed,
+    CAST(CASE WHEN validator <> 'none' AND server_honors = 1
+              AND cached_hash = fresh_hash
+         THEN 304 ELSE 200 END AS INT) AS status
+  FROM fetches
+)
+SELECT doc_id AS url_id, validator, cond_sent, status, changed,
+  body_bytes,
+  CAST(CASE WHEN status = 304 THEN 0 ELSE body_bytes END AS BIGINT)
+    AS bytes_fetched,
+  CAST(CASE WHEN cond_sent = 1 AND status = 200 AND changed = 0
+       THEN 1 ELSE 0 END AS INT) AS wasted
+FROM decided
+""".format(validator=validator, honors=honors, h1=h1, h2=h2,
+           n_body=n_body)

@@ -62,6 +62,7 @@ _SUBSET = [
     "crawl_depth", "bm25f_fielded", "microdata_extract",
     "opic_priority", "langseg_spans", "hard_negatives",
     "template_cluster", "index_partition_plan",
+    "conditional_revalidate",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -153,7 +154,7 @@ def test_driver_contract_shape(entry_mod):
     assert set(oracles) == set(qs)  # EVERY query is fully oracled
     # the non-SQL paths are oracled against golden-expected parquet
     assert "read_parquet" in oracles["fidelity_pipeline"]
-    assert "read_parquet" in oracles["multimodal_frames"]
+    assert "read_parquet" in oracles["multimodal_features"]
     # EXACTLY the driver's 50-row cap: every distinct component is
     # driver-adjudicated, no sacrificial tail (round-4 ask #3)
     assert len(oracles) == 50
@@ -5331,3 +5332,34 @@ def test_index_partition_plan_semantics(duck, entry_mod):
     assert winners == {"doc", "term"}
     # single-term and absent queries never transfer postings
     assert all(r[6] == 0 for r in got if r[1] == 1)
+
+
+def test_conditional_revalidate_semantics(duck, entry_mod):
+    """Python recompute of the RFC 9110 decision table and the byte
+    accounting; pins that wasted fires ONLY on the ignoring-server
+    tier (a validator-less refetch is unavoidable, not a signal) and
+    that 304s cost zero body bytes."""
+    docs = duck.sql(
+        "SELECT doc_id, n_chars FROM documents").fetchall()
+    want = set()
+    for did, nb in docs:
+        k = did % 5
+        validator = ("etag" if k in (0, 1, 4)
+                     else "last_modified" if k == 2 else "none")
+        cond = 1 if validator != "none" else 0
+        changed = 1 if k == 1 else 0
+        honors = 0 if k == 4 else 1
+        status = 304 if cond and honors and not changed else 200
+        fetched = 0 if status == 304 else nb
+        wasted = 1 if cond and status == 200 and not changed else 0
+        want.add((did, validator, cond, status, changed, nb,
+                  fetched, wasted))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["conditional_revalidate"]).fetchall()}
+    assert got == want
+    # every tier realized; 304 ⇒ zero fetched; wasted ⇔ ignoring tier
+    assert {r[3] for r in got} == {200, 304}
+    assert all(r[6] == 0 for r in got if r[3] == 304)
+    assert all((r[0] % 5 == 4) == (r[7] == 1) for r in got)
+    # bandwidth saved is real: total fetched < total body bytes
+    assert (sum(r[6] for r in got) < sum(r[5] for r in got))

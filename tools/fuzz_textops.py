@@ -181,7 +181,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "template_cluster",
            # partition-plan costing: random df spectra flip the
            # doc/term winner and the shard-collision tiers
-           "index_partition_plan"]
+           "index_partition_plan",
+           # revalidation: random texts/n_chars move the hash compare
+           # and byte accounting through every tier
+           "conditional_revalidate"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -251,6 +251,19 @@ def _pdf_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_doc_metadata(fixture_meta_pages_df(spark))
 
 
+def _pdf_grid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table grids per url — y-sweep rows × x-sweep columns over
+    glyph positions, cells deliberately stream-shuffled by the writer
+    so only coordinates carry structure; ragged tails, empty-cell
+    column skips, kern-split immunity, and prose pages (zero rows)
+    all pinned; encode-side golden-parquet oracle (retired tier)."""
+    from pdf_parser_spark.ops.spans import (
+        extract_table_grids, fixture_table_pages_df,
+    )
+    _ensure_pyfiles(spark)
+    return extract_table_grids(fixture_table_pages_df(spark))
+
+
 def _kcore_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixpoint-looped k-core peeling over the persisted host graph —
     row-identical to the unrolled kcore_peel SQL (test-pinned); the
@@ -830,6 +843,13 @@ def _retired_specials() -> dict:
             _pdf_meta_extract,
             "SELECT url, field, value, source FROM read_parquet('%s')"
             % (_GOLDEN / "expected_pdf_meta.parquet")),
+        # coordinate-clustered table grids (the live PDF analogue of
+        # the reference's dead extract_tables, now position-true)
+        "pdf_grid_extract": (
+            _pdf_grid_extract,
+            "SELECT url, page_no, row_no, col_no, cell"
+            " FROM read_parquet('%s')"
+            % (_GOLDEN / "expected_pdf_grids.parquet")),
         # video leg of the modality-dedup triple: sub-clip containment
         # over exhaustive frame hashes; golden-parquet oracle
         "video_clip_containment": (

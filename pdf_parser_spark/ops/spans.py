@@ -612,3 +612,103 @@ def extract_doc_metadata(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html").mapInPandas(
         batches, schema=META_SCHEMA)
+
+
+# ------------------------------------------------- PDF table grids
+
+GRID_SCHEMA = ("url string, page_no int, row_no int, col_no int,"
+               " cell string")
+
+
+def fixture_table_pages() -> List[tuple]:
+    """Deterministic PDF corpus WITH table-grid ground truth: fixture
+    docs through the five sibling layouts carrying one table page —
+    3-5 rows × 2-3 columns of doc-derived cells, a RAGGED final row
+    on every 3rd doc, an empty-string mid-cell on every 4th (absent
+    glyphs ⇒ the column must be SKIPPED in that row, not shifted),
+    cells emitted in the writer's shuffled stream order always; no
+    table on every 6th, poison on every 10th.  Expected rows are the
+    request grid (empty cells dropped)."""
+    from ..fixtures import fixture_docs
+    from ..pdfio.writer import text_to_pdf
+
+    layouts = [
+        dict(),
+        dict(objstm=True),
+        dict(xref_stream=True, objstm=True),
+        dict(xref_stream=True, xref_predictor=True),
+        dict(cid_font=True),
+    ]
+    out = []
+    for i, doc in enumerate(d for d in fixture_docs()
+                            if len(d["text"]) < 100_000):
+        url = doc["url"] + "#grid"
+        lay = layouts[i % len(layouts)]
+        if i % 10 == 9:
+            out.append((url, b"%PDF-1.4 poison " + b"\x00" * 48, []))
+            continue
+        if i % 6 == 5:
+            out.append((url, text_to_pdf(doc["text"], **lay), []))
+            continue
+        n_rows, n_cols = 3 + i % 3, 2 + i % 2
+        rows = [["R%dC%d-%d" % (r, c, i) for c in range(n_cols)]
+                for r in range(n_rows)]
+        rows[0] = ["Col%d" % c for c in range(n_cols)]
+        if i % 3 == 0:
+            rows[-1] = rows[-1][:-1]          # ragged tail
+        if i % 4 == 0 and n_cols == 3:
+            rows[1][1] = ""                   # absent mid-cell
+        pdf = text_to_pdf(doc["text"], table_rows=rows, **lay)
+        # the table page follows the text pages
+        from ..pdfio.tokenizer import extract_pdf_text
+        n_text_pages = extract_pdf_text(
+            text_to_pdf(doc["text"], **lay)).pages
+        exp = [(n_text_pages, r, c, cell)
+               for r, row in enumerate(rows)
+               for c, cell in enumerate(row) if cell != ""]
+        out.append((url, pdf, exp))
+    return out
+
+
+def fixture_table_pages_df(spark) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+    rows = [(u, bytearray(p)) for u, p, _ in fixture_table_pages()]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def extract_table_grids(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → one row per recovered table cell:
+    (url, page_no, row_no, col_no, cell) by y-sweep row clustering +
+    x-sweep column clustering over glyph positions (stream order
+    carries nothing — see pdfio.tokenizer.extract_pdf_table_grid).
+    Arrow-batched ``mapInPandas``; prose-only and poison documents
+    yield no rows."""
+    from ..pdfio.tokenizer import extract_pdf_table_grid
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, pnos, rnos, cnos, cells = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.html is None:
+                    continue
+                payload = (bytes(row.html)
+                           if not isinstance(row.html, bytes) else row.html)
+                for pno, rno, cno, cell in \
+                        extract_pdf_table_grid(payload):
+                    urls.append(row.url)
+                    pnos.append(pno)
+                    rnos.append(rno)
+                    cnos.append(cno)
+                    cells.append(cell)
+            yield pd.DataFrame({
+                "url": urls, "page_no": pnos, "row_no": rnos,
+                "col_no": cnos, "cell": cells,
+            })
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=GRID_SCHEMA)

@@ -1310,3 +1310,92 @@ def extract_pdf_metadata(pdf_bytes: bytes) -> List[Tuple[str, str, str]]:
     except Exception:
         return []
     return out
+
+
+_COL_GAP = 24.0   # min x gap (pt) separating table columns — ~4 chars
+                  # at the 10pt/0.6em metrics the writer uses
+
+
+def extract_pdf_table_grid(
+        pdf_bytes: bytes) -> List[Tuple[int, int, int, str]]:
+    """Table recovery by COORDINATE clustering — (page_no, row_no,
+    col_no, cell) from each page whose glyph runs form a grid: rows
+    are the y-sweep clusters extraction already uses (Y_TOLERANCE),
+    columns come from an x-sweep over the multi-run rows (a new
+    column opens at an x gap > _COL_GAP), and runs landing in the
+    same (row, column) cell merge in x order; once a page qualifies
+    (≥2 rows of ≥2 runs) EVERY row is gridded, so ragged tails and
+    one-cell subtotal rows keep their column alignment.  Stream order carries
+    NO information — the writer emits cells deliberately shuffled,
+    and real producers emit column-major, row-major, or draw-order
+    streams interchangeably.  Pages without at least two multi-run
+    rows (ordinary prose) yield nothing; never raises; poison
+    documents yield []."""
+    out: List[Tuple[int, int, int, str]] = []
+    try:
+        doc = PdfDocument(pdf_bytes)
+        for pno, page in enumerate(doc.pages()):
+            fonts = _load_fonts(doc, page)
+            res = doc.inherited(page, "Resources") or {}
+            contents = doc.resolve(page.get("Contents"))
+            chunks: List[bytes] = []
+            for item in (contents if isinstance(contents, list)
+                         else [contents]):
+                s = doc.resolve(item)
+                if isinstance(s, Stream):
+                    try:
+                        chunks.append(_decode_stream(s))
+                    except Exception:
+                        continue
+            runs = _interpret(b"\n".join(chunks), fonts,
+                              _form_lookup(doc, res))
+            if not runs:
+                continue
+            char_w = 6.0        # 0.6 em at the 10pt writer metrics
+            # y-sweep: cluster into rows (descending y = top first)
+            rows: List[List[Tuple[float, float, str]]] = []
+            for y, x, t in sorted(runs, key=lambda r: (-r[0], r[1])):
+                if rows and abs(rows[-1][0][0] - y) <= Y_TOLERANCE:
+                    rows[-1].append((y, x, t))
+                else:
+                    rows.append([(y, x, t)])
+            # merge adjacent runs into SEGMENTS: a kerned TJ or a
+            # re-positioned word resumes within ~a word gap of the
+            # previous run's end — only an end-to-start gap > _COL_GAP
+            # opens a new cell (start-x distance alone would misread
+            # every kern split as a column)
+            seg_rows: List[List[Tuple[float, str]]] = []
+            for r in rows:
+                segs: List[Tuple[float, float, str]] = []
+                for _, x, t in sorted(r, key=lambda v: v[1]):
+                    end = x + char_w * len(t)
+                    if segs and x - segs[-1][1] <= _COL_GAP:
+                        sx, send, st_ = segs[-1]
+                        joiner = " " if x - send >= 1.5 else ""
+                        segs[-1] = (sx, end, st_ + joiner + t)
+                    else:
+                        segs.append((x, end, t))
+                seg_rows.append([(sx, t) for sx, _, t in segs])
+            if sum(1 for r in seg_rows if len(r) >= 2) < 2:
+                continue
+            # the page IS a table: grid every row (one-cell rows —
+            # subtotals, ragged tails — keep their column alignment)
+            xs = sorted({x for r in seg_rows for x, _ in r})
+            col_of: Dict[float, int] = {}
+            col = -1
+            prev = None
+            for x in xs:
+                if prev is None or x - prev > _COL_GAP:
+                    col += 1
+                col_of[x] = col
+                prev = x
+            for rno, r in enumerate(seg_rows):
+                cells: Dict[int, List[Tuple[float, str]]] = {}
+                for x, t in r:
+                    cells.setdefault(col_of[x], []).append((x, t))
+                for cno, parts in sorted(cells.items()):
+                    text = " ".join(t for _, t in sorted(parts))
+                    out.append((pno, rno, cno, text))
+    except Exception:
+        return []
+    return out

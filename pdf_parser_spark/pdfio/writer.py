@@ -290,6 +290,7 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
                 page_labels: "Optional[List[Tuple[int, dict]]]" = None,
                 doc_info: "Optional[dict]" = None,
                 xmp: "Optional[dict]" = None,
+                table_rows: "Optional[List[List[str]]]" = None,
                 ) -> bytes:
     """Render ``text`` (pages split on ``\\f``) to PDF bytes.
 
@@ -332,6 +333,14 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
     dc:creator in an rdf:Seq — the precedence seam real documents
     carry (XMP and /Info frequently DISAGREE; the reader's precedence
     rule is documented there).
+
+    ``table_rows`` (a list of rows of ASCII cell strings, possibly
+    ragged) appends one extra page laying the cells out as a TABLE
+    with absolute ``Tm`` placements (x = 60 + 130·col,
+    y = 700 − 16·row).  Cells are emitted in a deterministically
+    SHUFFLED stream order — structure exists only in the glyph
+    COORDINATES, exactly as in real PDF tables, so an extractor must
+    recover the grid by clustering positions, never by stream order.
 
     ``xref_stream=True`` emits the PDF 1.5 layout: a cross-reference
     STREAM instead of the classic table, and — combined with
@@ -439,6 +448,29 @@ def text_to_pdf(text: str, compress: bool = True, objstm: bool = False,
                 b"%s/Contents %d 0 R >>"
                 % (pages, f1, f2, annots, content)
             )))
+
+    if table_rows:
+        cells = [(r, c, cell)
+                 for r, row in enumerate(table_rows)
+                 for c, cell in enumerate(row)]
+        # deterministic shuffle: structure must come from coordinates
+        cells.sort(key=lambda rc: (rc[1] * 7 + rc[0] * 3) % 11)
+        tparts: List[bytes] = [b"BT\n/F1 10 Tf\n"]
+        for r, c, cell in cells:
+            tparts.append(
+                b"1 0 0 1 %.1f %.1f Tm\n(%s) Tj\n"
+                % (60.0 + 130.0 * c, 700.0 - 16.0 * r,
+                   _esc_literal(cell)))
+        tparts.append(b"ET\n")
+        content = b.add(_stream_obj(b"".join(tparts), compress))
+        pid = b.reserve()
+        page_ids.append(pid)
+        page_bodies.append((pid, (
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >> "
+            b"/Contents %d 0 R >>"
+            % (pages, f1, f2, content)
+        )))
 
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
     pages_body = (

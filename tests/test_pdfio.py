@@ -446,3 +446,53 @@ def test_pdf_metadata_fixture_reader_matches_request():
         n_xmp += sum(1 for _, _, s in exp if s == "xmp")
         n_info += sum(1 for _, _, s in exp if s == "info")
     assert n_xmp >= 5 and n_info >= 20
+
+
+def test_table_grid_from_shuffled_stream_order():
+    """The writer emits cells in shuffled stream order; the grid must
+    come back row-major from COORDINATES alone, with ragged tails and
+    empty-cell column skips preserved."""
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_table_grid
+    from pdf_parser_spark.pdfio.writer import text_to_pdf
+
+    rows = [["Date", "Desc", "Amount"],
+            ["01/02", "", "3.50"],          # empty mid-cell: col skip
+            ["01/03", "Rent", "1200.00"],
+            ["Subtotal"]]                   # ragged one-cell row
+    pdf = text_to_pdf("prose\nlines", table_rows=rows,
+                      xref_stream=True, objstm=True)
+    got = extract_pdf_table_grid(pdf)
+    want = [(1, 0, 0, "Date"), (1, 0, 1, "Desc"), (1, 0, 2, "Amount"),
+            (1, 1, 0, "01/02"), (1, 1, 2, "3.50"),
+            (1, 2, 0, "01/03"), (1, 2, 1, "Rent"),
+            (1, 2, 2, "1200.00"),
+            (1, 3, 0, "Subtotal")]
+    assert got == want
+    # the raw content stream is NOT row-major (shuffle is real)
+    # and prose-only pages yield nothing
+    assert extract_pdf_table_grid(text_to_pdf("only prose")) == []
+
+
+def test_table_grid_kern_splits_are_not_columns():
+    """Prose pages whose lines render as kerned TJ arrays (two runs
+    per line) must NOT classify as tables — the end-to-start gap
+    rule: a kern resumes within a word's width, a column does not."""
+    from pdf_parser_spark.ops.spans import fixture_table_pages
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_table_grid
+
+    # fixture corpus contains kern-heavy statement pages (every 3rd
+    # line is a tj_kern op) — all its non-table docs must yield []
+    for url, pdf, exp in fixture_table_pages():
+        if not exp:
+            assert extract_pdf_table_grid(pdf) == [], url
+
+
+def test_table_grid_fixture_reader_matches_request():
+    from pdf_parser_spark.ops.spans import fixture_table_pages
+    from pdf_parser_spark.pdfio.tokenizer import extract_pdf_table_grid
+
+    n = 0
+    for url, pdf, exp in fixture_table_pages():
+        assert extract_pdf_table_grid(pdf) == exp, url
+        n += len(exp)
+    assert n >= 150

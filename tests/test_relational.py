@@ -67,7 +67,7 @@ _SUBSET = [
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
     "pdf_outline_extract", "pdf_form_extract", "pdf_labels_extract",
-    "pdf_meta_extract",
+    "pdf_meta_extract", "pdf_grid_extract",
 ]
 
 

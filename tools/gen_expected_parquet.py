@@ -378,6 +378,25 @@ def main() -> None:
         GOLDEN_DIR / "expected_pdf_meta.parquet")
     print("expected_pdf_meta.parquet: %d rows" % len(mrows))
 
+    # ---- expected PDF table grids (encode-side request grid)
+    from pdf_parser_spark.ops.spans import fixture_table_pages
+    tg_schema = pa.schema([
+        ("url", pa.string()), ("page_no", pa.int32()),
+        ("row_no", pa.int32()), ("col_no", pa.int32()),
+        ("cell", pa.string()),
+    ])
+    grows = [
+        {"url": url, "page_no": p, "row_no": r, "col_no": c,
+         "cell": cell}
+        for url, _, exp in fixture_table_pages()
+        for p, r, c, cell in exp
+    ]
+    pq.write_table(
+        pa.table({k: [x[k] for x in grows] for k in tg_schema.names},
+                 schema=tg_schema),
+        GOLDEN_DIR / "expected_pdf_grids.parquet")
+    print("expected_pdf_grids.parquet: %d rows" % len(grows))
+
 
 if __name__ == "__main__":
     main()

@@ -667,7 +667,13 @@ _DRIVER_RETIRED = {"s3_lines", "g1_block_ids", "dedup_lsh_pairs",
                    #     sidecar math stays driver-adjudicated through
                    #     the surviving fidelity_pipeline row (same
                    #     mapInPandas pass emits both) and the sweep
-                   "extraction_metrics"}
+                   "extraction_metrics",
+                   # …and for skipgram_pairs rotating IN:
+                   #   resume_anti_join — green r01-r04 (J2); the
+                   #     bucketed-join plan gate, the kill/rerun and
+                   #     cross-process resume tests, and the sweep
+                   #     keep the anti-join machinery pinned
+                   "resume_anti_join"}
 
 
 def _specials() -> dict:

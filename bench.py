@@ -187,7 +187,7 @@ def main() -> None:
                  "microdata_extract", "opic_priority",
                  "langseg_spans", "hard_negatives",
                  "template_cluster", "index_partition_plan",
-                 "conditional_revalidate"):
+                 "conditional_revalidate", "skipgram_pairs"):
         textops[name] = timed3(
             lambda name=name: queries[name](spark, SF_DIR).count())
 

@@ -1685,3 +1685,79 @@ SELECT doc_id, CAST(span_id - 1 AS BIGINT) AS span_no,
 FROM islands
 GROUP BY doc_id, span_id, slang
 """.format(sents=sents, sent=sent.strip(), hits=hits, best=best)
+
+
+# ------------------------------------- skip-gram co-occurrence pairs
+
+_SG_WINDOW = 4    # symmetric window size (word2vec's default is 5;
+                  # GloVe's 10 — 4 keeps the fixture pair set tight)
+_SG_MIN_N = 2     # drop hapax pairs (word2vec min_count analogue)
+_SG_TOPK = 8      # per-center cap — the co-occurrence matrix is the
+                  # one intermediate that can dwarf the corpus
+
+
+@query("skipgram_pairs")
+def q_skipgram_pairs(d: str) -> str:
+    """Skip-gram co-occurrence mining — the preprocessing pass of
+    word2vec/GloVe-style embedding training (Mikolov et al. '13;
+    Pennington et al. '14): for every (center, context) word pair
+    within a ±{w} token window, the raw pair count and GloVe's
+    harmonic distance weight Σ 1/d (scaled ×1000, exact floor per
+    pair occurrence — Σ floor(1000/d), documented surrogate for the
+    float sum).  Self-pairs are excluded; pairs below {mn}
+    occurrences drop (min_count); each center keeps its top {k}
+    contexts by (count DESC, context) — the cap that keeps the
+    co-occurrence matrix from dwarfing the corpus, applied exactly
+    like word2vec's vocabulary pruning.
+
+    Shape at 10^12 docs: positional token explode, then the classic
+    windowed SELF-JOIN — equi on doc_id with a ±{w} position band
+    (each token joins ≤2·{w} partners, so the join output is linear
+    in corpus size, not quadratic), partial-agg to (center, context)
+    grain map-side, one top-k window over the already-aggregated
+    pair table.  This is the standard distributed co-occurrence
+    build; the doc_id equi-key keeps the shuffle hash-partitioned
+    and skew bounded by document length."""
+    if d == SPARK:
+        toks = """
+toks AS (
+  SELECT doc_id, pos, w FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+)"""
+    else:
+        toks = """
+ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, unnest(ws) AS w,
+                generate_subscripts(ws, 1) - 1 AS pos
+         FROM ws)"""
+    from .webgraph import IDIV
+    dist = "abs(a.pos - b.pos)"
+    return """
+WITH {toks},
+pairs AS (
+  SELECT a.w AS center, b.w AS context,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM({wml}) AS BIGINT) AS weight_milli
+  FROM toks a
+  JOIN toks b
+    ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos - {w} AND a.pos + {w}
+   AND b.pos <> a.pos
+  WHERE a.w <> '' AND b.w <> ''
+  GROUP BY a.w, b.w
+),
+ranked AS (
+  SELECT center, context, n, weight_milli,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY center
+      ORDER BY n DESC, context) AS BIGINT) AS rk
+  FROM pairs WHERE n >= {mn}
+)
+SELECT center, context, n, weight_milli, rk
+FROM ranked WHERE rk <= {k}
+""".format(toks=toks.strip(), w=_SG_WINDOW,
+           wml=IDIV("1000", dist), mn=_SG_MIN_N, k=_SG_TOPK)
+
+
+q_skipgram_pairs.__doc__ = q_skipgram_pairs.__doc__.format(
+    w=_SG_WINDOW, mn=_SG_MIN_N, k=_SG_TOPK)

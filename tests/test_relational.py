@@ -62,7 +62,7 @@ _SUBSET = [
     "crawl_depth", "bm25f_fielded", "microdata_extract",
     "opic_priority", "langseg_spans", "hard_negatives",
     "template_cluster", "index_partition_plan",
-    "conditional_revalidate",
+    "conditional_revalidate", "skipgram_pairs",
     # parquet-golden-oracled Arrow paths (read_parquet oracles)
     "extraction_metrics", "multimodal_features", "multimodal_frames",
     "extraction_spans", "span_dedup", "pdf_link_extract",
@@ -5363,3 +5363,43 @@ def test_conditional_revalidate_semantics(duck, entry_mod):
     assert all((r[0] % 5 == 4) == (r[7] == 1) for r in got)
     # bandwidth saved is real: total fetched < total body bytes
     assert (sum(r[6] for r in got) < sum(r[5] for r in got))
+
+
+def test_skipgram_pairs_semantics(duck, entry_mod):
+    """Python recompute of the windowed pair counts, the exact-floor
+    harmonic weights, min-count, and the per-center top-k; pins
+    symmetry of the raw counts (n(a,b) == n(b,a) before the top-k
+    cut) and self-pair exclusion."""
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    W, MN, K = 4, 2, 8
+    n = {}
+    wm = {}
+    for _, text in docs:
+        toks = text.split(" ")
+        for i, a in enumerate(toks):
+            if a == "":
+                continue
+            for j in range(max(0, i - W), min(len(toks), i + W + 1)):
+                if j == i or toks[j] == "":
+                    continue
+                key = (a, toks[j])
+                n[key] = n.get(key, 0) + 1
+                wm[key] = wm.get(key, 0) + 1000 // abs(i - j)
+    # symmetry before the cut
+    assert all(n[(a, b)] == n.get((b, a)) for a, b in list(n)[:500])
+    byc = {}
+    for (a, b), v in n.items():
+        if v >= MN:
+            byc.setdefault(a, []).append((-v, b))
+    want = set()
+    for a, lst in byc.items():
+        for rk, (neg, b) in enumerate(sorted(lst)[:K], 1):
+            want.add((a, b, -neg, wm[(a, b)], rk))
+    got = {tuple(r) for r in duck.sql(
+        entry_mod.all_oracles()["skipgram_pairs"]).fetchall()}
+    assert got == want
+    # same-TYPE pairs (a word near another copy of itself) are
+    # legitimate skip-gram pairs and do occur; same-POSITION pairing
+    # is excluded structurally, so every harmonic weight is finite
+    # and n ≥ min_count everywhere
+    assert all(x[2] >= 2 and x[3] > 0 for x in got)

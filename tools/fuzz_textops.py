@@ -184,7 +184,10 @@ QUERIES = ["pii_scrub", "quality_repetition", "quality_sampling",
            "index_partition_plan",
            # revalidation: random texts/n_chars move the hash compare
            # and byte accounting through every tier
-           "conditional_revalidate"]
+           "conditional_revalidate",
+           # skip-grams: random token streams move window counts,
+           # harmonic weights, min-count and top-k ties
+           "skipgram_pairs"]
 
 WORDS = ("the fast key order sort table scan merge part window small "
          "hash join batch value stream data group query row filter "

@@ -836,6 +836,14 @@ def _retired_specials() -> dict:
         # twin's 2.0 s; same rationale as trustrank/hits above)
         "kcore_peel": (
             _kcore_production, QUERY_SQL["kcore_peel"]["duckdb"]),
+        # round-6 optimization: the persisted-intermediate twin is the
+        # Spark side of the (retired, bench-headliner) span_neardup
+        # row — the unrolled SQL re-derives the span/shingle pipeline
+        # once per CTE reference (260-operator plan, 10 corpus scans;
+        # plans/r06/span_neardup_before.txt); same promoted-twin
+        # rationale as trustrank/kcore, row-identity test-pinned
+        "span_neardup": (
+            _span_neardup_production, QUERY_SQL["span_neardup"]["duckdb"]),
         "opic_priority": (
             _opic_production, QUERY_SQL["opic_priority"]["duckdb"]),
         # declared page labels — the navigation/citation sidecar of
@@ -871,6 +879,16 @@ def _retired_specials() -> dict:
             " FROM read_parquet('%s')"
             % (_GOLDEN / "expected_video_scenes.parquet")),
     }
+
+
+def _span_neardup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-intermediate span near-dup twin (round-6 perf; see
+    ops/dedup.py span_neardup_df) — row-identical to the unrolled SQL
+    oracle (test-pinned)."""
+    from pdf_parser_spark.ops.dedup import span_neardup_df
+
+    _register(spark, sf_dir)
+    return span_neardup_df(spark)
 
 
 def _trustrank_production(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -143,6 +143,21 @@ SELECT doc_id, {sigs} FROM exploded GROUP BY doc_id
            sigs=_minhash_agg())
 
 
+# the 4 band keys over the 8 signature slots and their Spark unpivot —
+# module-level so the SQL form (_lsh_ctes) and the persisted twin
+# (span_neardup_df) can never disagree on banding semantics
+_BAND_EXPRS = ", ".join(
+    "md5(m%d || m%d) AS band%d" % (2 * b, 2 * b + 1, b)
+    for b in range(4)
+)
+
+
+def _band_long_spark(src: str = "banded") -> str:
+    return ("SELECT doc_id, band_no, band_key FROM %s "
+            "LATERAL VIEW stack(4, 0, band0, 1, band1, 2, band2,"
+            " 3, band3) s AS band_no, band_key" % src)
+
+
 def _lsh_ctes(d: str, corpus0_sql: str = None,
               bucket_cap: int = None) -> str:
     """Shared CTE chain: corpus → shingles → minhash signatures → band
@@ -167,17 +182,12 @@ def _lsh_ctes(d: str, corpus0_sql: str = None,
     corpus size, which is what production dedup pipelines do.
     Document-level dedup (long texts, well-spread signatures) keeps
     the uncapped default."""
-    bands = ", ".join(
-        "md5(m%d || m%d) AS band%d" % (2 * b, 2 * b + 1, b)
-        for b in range(4)
-    )
+    bands = _BAND_EXPRS
     if d == SPARK:
         # unpivot via stack(): one pass over sigs + one self-join on
         # (band_no, band_key); a UNION-ALL-per-band shape would rescan
         # the whole signature pipeline once per band
-        long_form = ("SELECT doc_id, band_no, band_key FROM banded "
-                     "LATERAL VIEW stack(4, 0, band0, 1, band1, 2, band2,"
-                     " 3, band3) s AS band_no, band_key")
+        long_form = _band_long_spark()
     else:
         long_form = ("SELECT doc_id, u['band_no'] AS band_no, "
                      "u['band_key'] AS band_key FROM ("
@@ -519,6 +529,96 @@ WHERE {jexpr} >= 0.5
 """.format(lsh=_lsh_ctes(d, corpus0_sql=_span_corpus0(d),
                          bucket_cap=64),
            jac=_jaccard_ctes(), jexpr=_JACCARD)
+
+
+def span_neardup_df(spark):
+    """PRODUCTION span near-dup — the persisted-intermediate twin of
+    the ``span_neardup`` SQL, row-identical (the unrolled SQL stays as
+    the cross-engine DuckDB oracle; a test pins row-identity).
+
+    Why (round-6 measurement, guide §3.3/§5): Catalyst inlines every
+    CTE reference, so the unrolled form re-derives the span corpus +
+    posexplode/window shingle pipeline once per consumer — ``exploded``
+    is referenced by sigs and (distinct) shingled, ``banded_long``
+    three times (a, bucket guard, b), ``shingled`` twice in the
+    intersection join, ``dspan`` twice in the final occurrence join:
+    the before-plan is 260 operators with TEN scans of ``documents``
+    (plans/r06/span_neardup_before.txt).  Here each shared stage is
+    computed once and persisted; every fragment below reuses the SAME
+    SQL text builders as the oracle form, so semantics are
+    single-sourced.  This is the identical promoted-twin rationale as
+    trustrank/kcore (__spark_entry__._PROMOTED_CALLABLES) — at 10^12
+    spans you materialize the narrow signature/shingle tables, never
+    re-derive them per reference."""
+    d = SPARK
+    cap = 64  # == the bucket_cap the span_neardup SQL passes
+    # stage 1: distinct span corpus + jitter twin — ONE derivation
+    # localCheckpoint (NOT persist): Spark 4.1's cache substitution
+    # does not fire for a cached view referenced from inside a WITH
+    # CTE (measured: 0 InMemoryTableScans, full re-derivation), while
+    # a checkpointed DataFrame is a LogicalRDD leaf that every
+    # downstream SQL shape scans directly — same discipline as
+    # kcore_df's per-round state
+    dspan = spark.sql(
+        "WITH %s SELECT span_key, line, n_occurrences FROM dspan"
+        % _span_corpus0(d)).localCheckpoint()
+    dspan.createOrReplaceTempView("snd_dspan")
+    # stage 2: the expensive shingle pass (posexplode + lead windows),
+    # once, at full width (same REPARTITION rationale as _lsh_ctes)
+    exploded = spark.sql("""
+WITH corpus AS (
+  SELECT /*+ REPARTITION(%d, doc_id) */ span_key AS doc_id,
+         line AS text
+  FROM snd_dspan
+),%s
+SELECT doc_id, s FROM exploded""" % (
+        LINE_PARTITIONS, _exploded_shingles(d))).localCheckpoint()
+    exploded.createOrReplaceTempView("snd_exploded")
+    # stage 3: signatures + distinct shingle sets (narrow, reused)
+    sigs = spark.sql("SELECT doc_id, %s FROM snd_exploded GROUP BY doc_id"
+                     % _minhash_agg()).localCheckpoint()
+    sigs.createOrReplaceTempView("snd_sigs")
+    shingled = spark.sql(
+        "SELECT DISTINCT doc_id, s FROM snd_exploded").localCheckpoint()
+    shingled.createOrReplaceTempView("snd_shingled")
+    # stage 4: band → capped candidates → exact-Jaccard verify — the
+    # verbatim tail of the span_neardup SQL over the persisted views
+    return spark.sql("""
+WITH banded AS (SELECT doc_id, {bands} FROM snd_sigs),
+banded_long AS ({long_form}),
+bucket_ok AS (
+  SELECT band_no, band_key FROM banded_long
+  GROUP BY band_no, band_key HAVING COUNT(*) <= {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM banded_long a
+  JOIN bucket_ok s
+    ON s.band_no = a.band_no AND s.band_key = a.band_key
+  JOIN banded_long b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM snd_shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN snd_shingled a ON a.doc_id = c.left_id
+  JOIN snd_shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
+)
+SELECT i.left_id AS left_key, i.right_id AS right_key,
+  {jexpr} AS jaccard,
+  oa.n_occurrences AS left_occ, ob.n_occurrences AS right_occ
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.left_id
+JOIN sizes sb ON sb.doc_id = i.right_id
+JOIN snd_dspan oa ON oa.span_key = i.left_id
+JOIN snd_dspan ob ON ob.span_key = i.right_id
+WHERE {jexpr} >= 0.5
+""".format(bands=_BAND_EXPRS, long_form=_band_long_spark(),
+           cap=cap, jexpr=_JACCARD))
 
 
 def _simhash_parts(d: str, n_bits: int = 16) -> str:

@@ -57,6 +57,10 @@ def _quantized(d: str) -> str:
     return "[%s for x in embedding]" % body
 
 
+_DIM = 64  # the embeddings fixture dimension at every SF (pinned by
+           # the driver corpus; tests/fixtures never emit another)
+
+
 def _dot(a: str, b: str, d: str) -> str:
     """Exact integer dot product of two quantized vectors."""
     if d == SPARK:
@@ -79,6 +83,33 @@ def _sqdist(a: str, b: str, d: str) -> str:
     return ("CAST(list_sum(list_transform(range(1, %s + 1), "
             "i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
             % (LEN(a, d), a, b, a, b))
+
+
+# ---- unrolled (whole-stage-codegen) forms — Spark dialect only.
+#
+# The aggregate(zip_with(...)) lambdas above are interpreted per
+# evaluation (Catalyst does not codegen higher-order functions) and
+# allocate a fresh 64-element array per call; an unrolled Add-chain of
+# element_at terms compiles to straight-line JVM arithmetic — measured
+# ~2× per pair, and it composes with per-vector norm hoisting.
+# Bit-identical results: exact integer sums in any association order.
+#
+# CONSTRAINT (measured the hard way): use these ONLY where the array
+# column is MATERIALIZED (parquet scan output, exchange/broadcast
+# output, persisted/checkpointed input).  If the array is a same-stage
+# expression (e.g. transform(...)), CollapseProject inlines the array
+# constructor into EVERY element_at term — a dim× evaluation blowup
+# that measured far slower than the lambda form (ann_ivf_topk 1.5 s →
+# 2.7 s before this rule).
+
+def _dot_unrolled(a: str, b: str, dim: int = _DIM) -> str:
+    return "(" + " + ".join(
+        "element_at(%s, %d) * element_at(%s, %d)" % (a, i, b, i)
+        for i in range(1, dim + 1)) + ")"
+
+
+def _ssq_unrolled(a: str, dim: int = _DIM) -> str:
+    return _dot_unrolled(a, a, dim)
 
 
 def _big_base(d: str, reps: int = 100, cap: int = 500) -> str:
@@ -406,6 +437,47 @@ def q_brute_big(d: str) -> str:
     batches = " UNION ALL ".join(
         tpl.format(b=i, reps=reps, r=r, qmax=nq * reps + r)
         for i, r in enumerate(_AMORT_BATCH_REPS))
+    if d == SPARK:
+        # Round-6 Spark-side rewrite (guide §1 measurement: 20.0 s at
+        # sf0.1, ~all of it in 3.2M interpreted-lambda cosines run on
+        # the FOUR partitions of the union's tiny query scans).  Three
+        # changes, result-identical (integer sums are order-free, the
+        # final double ops are the same IEEE sequence):
+        # * per-vector norms hoisted into q/c (they were recomputed
+        #   per PAIR: 2×3.2M aggregate(zip_with) evaluations);
+        # * the 128-row query side is hash-repartitioned on query_id
+        #   (128 = the query's own batch load, not a cluster constant)
+        #   so the BNLJ streams on every core, with the 25k-row
+        #   candidate side explicitly the broadcast build side.
+        # DuckDB oracle text unchanged.
+        return """
+WITH {base},
+q0 AS ({batches}),
+q AS (
+  SELECT /*+ REPARTITION({nparts}, query_id) */
+    batch, query_id, qv, {qssq0} AS qssq
+  FROM q0
+),
+c AS (SELECT vec_id AS cand_id, qv AS cv, {cssq0} AS cssq FROM base),
+scored AS (
+  SELECT /*+ BROADCAST(c) */ batch, query_id, cand_id,
+    CAST({dot} AS DOUBLE)
+      / (sqrt(CAST(qssq AS DOUBLE)) * sqrt(CAST(cssq AS DOUBLE)))
+      AS cosine
+  FROM q JOIN c ON q.query_id <> c.cand_id
+),
+ranked AS (
+  SELECT batch, query_id, cand_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY batch, query_id
+                            ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT batch, query_id, cand_id AS neighbor_id, rank, cosine
+FROM ranked WHERE rank <= 5
+""".format(base=_big_base(d, reps), batches=batches,
+           nparts=len(_AMORT_BATCH_REPS) * nq,
+           dot=_dot("q.qv", "c.cv", d),
+           qssq0=_ssq("qv", d), cssq0=_ssq("qv", d))
     return """
 WITH {base},
 q AS ({batches}),
@@ -706,17 +778,27 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
 
 
 # ------------------------------------------------- amortized IVF demo
-_SQDIST_EXPR = (
-    "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
-    "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+_SQDIST_EXPR = _sqdist("qv", "cv", SPARK)
 
 _COSINE_EXPR = (
-    "CAST(aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y),"
-    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
-    " / (sqrt(CAST(aggregate(zip_with(q_qv, q_qv, (x, y) -> x * y),"
-    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE))"
-    " * sqrt(CAST(aggregate(zip_with(c_qv, c_qv, (x, y) -> x * y),"
-    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)))")
+    "CAST(%s AS DOUBLE)"
+    " / (sqrt(CAST(%s AS DOUBLE))"
+    " * sqrt(CAST(%s AS DOUBLE)))"
+    % (_dot("q_qv", "c_qv", SPARK), _ssq("q_qv", SPARK),
+       _ssq("c_qv", SPARK)))
+
+# the hoisted-norm serve form: per-vector norms land in qssq/cssq
+# columns computed ONCE per vector instead of once per scored pair.
+# The per-pair dot stays the LAMBDA form: feeding a window/sort, the
+# unrolled Add-chain measured 4-5x SLOWER than the lambda (14.6 s vs
+# 3.0 s on the brute pair stage — whole-stage codegen of the
+# join+project+sort stage degrades with the 64-term tree), while with
+# a plain aggregate consumer the unrolled form wins.  Hoisting the
+# norms is the part that pays everywhere.
+_COSINE_HOISTED_EXPR = (
+    "CAST(%s AS DOUBLE)"
+    " / (sqrt(CAST(qssq AS DOUBLE)) * sqrt(CAST(cssq AS DOUBLE)))"
+    % _dot("q_qv", "c_qv", SPARK))
 
 
 def big_base_df(spark, reps: int = _AMORT_REPS):
@@ -747,8 +829,15 @@ def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
     # cache the expanded corpus for the fit+index-build window: the
     # in-plan ×100 expansion costs ~3s per pass at 50k and would
     # otherwise be recomputed by the seed collect, every Lloyd round's
-    # sample scan, and the index write
-    base = big_base_df(spark, reps).persist()
+    # sample scan, and the index write.  Repartition BEFORE the persist
+    # (round 6): the expansion inherits the single partition of the
+    # tiny base-vector scan, so every fit pass (Lloyd assigns, means,
+    # the final full-corpus assignment) otherwise runs one-task; the
+    # one ~13 MB shuffle buys fit-wide parallelism (guide §2.5 input-
+    # skew fix — repartition right after the skewed read).
+    from ..relational import LINE_PARTITIONS
+    base = big_base_df(spark, reps) \
+        .repartition(LINE_PARTITIONS, "vec_id").persist()
     seed = base.filter(
         "vec_id %% %d = 0 AND vec_id < %d" % (reps, k * reps)).select(
         F.expr("CAST(vec_id / %d AS INT)" % reps).alias("cell"),
@@ -773,9 +862,16 @@ def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
     spark.read.parquet(os.path.join(root, "centroids")) \
         .createOrReplaceTempView("ivf_centroids")
 
-    cands = vectors.select(
+    # serve: per-vector norms hoisted (computed once per candidate /
+    # query instead of once per scored pair), queries broadcast into a
+    # hash join on cell, candidates repartitioned so the ~400k-pair
+    # scoring stage runs at full width instead of on the few packed
+    # scan partitions of the 8 per-cell index files
+    cands = (vectors.select(
         F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"),
         "cell")
+        .repartition(LINE_PARTITIONS, "cand_id")
+        .withColumn("cssq", F.expr(_ssq_unrolled("c_qv"))))
     nq = _AMORT_QUERIES_PER_BATCH
     qs = None
     for batch_no, r in enumerate(_AMORT_BATCH_REPS):
@@ -785,10 +881,11 @@ def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
                      F.col("vec_id").alias("query_id"),
                      F.col("qv").alias("q_qv"), "cell"))
         qs = b if qs is None else qs.unionAll(b)
-    scored = (qs.join(cands, "cell")
+    qs = qs.withColumn("qssq", F.expr(_ssq_unrolled("q_qv")))
+    scored = (cands.join(F.broadcast(qs), "cell")
               .filter(F.col("query_id") != F.col("cand_id"))
               .select("batch", "query_id", "cand_id",
-                      F.expr(_COSINE_EXPR).alias("cosine")))
+                      F.expr(_COSINE_HOISTED_EXPR).alias("cosine")))
     w = Window.partitionBy("batch", "query_id").orderBy(
         F.desc("cosine"), "cand_id")
     return (scored.withColumn("rank",

@@ -249,6 +249,10 @@ _WF_NONCANDIDATE_RE = re.compile(
 _WF_AMOUNTY_RE = re.compile(
     "|".join(re.escape(w) for w in _WF_AMOUNTY_WORDS)
 )
+# the two False-gates of _wf_candidate_line OR-combined into one scan
+# (identical boolean: both only ever return False on a hit)
+_WF_NONCAND_OR_META_RE = re.compile(
+    "(?:%s)|(?:%s)" % (_WF_NONCANDIDATE_RE.pattern, _WF_META_RE.pattern))
 
 
 def _wf_candidate_line(line: str) -> bool:
@@ -259,9 +263,7 @@ def _wf_candidate_line(line: str) -> bool:
     if len(line.strip()) < 10:
         return False
     low = line.lower()
-    if _WF_NONCANDIDATE_RE.search(low):
-        return False
-    if _WF_META_RE.search(low):
+    if _WF_NONCAND_OR_META_RE.search(low):
         return False
     return True
 
@@ -468,6 +470,16 @@ _CHASE_LEGAL_BLOCK = (
     "en caso de errores o preguntas", "in case of errors or questions",
     "prepárese para proporcionarnos", "be prepared to give us",
 )
+
+# round-6 hot-loop forms: escaped-literal alternations are semantically
+# identical to the any(x in low) batteries they replace (both are plain
+# substring presence; order immaterial for a boolean) — one C-level
+# scan instead of a generator frame per needle
+_CHASE_LEGAL_MARKERS_RE = re.compile(
+    "|".join(re.escape(m) for m in _CHASE_LEGAL_MARKERS))
+_CHASE_LEGAL_BLOCK_RE = re.compile(
+    "|".join(re.escape(m) for m in _CHASE_LEGAL_BLOCK))
+
 _STANDALONE_AMOUNT_RE = re.compile(r"^\s*\$[\d,]+\.\d{2}\s*$")
 _LONG_DIGITS_RE = re.compile(r"^\s*\d{12,}\s*$")
 _CHASE_DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})(?:\s|$)")
@@ -518,8 +530,10 @@ def _chase_noise(line: str) -> bool:
 
 def _chase_date_low(stripped: str, low: str, year: int) -> Optional[str]:
     """MM/DD at line start, range-checked, minus legal-marker lines
-    (reference chase.py:120-136)."""
-    if any(m in low for m in _CHASE_LEGAL_MARKERS):
+    (reference chase.py:120-136).  The marker battery is ONE compiled
+    alternation of escaped literals (identical substring semantics,
+    one scan instead of six — round-6 hot-loop trim)."""
+    if _CHASE_LEGAL_MARKERS_RE.search(low):
         return None
     m = _CHASE_DATE_RE.match(stripped)
     if not m:
@@ -535,17 +549,21 @@ def _chase_date(line: str, year: int) -> Optional[str]:
     return _chase_date_low(stripped, stripped.lower(), year)
 
 
-def _chase_legal_block(text: str) -> bool:
-    """reference chase.py:171-182."""
-    low = text.lower()
-    if any(s in low for s in _CHASE_LEGAL_BLOCK):
+def _chase_legal_block(text: str, low: Optional[str] = None) -> bool:
+    """reference chase.py:171-182.  ``low`` lets the caller lowercase
+    the block body once for both block classifiers (same pattern as
+    _wf_date_fragment)."""
+    if low is None:
+        low = text.lower()
+    if _CHASE_LEGAL_BLOCK_RE.search(low):
         return True
     return len(text) > 500 and bool(_HOTLINE_RE.search(text))
 
 
-def _chase_daily_balance(text: str) -> bool:
+def _chase_daily_balance(text: str, low: Optional[str] = None) -> bool:
     """reference chase.py:162-169."""
-    low = text.lower()
+    if low is None:
+        low = text.lower()
     if "daily ending balance" in low:
         return True
     if _MONTH_THROUGH_RE.search(low):
@@ -602,12 +620,22 @@ _CHASE_CLEAN_CHAIN = (
 )
 
 
+# superset gate for the 5-sub clean chain: every chain pattern implies
+# a match of this gate (same literals, case-insensitive, minus the \b
+# anchors — so a gate miss proves no chain sub could fire and the five
+# regex passes are skipped; a false positive only runs the old chain)
+_CHASE_CLEAN_GATE = re.compile(
+    r"daily ending balance|fecha\s+cantidad|date\s+amount|trn:|ssn:",
+    re.I)
+
+
 def _chase_clean_desc(text: str) -> str:
     """reference chase.py:219-230."""
     c = AMOUNT_RE.sub("", text)
     c = _MD_TOKEN_RE.sub("", c)
-    for rx, repl in _CHASE_CLEAN_CHAIN:
-        c = rx.sub(repl, c)
+    if _CHASE_CLEAN_GATE.search(c):
+        for rx, repl in _CHASE_CLEAN_CHAIN:
+            c = rx.sub(repl, c)
     c = squeeze(c)
     if c:
         c = c[0].upper() + c[1:]
@@ -707,7 +735,9 @@ def parse_chase(lines, year, tally=None) -> List[Record]:
         _note(tally, "blocks_total")
         body = " ".join(s.strip() for s in block if s).strip()
         rec = None
-        if body and not _chase_legal_block(body) and not _chase_daily_balance(body):
+        low_body = body.lower()
+        if body and not _chase_legal_block(body, low_body) \
+                and not _chase_daily_balance(body, low_body):
             amt = _chase_block_amount(block, body)
             if amt is not None:
                 desc = _chase_clean_desc(body)
@@ -750,6 +780,8 @@ _BOFA_EXACT_NOISE = (
     "business advantage",
     "this page intentionally",
 )
+_BOFA_EXACT_SET = frozenset(_BOFA_EXACT_NOISE)
+_BOFA_EXACT_PREFIXES = tuple(p + " " for p in _BOFA_EXACT_NOISE)
 _BOFA_HEADER_PHRASES = (
     "this page intentionally left blank",
     "your checking account",
@@ -819,9 +851,11 @@ def _bofa_noise(line: str) -> bool:
     """reference bofa.py:167-212."""
     low = line.lower()
     stripped = low.strip()
-    for p in _BOFA_EXACT_NOISE:
-        if stripped == p or stripped.startswith(p + " "):
-            return True
+    # set + tuple-startswith: identical to the per-needle loop
+    # (equality OR "needle + space" prefix), one hash + one C call
+    if stripped in _BOFA_EXACT_SET or \
+            stripped.startswith(_BOFA_EXACT_PREFIXES):
+        return True
     if _BOFA_PAGE_RE.match(low):
         return True
     if "continued on" in low and "next page" in low:

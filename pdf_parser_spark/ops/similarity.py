@@ -741,15 +741,26 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
     spark = embeddings.sparkSession
     sqdist = F.expr(_SQDIST_EXPR)
 
-    def assign_join(rows, over: DataFrame) -> DataFrame:
+    def assign_join(rows, over: DataFrame,
+                    carry: bool = False) -> DataFrame:
         cdf = spark.createDataFrame(rows, "cell int, cv array<bigint>")
         scored = (
             over.withColumn("_one", F.lit(1))
             .join(F.broadcast(cdf.withColumn("_one", F.lit(1))), "_one")
-            .select("vec_id", "cell", sqdist.alias("sq_dist"))
+            .select("vec_id", "qv", "cell", sqdist.alias("sq_dist"))
         )
-        return scored.groupBy("vec_id").agg(
-            F.min_by("cell", F.struct("sq_dist", "cell")).alias("cell"))
+        # carry=True: keep qv through the min_by agg (the
+        # ivf_index_append pattern — qv is constant across a vec_id's
+        # k scored copies, so any_value is deterministic, and the k
+        # copies collapse MAP-SIDE in the partial agg) instead of
+        # re-attaching it with a post-assignment self-join of the
+        # payload (round 6; the join was an extra payload shuffle)
+        aggs = [F.min_by("cell", F.struct("sq_dist", "cell")).alias("cell")]
+        if carry:
+            aggs.append(F.any_value("qv").alias("qv"))
+        out = scored.groupBy("vec_id").agg(*aggs)
+        return out.select("vec_id", "qv", "cell") if carry else \
+            out.select("vec_id", "cell")
 
     for _ in range(iters):
         assigned = assign_join(cent_rows, train)
@@ -768,9 +779,7 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
             (cell, [m for _, m in sorted(pms)])
             for cell, pms in by_cell.items())
 
-    final = assign_join(cent_rows, base)
-    if carry_qv:
-        final = base.join(final, "vec_id").select("vec_id", "qv", "cell")
+    final = assign_join(cent_rows, base, carry=carry_qv)
     cent = spark.createDataFrame(cent_rows, "cell int, cv array<bigint>")
     train.unpersist()
     comps.unpersist()
@@ -853,9 +862,18 @@ def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
     # file per cell instead of tasks×cells small files
     root = index_dir or os.path.join(tempfile.gettempdir(),
                                      "pdf_parser_spark_ivf_index")
-    centroids.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
-    fitted.repartition(k, "cell").write.mode("overwrite") \
-        .partitionBy("cell").parquet(os.path.join(root, "vectors"))
+    # the two index writes are independent — submit them from two
+    # driver threads so the tiny centroid write back-fills executors
+    # during the vector write's tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f_c = pool.submit(
+            lambda: centroids.write.mode("overwrite")
+            .parquet(os.path.join(root, "centroids")))
+        f_v = pool.submit(
+            lambda: fitted.repartition(k, "cell").write.mode("overwrite")
+            .partitionBy("cell").parquet(os.path.join(root, "vectors")))
+        f_c.result(), f_v.result()
     base.unpersist()
     vectors = spark.read.parquet(os.path.join(root, "vectors"))
     vectors.createOrReplaceTempView("ivf_vectors")

@@ -621,6 +621,83 @@ def chase_inject_py(doc_id: int, line_no: int, line: str) -> str:
     return line
 
 
+def _chase_block_ctes(d: str) -> tuple:
+    """(blocks-CTE chain, gated-FROM source, opener gate) for the chase
+    query.  DuckDB keeps the original openers⨝blocks join (frozen
+    oracle text).  Spark folds the opener's date/section INTO the
+    blocks aggregation: the grp counter increments exactly at date or
+    section lines, so a group's FIRST line is its only possible
+    is_date=1 row — MAX(CASE WHEN is_date…) is the opener value, and
+    opener-less groups (section-started or noisy-date-cut) surface as
+    NULL block_date and die at the gate exactly as they died at the
+    inner join.  Halves the plan: both join sides re-derived the whole
+    stmt_lines→classification pipeline under Catalyst CTE inlining
+    (plans/r06/chase_relational_before.txt: 4 corpus scans)."""
+    ordcat = ("string_agg(line, ' ' ORDER BY line_no)" if d == DUCK else
+              "concat_ws(' ', transform(array_sort(collect_list("
+              "struct(line_no as o, line as v))), x -> x.v))")
+    if d == SPARK:
+        chain = """runs AS (
+  SELECT doc_id, grp, line_no, line, is_date, is_noise, is_sec,
+    date_iso, section_ctx,
+    CASE WHEN is_noise = 1
+          AND coalesce(LAG(is_noise) OVER (PARTITION BY doc_id, grp
+                                           ORDER BY line_no), 0) = 1
+         THEN 1 ELSE 0 END AS pair_flag
+  FROM grouped
+),
+members AS (
+  SELECT r.doc_id, r.grp, r.line_no, r.line, r.is_date, r.date_iso,
+         r.section_ctx
+  FROM (SELECT *, SUM(pair_flag) OVER (PARTITION BY doc_id, grp
+                                       ORDER BY line_no
+                                       ROWS UNBOUNDED PRECEDING) AS stops
+        FROM runs) r
+  WHERE r.stops = 0
+    AND (r.is_date = 1 OR (r.is_noise = 0 AND r.is_sec = 0))
+),
+blocks AS (
+  SELECT m.doc_id, m.grp, {ordcat} AS body,
+    MAX(CASE WHEN m.is_date = 1 THEN m.date_iso END) AS block_date,
+    MAX(CASE WHEN m.is_date = 1
+             THEN coalesce(m.section_ctx, '') END) AS block_section
+  FROM members m GROUP BY m.doc_id, m.grp
+)""".format(ordcat=ordcat)
+        head = ("SELECT b.doc_id, b.grp, b.block_date, "
+                "b.block_section, b.body\n  FROM blocks b")
+        return chain, head, "b.block_date IS NOT NULL AND "
+    chain = """openers AS (
+  SELECT doc_id, grp, date_iso AS block_date,
+    coalesce(section_ctx, '') AS block_section
+  FROM grouped WHERE is_date = 1
+),
+runs AS (
+  SELECT doc_id, grp, line_no, line, is_date, is_noise, is_sec,
+    CASE WHEN is_noise = 1
+          AND coalesce(LAG(is_noise) OVER (PARTITION BY doc_id, grp
+                                           ORDER BY line_no), 0) = 1
+         THEN 1 ELSE 0 END AS pair_flag
+  FROM grouped
+),
+members AS (
+  SELECT r.doc_id, r.grp, r.line_no, r.line
+  FROM (SELECT *, SUM(pair_flag) OVER (PARTITION BY doc_id, grp
+                                       ORDER BY line_no
+                                       ROWS UNBOUNDED PRECEDING) AS stops
+        FROM runs) r
+  WHERE r.stops = 0
+    AND (r.is_date = 1 OR (r.is_noise = 0 AND r.is_sec = 0))
+),
+blocks AS (
+  SELECT m.doc_id, m.grp, {ordcat} AS body
+  FROM members m GROUP BY m.doc_id, m.grp
+)""".format(ordcat=ordcat)
+    head = ("SELECT b.doc_id, b.grp, o.block_date, o.block_section,"
+            " b.body\n  FROM blocks b JOIN openers o\n"
+            "    ON b.doc_id = o.doc_id AND b.grp = o.grp")
+    return chain, head, ""
+
+
 @query("chase_relational")
 def q_chase(d: str) -> str:
     """The COMPLETE Chase parser (chase.py:16-68) as one relational
@@ -638,6 +715,8 @@ def q_chase(d: str) -> str:
               "concat_ws(' ', transform(array_sort(collect_list("
               "struct(line_no as o, line as v))), x -> x.v))")
     toks = REALL("body", AMOUNT_PATTERN, d)
+    _chase_blocks, _chase_gate_head, _chase_opener_gate = \
+        _chase_block_ctes(d)
 
     # reference chase.py:187-194 quirk, kept faithfully: clean_to_float
     # strips $,() but NOT '-', so a leading-minus token parses negative
@@ -719,37 +798,10 @@ grouped AS (
     {carry} AS section_ctx
   FROM flagged
 ),
-openers AS (
-  SELECT doc_id, grp, date_iso AS block_date,
-    coalesce(section_ctx, '') AS block_section
-  FROM grouped WHERE is_date = 1
-),
-runs AS (
-  SELECT doc_id, grp, line_no, line, is_date, is_noise, is_sec,
-    CASE WHEN is_noise = 1
-          AND coalesce(LAG(is_noise) OVER (PARTITION BY doc_id, grp
-                                           ORDER BY line_no), 0) = 1
-         THEN 1 ELSE 0 END AS pair_flag
-  FROM grouped
-),
-members AS (
-  SELECT r.doc_id, r.grp, r.line_no, r.line
-  FROM (SELECT *, SUM(pair_flag) OVER (PARTITION BY doc_id, grp
-                                       ORDER BY line_no
-                                       ROWS UNBOUNDED PRECEDING) AS stops
-        FROM runs) r
-  WHERE r.stops = 0
-    AND (r.is_date = 1 OR (r.is_noise = 0 AND r.is_sec = 0))
-),
-blocks AS (
-  SELECT m.doc_id, m.grp, {ordcat} AS body
-  FROM members m GROUP BY m.doc_id, m.grp
-),
+{chase_blocks},
 gated AS (
-  SELECT b.doc_id, b.grp, o.block_date, o.block_section, b.body
-  FROM blocks b JOIN openers o
-    ON b.doc_id = o.doc_id AND b.grp = o.grp
-  WHERE NOT ({legal_block}
+  {chase_gate_head}
+  WHERE {chase_opener_gate}NOT ({legal_block}
              OR (length(b.body) > 500 AND {hotline}))
     AND NOT (instr(lower(b.body), 'daily ending balance') > 0
              OR ({month_through} AND NOT {tx_words}))
@@ -776,7 +828,9 @@ WHERE {mindesc}
            legal_marker=_contains_any("low", _CHASE_LEGAL_MARKERS),
            dp=dp, p=p,
            carry=LAST_IGNULLS("sec_marker", "line_no", "doc_id", d),
-           ordcat=ordcat,
+           chase_blocks=_chase_blocks,
+           chase_gate_head=_chase_gate_head,
+           chase_opener_gate=_chase_opener_gate,
            legal_block=_contains_any("lower(b.body)", _CHASE_LEGAL_BLOCK),
            hotline=RLIKE("b.body", r"1-\d{3}-\d{3}-\d{4}", d),
            month_through=RLIKE(
@@ -1303,6 +1357,49 @@ def _date_value_sql(line: str, order: str, d: str) -> str:
     return "CASE WHEN %s THEN %s END" % (gate, battery)
 
 
+def _opener_block_tail(d: str, ordcat: str, strip_tail: str, toks: str,
+                       amt: str) -> str:
+    """The blocks→parsed tail of the generic/mercury sweep.
+
+    DuckDB keeps the original openers self-join (the oracle text is
+    frozen).  Spark folds the opener date INTO the blocks aggregation:
+    a non-null date_val is precisely what increments block_id, so every
+    block_id > 0 group contains exactly ONE non-null date_val — its
+    opener — and MAX(date_val) is that value.  This halves the plan:
+    Catalyst inlines each CTE reference, so the openers⨝blocks join
+    re-derived the whole stmt_lines + regex-battery pipeline twice
+    (plans/r06/generic_relational_before.txt: two full scan→explode→
+    window chains joined by BroadcastHashJoin)."""
+    if d == SPARK:
+        return """blocks AS (
+  SELECT doc_id, block_id, {ordcat} AS body,
+         MAX(date_val) AS block_date
+  FROM blocked WHERE block_id > 0 GROUP BY doc_id, block_id
+),
+parsed AS (
+  SELECT b.doc_id, b.block_id, b.block_date AS date,
+    trim({strip_tail}) AS description,
+    {amt} AS amount
+  FROM (SELECT doc_id, block_id, block_date, body, {toks} AS toks
+        FROM blocks) b
+)""".format(ordcat=ordcat, strip_tail=strip_tail, toks=toks, amt=amt)
+    return """openers AS (
+  SELECT doc_id, block_id, date_val AS block_date
+  FROM blocked WHERE date_val IS NOT NULL
+),
+blocks AS (
+  SELECT doc_id, block_id, {ordcat} AS body
+  FROM blocked WHERE block_id > 0 GROUP BY doc_id, block_id
+),
+parsed AS (
+  SELECT b.doc_id, b.block_id, o.block_date AS date,
+    trim({strip_tail}) AS description,
+    {amt} AS amount
+  FROM (SELECT doc_id, block_id, body, {toks} AS toks FROM blocks) b
+  JOIN openers o ON b.doc_id = o.doc_id AND b.block_id = o.block_id
+)""".format(ordcat=ordcat, strip_tail=strip_tail, toks=toks, amt=amt)
+
+
 @query("mercury_relational")
 def q_mercury(d: str) -> str:
     """The COMPLETE Mercury parser (mercury.py:5-32) relationally:
@@ -1332,30 +1429,16 @@ blocked AS (
             ROWS UNBOUNDED PRECEDING) AS block_id
   FROM marked
 ),
-openers AS (
-  SELECT doc_id, block_id, date_val AS block_date
-  FROM blocked WHERE date_val IS NOT NULL
-),
-blocks AS (
-  SELECT doc_id, block_id, {ordcat} AS body
-  FROM blocked WHERE block_id > 0 GROUP BY doc_id, block_id
-),
-parsed AS (
-  SELECT b.doc_id, b.block_id, o.block_date AS date,
-    trim({strip_tail}) AS description,
-    {amt} AS amount
-  FROM (SELECT doc_id, block_id, body, {toks} AS toks FROM blocks) b
-  JOIN openers o ON b.doc_id = o.doc_id AND b.block_id = o.block_id
-)
+{blocktail}
 SELECT doc_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, block_id)
        AS INT) - 1 AS tx_index,
   date, description, abs(amount) AS amount,
   {dircase} AS direction
 FROM parsed WHERE amount IS NOT NULL
-""".format(dval=_date_value_sql("line", "mmm_first", d), ordcat=ordcat,
-           strip_tail=strip_tail, toks=toks,
-           amt=_signed_first_amount(d),
+""".format(dval=_date_value_sql("line", "mmm_first", d),
+           blocktail=_opener_block_tail(
+               d, ordcat, strip_tail, toks, _signed_first_amount(d)),
            dircase=__import__(
                "pdf_parser_spark.relational", fromlist=["direction_case"]
            ).direction_case("description", d)), d)
@@ -1390,30 +1473,16 @@ blocked AS (
             ROWS UNBOUNDED PRECEDING) AS block_id
   FROM marked
 ),
-openers AS (
-  SELECT doc_id, block_id, date_val AS block_date
-  FROM blocked WHERE date_val IS NOT NULL
-),
-blocks AS (
-  SELECT doc_id, block_id, {ordcat} AS body
-  FROM blocked WHERE block_id > 0 GROUP BY doc_id, block_id
-),
-parsed AS (
-  SELECT b.doc_id, b.block_id, o.block_date AS date,
-    trim({strip_tail}) AS description,
-    {amt} AS amount
-  FROM (SELECT doc_id, block_id, body, {toks} AS toks FROM blocks) b
-  JOIN openers o ON b.doc_id = o.doc_id AND b.block_id = o.block_id
-)
+{blocktail}
 SELECT doc_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, block_id)
        AS INT) - 1 AS tx_index,
   date, description, abs(amount) AS amount,
   {dircase} AS direction
 FROM parsed WHERE amount IS NOT NULL
-""".format(dval=_date_value_sql("line", "slash_first", d), ordcat=ordcat,
-           strip_tail=strip_tail, toks=toks,
-           amt=_signed_first_amount(d),
+""".format(dval=_date_value_sql("line", "slash_first", d),
+           blocktail=_opener_block_tail(
+               d, ordcat, strip_tail, toks, _signed_first_amount(d)),
            dircase=__import__(
                "pdf_parser_spark.relational", fromlist=["direction_case"]
            ).direction_case("description", d)), d)

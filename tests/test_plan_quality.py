@@ -79,7 +79,11 @@ def test_parse_pages_shuffle_budget(spark, pages_parquet):
     df = parse_pages(spark.read.parquet(pages_parquet))
     plan = _explain(df)
     assert plan.count("Exchange") == 1, plan
-    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    # round 6: the worker is arrow-native (MapInArrow); accept either
+    # Python-batch operator spelling
+    low = plan.lower()
+    assert ("mapinpandas" in low or "mapinarrow" in low
+            or "pythonmapinarrow" in low), plan
 
 
 def test_no_cartesian_product_in_any_registered_query(spark):

@@ -269,11 +269,18 @@ def _wf_candidate_line(line: str) -> bool:
 
 
 def _wf_date_fragment(tok: str, context: str,
-                      low_context: Optional[str] = None) -> bool:
+                      low_context: Optional[str] = None,
+                      ctx_flags: Optional[list] = None) -> bool:
     """Money lexeme that is really a date piece, e.g. ``11.8`` inside
     ``11.8.24`` (reference wf.py:44-87).  ``low_context`` lets the
     caller lowercase the (block-sized) context once instead of per
-    token."""
+    token; ``ctx_flags`` (a caller-owned one-slot memo) caches the
+    three context-level regex verdicts, which depend only on the BLOCK
+    text, so multi-token blocks run them once (round-6 hot-loop trim).
+    Check order rearranged result-identically: the function returns
+    True iff (dotted OR mmm context) AND NOT amounty-context — so the
+    date-context scans run first and an amounty scan only happens when
+    one of them hit (all three are pure functions of the context)."""
     bare = (
         tok.replace("$", "").replace(",", "").replace("(", "")
         .replace(")", "").replace("-", "")
@@ -286,15 +293,18 @@ def _wf_date_fragment(tok: str, context: str,
         return False
     if val > 31 or val < 1:
         return False
-    low = context.lower() if low_context is None else low_context
-    if _WF_AMOUNTY_RE.search(low):
-        return False
-    if 1 <= val <= 31:
-        if _WF_DOTTED_DATE_RE.search(context):
-            return True
-        if _WF_MMM_IN_CTX_RE.search(context):
-            return True
-    return False
+    if ctx_flags is not None and ctx_flags:
+        datey, amounty = ctx_flags[0]
+    else:
+        datey = bool(_WF_DOTTED_DATE_RE.search(context)) or             bool(_WF_MMM_IN_CTX_RE.search(context))
+        if datey:
+            low = context.lower() if low_context is None else low_context
+            amounty = bool(_WF_AMOUNTY_RE.search(low))
+        else:
+            amounty = False
+        if ctx_flags is not None:
+            ctx_flags.append((datey, amounty))
+    return datey and not amounty
 
 
 def _wf_amount_and_desc(text: str) -> Optional[Dict[str, Any]]:
@@ -306,8 +316,9 @@ def _wf_amount_and_desc(text: str) -> Optional[Dict[str, Any]]:
         return None
     low_text = text.lower()
     chosen, idx = None, 0
+    ctx_flags: list = []
     for i, h in enumerate(hits):
-        if _wf_date_fragment(h.group(), text, low_text):
+        if _wf_date_fragment(h.group(), text, low_text, ctx_flags):
             continue
         chosen, idx = h, i
         break
@@ -337,27 +348,32 @@ _WF_WT_RE = re.compile(r"\bwt\s+\w+")
 
 
 def _wf_direction(description: str) -> str:
-    """Priority tiers (reference wf.py:176-227)."""
+    """Priority tiers (reference wf.py:176-227).  Round-6 hot-loop
+    trim: each regex tier is gated by a C-level substring check for a
+    literal the regex REQUIRES (e.g. _WF_FROM_RE can only match where
+    "from" occurs) — a gate miss proves the regex cannot match, so the
+    tier outcomes are identical."""
     low = description.lower()
-    org = WF_WIRE_IN_TAG.search(low)
-    bnf = WF_WIRE_OUT_TAG.search(low)
-    if org and not bnf:
-        return "in"
-    if bnf and not org:
-        return "out"
+    if "/org=" in low or "/bnf=" in low:
+        org = WF_WIRE_IN_TAG.search(low)
+        bnf = WF_WIRE_OUT_TAG.search(low)
+        if org and not bnf:
+            return "in"
+        if bnf and not org:
+            return "out"
     if any(w in low for w in (
         "online transfer from", "transfer from", "llc sender", "sender",
     )):
         return "in"
-    if _WF_FROM_RE.search(low):
+    if "from" in low and _WF_FROM_RE.search(low):
         return "in"
-    if _WF_COMPANY_PMT_RE.search(low) or _WF_PMT_NUM_RE.search(low):
+    if ("company" in low and _WF_COMPANY_PMT_RE.search(low)) or             ("payment" in low and _WF_PMT_NUM_RE.search(low)):
         return "in"
     if "zelle from" in low:
         return "in"
     if "zelle to" in low:
         return "out"
-    if _WF_WT_RE.search(low) and "morgan stanley" in low:
+    if "morgan stanley" in low and _WF_WT_RE.search(low):
         return "in"
     if any(w in low for w in (
         "interest payment", "interest credit", "deposit", "credit",
@@ -652,7 +668,9 @@ _CHASE_CAMARA_RE = re.compile(r"d[eé]bito de c[aá]mara")
 def _chase_direction(description: str, section: str, amount: float) -> str:
     """Priority tiers (reference chase.py:234-258)."""
     d = description.lower()
-    if _CHASE_REVERSAL_RE.search(d):
+    # round-6 hot-loop trim: substring gates for literals each regex
+    # REQUIRES (identical tier outcomes; see _wf_direction note)
+    if "revers" in d and _CHASE_REVERSAL_RE.search(d):
         return "in"
     if any(x in d for x in (" fee", "charge", "cargo", "comisión", "service charge")):
         return "out"
@@ -660,7 +678,8 @@ def _chase_direction(description: str, section: str, amount: float) -> str:
         return "in"
     if "card purchase" in d or "compra con tarjeta" in d or "recurring card purchase" in d:
         return "out"
-    if "wise us inc" in d or " trnwise " in " %s " % d or _CHASE_WISE_RE.search(d):
+    if "wise" in d and ("wise us inc" in d or " trnwise " in " %s " % d
+                        or _CHASE_WISE_RE.search(d)):
         return "out"
     if any(x in d for x in (
         "payment to", "zelle payment to", "online payment",
@@ -668,7 +687,7 @@ def _chase_direction(description: str, section: str, amount: float) -> str:
         "online international wire transfer",
     )):
         return "out"
-    if _CHASE_CAMARA_RE.search(d):
+    if "bito de c" in d and _CHASE_CAMARA_RE.search(d):
         return "out"
     if section == "deposits":
         return "in"

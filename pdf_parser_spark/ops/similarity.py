@@ -731,9 +731,6 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
                " * 1000000.0) AS BIGINT))")
     base = embeddings.select("vec_id", F.expr(qv_expr).alias("qv"))
     train = (base.filter(train_filter) if train_filter else base).persist()
-    comps = train.select(
-        "vec_id", F.posexplode("qv").alias("pos", "v")
-    ).persist()
     cent0 = seed_df if seed_df is not None else train.filter(
         F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cv"))
@@ -763,9 +760,15 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
             out.select("vec_id", "cell")
 
     for _ in range(iters):
-        assigned = assign_join(cent_rows, train)
+        # round 6: the assignment CARRIES qv through the min_by agg and
+        # the mean explodes it afterwards — the previous form joined the
+        # assignment back to a persisted pre-exploded components table,
+        # an extra shuffle join per round (measured ~1 s/round of stage
+        # latency at fixture scale for identical math; at corpus scale
+        # it is one fewer shuffle of the sample per round)
+        assigned = assign_join(cent_rows, train, carry=True)
         means = (
-            assigned.join(comps, "vec_id")
+            assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.expr("CAST(floor(SUM(v) / CAST(COUNT(*) AS DOUBLE))"
                         " AS BIGINT)").alias("m"))
@@ -782,7 +785,6 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
     final = assign_join(cent_rows, base, carry=carry_qv)
     cent = spark.createDataFrame(cent_rows, "cell int, cv array<bigint>")
     train.unpersist()
-    comps.unpersist()
     return final, cent
 
 
@@ -891,15 +893,20 @@ def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
         .repartition(LINE_PARTITIONS, "cand_id")
         .withColumn("cssq", F.expr(_ssq_unrolled("c_qv"))))
     nq = _AMORT_QUERIES_PER_BATCH
-    qs = None
-    for batch_no, r in enumerate(_AMORT_BATCH_REPS):
-        b = (vectors.filter("vec_id %% %d = %d AND vec_id < %d"
-                            % (reps, r, nq * reps + r))
-             .select(F.lit(batch_no).alias("batch"),
-                     F.col("vec_id").alias("query_id"),
-                     F.col("qv").alias("q_qv"), "cell"))
-        qs = b if qs is None else qs.unionAll(b)
-    qs = qs.withColumn("qssq", F.expr(_ssq_unrolled("q_qv")))
+    # ONE scan of the index for all four batches (round 6: the
+    # union-of-filters form scanned the vector table once per batch);
+    # batch number derived from vec_id %% reps — identical row set
+    cond = " OR ".join(
+        "(vec_id %% %d = %d AND vec_id < %d)" % (reps, r, nq * reps + r)
+        for r in _AMORT_BATCH_REPS)
+    batch_case = "CASE vec_id %% %d %s END" % (
+        reps, " ".join("WHEN %d THEN %d" % (r, i)
+                       for i, r in enumerate(_AMORT_BATCH_REPS)))
+    qs = (vectors.filter(cond)
+          .select(F.expr(batch_case).cast("int").alias("batch"),
+                  F.col("vec_id").alias("query_id"),
+                  F.col("qv").alias("q_qv"), "cell")
+          .withColumn("qssq", F.expr(_ssq_unrolled("q_qv"))))
     scored = (cands.join(F.broadcast(qs), "cell")
               .filter(F.col("query_id") != F.col("cand_id"))
               .select("batch", "query_id", "cand_id",

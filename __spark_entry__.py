@@ -844,6 +844,18 @@ def _retired_specials() -> dict:
         # rationale as trustrank/kcore, row-identity test-pinned
         "span_neardup": (
             _span_neardup_production, QUERY_SQL["span_neardup"]["duckdb"]),
+        # round-6: crawl_frontier's production twin (edge list
+        # materialized once + iterative pagerank_df) already existed,
+        # test-pinned — now served as the Spark side; the unrolled SQL
+        # re-derived the edge chain once per CTE reference (measured
+        # 694 parquet scans / 1444 Exchanges in one plan at sf0.1)
+        "crawl_frontier": (
+            _crawl_frontier_production,
+            QUERY_SQL["crawl_frontier"]["duckdb"]),
+        # round-6: same promotion for the BPE trainer (284 scans / 568
+        # Exchanges in the unrolled plan; iterative twin test-pinned)
+        "bpe_train_merges": (
+            _bpe_train_production, QUERY_SQL["bpe_train_merges"]["duckdb"]),
         "opic_priority": (
             _opic_production, QUERY_SQL["opic_priority"]["duckdb"]),
         # declared page labels — the navigation/citation sidecar of
@@ -879,6 +891,26 @@ def _retired_specials() -> dict:
             " FROM read_parquet('%s')"
             % (_GOLDEN / "expected_video_scenes.parquet")),
     }
+
+
+def _crawl_frontier_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-edges + iterative-PageRank crawl frontier (round-6
+    perf; see ops/crawl.py crawl_frontier_production_df) —
+    row-identical to the unrolled SQL oracle (test-pinned)."""
+    from pdf_parser_spark.ops.crawl import crawl_frontier_production_df
+
+    _register(spark, sf_dir)
+    return crawl_frontier_production_df(spark)
+
+
+def _bpe_train_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge learning (per-round persisted symbol table)
+    — row-identical to the unrolled SQL oracle (test-pinned); promoted
+    round 6 (perf)."""
+    from pdf_parser_spark.ops.bpe import bpe_train_df
+
+    _register(spark, sf_dir)
+    return bpe_train_df(spark)
 
 
 def _span_neardup_production(spark: SparkSession, sf_dir: str) -> DataFrame:

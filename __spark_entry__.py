@@ -811,6 +811,10 @@ def _retired_specials() -> dict:
             _trustrank_production, QUERY_SQL["trustrank_seeds"]["duckdb"]),
         "hits_scores": (
             _hits_production, QUERY_SQL["hits_scores"]["duckdb"]),
+        # round-6 promotion: the iterative pagerank twin serves the
+        # host_pagerank row (same rationale as hits/trustrank)
+        "host_pagerank": (
+            _pagerank_production, QUERY_SQL["host_pagerank"]["duckdb"]),
         "label_propagation": (
             _lpa_production, QUERY_SQL["label_propagation"]["duckdb"]),
         "bpe_encode": (
@@ -950,6 +954,16 @@ def _bpe_encode_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     return bpe_encode_df(spark)
+
+
+def _pagerank_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the persisted one-plan edge list —
+    row-identical to the unrolled SQL oracle (test-pinned); promoted
+    round 6 (perf)."""
+    from pdf_parser_spark.ops.webgraph import pagerank_production_df
+
+    _register(spark, sf_dir)
+    return pagerank_production_df(spark)
 
 
 def _hits_production(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -781,6 +781,19 @@ def hits_df(edges, rounds: int = _HITS_ROUNDS):
     return out
 
 
+def pagerank_production_df(spark):
+    """pagerank_df over a persisted one-plan edge list — the retired-
+    special Spark side of the ``host_pagerank`` row since round 6 (the
+    unrolled SQL stays as the DuckDB oracle; row-identity pinned by
+    test_pagerank_df_matches_sql).  Same wrapper shape as
+    hits_production_df."""
+    edges = link_graph_df(spark).persist()
+    edges.count()
+    out = pagerank_df(edges).localCheckpoint()
+    edges.unpersist()
+    return out
+
+
 def hits_production_df(spark):
     """hits_df over a persisted one-plan edge list — the retired-
     special Spark side of the ``hits_scores`` row (the SQL stays as

@@ -797,10 +797,14 @@ def test_pagerank_df_matches_sql(spark, entry_mod):
     row-identical to the unrolled-SQL oracle twin."""
     from pdf_parser_spark.ops.webgraph import pagerank_df
 
+    import query_registry
+
     edges = entry_mod.all_queries()["link_graph"](spark, SF_DIR)
     got = sorted((r.host, r.rank_ppb) for r in pagerank_df(edges).collect())
-    exp = sorted((r.host, r.rank_ppb) for r in entry_mod.all_queries()[
-        "host_pagerank"](spark, SF_DIR).collect())
+    # pin against the UNROLLED SQL explicitly (round-6 promotion makes
+    # all_queries() serve the production twin for this name)
+    exp = sorted((r.host, r.rank_ppb) for r in spark.sql(
+        query_registry.QUERY_SQL["host_pagerank"]["spark"]).collect())
     assert got == exp
 
 
@@ -1241,11 +1245,15 @@ def test_bpe_train_df_matches_sql(spark, entry_mod):
     row-identical to the unrolled-SQL oracle twin."""
     from pdf_parser_spark.ops.bpe import bpe_train_df
 
+    import query_registry
+
+    # pin against the UNROLLED SQL explicitly (round-6 promotion makes
+    # all_queries() serve the production twin for this name)
+    entry_mod._register(spark, SF_DIR)
     sql_rows = sorted(
         tuple(r) for r in
-        entry_mod.all_queries()["bpe_train_merges"](spark, SF_DIR)
+        spark.sql(query_registry.QUERY_SQL["bpe_train_merges"]["spark"])
         .collect())
-    entry_mod._register(spark, SF_DIR)
     df_rows = sorted(tuple(r) for r in bpe_train_df(spark).collect())
     assert df_rows == sql_rows
     assert len(df_rows) == 4
@@ -2610,11 +2618,16 @@ def test_crawl_frontier_production_matches_sql(spark, entry_mod):
     registered one-plan SQL."""
     from pdf_parser_spark.ops.crawl import crawl_frontier_production_df
 
+    import query_registry
+
     entry_mod.all_queries()["link_graph"](spark, SF_DIR).count()
     got = sorted(tuple(r)
                  for r in crawl_frontier_production_df(spark).collect())
-    exp = sorted(tuple(r) for r in entry_mod.all_queries()[
-        "crawl_frontier"](spark, SF_DIR).collect())
+    # pin against the UNROLLED SQL explicitly: since the round-6
+    # promotion, all_queries() serves the production twin for this name
+    entry_mod._register(spark, SF_DIR)
+    exp = sorted(tuple(r) for r in spark.sql(
+        query_registry.QUERY_SQL["crawl_frontier"]["spark"]).collect())
     assert got == exp
 
 

@@ -627,31 +627,31 @@ def _chase_block_amount(block: List[str], body: str) -> Optional[float]:
     return max(pool, key=lambda p: p[1])[1]
 
 
+# each chain entry carries a required-literal gate: the regex can only
+# match where the (case-folded) literal occurs, so a gate miss skips
+# the regex scan outright; the lowercase view is recomputed after any
+# sub that changed the string, so later gates stay exact (round 6)
 _CHASE_CLEAN_CHAIN = (
-    (re.compile(r"\bDAILY ENDING BALANCE\b", re.I), ""),
-    (re.compile(r"\bFECHA\s+CANTIDAD\b", re.I), ""),
-    (re.compile(r"\bDATE\s+AMOUNT\b", re.I), ""),
-    (re.compile(r"\btrn:\s*", re.I), " Trn: "),
-    (re.compile(r"\bssn:\s*", re.I), " Ssn: "),
+    (re.compile(r"\bDAILY ENDING BALANCE\b", re.I), "",
+     "daily ending balance"),
+    (re.compile(r"\bFECHA\s+CANTIDAD\b", re.I), "", "fecha"),
+    (re.compile(r"\bDATE\s+AMOUNT\b", re.I), "", "date"),
+    (re.compile(r"\btrn:\s*", re.I), " Trn: ", "trn:"),
+    (re.compile(r"\bssn:\s*", re.I), " Ssn: ", "ssn:"),
 )
-
-
-# superset gate for the 5-sub clean chain: every chain pattern implies
-# a match of this gate (same literals, case-insensitive, minus the \b
-# anchors — so a gate miss proves no chain sub could fire and the five
-# regex passes are skipped; a false positive only runs the old chain)
-_CHASE_CLEAN_GATE = re.compile(
-    r"daily ending balance|fecha\s+cantidad|date\s+amount|trn:|ssn:",
-    re.I)
 
 
 def _chase_clean_desc(text: str) -> str:
     """reference chase.py:219-230."""
     c = AMOUNT_RE.sub("", text)
     c = _MD_TOKEN_RE.sub("", c)
-    if _CHASE_CLEAN_GATE.search(c):
-        for rx, repl in _CHASE_CLEAN_CHAIN:
-            c = rx.sub(repl, c)
+    low = c.lower()
+    for rx, repl, gate in _CHASE_CLEAN_CHAIN:
+        if gate in low:
+            c2 = rx.sub(repl, c)
+            if c2 is not c:
+                c = c2
+                low = c.lower()
     c = squeeze(c)
     if c:
         c = c[0].upper() + c[1:]

@@ -37,7 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..relational import DUCK, SPARK, LEN, ORD_ARRAY, SLICE
+from ..relational import (
+    DUCK, SPARK, LEN, LINE_PARTITIONS, ORD_ARRAY, SLICE,
+)
 
 QUERIES = {}
 
@@ -730,7 +732,14 @@ def _ivf_fit_impl(embeddings: DataFrame, k: int = 8,
                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
                " * 1000000.0) AS BIGINT))")
     base = embeddings.select("vec_id", F.expr(qv_expr).alias("qv"))
-    train = (base.filter(train_filter) if train_filter else base).persist()
+    # the Lloyd SAMPLE is deliberately small (FAISS-style); partition
+    # it at sample-appropriate width instead of inheriting the corpus
+    # width — a 64-wide persisted 2.5k-row sample made every round's
+    # jobs mostly-empty tasks (measured 2.2 -> 1.5 s per fit at
+    # fixture scale); width scales with LINE_PARTITIONS, floor k
+    train = (base.filter(train_filter)
+             .repartition(max(k, LINE_PARTITIONS // 8), "vec_id")
+             if train_filter else base).persist()
     cent0 = seed_df if seed_df is not None else train.filter(
         F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cv"))
@@ -846,7 +855,6 @@ def amortized_ivf_demo(spark, index_dir: str = None) -> DataFrame:
     # the final full-corpus assignment) otherwise runs one-task; the
     # one ~13 MB shuffle buys fit-wide parallelism (guide §2.5 input-
     # skew fix — repartition right after the skewed read).
-    from ..relational import LINE_PARTITIONS
     base = big_base_df(spark, reps) \
         .repartition(LINE_PARTITIONS, "vec_id").persist()
     seed = base.filter(

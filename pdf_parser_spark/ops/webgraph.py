@@ -681,11 +681,20 @@ def trustrank_df(spark, edges=None):
     # (row-identity to the unrolled SQL stays test-pinned).
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(2) as pool:
+        # round 6: each thread MATERIALIZES its chain (localCheckpoint
+        # is eager) — previously the threads only built lazy plans and
+        # the single final action executed both lineages in one job,
+        # so the overlap was limited to whatever independent stages the
+        # DAG scheduler happened to co-schedule; two eager jobs from
+        # two threads overlap fully (guide §2.6), and the final verdict
+        # join runs over two checkpointed leaves.  Rows unchanged.
         f_pr = pool.submit(lambda: pagerank_df(edges)
-                           .withColumnRenamed("rank_ppb", "r"))
+                           .withColumnRenamed("rank_ppb", "r")
+                           .localCheckpoint())
         f_tr = pool.submit(lambda: pagerank_df(edges, seeds=seeds)
                            .withColumnRenamed("rank_ppb", "t")
-                           .withColumnRenamed("host", "thost"))
+                           .withColumnRenamed("host", "thost")
+                           .localCheckpoint())
         pr, tr = f_pr.result(), f_tr.result()
     # seed membership as a broadcast left join on the same tiny
     # DataFrame (not a driver-built isin literal over vertex rows)

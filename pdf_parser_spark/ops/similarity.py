@@ -1374,25 +1374,36 @@ def pq_fit_df(embeddings: DataFrame, m: int = _PQ_M,
     spark = embeddings.sparkSession
     subs = _pq_subs(embeddings, m, sub).select("vec_id", "m", "sv") \
         .persist()
-    comps = subs.select(
-        "vec_id", "m", F.posexplode("sv").alias("pos", "v")).persist()
     seed = subs.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").cast("int").alias("code"),
         F.col("sv").alias("cv"))
     cb_rows = sorted((r.m, r.code, list(r.cv)) for r in seed.collect())
     sqdist = F.expr(_PQ_SUB_SQDIST)
 
-    def assign_join(rows) -> DataFrame:
+    def assign_join(rows, carry_sv: bool = False) -> DataFrame:
+        # round 6: Lloyd rounds CARRY the sub-vector through the
+        # min_by assignment (any_value is deterministic — sv is
+        # functionally dependent on the (vec_id, m) group key) and
+        # posexplode it after, instead of shuffle-joining the
+        # assignment back to a persisted pre-exploded components
+        # table — one fewer shuffle join per round (the same carry
+        # the IVF fit got this round; guide §8: don't let a
+        # re-attach join sneak a payload shuffle back in).
         cdf = spark.createDataFrame(
             rows, "m int, code int, cv array<bigint>")
-        scored = subs.join(F.broadcast(cdf), "m").select(
-            "vec_id", "m", "code", sqdist.alias("sq_dist"))
-        return scored.groupBy("vec_id", "m").agg(
-            F.min_by("code", F.struct("sq_dist", "code")).alias("code"))
+        cols = ["vec_id", "m", "code", sqdist.alias("sq_dist")]
+        if carry_sv:
+            cols.append("sv")
+        scored = subs.join(F.broadcast(cdf), "m").select(*cols)
+        aggs = [F.min_by("code", F.struct("sq_dist", "code")).alias("code")]
+        if carry_sv:
+            aggs.append(F.any_value("sv").alias("sv"))
+        return scored.groupBy("vec_id", "m").agg(*aggs)
 
     for _ in range(iters):
-        assigned = assign_join(cb_rows)
-        means = (assigned.join(comps, ["vec_id", "m"])
+        assigned = assign_join(cb_rows, carry_sv=True)
+        means = (assigned
+                 .select("m", "code", F.posexplode("sv").alias("pos", "v"))
                  .groupBy("m", "code", "pos")
                  .agg(F.expr("CAST(floor(SUM(v) / CAST(COUNT(*) AS"
                              " DOUBLE)) AS BIGINT)").alias("mv")))
@@ -1407,7 +1418,6 @@ def pq_fit_df(embeddings: DataFrame, m: int = _PQ_M,
     codebook = spark.createDataFrame(
         cb_rows, "m int, code int, cv array<bigint>")
     subs.unpersist()
-    comps.unpersist()
     return codes, codebook
 
 

@@ -1184,6 +1184,90 @@ def rel_inject_py(doc_id: int, line_no: int, line: str) -> str:
     return line
 
 
+def _bofa_rel_block_tail(d: str) -> str:
+    """The openers/blocks/parsed tail of bofa_rel_relational.
+
+    DuckDB keeps the original double openers self-join (the oracle
+    text is frozen).  Spark folds the opener INTO the blocks
+    aggregation: ``grp`` increments on every ``is_dateline OR is_ev``
+    row, so each group contains exactly ONE such row — its first — and
+    ``is_opener`` can only be 1 there; ``MAX(CASE WHEN is_opener…)``
+    therefore recovers the opener's line_no/section exactly, and
+    groups without an opener (event-started, or dateline outside a
+    section) die at the NULL-gate exactly as they died at the inner
+    join.  Same fold the generic/chase queries got this round
+    (_opener_block_tail/_chase_block_ctes): Catalyst inlines each CTE
+    reference, so the two openers joins re-derived the whole
+    stmt_lines + section-carry pipeline twice more."""
+    p = PRINTF(d)
+    dparts = lit(r"^\s*(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?\b", d)
+    toks = REALL("body", AMOUNT_PATTERN, d)
+    last_tok = "toks[-1]" if d == DUCK else "element_at(toks, -1)"
+    wo_date = REREPL("body", r"^\s*\d{1,2}/\d{1,2}/\d{2}\s+", "", d)
+    bare_last = REREPL("last_tok", r"[\(\)\-\$,]", "", d)
+    ntok = LEN("toks", d)
+    if d == SPARK:
+        return """blocks AS (
+  SELECT doc_id, grp,
+    concat_ws(' ', transform(array_sort(collect_list(
+      CASE WHEN is_noise = 0 OR is_opener = 1
+           THEN struct(line_no as o, line as v) END)), x -> x.v))
+      AS body,
+    MAX(CASE WHEN is_opener = 1 THEN line_no END) AS opener_line,
+    MAX(CASE WHEN is_opener = 1 THEN section END) AS block_section
+  FROM grouped GROUP BY doc_id, grp
+),
+parsed AS (
+  SELECT b.doc_id, b.grp, b.block_section,
+    CASE WHEN yy < 100 THEN {p}('%04d-%02d-%02d', 2000 + yy, mm, dd)
+         ELSE {p}('%04d-%02d-%02d', yy, mm, dd) END AS date,
+    wo AS wo_date, last_tok,
+    cast({bare_last} as double) AS amount
+  FROM (
+    SELECT doc_id, grp, block_section, body, {toks} AS toks,
+      {lt} AS last_tok,
+      {wo} AS wo,
+      try_cast(regexp_extract(trim(body), {dparts}, 1) as int) AS mm,
+      try_cast(regexp_extract(trim(body), {dparts}, 2) as int) AS dd,
+      coalesce(try_cast(regexp_extract(trim(body), {dparts}, 3) as int),
+               2024) AS yy
+    FROM blocks WHERE opener_line IS NOT NULL
+  ) b
+  WHERE {ntok} > 0
+)""".format(p=p, dparts=dparts, toks=toks, lt=last_tok, wo=wo_date,
+            bare_last=bare_last, ntok=ntok)
+    ordcat = "string_agg(line, ' ' ORDER BY line_no)"
+    return """openers AS (
+  SELECT doc_id, grp, line_no AS opener_line, section AS block_section
+  FROM grouped WHERE is_opener = 1
+),
+blocks AS (
+  SELECT g.doc_id, g.grp, {ordcat} AS body
+  FROM grouped g JOIN openers o
+    ON g.doc_id = o.doc_id AND g.grp = o.grp
+  WHERE g.is_noise = 0 OR g.line_no = o.opener_line
+  GROUP BY g.doc_id, g.grp
+),
+parsed AS (
+  SELECT b.doc_id, b.grp, o.block_section,
+    CASE WHEN yy < 100 THEN {p}('%04d-%02d-%02d', 2000 + yy, mm, dd)
+         ELSE {p}('%04d-%02d-%02d', yy, mm, dd) END AS date,
+    wo AS wo_date, last_tok,
+    cast({bare_last} as double) AS amount
+  FROM (
+    SELECT doc_id, grp, body, {toks} AS toks, {lt} AS last_tok,
+      {wo} AS wo,
+      try_cast(regexp_extract(trim(body), {dparts}, 1) as int) AS mm,
+      try_cast(regexp_extract(trim(body), {dparts}, 2) as int) AS dd,
+      coalesce(try_cast(regexp_extract(trim(body), {dparts}, 3) as int),
+               2024) AS yy
+    FROM blocks
+  ) b JOIN openers o ON b.doc_id = o.doc_id AND b.grp = o.grp
+  WHERE {ntok} > 0
+)""".format(ordcat=ordcat, p=p, dparts=dparts, toks=toks, lt=last_tok,
+            wo=wo_date, bare_last=bare_last, ntok=ntok)
+
+
 @query("bofa_rel_relational")
 def q_bofa_rel(d: str) -> str:
     """The COMPLETE BofA Relationship parser
@@ -1194,14 +1278,6 @@ def q_bofa_rel(d: str) -> str:
     amount = last money lexeme (magnitude), trimmed off the
     description tail; direction = the section."""
     p = PRINTF(d)
-    datep = lit(r"^\s*\d{1,2}/\d{1,2}/\d{2}\b", d)
-    dparts = lit(r"^\s*(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?\b", d)
-    toks = REALL("body", AMOUNT_PATTERN, d)
-    last_tok = "toks[-1]" if d == DUCK else "element_at(toks, -1)"
-    wo_date = REREPL("body", r"^\s*\d{1,2}/\d{1,2}/\d{2}\s+", "", d)
-    ordcat = ("string_agg(line, ' ' ORDER BY line_no)" if d == DUCK else
-              "concat_ws(' ', transform(array_sort(collect_list("
-              "struct(line_no as o, line as v))), x -> x.v))")
     return with_lines("""
 , reld AS (
   SELECT doc_id, line_no, {inject} AS line FROM stmt_lines
@@ -1239,34 +1315,7 @@ grouped AS (
             ROWS UNBOUNDED PRECEDING) AS grp
   FROM flagged
 ),
-openers AS (
-  SELECT doc_id, grp, line_no AS opener_line, section AS block_section
-  FROM grouped WHERE is_opener = 1
-),
-blocks AS (
-  SELECT g.doc_id, g.grp, {ordcat} AS body
-  FROM grouped g JOIN openers o
-    ON g.doc_id = o.doc_id AND g.grp = o.grp
-  WHERE g.is_noise = 0 OR g.line_no = o.opener_line
-  GROUP BY g.doc_id, g.grp
-),
-parsed AS (
-  SELECT b.doc_id, b.grp, o.block_section,
-    CASE WHEN yy < 100 THEN {p}('%04d-%02d-%02d', 2000 + yy, mm, dd)
-         ELSE {p}('%04d-%02d-%02d', yy, mm, dd) END AS date,
-    wo AS wo_date, last_tok,
-    cast({bare_last} as double) AS amount
-  FROM (
-    SELECT doc_id, grp, body, {toks} AS toks, {lt} AS last_tok,
-      {wo} AS wo,
-      try_cast(regexp_extract(trim(body), {dparts}, 1) as int) AS mm,
-      try_cast(regexp_extract(trim(body), {dparts}, 2) as int) AS dd,
-      coalesce(try_cast(regexp_extract(trim(body), {dparts}, 3) as int),
-               2024) AS yy
-    FROM blocks
-  ) b JOIN openers o ON b.doc_id = o.doc_id AND b.grp = o.grp
-  WHERE {ntok} > 0
-)
+{blocktail}
 SELECT doc_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY date, grp)
        AS INT) - 1 AS tx_index,
@@ -1289,9 +1338,7 @@ FROM parsed
            contin=RLIKE("line", r"(?i)continued on the next page", d),
            is_date=RLIKE("line", r"^\s*\d{1,2}/\d{1,2}/\d{2}\b", d),
            carry=LAST_IGNULLS("sec_ev", "line_no", "doc_id", d),
-           ordcat=ordcat, p=p, dparts=dparts, toks=toks, lt=last_tok,
-           wo=wo_date, bare_last=REREPL("last_tok", r"[\(\)\-\$,]", "", d),
-           ntok=LEN("toks", d)), d)
+           blocktail=_bofa_rel_block_tail(d)), d)
 
 
 # ---------------------------------------------------------------------

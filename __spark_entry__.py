@@ -874,6 +874,19 @@ def _retired_specials() -> dict:
             _pq_codes_production, QUERY_SQL["ann_pq_codes"]["duckdb"]),
         "ann_pq_adc": (
             _pq_adc_production, QUERY_SQL["ann_pq_adc"]["duckdb"]),
+        # round-6 perf: persisted-intermediate AllPairs twin (the
+        # unrolled form re-derives the shingle pipeline per ``toks``
+        # consumer — 40 scans in one plan; same promoted-twin
+        # rationale as span_neardup, row-identity test-pinned)
+        "dedup_allpairs_prefix": (
+            _allpairs_prefix_production,
+            QUERY_SQL["dedup_allpairs_prefix"]["duckdb"]),
+        # round-6 perf: MaxScore twin over a checkpointed weights
+        # table (the unrolled form re-derives tokenize→stats→weights
+        # per ``wgts`` consumer — 114 scans in one plan)
+        "bm25_maxscore": (
+            _bm25_maxscore_production,
+            QUERY_SQL["bm25_maxscore"]["duckdb"]),
         # declared page labels — the navigation/citation sidecar of
         # PDF extraction; encode-side golden-parquet oracle
         "pdf_labels_extract": (
@@ -1009,6 +1022,27 @@ def _pq_adc_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     return pq_topk_df(spark.table("embeddings"))
+
+
+def _allpairs_prefix_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-intermediate AllPairs prefix-filter join (see
+    ops/dedup.py allpairs_prefix_df) — row-identical to the unrolled
+    SQL oracle (test-pinned); promoted round 6 (perf)."""
+    from pdf_parser_spark.ops.dedup import allpairs_prefix_df
+
+    _register(spark, sf_dir)
+    return allpairs_prefix_df(spark)
+
+
+def _bm25_maxscore_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore top-k over a checkpointed per-(query,term,doc)
+    weights table (see ops/retrieval.py bm25_maxscore_df) —
+    row-identical to the unrolled SQL oracle (test-pinned); promoted
+    round 6 (perf)."""
+    from pdf_parser_spark.ops.retrieval import bm25_maxscore_df
+
+    _register(spark, sf_dir)
+    return bm25_maxscore_df(spark)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -574,12 +574,23 @@ WITH corpus AS (
 SELECT doc_id, s FROM exploded""" % (
         LINE_PARTITIONS, _exploded_shingles(d))).localCheckpoint()
     exploded.createOrReplaceTempView("snd_exploded")
-    # stage 3: signatures + distinct shingle sets (narrow, reused)
-    sigs = spark.sql("SELECT doc_id, %s FROM snd_exploded GROUP BY doc_id"
-                     % _minhash_agg()).localCheckpoint()
+    # stage 3: signatures + distinct shingle sets (narrow, reused) —
+    # the two aggregations are INDEPENDENT consumers of the exploded
+    # leaf, so materialize them from two driver threads (guide §2.6,
+    # same overlap as the trustrank chains): the second job's tasks
+    # back-fill executors freed by the first job's tail
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f_sigs = pool.submit(
+            lambda: spark.sql(
+                "SELECT doc_id, %s FROM snd_exploded GROUP BY doc_id"
+                % _minhash_agg()).localCheckpoint())
+        f_shingled = pool.submit(
+            lambda: spark.sql(
+                "SELECT DISTINCT doc_id, s FROM snd_exploded")
+            .localCheckpoint())
+        sigs, shingled = f_sigs.result(), f_shingled.result()
     sigs.createOrReplaceTempView("snd_sigs")
-    shingled = spark.sql(
-        "SELECT DISTINCT doc_id, s FROM snd_exploded").localCheckpoint()
     shingled.createOrReplaceTempView("snd_shingled")
     # stage 4: band → capped candidates → exact-Jaccard verify — the
     # verbatim tail of the span_neardup SQL over the persisted views
@@ -1355,6 +1366,74 @@ FROM pairs WHERE shared_fps >= {tau}
 # -------------------------------- prefix-filtered all-pairs (PPJoin)
 
 _AP_TAU_NUM, _AP_TAU_DEN = 6, 10   # Jaccard threshold τ = 0.6
+
+
+def allpairs_prefix_df(spark):
+    """PRODUCTION AllPairs prefix-filter join — the persisted-
+    intermediate twin of the ``dedup_allpairs_prefix`` SQL,
+    row-identical (the unrolled SQL stays as the cross-engine DuckDB
+    oracle; a test pins row-identity).
+
+    Why (round-6 measurement, same rationale as span_neardup_df):
+    Catalyst inlines every CTE reference, so the unrolled form
+    re-derives the corpus + posexplode/lead-window shingle pipeline
+    once per ``toks`` consumer (df, sizes, ranked, inter×2 — 40
+    parquet scans in one plan at sf0.1), and ``prefix`` twice more in
+    the candidate self-join.  Here the distinct token table is
+    computed ONCE (checkpointed leaf), the prefix table once over it,
+    and the verify tail reuses the same SQL text as the oracle form.
+    At 10^12 docs you materialize the narrow (doc_id, shingle) and
+    prefix tables, never re-derive them per reference."""
+    d = SPARK
+    tn, td = _AP_TAU_NUM, _AP_TAU_DEN
+    # the corpus + shingle builders are the SAME text the oracle SQL
+    # uses (single-sourced semantics); the lead-window already forces
+    # a hashpartitioning(doc_id) exchange, so the explode runs at
+    # full shuffle width without an extra repartition
+    toks = spark.sql(
+        "WITH %s,%s\nSELECT DISTINCT doc_id, s AS w FROM exploded"
+        % (_near_corpus(d).strip(), _exploded_shingles(d).strip())
+    ).localCheckpoint()
+    toks.createOrReplaceTempView("ap_toks")
+    sizes = spark.sql(
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM ap_toks GROUP BY doc_id").localCheckpoint()
+    sizes.createOrReplaceTempView("ap_sizes")
+    prefix = spark.sql("""
+WITH df AS (SELECT w, COUNT(*) AS dfreq FROM ap_toks GROUP BY w),
+ranked AS (
+  SELECT t.doc_id, t.w,
+    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                       ORDER BY f.dfreq, t.w) AS rn
+  FROM ap_toks t JOIN df f ON f.w = t.w
+)
+SELECT r.doc_id, r.w
+FROM ranked r JOIN ap_sizes s ON s.doc_id = r.doc_id
+WHERE r.rn <= s.n - CAST(({tn} * s.n + {td} - 1) / {td} AS BIGINT) + 1
+""".format(tn=tn, td=td)).localCheckpoint()
+    prefix.createOrReplaceTempView("ap_prefix")
+    return spark.sql("""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM ap_prefix a JOIN ap_prefix b
+    ON a.w = b.w AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN ap_toks a ON a.doc_id = c.left_id
+  JOIN ap_toks b ON b.doc_id = c.right_id AND b.w = a.w
+  GROUP BY c.left_id, c.right_id
+)
+SELECT i.left_id, i.right_id, i.inter,
+  sa.n AS left_n, sb.n AS right_n,
+  CAST(i.inter AS DOUBLE)
+    / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN ap_sizes sa ON sa.doc_id = i.left_id
+JOIN ap_sizes sb ON sb.doc_id = i.right_id
+WHERE {td} * i.inter >= {tn} * (sa.n + sb.n - i.inter)
+""".format(tn=tn, td=td))
 
 
 @query("dedup_allpairs_prefix")

@@ -664,12 +664,12 @@ def _ms_qterms(d: str) -> str:
             "FROM (VALUES %s) AS t(query_id, term)" % vals)
 
 
-def _ms_ctes(d: str) -> str:
-    """The shared CTE chain: corpus stats -> per-(query,term,doc)
-    exact-integer BM25 weights -> term upper bounds -> MaxScore
-    essential-term selection -> candidate docs.  Used by
-    ``bm25_maxscore`` and (for the pruning gate + the full-evaluation
-    twin) the tests."""
+def _ms_ctes_head(d: str) -> str:
+    """The corpus-stats → weights prefix of the MaxScore chain
+    (``qterms`` … ``wgts``) — split out so the production twin can
+    checkpoint ``wgts`` once (see bm25_maxscore_df); _ms_ctes
+    concatenates head + tail back into the byte-identical oracle
+    text."""
     toks = TOKS_CTE(d)
     idf = IDIV("((SELECT n FROM stats) - f.df) * %d" % _IDF_SCALE,
                "f.df + 1")
@@ -702,8 +702,23 @@ wgts AS (
   FROM matched m
   JOIN docfreq f ON f.term = m.term
   JOIN dl d ON d.doc_id = m.doc_id
-),
-ub AS (
+)""".format(qterms=_ms_qterms(d), toks=toks.strip(), wgt=wgt).strip()
+
+
+def _ms_ctes(d: str) -> str:
+    """The shared CTE chain: corpus stats -> per-(query,term,doc)
+    exact-integer BM25 weights -> term upper bounds -> MaxScore
+    essential-term selection -> candidate docs.  Used by
+    ``bm25_maxscore`` and (for the pruning gate + the full-evaluation
+    twin) the tests."""
+    return _ms_ctes_head(d) + ",\n" + _ms_tail()
+
+
+def _ms_tail() -> str:
+    """The MaxScore pruning tail (``ub`` … ``cand``), referencing
+    ``wgts`` — as a CTE in the oracle form, as a checkpointed temp
+    view in the production twin (identical text either way)."""
+    return """ub AS (
   SELECT query_id, term, CAST(MAX(w) AS BIGINT) AS ub
   FROM wgts GROUP BY query_id, term
 ),
@@ -752,8 +767,46 @@ cand AS (
   SELECT DISTINCT w.query_id, w.doc_id
   FROM wgts w
   JOIN essential e ON e.query_id = w.query_id AND e.term = w.term
-)""".format(qterms=_ms_qterms(d), toks=toks.strip(), wgt=wgt,
-            k=_TOP_K).strip()
+)""".format(k=_TOP_K).strip()
+
+
+_MS_FINAL = """
+final AS (
+  SELECT w.query_id, w.doc_id, CAST(SUM(w.w) AS BIGINT) AS score_scaled
+  FROM wgts w
+  JOIN cand c ON c.query_id = w.query_id AND c.doc_id = w.doc_id
+  GROUP BY w.query_id, w.doc_id
+)
+SELECT query_id, doc_id, score_scaled, rk FROM (
+  SELECT query_id, doc_id, score_scaled,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_scaled DESC, doc_id)
+         AS BIGINT) AS rk
+  FROM final) t
+WHERE rk <= {k}
+"""
+
+
+def bm25_maxscore_df(spark):
+    """PRODUCTION MaxScore — the persisted-intermediate twin of the
+    ``bm25_maxscore`` SQL, row-identical (the unrolled SQL stays as
+    the cross-engine DuckDB oracle; a test pins row-identity).
+
+    Why (round-6 measurement, same rationale as span_neardup_df /
+    allpairs_prefix_df): Catalyst inlines every CTE reference, so the
+    unrolled form re-derives the corpus tokenize → stats → weights
+    chain once per ``wgts`` consumer (ub, c1, full1, cand, final —
+    114 parquet scans in one plan at sf0.1).  Here ``wgts`` is
+    computed ONCE (checkpointed leaf — exactly what a real index
+    stores next to its postings) and the pruning tail + final scoring
+    reuse the same SQL text as the oracle form over that leaf."""
+    wgts = spark.sql(
+        "WITH %s\nSELECT query_id, term, doc_id, w FROM wgts"
+        % _ms_ctes_head(SPARK)).localCheckpoint()
+    wgts.createOrReplaceTempView("wgts")
+    return spark.sql(
+        "WITH " + _ms_tail() + ",\n"
+        + _MS_FINAL.strip().replace("{k}", str(_TOP_K)))
 
 
 @query("bm25_maxscore")

@@ -700,7 +700,10 @@ _PROMOTED_CALLABLES = ("trustrank_seeds", "label_propagation",
                        # round-6 perf promotions (iterative PQ twins;
                        # unrolled forms re-derive the sub-vector
                        # pipeline per CTE reference)
-                       "ann_pq_codes", "ann_pq_adc")
+                       "ann_pq_codes", "ann_pq_adc",
+                       # round-6: fingerprint table checkpointed once
+                       # (unrolled form re-derives it per consumer)
+                       "simhash_hamming")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -887,6 +890,12 @@ def _retired_specials() -> dict:
         "bm25_maxscore": (
             _bm25_maxscore_production,
             QUERY_SQL["bm25_maxscore"]["duckdb"]),
+        # round-6 perf: SimHash fingerprint table checkpointed once
+        # (unrolled form re-derives the 48-bit-vote pipeline per
+        # ``sh`` consumer — 16 scans in one plan)
+        "simhash_hamming": (
+            _simhash_hamming_production,
+            QUERY_SQL["simhash_hamming"]["duckdb"]),
         # declared page labels — the navigation/citation sidecar of
         # PDF extraction; encode-side golden-parquet oracle
         "pdf_labels_extract": (
@@ -1022,6 +1031,17 @@ def _pq_adc_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     return pq_topk_df(spark.table("embeddings"))
+
+
+def _simhash_hamming_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming SimHash near-dup over a checkpointed
+    fingerprint table (see ops/dedup.py simhash_hamming_df) —
+    row-identical to the unrolled SQL oracle (test-pinned); promoted
+    round 6 (perf)."""
+    from pdf_parser_spark.ops.dedup import simhash_hamming_df
+
+    _register(spark, sf_dir)
+    return simhash_hamming_df(spark)
 
 
 def _allpairs_prefix_production(spark: SparkSession, sf_dir: str) -> DataFrame:

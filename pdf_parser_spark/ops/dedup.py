@@ -681,6 +681,51 @@ _SIMHAM_BLOCKS = 4   # split into 4 disjoint 12-bit blocks
 _SIMHAM_MAXHAM = 3   # pigeonhole-exhaustive Hamming radius (see below)
 
 
+def simhash_hamming_df(spark):
+    """PRODUCTION SimHash banded near-dup — the persisted-intermediate
+    twin of the ``simhash_hamming`` SQL, row-identical (the unrolled
+    SQL stays as the cross-engine DuckDB oracle; a test pins
+    row-identity).
+
+    Why (round-6 measurement, same rationale as span_neardup_df):
+    Catalyst inlines every CTE reference, so the unrolled form
+    re-derives the tokenize + 48-bit-vote fingerprint pipeline once
+    per ``sh`` consumer (bands, verify sa, verify sb — 16 parquet
+    scans in one plan at sf0.1).  Here the (doc_id, simhash) table —
+    exactly what a production fingerprint store persists — is
+    checkpointed ONCE and the banding/verify tail reuses the same SQL
+    text over that leaf."""
+    d = SPARK
+    sh = spark.sql(
+        "WITH %s,\n%s\nSELECT doc_id, simhash FROM sh"
+        % (_near_corpus(d).strip(),
+           _simhash_parts(d, _SIMHAM_BITS).strip())).localCheckpoint()
+    sh.createOrReplaceTempView("shm_sh")
+    bpb = _SIMHAM_BITS // _SIMHAM_BLOCKS
+    mask = (1 << bpb) - 1
+    bandrows = ("SELECT explode(sequence(0, %d)) AS b"
+                % (_SIMHAM_BLOCKS - 1))
+    bandval = "(shiftright(s.simhash, r.b * %d) & %d)" % (bpb, mask)
+    hamming = "bit_count(sa.simhash ^ sb.simhash)"
+    return spark.sql("""
+WITH bands AS (
+  SELECT s.doc_id, r.b, {bandval} AS bv
+  FROM shm_sh s CROSS JOIN ({bandrows}) r
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.left_id, c.right_id, CAST({hamming} AS INT) AS hamming
+FROM cand c
+JOIN shm_sh sa ON sa.doc_id = c.left_id
+JOIN shm_sh sb ON sb.doc_id = c.right_id
+WHERE {hamming} <= {maxham}
+""".format(bandval=bandval, bandrows=bandrows, hamming=hamming,
+           maxham=_SIMHAM_MAXHAM))
+
+
 @query("simhash_hamming")
 def q_simhash_hamming(d: str) -> str:
     """SimHash near-duplicate detection (Manku, Jain & Das Sarma,

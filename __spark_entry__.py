@@ -896,6 +896,12 @@ def _retired_specials() -> dict:
         "simhash_hamming": (
             _simhash_hamming_production,
             QUERY_SQL["simhash_hamming"]["duckdb"]),
+        # round-6 perf: incremental-dedup screen over checkpointed
+        # corpus/shingle/signature tables (72 scans unrolled) — the
+        # persisted-artifact shape its own docstring describes
+        "dedup_incremental": (
+            _dedup_incremental_production,
+            QUERY_SQL["dedup_incremental"]["duckdb"]),
         # declared page labels — the navigation/citation sidecar of
         # PDF extraction; encode-side golden-parquet oracle
         "pdf_labels_extract": (
@@ -1052,6 +1058,17 @@ def _allpairs_prefix_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     return allpairs_prefix_df(spark)
+
+
+def _dedup_incremental_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup screen over checkpointed corpus/shingle/
+    signature artifacts (see ops/dedup.py dedup_incremental_df) —
+    row-identical to the unrolled SQL oracle (test-pinned); promoted
+    round 6 (perf)."""
+    from pdf_parser_spark.ops.dedup import dedup_incremental_df
+
+    _register(spark, sf_dir)
+    return dedup_incremental_df(spark)
 
 
 def _bm25_maxscore_production(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -886,6 +886,116 @@ WHERE c.doc_id >= 1000000
            jac=_jaccard_ctes("inc_cand"), jexpr=_JACCARD)
 
 
+def dedup_incremental_df(spark):
+    """PRODUCTION incremental dedup — the persisted-intermediate twin
+    of the ``dedup_incremental`` SQL, row-identical (the unrolled SQL
+    stays as the cross-engine DuckDB oracle; a test pins
+    row-identity).
+
+    Why (round-6 measurement, same rationale as span_neardup_df /
+    allpairs_prefix_df): Catalyst inlines every CTE reference, so the
+    unrolled form re-derives the 4-tier corpus + shingle pipeline
+    once per consumer (72 parquet scans in one plan at sf0.1).  Here
+    the corpus, exploded shingles, signatures and distinct shingle
+    sets are checkpointed once (signatures and shingle sets from two
+    driver threads — independent consumers of the exploded leaf) and
+    the band/screen/verify/verdict tail reuses the same SQL text
+    builders over the leaves.  This IS the production shape the
+    oracle docstring describes: the old side's bands/shingles are a
+    persisted artifact, only the new-sided screen recomputes."""
+    d = SPARK
+    rev = "array_join(reverse(split(text, ' ')), ' ')"
+    drop1 = "substring(text, instr(text, ' ') + 1)"
+    corpus = spark.sql("""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, {drop1} AS text
+FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id, {rev} AS text
+FROM documents WHERE doc_id % 9 = 0""".format(
+        drop1=drop1, rev=rev)).localCheckpoint()
+    corpus.createOrReplaceTempView("inc_corpus")
+    exploded = spark.sql("""
+WITH corpus AS (
+  SELECT /*+ REPARTITION(%d, doc_id) */ doc_id, text FROM inc_corpus
+),%s
+SELECT doc_id, s FROM exploded""" % (
+        LINE_PARTITIONS, _exploded_shingles(d))).localCheckpoint()
+    exploded.createOrReplaceTempView("inc_exploded")
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f_sigs = pool.submit(
+            lambda: spark.sql(
+                "SELECT doc_id, %s FROM inc_exploded GROUP BY doc_id"
+                % _minhash_agg()).localCheckpoint())
+        f_shingled = pool.submit(
+            lambda: spark.sql(
+                "SELECT DISTINCT doc_id, s FROM inc_exploded")
+            .localCheckpoint())
+        sigs, shingled = f_sigs.result(), f_shingled.result()
+    sigs.createOrReplaceTempView("inc_sigs")
+    shingled.createOrReplaceTempView("inc_shingled")
+    return spark.sql("""
+WITH banded AS (SELECT doc_id, {bands} FROM inc_sigs),
+banded_long AS ({long_form}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM banded_long a JOIN banded_long b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+),
+hashes AS (SELECT doc_id, md5(text) AS h FROM inc_corpus),
+exact_hit AS (
+  SELECT n.doc_id, MIN(o.doc_id) AS match_id
+  FROM hashes n JOIN hashes o ON o.h = n.h AND o.doc_id < n.doc_id
+  WHERE n.doc_id >= 1000000 GROUP BY n.doc_id
+),
+inc_cand AS (
+  SELECT left_id, right_id FROM cand WHERE right_id >= 1000000
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM inc_shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM inc_cand c
+  JOIN inc_shingled a ON a.doc_id = c.left_id
+  JOIN inc_shingled b ON b.doc_id = c.right_id AND b.s = a.s
+  GROUP BY c.left_id, c.right_id
+),
+near AS (
+  SELECT i.right_id AS doc_id, i.left_id AS match_id,
+    {jexpr} AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.left_id
+  JOIN sizes sb ON sb.doc_id = i.right_id
+  WHERE {jexpr} >= 0.5
+),
+near_best AS (
+  SELECT doc_id, match_id, jaccard FROM (
+    SELECT doc_id, match_id, jaccard,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY jaccard DESC, match_id) AS rn
+    FROM near
+  ) t WHERE rn = 1
+)
+SELECT c.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nb.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS verdict,
+  COALESCE(e.match_id, nb.match_id) AS match_id,
+  CASE WHEN e.doc_id IS NULL THEN nb.jaccard END AS jaccard
+FROM inc_corpus c
+LEFT JOIN exact_hit e ON e.doc_id = c.doc_id
+LEFT JOIN near_best nb ON nb.doc_id = c.doc_id
+WHERE c.doc_id >= 1000000
+""".format(bands=_BAND_EXPRS, long_form=_band_long_spark(),
+           jexpr=_JACCARD))
+
+
 # ------------------------------------------------ production CC form
 def neardup_components_df(pairs, iters: int = _CC_ROUNDS):
     """Connected components over near-dup ``pairs(left_id, right_id)``
